@@ -1,0 +1,49 @@
+"""Schema conformance with drift auditing.
+
+The reference reconciles incoming dict keys against the declared DB schema at
+load time: keys without a matching column are dropped with a warning, missing
+columns are tolerated (reference: ET-ETL-DWH-PY312/ETL/Load.py:94-110;
+unmatched-table warning ETL/Load.py:64-69, ETL/utils.py:279-281).
+
+Catalyst prunes columns for free, but silently; this operator keeps the
+reference's *audit* behavior: it logs what was dropped and what was filled
+with NULLs, then selects/casts to the declared schema so every downstream
+consumer sees exactly the registry shape.
+"""
+
+from __future__ import annotations
+
+import logging
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+log = logging.getLogger(__name__)
+
+
+def conform(df: DataFrame, target: T.StructType, table_name: str = "?") -> DataFrame:
+    """Project ``df`` onto ``target``: drop extras (warn), add missing as
+    NULL (warn), cast mismatched types to the declared ones.
+
+    Pure column-level projection — no shuffle, fully pushdown-transparent.
+    """
+    have = {f.name: f for f in df.schema.fields}
+    want = target.fields
+
+    extras = [c for c in df.columns if c not in {f.name for f in want}]
+    missing = [f.name for f in want if f.name not in have]
+    if extras:
+        log.warning("conform(%s): dropping unmatched columns %s", table_name, extras)
+    if missing:
+        log.warning("conform(%s): filling missing columns with NULL %s",
+                    table_name, missing)
+
+    cols = []
+    for f in want:
+        if f.name in have:
+            col = F.col(f.name)
+            if have[f.name].dataType != f.dataType:
+                col = col.cast(f.dataType)
+            cols.append(col.alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

@@ -1,0 +1,90 @@
+"""Set-based MERGE upsert keyed by declared unique constraints.
+
+The reference loads row-at-a-time: SQLite ``INSERT … ON CONFLICT DO
+UPDATE`` / MSSQL SELECT-exists→UPDATE-else-INSERT, one statement per row
+(reference: ET-ETL-DWH-PY312/ETL/Load.py:101-162; key discovery
+ETL/utils.py:247-253; "UPSERT mode … ET is source of truth"
+DOCS/README.MD:18). That is O(rows) round-trips — the reference's load
+bottleneck.
+
+Here the same semantics are ONE set-based merge per table:
+
+1. intra-batch dedup: ``row_number() over (partition by key order by
+   <recency> desc) = 1`` — last write per unique key wins within a batch;
+2. inter-batch merge: without a transactional table format in this
+   environment we rewrite MERGE as
+
+       new_target = source ∪ (target ⟕anti source on key)
+
+   i.e. matched target rows are replaced by their source version (UPDATE),
+   unmatched source rows are appended (INSERT), unmatched target rows are
+   kept. On Delta Lake this function becomes a single ``MERGE INTO``
+   (see docstring of ``merge_sql``) — the join rewrite below is the
+   format-independent fallback with identical results.
+
+Scale: the anti-join shuffles on the unique key; at 100 TB the target should
+be bucketed/partitioned by the same key (date-partitioned for facts) so the
+merge only rewrites touched partitions (standard Delta MERGE behavior).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def dedup_latest(df: DataFrame, key: tuple[str, ...] | list[str],
+                 order_col: str | None = None) -> DataFrame:
+    """Keep one row per unique key — the most recent when ``order_col`` is
+    given, otherwise an arbitrary-but-deterministic single row."""
+    order = (F.col(order_col).desc_nulls_last()
+             if order_col else F.monotonically_increasing_id().desc())
+    w = Window.partitionBy(*key).orderBy(order)
+    return (df.withColumn("_rn", F.row_number().over(w))
+              .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def merge_dataframes(target: DataFrame, source: DataFrame,
+                     key: tuple[str, ...] | list[str],
+                     order_col: str | None = None) -> DataFrame:
+    """MERGE semantics as a pure DataFrame rewrite (UPDATE ∪ INSERT ∪ KEEP)."""
+    src = dedup_latest(source, key, order_col)
+    kept = target.join(src.select(*key), on=list(key), how="left_anti")
+    return kept.unionByName(src.select(*target.columns))
+
+
+def upsert_parquet(spark, source: DataFrame, path: str,
+                   key: tuple[str, ...] | list[str],
+                   order_col: str | None = None) -> None:
+    """Idempotent upsert of ``source`` into the parquet table at ``path``.
+
+    Running the same batch twice converges to the same table (pinned by
+    tests/test_upsert.py). Write goes through a staging suffix then swap,
+    because Spark cannot overwrite a path it is concurrently reading.
+    """
+    import os
+    import shutil
+
+    if os.path.exists(path):
+        target = spark.read.parquet(path)
+        merged = merge_dataframes(target, source, key, order_col)
+    else:
+        merged = dedup_latest(source, key, order_col)
+    staging = path.rstrip("/") + "._staging"
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.rename(staging, path)
+
+
+def merge_sql(table: str, key: tuple[str, ...], update_cols: tuple[str, ...]) -> str:
+    """The Delta-Lake MERGE this operator becomes on a transactional store.
+
+    Kept as a generator (not executed here — no Delta in this environment)
+    so the SQL surface is documented and testable as a string.
+    """
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key)
+    sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols) or \
+           ", ".join(f"t.{k} = s.{k}" for k in key)
+    return (f"MERGE INTO {table} t USING _source s ON {on} "
+            f"WHEN MATCHED THEN UPDATE SET {sets} "
+            f"WHEN NOT MATCHED THEN INSERT *")

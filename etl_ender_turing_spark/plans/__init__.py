@@ -1,0 +1,1 @@
+from .catalog import CATALOG, QuerySpec  # noqa: F401

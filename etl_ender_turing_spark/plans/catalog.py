@@ -1,0 +1,489 @@
+"""Analytics query catalog: every SURVEY.md §2 operator as a named query
+over the driver's testdata tables, paired with a DuckDB oracle.
+
+Each ``QuerySpec`` holds a Spark DataFrame builder ``(spark, sf_dir) ->
+DataFrame`` and an ANSI-SQL oracle string that DuckDB evaluates over the
+same parquet files. Column names are aliased identically on both sides
+(the driver's hash compare sorts columns by name).
+
+Float discipline: cross-engine hash-matching of aggregates requires
+bit-identical values, but double summation order differs between engines.
+Pattern used throughout: cast each addend to an exact DECIMAL, sum exactly,
+cast the final sum back to DOUBLE. Per-row double arithmetic (products,
+divisions) is IEEE-deterministic and safe; only *reductions* need the
+decimal detour.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions.filter_dsl import compile_filter, compile_filter_sql
+from ..sources.readers import read_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None          # DuckDB SQL; None => rows-only check
+    doc: str                    # which SURVEY §2 operator this certifies
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        CATALOG[name] = QuerySpec(name, fn, oracle, doc)
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def dsum(expr_sql: str, scale: int = 2) -> F.Column:
+    """Exact decimal sum of a per-row double expression, as double."""
+    return F.expr(f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)")
+
+
+def dsum_sql(expr_sql: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+def davg(expr_sql: str, scale: int = 6) -> F.Column:
+    """Order-insensitive average: exact decimal sum / exact count."""
+    return F.expr(
+        f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr_sql})")
+
+
+def davg_sql(expr_sql: str, scale: int = 6) -> str:
+    return (f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)"
+            f" / COUNT({expr_sql})")
+
+
+# =========================================================================
+# Aggregation (SURVEY §2.5) — pricing summary, TPC-H Q1 shape
+# =========================================================================
+
+_Q1_CUT = "1998-09-01"
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="hash aggregation w/ partial+final combine; filter pushdown (SURVEY §2.5)")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit(f"{_Q1_CUT} 00:00:00").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 dsum("l_extendedprice * (1 - l_discount)", 6).alias("sum_disc_price"),
+                 dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias("sum_charge"),
+                 davg("l_quantity").alias("avg_qty"),
+                 davg("l_extendedprice").alias("avg_price"),
+                 davg("l_discount").alias("avg_disc"),
+                 F.count(F.lit(1)).alias("count_order")))
+
+
+# =========================================================================
+# Scan + filter + projection pushdown (SURVEY §2.2)
+# =========================================================================
+
+@register(
+    "q2_filter_projection",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_quantity >= 45
+    """,
+    doc="predicate pushdown + column pruning reach the parquet scan (SURVEY §2.2)")
+def q2_filter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.filter((F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                      & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+                      & (F.col("l_quantity") >= 45))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+# =========================================================================
+# Multi-way join + agg — TPC-H Q5 shape, broadcast dims (SURVEY §2.3)
+# =========================================================================
+
+@register(
+    "q5_revenue_by_nation",
+    f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    doc="fact-fact sort-merge + broadcast dim joins; dim-lookup enrichment (SURVEY §2.3)")
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")))
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(dsum("l_extendedprice * (1 - l_discount)", 6).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lineitems")))
+
+
+# =========================================================================
+# Semi / anti joins — guard-column semantics (SURVEY §2.2, §2.3)
+# =========================================================================
+
+@register(
+    "q_semi_join_reviewed",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    doc="left-semi join = 'sessions having reviewers' guard filter (SURVEY §2.2)")
+def q_semi_join_reviewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+@register(
+    "q_anti_join_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 250000)
+    """,
+    doc="left-anti join; default-row-absence guard shape (SURVEY §2.7)")
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# =========================================================================
+# Window functions: top-k per group, dedup-latest, lag chain (SURVEY §2.6)
+# =========================================================================
+
+@register(
+    "q_topk_orders_per_segment",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rnk
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rnk <= 5
+    """,
+    doc="ranking window + deterministic top-k per group (SURVEY §2.6)")
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .select("c_mktsegment", "o_orderkey", "o_totalprice")
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 5))
+
+
+@register(
+    "q_dedup_latest_event",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="upsert dedup-by-key: last write per unique key wins (SURVEY §2.6)")
+def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias("last_event_id"),
+                    F.col("event_type").alias("last_event_type")))
+
+
+@register(
+    "q_event_lag_chain",
+    """
+    SELECT event_id, user_id, ts,
+           LAG(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_event_id,
+           epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id))
+             AS gap_us
+    FROM events
+    """,
+    doc="lag window — derives caller_prev_session_id chains (SURVEY §2.3 self-join row)")
+def q_event_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select("event_id", "user_id", "ts",
+                      F.lag("event_id").over(w).alias("prev_event_id"),
+                      (F.unix_micros(F.col("ts"))
+                       - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")))
+
+
+@register(
+    "q_asof_prev_purchase",
+    """
+    SELECT event_id, user_id, ts,
+           LAST_VALUE(CASE WHEN event_type = 'purchase' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS prev_purchase_ts
+    FROM events
+    QUALIFY event_type = 'click'
+    """,
+    doc="as-of join via last-ignore-nulls window (SURVEY §2.3 temporal association)")
+def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prev = F.last(F.when(F.col("event_type") == "purchase", F.col("ts")),
+                  ignorenulls=True).over(w)
+    return (ev.withColumn("prev_purchase_ts", prev)
+            .filter(F.col("event_type") == "click")
+            .select("event_id", "user_id", "ts", "prev_purchase_ts"))
+
+
+# =========================================================================
+# Sessionization — streaming-shaped gap windows, batch form (SURVEY §2.9)
+# =========================================================================
+
+@register(
+    "q_sessionize_events",
+    """
+    SELECT user_id,
+           MAX(sess_id) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id))
+                    > 1800000000 OR LAG(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events)
+    ) GROUP BY user_id
+    """,
+    doc="gap-based session windows (Structured Streaming session_window, batch form; SURVEY §2.9)")
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    return (ev.withColumn("is_new", is_new)
+            .withColumn("sess_id", F.sum("is_new").over(run))
+            .groupBy("user_id")
+            .agg(F.max("sess_id").alias("n_sessions"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+# =========================================================================
+# Tumbling time windows (SURVEY §2.9)
+# =========================================================================
+
+@register(
+    "q_hourly_event_rollup",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_bucket, event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="tumbling window agg = F.window/date_trunc (SURVEY §2.9 half-day intervals)")
+def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour_bucket"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 6).alias("sum_value")))
+
+
+# =========================================================================
+# ROLLUP / grouping sets (SURVEY §2.5 — free via Spark SQL)
+# =========================================================================
+
+@register(
+    "q_rollup_order_status",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {dsum_sql('o_totalprice')} AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    doc="rollup/grouping-sets aggregation (SURVEY §2.5)")
+def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+            .agg(dsum("o_totalprice").alias("sum_price"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+# =========================================================================
+# Set ops: union + default-row injection (SURVEY §2.7)
+# =========================================================================
+
+@register(
+    "q_union_default_region",
+    """
+    SELECT r_regionkey, r_name FROM region
+    UNION ALL
+    SELECT 999 AS r_regionkey, 'DEFAULT' AS r_name
+    WHERE NOT EXISTS (SELECT 1 FROM region WHERE r_regionkey = 999)
+    """,
+    doc="default-row injection via anti-join-guarded union (SURVEY §2.7 default user)")
+def q_union_default_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    default = r.sparkSession.createDataFrame(
+        [(999, "DEFAULT")], "r_regionkey int, r_name string")
+    inject = default.join(r, "r_regionkey", "left_anti")
+    return r.unionByName(inject)
+
+
+# =========================================================================
+# Filter DSL compiled to Catalyst (SURVEY §2.2 pushdown DSL)
+# =========================================================================
+
+_DSL = "date_range,2024-01-05,2024-01-12||08:00,20:00±event_type,click,purchase|or"
+
+@register(
+    "q_dsl_filter_events",
+    f"""
+    SELECT event_id, user_id, ts, event_type
+    FROM events
+    WHERE {compile_filter_sql(_DSL, {"date_range": "ts"})}
+    """,
+    doc="filter-DSL → Column compiler; the reference's query language (SURVEY §2.2)")
+def q_dsl_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    pred = compile_filter(_DSL, {"date_range": "ts"})
+    return ev.filter(pred).select("event_id", "user_id", "ts", "event_type")
+
+
+# =========================================================================
+# JSON field access (SURVEY §2.8 — additional_info.get path)
+# =========================================================================
+
+@register(
+    "q_json_extract_props",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+    doc="semi-structured JSON access: get_json_object + cast (SURVEY §2.8)")
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint") % 10
+    return (ev.groupBy(k.alias("k_mod"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_distinct("user_id").alias("n_users")))
+
+
+# =========================================================================
+# Scalar function battery: dates, strings, links (SURVEY §2.8)
+# =========================================================================
+
+@register(
+    "q_scalar_functions",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           strftime(o_orderdate, '%H:%M') AS order_time,
+           'https://app/main/conversations/view?session_id=' || CAST(o_orderkey AS VARCHAR) AS et_link,
+           date_trunc('second', o_orderdate) AS order_ts_s,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    doc="scalar date/string battery: split, truncate, link synthesis (SURVEY §2.8)")
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+            .select("o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+                    F.date_format("o_orderdate", "HH:mm").alias("order_time"),
+                    F.concat(F.lit("https://app/main/conversations/view?session_id="),
+                             F.col("o_orderkey").cast("string")).alias("et_link"),
+                    F.date_trunc("second", F.col("o_orderdate")).alias("order_ts_s"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents")))
+
+
+# =========================================================================
+# Explode / flatten — the signature op, over synthesized arrays (SURVEY §2.4)
+# =========================================================================
+
+@register(
+    "q_explode_part_tokens",
+    """
+    SELECT token, COUNT(*) AS n_parts
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS token FROM part)
+    WHERE token <> ''
+    GROUP BY token
+    HAVING COUNT(*) >= 20
+    """,
+    doc="explode(array) + agg — json_normalize equivalent (SURVEY §2.4)")
+def q_explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return (p.select(F.explode(F.split("p_name", " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .filter(F.col("n_parts") >= 20))

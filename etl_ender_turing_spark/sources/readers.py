@@ -1,0 +1,37 @@
+"""Source readers.
+
+The reference's sources are paginated REST scans (reference:
+ET-ETL-DWH-PY312/ETL/Extract.py:23-64 sessions; 207-250 dimensions). In this
+engine, batch sources are parquet/json scans — Catalyst pushes predicates
+and prunes columns into them automatically — and the API-scan shape lives in
+``api_source.py`` as a parallel, partition-per-interval reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
+                   "orders", "lineitem", "events", "documents", "embeddings")
+
+
+# events.ts is TIMESTAMP(NANOS,false) in the driver's parquet; with session
+# conf spark.sql.legacy.parquet.nanosAsLong it arrives as an epoch-nano long.
+# Convert to micros-precision timestamps, truncating exactly like DuckDB /
+# Arrow do, so oracle comparisons see identical values.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for col in _NANO_TS_COLS.get(name, ()):
+        if isinstance(df.schema[col].dataType, T.LongType):
+            # integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit
+            # mantissa, so float division is off by ±1µs.
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in names}

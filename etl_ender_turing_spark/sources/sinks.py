@@ -1,0 +1,52 @@
+"""File sinks — the reference's 7 output formats, with intended semantics.
+
+Reference ``load2file`` (ET-ETL-DWH-PY312/ETL/Load.py:186-224) dispatches on
+format; note its csv/xls/tsv branches are buggy (csv written via to_excel
+Load.py:214, xls via to_csv :218, tsv calls nonexistent to_tsv :220). We
+implement what was *intended*: each format writes that format.
+
+Naming parity: fact files ``{name}-{start}-{stop}.{ext}``, dimension files
+``dict-{name}.{ext}`` (Load.py:196-206).
+
+- json/csv/tsv/parquet: distributed ``df.write`` — scale to any size.
+- xlsx: driver-side via pandas (openpyxl availability gated) — dims only;
+  guarded by a row cap so nobody collects a 100 TB fact to the driver.
+- pickle: dropped (non-portable across Python versions); parquet is the
+  debug-dump format here (Transform.py:176-177 equivalent).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+XLSX_ROW_CAP = 1_000_000
+
+
+def sink_path(out_dir: str, name: str, fmt: str, kind: str = "dim",
+              start: str | None = None, stop: str | None = None) -> str:
+    base = f"dict-{name}" if kind == "dim" else f"{name}-{start}-{stop}"
+    return os.path.join(out_dir, f"{base}.{fmt}")
+
+
+def write_file(df: DataFrame, path: str, fmt: str) -> None:
+    fmt = fmt.lower()
+    if fmt == "json":
+        df.write.mode("overwrite").json(path)
+    elif fmt == "csv":
+        df.write.mode("overwrite").option("header", True).csv(path)
+    elif fmt == "tsv":
+        df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
+    elif fmt == "parquet":
+        df.write.mode("overwrite").parquet(path)
+    elif fmt in ("xlsx", "xls"):
+        n = df.limit(XLSX_ROW_CAP + 1).count()
+        if n > XLSX_ROW_CAP:
+            raise ValueError(f"refusing driver-side excel write of >{XLSX_ROW_CAP} rows")
+        try:
+            df.toPandas().to_excel(path, index=False)
+        except ImportError as e:  # openpyxl not present
+            raise NotImplementedError("excel sink requires openpyxl") from e
+    else:
+        raise ValueError(f"unknown sink format: {fmt}")
