@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-only action (``df.count()`` after a
+noop cache-free plan) so timing covers scan→shuffle→agg, not driver-side
+row serialization. First query absorbs JVM warmup; a warmup pass runs a
+trivial scan first so per-query numbers are comparable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_ender_turing_spark.plans import CATALOG
+from etl_ender_turing_spark.session import get_spark
+
+# Headline set: the queries whose shape dominates 100 TB cost —
+# wide agg, multi-join, windows, sessionization, explode.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q5_revenue_by_nation",
+    "q_topk_orders_per_segment",
+    "q_sessionize_events",
+    "q_hourly_event_rollup",
+    "q_explode_part_tokens",
+    "q_dedup_latest_event",
+    "q_rollup_order_status",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM + parquet footer caches
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
+    for name in BENCH_QUERIES + extra:
+        spec = CATALOG.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        # count() forces full execution of every operator in the plan
+        spec.builder(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "catalog_headline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

