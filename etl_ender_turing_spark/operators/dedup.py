@@ -1,0 +1,240 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's key-based upsert dedup (ETL/Load.py:101-162 = last
+write per unique key), a 100 TB text corpus needs *content* dedup. This
+module implements the standard ladder, all as JVM-side built-in expressions
+(zero Python UDFs — every op is higher-order-function + hash built-ins):
+
+- exact dedup:        md5(normalized text) group-by
+- MinHash:            per-band min over shingle hashes; LSH banding joins
+                      candidate pairs without the O(n²) cross join
+- SimHash:            16-bit sign-of-sum fingerprint over token hashes
+- n-gram Jaccard:     exact shingle-set similarity on candidate pairs
+
+Cross-engine determinism (DuckDB oracle parity): hashing uses md5 hex
+strings (identical in Spark and DuckDB), min/sum over strings/ints only —
+no floating point in signatures. SQL-snippet builders for each op live
+beside the Column builders so the oracle is generated from the same code.
+
+Scale notes: shingle explode is narrow; the LSH band join shuffles on
+(band, signature) — cardinality ~n_docs × n_bands, with near-uniform keys
+(md5), so no skew. Jaccard runs only on LSH candidates at scale (the
+catalog query computes it on shingle-join candidates at test SF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# tokenization + shingling (shared by minhash / simhash / jaccard)
+# --------------------------------------------------------------------------
+
+def tokens(text_col: str = "text") -> Column:
+    """Whitespace tokens of the lowercased text."""
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def tokens_sql(text_col: str = "text") -> str:
+    return f"string_split(lower({text_col}), ' ')"
+
+
+def shingle_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                   n: int = 3) -> DataFrame:
+    """(id, shingle) pairs, DISTINCT per doc — the input to minhash/jaccard."""
+    parts = ", ".join(f"element_at(t, i + {k})" for k in range(n))
+    return (df.select(F.col(id_col), tokens(text_col).alias("t"))
+            .filter(F.size("t") >= n)
+            .select(id_col, F.explode(F.expr(
+                f"transform(sequence(1, size(t) - {n - 1}),"
+                f" i -> concat_ws(' ', {parts}))")).alias("shingle"))
+            .distinct())
+
+
+def shingle_sql(table: str = "documents", text_col: str = "text",
+                id_col: str = "doc_id", n: int = 3) -> str:
+    """DuckDB equivalent of shingle_select (1-indexed lists)."""
+    parts = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return f"""
+    SELECT DISTINCT {id_col}, unnest(list_transform(
+             generate_series(1, len(t) - {n - 1}), i -> {parts})) AS shingle
+    FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table})
+    WHERE len(t) >= {n}
+    """
+
+
+# --------------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------------
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct content hash: keeper id + copy count.
+
+    At 100 TB this is the cheapest pass: one shuffle on a 32-byte hash,
+    near-perfectly uniform keys.
+    """
+    fp = F.md5(F.lower(F.col(text_col)))
+    return (df.groupBy(fp.alias("fingerprint"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, n_bands: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-doc MinHash signature: band b = min(md5('b|' || shingle)).
+
+    One hash family per band (band size 1 row) — candidate recall for
+    Jaccard j is 1-(1-j)^bands, ~0.96 at j=0.8 with 8 bands.
+    """
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"h{b}")
+            for b in range(n_bands)]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_band_pairs(sigs: DataFrame, n_bands: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Distinct candidate pairs (a<b) sharing any band signature.
+
+    Implemented as melt → self-join on (band, h): shuffle key is the
+    band hash (uniform), never the doc id — skew-free at scale.
+    """
+    stack = ", ".join(f"'{b}', h{b}" for b in range(n_bands))
+    melted = sigs.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack}) AS (band, h)"))
+    a, b = melted.alias("a"), melted.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.h") == F.col("b.h"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("doc_a"),
+                    F.col(f"b.{id_col}").alias("doc_b"))
+            .distinct())
+
+
+def minhash_sql(shingle_cte: str, n_bands: int = 8, id_col: str = "doc_id") -> str:
+    """DuckDB oracle for signatures + band pairs over a shingle CTE."""
+    hs = ", ".join(
+        f"MIN(md5('{b}|' || shingle)) AS h{b}" for b in range(n_bands))
+    band_union = " UNION ALL ".join(
+        f"SELECT {id_col}, '{b}' AS band, h{b} AS h FROM sigs"
+        for b in range(n_bands))
+    return f"""
+    WITH sh AS ({shingle_cte}),
+    sigs AS (SELECT {id_col}, {hs} FROM sh GROUP BY {id_col}),
+    melted AS ({band_union})
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
+    """
+
+
+# --------------------------------------------------------------------------
+# SimHash (16-bit, integer-exact)
+# --------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_sql(tok_expr: str, pos: int, bit: int) -> str:
+    """±1 contribution of hex nibble `pos` (1-based), bit `bit` (0..3 LSB)
+    of md5(token). Dialect-neutral: md5/instr/substring/% exist in both
+    Spark SQL and DuckDB with identical semantics."""
+    nib = f"(instr('{_HEX}', substring(md5({tok_expr}), {pos}, 1)) - 1)"
+    return (f"CASE WHEN ({nib} % {2 ** (bit + 1)}) >= {2 ** bit} "
+            f"THEN 1 ELSE -1 END")
+
+
+def simhash_bit_sums_sql(tok_expr: str = "token") -> list[str]:
+    """16 SUM expressions (4 hex chars × 4 bits), bit index j = 4*(pos-1)+bit."""
+    return [f"SUM({_bit_sql(tok_expr, pos, bit)})"
+            for pos in range(1, 5) for bit in range(4)]
+
+
+def simhash_combine_sql(sum_cols: list[str]) -> str:
+    """Fold 16 signed bit-sums into one integer fingerprint."""
+    terms = [f"(CASE WHEN {c} > 0 THEN {2 ** j} ELSE 0 END)"
+             for j, c in enumerate(sum_cols)]
+    return " + ".join(terms)
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Per-doc 16-bit SimHash fingerprint (integer; hash-exact cross-engine).
+
+    explode tokens (narrow) → 16 integer sums per doc (one shuffle on
+    id) → sign-combine. Token multiplicity is kept (frequency weighting).
+    """
+    tok = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+           .filter(F.col("token") != ""))
+    sums = tok.groupBy(id_col).agg(*[
+        F.expr(s).alias(f"s{j}")
+        for j, s in enumerate(simhash_bit_sums_sql("token"))])
+    combine = simhash_combine_sql([f"s{j}" for j in range(16)])
+    return sums.select(id_col, F.expr(combine).alias("simhash"))
+
+
+def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
+                       id_col: str = "doc_id") -> str:
+    sums = simhash_bit_sums_sql("token")
+    sum_aliases = [f"{s} AS s{j}" for j, s in enumerate(sums)]
+    combine = simhash_combine_sql([f"s{j}" for j in range(16)])
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
+    ),
+    sums AS (
+      SELECT {id_col}, {', '.join(sum_aliases)}
+      FROM tok WHERE token <> '' GROUP BY {id_col}
+    )
+    SELECT {id_col}, {combine} AS simhash FROM sums
+    """
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard on candidate pairs
+# --------------------------------------------------------------------------
+
+def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard over distinct shingle sets for pairs sharing ≥1
+    shingle. Intersection via shingle self-join (shuffle key = shingle,
+    uniform); sizes via broadcastable per-doc counts. Score is one IEEE
+    division of exact ints — cross-engine deterministic, rounded to 6dp."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+             .groupBy(F.col(f"a.{id_col}").alias("doc_a"),
+                      F.col(f"b.{id_col}").alias("doc_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def jaccard_sql(shingle_cte: str, threshold: float = 0.6,
+                id_col: str = "doc_id") -> str:
+    return f"""
+    WITH sh AS ({shingle_cte}),
+    sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col}),
+    inter AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.{id_col}
+    JOIN sizes sb ON inter.doc_b = sb.{id_col}
+    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {threshold}
+    """

@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB design requires:
+
+- brute-force cosine top-k: exact; O(n) per query. Fine when the query
+  side is small (broadcast) — this is the correctness baseline.
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (signs of
+  ±1-weighted sums) bucket vectors; candidates only within a bucket.
+  Hyperplane weights derive from md5 (not an RNG), so Spark and the
+  DuckDB oracle compute identical buckets.
+
+All vector math is JVM higher-order functions (zip_with/aggregate) over
+double-cast arrays — no Python UDFs, stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+DIMS = 64
+
+
+def as_double(col: str) -> Column:
+    return F.expr(f"transform({col}, x -> CAST(x AS DOUBLE))")
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(F.expr(
+        f"aggregate(transform({a}, x -> x * x),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)"))
+
+
+def cosine(a: str, b: str) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(emb: DataFrame, query_id: int, k: int = 10,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k by cosine to the vector with id ``query_id``.
+
+    The single query row is broadcast; ranking uses the 6dp-rounded score
+    with id tie-break so results are deterministic cross-engine. The
+    global window is a single-reducer sort of n rows × 1 score — at scale
+    replace with per-partition top-k + merge (same result, see
+    ``topk_scalable``).
+    """
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(as_double(vec_col).alias("qv")))
+    scored = (emb.filter(F.col(id_col) != query_id)
+              .select(F.col(id_col), as_double(vec_col).alias("v"))
+              .crossJoin(F.broadcast(q))
+              .select(id_col, F.round(cosine("v", "qv"), 6).alias("cos_sim")))
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def topk_scalable(scored: DataFrame, k: int, order_cols: list[str]) -> DataFrame:
+    """Scale path for global top-k: per-partition top-k, then merge.
+
+    sort within partitions (no shuffle) → limit k per partition via
+    mapPartitions-free trick: repartition-free local sort + global limit.
+    Spark's `orderBy().limit(k)` already compiles to TakeOrderedAndProject
+    (per-partition heap + driver merge of k·p rows) — so the declarative
+    form IS the scalable form; this helper exists to document that.
+    """
+    return scored.orderBy(*order_cols).limit(k)
+
+
+def brute_force_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                         id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    return f"""
+    WITH q AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {sf_table}
+               WHERE {id_col} = {query_id}),
+    scored AS (
+      SELECT {id_col},
+             ROUND(list_cosine_similarity({vec_col}::DOUBLE[], qv), 6) AS cos_sim
+      FROM {sf_table}, q WHERE {id_col} <> {query_id}
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+# --------------------------------------------------------------------------
+# Deterministic random-hyperplane LSH
+# --------------------------------------------------------------------------
+
+def hyperplane_weights(n_planes: int, dims: int = DIMS) -> list[list[int]]:
+    """±1 weight matrix derived from md5 — identical in any engine/runtime."""
+    planes = []
+    for h in range(n_planes):
+        row = []
+        for d in range(dims):
+            digest = hashlib.md5(f"{h}_{d}".encode()).hexdigest()
+            row.append(1 if int(digest[0], 16) < 8 else -1)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: str, planes: list[list[int]]) -> Column:
+    """Integer bucket id: bit h = (Σ_d w[h][d]·v[d]) > 0."""
+    bits = []
+    for h, row in enumerate(planes):
+        w = "array(" + ", ".join(f"CAST({x} AS DOUBLE)" for x in row) + ")"
+        s = (f"aggregate(zip_with({vec_col}, {w}, (x, y) -> x * y),"
+             f" CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** h} ELSE 0 END)")
+    return F.expr(" + ".join(bits))
+
+
+def lsh_buckets(emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket) assignment — the partition key for bucketed ANN.
+
+    At 100 TB: repartition by bucket, run exact cosine only within
+    buckets (expected n²/2^planes pair reduction).
+    """
+    planes = hyperplane_weights(n_planes)
+    return (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+            .select(id_col, lsh_bucket("v", planes).alias("bucket")))
+
+
+def lsh_buckets_sql(sf_table: str, n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    planes = hyperplane_weights(n_planes)
+    bits = []
+    for h, row in enumerate(planes):
+        w = "[" + ", ".join(f"{x}.0" for x in row) + "]"
+        s = (f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], {w}::DOUBLE[]),"
+             f" p -> p[1] * p[2]))")
+        bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** h} ELSE 0 END)")
+    expr = " + ".join(bits)
+    return f"SELECT {id_col}, {expr} AS bucket FROM {sf_table}"
+
+
+def ann_bucketed_topk(emb: DataFrame, query_id: int, k: int = 10,
+                      n_planes: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """ANN: exact cosine restricted to the query's LSH bucket."""
+    b = lsh_buckets(emb, n_planes, id_col, vec_col)
+    qb = b.filter(F.col(id_col) == query_id).select("bucket")
+    cands = (b.join(F.broadcast(qb), "bucket")
+             .filter(F.col(id_col) != query_id).select(id_col))
+    return brute_force_topk(emb.join(cands.hint("broadcast"), id_col, "left_semi")
+                            .unionByName(emb.filter(F.col(id_col) == query_id)),
+                            query_id, k, id_col, vec_col)

@@ -1,0 +1,201 @@
+"""LLM-training-data-pipeline queries: dedup, similarity search, text
+analysis over the documents/embeddings tables — each with a DuckDB oracle
+generated from the SAME SQL-snippet builders the Spark side uses, so both
+engines evaluate literally the same hash/arithmetic formulas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import textstats as ts
+from ..sources.readers import read_table
+from .catalog import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings")
+
+
+# =========================================================================
+# Deduplication
+# =========================================================================
+
+@register(
+    "q_dedup_exact",
+    """
+    SELECT md5(lower(text)) AS fingerprint,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="exact content dedup: hash-groupBy, keeper id per group")
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup_groups(_docs(spark, sf_dir))
+
+
+_SHINGLE_CTE = dd.shingle_sql("documents")
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    dd.minhash_sql(_SHINGLE_CTE, n_bands=8),
+    doc="MinHash signatures + LSH banding -> candidate near-dup pairs")
+def q_dedup_minhash_lsh(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    sigs = dd.minhash_signatures(sh, n_bands=8)
+    return dd.minhash_band_pairs(sigs, n_bands=8)
+
+
+@register(
+    "q_dedup_simhash",
+    dd.simhash_oracle_sql("documents"),
+    doc="16-bit SimHash fingerprint per document (integer-exact)")
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6),
+    doc="exact n-gram Jaccard similarity on shingle-sharing candidate pairs")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    return dd.jaccard_pairs(sh, threshold=0.6)
+
+
+# =========================================================================
+# Similarity search over embeddings
+# =========================================================================
+
+@register(
+    "q_embed_cosine_topk",
+    sim.brute_force_topk_sql("embeddings", query_id=0, k=10),
+    doc="brute-force cosine top-k ANN baseline (broadcast query vector)")
+def q_embed_cosine_topk(spark, sf_dir):
+    return sim.brute_force_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@register(
+    "q_embed_lsh_buckets",
+    sim.lsh_buckets_sql("embeddings", n_planes=8),
+    doc="deterministic random-hyperplane LSH bucket assignment (scale path)")
+def q_embed_lsh_buckets(spark, sf_dir):
+    return sim.lsh_buckets(_emb(spark, sf_dir), n_planes=8)
+
+
+@register(
+    "q_embed_ann_lsh_topk",
+    None,  # bucket-restricted ANN: same formulas, but the bucket restriction
+           # makes the SQL a 3-level nest; covered rows-only + by the exact
+           # topk and bucket oracles above.
+    doc="LSH-bucketed approximate top-k: exact cosine within query bucket")
+def q_embed_ann_lsh_topk(spark, sf_dir):
+    return sim.ann_bucketed_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+# =========================================================================
+# Text analysis
+# =========================================================================
+
+_QCOLS = ts.quality_sql_columns("text")
+
+
+@register(
+    "q_text_quality",
+    f"""
+    SELECT doc_id,
+           {_QCOLS['n_tokens']} AS n_tokens,
+           {_QCOLS['n_distinct_tokens']} AS n_distinct_tokens,
+           {_QCOLS['ttr']} AS ttr,
+           {_QCOLS['mean_token_len']} AS mean_token_len,
+           {_QCOLS['stopword_ratio']} AS stopword_ratio
+    FROM documents
+    """,
+    doc="quality scoring: token counts, type-token ratio, stopword ratio")
+def q_text_quality(spark, sf_dir):
+    cols = ts.quality_columns("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "q_lang_id",
+    f"""
+    SELECT {ts.lang_guess_sql('text')} AS lang_guess,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_declared_langs
+    FROM documents GROUP BY 1
+    """,
+    doc="heuristic language ID (stopword argmax) + distribution")
+def q_lang_id(spark, sf_dir):
+    return (_docs(spark, sf_dir)
+            .select(ts.lang_guess_expr("text").alias("lang_guess"), "lang")
+            .groupBy("lang_guess")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("lang").alias("n_declared_langs")))
+
+
+@register(
+    "q_token_count",
+    r"""
+    SELECT doc_id,
+           len(string_split(trim(text), ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_regex_tokens,
+           n_chars
+    FROM documents
+    """,
+    doc="token counting: whitespace + BPE-ish regex tokenizer")
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_ws_tokens"),
+        ts.regex_token_count("text").alias("n_regex_tokens"),
+        "n_chars")
+
+
+# =========================================================================
+# Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
+# =========================================================================
+
+@register(
+    "q_multimodal_features",
+    """
+    SELECT doc_id,
+           'image' AS media_type,
+           strlen(text) AS n_bytes,
+           list_sum(list_transform(generate_series(1, least(strlen(text), 256)),
+                    i -> ord(substring(text, i, 1)))) * 1.0
+             / least(strlen(text), 256) AS byte_mean,
+           CAST(list_sum(list_transform(generate_series(1, least(strlen(text), 256)),
+                    i -> ord(substring(text, i, 1)))) % 17 AS INTEGER)
+             AS byte_entropy_q
+    FROM documents
+    """,
+    doc="multimodal: binary payload + typed meta -> Arrow-batched mapInPandas "
+        "feature extraction (decode stubbed; oracle recomputes the fake "
+        "features in SQL, proving the Python batch stage)")
+def q_multimodal_features(spark, sf_dir):
+    from ..operators import multimodal as mm
+    media = mm.synthesize_media_from_documents(_docs(spark, sf_dir))
+    return mm.extract_features(media)
+
+
+@register(
+    "q_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+           source
+    FROM documents
+    """,
+    doc="document fingerprinting: normalized content hash")
+def q_fingerprint(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", ts.fingerprint("text").alias("fingerprint"), "source")

@@ -1,0 +1,90 @@
+"""Structured Streaming flavor of the sync pipeline.
+
+The reference is a cron micro-batch loop with hand-rolled streaming
+concerns (reference: DOCS/README.MD:60-65 cron; ETL/utils.py:20-38
+watermark file; run-et-etl.py:66-116 30-day late-data lookback;
+ETL/Load.py:101-162 idempotent upsert sink). Structured Streaming
+formalizes each one:
+
+    cron trigger            -> trigger(availableNow=True) / processingTime
+    last_synced.json        -> checkpointLocation offsets
+    30-day lookback         -> withWatermark("updated_at", "30 days")
+    upsert-by-unique-key    -> foreachBatch(merge) (idempotent per epoch)
+
+These builders return running StreamingQuery objects; callers own
+awaitTermination/stop. Tests drive them with availableNow over a parquet
+directory and assert exact parity with the batch pipeline on the same
+data — the reference's "incremental == full resync" invariant (SURVEY §5.5).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ..operators.upsert import upsert_parquet
+
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream: each new parquet file in the directory is a
+    micro-batch — the streaming analogue of the reference's per-interval
+    paginated scans (Extract.py:23-64)."""
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 4)
+            .parquet(source_dir))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Late-tolerant tumbling-window counts (SURVEY §2.9 'Windows' row)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
+def incremental_sync_stream(spark: SparkSession, source_dir: str,
+                            target_path: str, checkpoint_dir: str,
+                            key=("event_id",)):
+    """The reference's EP1 incremental sync as a streaming upsert:
+    every micro-batch MERGEs into the target by unique key via
+    foreachBatch — idempotent, so replayed epochs converge (exactly-once
+    table semantics without a transactional store)."""
+    events = read_event_stream(spark, source_dir)
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(batch_df.sparkSession, batch_df, target_path,
+                       list(key), order_col="ts")
+
+    return (events.writeStream
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def sessionized_counts_stream(spark: SparkSession, source_dir: str,
+                              gap: str = "30 minutes") -> DataFrame:
+    """Session windows with gap timeout — the stateful-operator shape
+    (Structured Streaming session_window; batch equivalent is
+    q_sessionize_events in the catalog)."""
+    events = read_event_stream(spark, source_dir)
+    return (events.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events"))

@@ -1,0 +1,126 @@
+"""Dedup / similarity / textstats / multimodal operator semantics on tiny
+hand-built inputs (catalog-level oracle checks cover the full data)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.operators import dedup as dd
+from etl_ender_turing_spark.operators import multimodal as mm
+from etl_ender_turing_spark.operators import similarity as sim
+from etl_ender_turing_spark.operators import textstats as ts
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),
+         (2, "the quick brown fox jumps"),          # exact dup of 1
+         (3, "the quick brown fox leaps"),          # near dup
+         (4, "completely different words entirely here"),
+         (5, "ab")],                                # < 3 tokens
+        "doc_id long, text string")
+
+
+def test_exact_dedup_groups(docs):
+    out = {r.keep_id: r.n_copies for r in dd.exact_dedup_groups(docs).collect()}
+    assert out[1] == 2            # docs 1+2 collapse, keeper = min id
+    assert out[3] == 1 and out[4] == 1
+
+
+def test_shingles_skip_short_docs(docs):
+    sh = dd.shingle_select(docs)
+    assert sh.filter("doc_id = 5").count() == 0
+    assert sh.filter("doc_id = 1").count() == 3   # 5 tokens -> 3 shingles
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sh = dd.shingle_select(docs)
+    pairs = dd.minhash_band_pairs(dd.minhash_signatures(sh))
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (1, 2) in got          # identical docs always collide
+    assert (1, 3) in got          # 2/4 shared shingles -> high band chance
+    assert all(a < b for a, b in got)
+
+
+def test_jaccard_exact_values(docs):
+    sh = dd.shingle_select(docs)
+    pairs = {(r.doc_a, r.doc_b): r.jaccard
+             for r in dd.jaccard_pairs(sh, threshold=0.0).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 3)] == 0.5   # inter=2 (of 3+3), union=4
+    assert (1, 4) not in pairs    # no shared shingles -> no candidate row
+
+
+def test_simhash_identical_docs_equal_fingerprint(docs):
+    fp = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
+    assert fp[1] == fp[2]
+    assert 0 <= fp[1] < 2 ** 16
+    assert fp[1] != fp[4]
+
+
+def test_cosine_topk_orders_by_similarity(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.01])],
+        "vec_id long, embedding array<float>")
+    out = sim.brute_force_topk(emb, query_id=0, k=2).collect()
+    assert [r.vec_id for r in out] == [3, 1]     # nearest first
+    assert out[0].rnk == 1 and out[0].cos_sim > 0.99
+
+
+def test_lsh_bucket_deterministic(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [1.0] * 64), (2, [-1.0] * 64)],
+        "vec_id long, embedding array<float>")
+    b = {r.vec_id: r.bucket for r in sim.lsh_buckets(emb).collect()}
+    assert b[0] == b[1]                          # identical vectors same bucket
+    assert b[0] != b[2]                          # opposite vectors differ
+    # weights derive from md5, so the matrix is stable across processes
+    assert sim.hyperplane_weights(2, 4) == sim.hyperplane_weights(2, 4)
+
+
+def test_lang_guess_and_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is big"),
+         (2, "el la de que los el la")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in df.select(
+        "doc_id", ts.lang_guess_expr("text").alias("g"),
+        *[c.alias(n) for n, c in ts.quality_columns("text").items()]).collect()}
+    assert out[1].g == "en" and out[2].g == "es"
+    assert out[1].n_tokens == 10
+    assert out[2].n_distinct_tokens == 5
+    assert abs(out[2].stopword_ratio - 1.0) < 1e-9
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  world"), (2, "  hello world ")], "id long, text string")
+    fps = [r.fp for r in df.select(ts.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_feature_extraction_roundtrip(docs):
+    media = mm.synthesize_media_from_documents(docs.filter("doc_id <= 2"))
+    feats = {r.doc_id: r for r in mm.extract_features(media).collect()}
+    assert feats[1].n_bytes == len("the quick brown fox jumps")
+    assert feats[1].byte_mean == feats[2].byte_mean   # identical payloads
+    assert feats[1].media_type == "image"
+
+
+def test_multimodal_real_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_stub(b"xx", "image", real=True)
+
+
+def test_frame_sample_shapes(spark, docs):
+    media = mm.synthesize_media_from_documents(docs.filter("doc_id = 4"))
+    row = mm.frame_sample(media, every_n_bytes=10).collect()[0]
+    assert len(row.frames) == len(b"completely different words entirely here") // 10
+    assert bytes(row.frames[0]) == b"completely"
+
+
+def test_no_python_udf_in_dedup_plans(docs):
+    # dedup/similarity stay JVM-side (SURVEY §2.10: zero UDFs on hot path)
+    sh = dd.shingle_select(docs)
+    plan = dd.minhash_signatures(sh)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1,0 +1,66 @@
+"""Streaming flavor: availableNow micro-batch upsert parity with batch,
+windowed counts, session windows (SURVEY §2.9)."""
+
+import os
+
+from etl_ender_turing_spark.sources.readers import read_table
+from etl_ender_turing_spark.streaming import (
+    incremental_sync_stream,
+    sessionized_counts_stream,
+    windowed_event_counts,
+)
+from etl_ender_turing_spark.streaming.stream import read_event_stream
+
+
+def _stage_events(spark, tmp_path, n_files=3):
+    src = os.path.join(str(tmp_path), "events_src")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    ev.repartition(n_files).write.mode("overwrite").parquet(src)
+    return src, ev
+
+
+def test_streaming_upsert_matches_batch(spark, tmp_path):
+    src, ev = _stage_events(spark, tmp_path)
+    target = os.path.join(str(tmp_path), "events_synced")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+
+    q = incremental_sync_stream(spark, src, target, ckpt)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(target)
+    assert got.count() == ev.count()          # all rows, exactly once
+    assert got.select("event_id").distinct().count() == ev.count()
+
+    # re-running the stream over the same source is a no-op (checkpoint)
+    q2 = incremental_sync_stream(spark, src, target, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(target).count() == ev.count()
+
+
+def test_windowed_counts_match_batch_rollup(spark, tmp_path):
+    src, ev = _stage_events(spark, tmp_path)
+    out = (windowed_event_counts(read_event_stream(spark, src))
+           .writeStream.format("memory").queryName("wcounts")
+           .outputMode("append").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = spark.table("wcounts")
+    # append mode emits only windows closed by the watermark; every emitted
+    # window must match the batch computation exactly
+    from pyspark.sql import functions as F
+    batch = (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n_events"))
+             .select(F.col("w.start").alias("window_start"), "event_type", "n_events"))
+    g = {(r.window_start, r.event_type): r.n_events for r in got.collect()}
+    b = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert g and all(b[k] == v for k, v in g.items())
+
+
+def test_session_windows_emit(spark, tmp_path):
+    src, _ = _stage_events(spark, tmp_path)
+    out = (sessionized_counts_stream(spark, src)
+           .writeStream.format("memory").queryName("sess")
+           .outputMode("append").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = spark.table("sess")
+    assert got.count() > 0
+    assert got.filter("session_end <= session_start").count() == 0
