@@ -1,0 +1,120 @@
+"""Sync orchestration: the reference's EP1/EP2 lifecycle, Spark-native.
+
+Reference flow (run-et-etl.py:119-204): parse date range → read watermark
+→ sync base dicts → sync sessions for [start, stop] → (daily mode)
+incremental passes: re-sync last 30 days filtered to manually-scored
+sessions, and sessions in categories updated since the watermark → write
+new watermark.
+
+Here each pass is: filter the raw sessions frame with a compiled DSL
+predicate → transform → MERGE-upsert every output table by its declared
+unique key. Because the sink is an idempotent merge, re-running any pass
+(or overlapping lookback windows) converges — the property the reference
+gets from row-level UPSERT, we get set-based.
+
+The watermark is a tiny single-row parquet state table (the reference's
+last_synced.json, ETL/utils.py:20-38) — driver-side read of one row, not
+a collect() of data.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..functions.filter_dsl import compile_filter
+from ..operators.upsert import upsert_parquet
+from ..schemas import TABLES
+from .transform import transform_all
+
+WATERMARK_TABLE = "_sync_state"
+INCREMENTAL_LOOKBACK_DAYS = 30   # settings.py:22 incremental_sync_n_days
+
+
+def read_watermark(spark: SparkSession, warehouse: str) -> datetime | None:
+    path = os.path.join(warehouse, WATERMARK_TABLE)
+    if not os.path.exists(path):
+        return None
+    rows = spark.read.parquet(path).collect()
+    return rows[0]["last_synced"] if rows else None
+
+
+def write_watermark(spark: SparkSession, warehouse: str, ts: datetime) -> None:
+    path = os.path.join(warehouse, WATERMARK_TABLE)
+    spark.createDataFrame([(ts,)], "last_synced timestamp") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_tables(spark: SparkSession, tables: dict[str, DataFrame],
+                warehouse: str, order_col: str | None = None) -> None:
+    """MERGE-upsert each table by its registry unique key (Load.py:63-183
+    equivalent — one set-based merge per table instead of per-row SQL)."""
+    for name, df in tables.items():
+        key = TABLES[name].unique_key
+        upsert_parquet(spark, df, os.path.join(warehouse, name),
+                       list(key), order_col)
+
+
+def sync_period(spark: SparkSession, raw: dict[str, DataFrame], warehouse: str,
+                start: str, stop: str, extra_filters: str = "") -> dict[str, int]:
+    """One EP1 pass: date-ranged (+ optional DSL) session sync."""
+    dsl = f"date_range,{start},{stop}"
+    if extra_filters:
+        dsl += f"±{extra_filters}"
+    # the date_range predicate applies to parsed start_dt; raw start_dt is a
+    # string — prefilter on its ISO prefix (sargable, pushdown-friendly),
+    # exact filtering happens post-parse in transform output space.
+    raw_sessions = raw["sessions"].filter(
+        F.col("start_dt").substr(1, 10).between(start, stop))
+    tables = transform_all({**raw, "sessions": raw_sessions}, spark)
+    pred = compile_filter(dsl, {"date_range": "start_dt"})
+    extra_map = _session_level_predicates(extra_filters)
+    sessions = tables["sessions"].filter(pred if extra_map is None else pred & extra_map)
+    # restrict child tables to the surviving sessions (semi-join on key)
+    keys = sessions.select(F.col("id").alias("session_id"))
+    out = {"sessions": sessions}
+    for name in ("sessions_tags", "sessions_categories", "sessions_reviewers",
+                 "sessions_scores", "sessions_crm_statuses",
+                 "sessions_comments", "sessions_summaries"):
+        out[name] = tables[name].join(keys, "session_id", "left_semi")
+    dims = {n: tables[n] for n in tables
+            if not n.startswith("sessions")}
+    load_tables(spark, {**dims, **out}, warehouse)
+    return {n: df.count() for n, df in out.items()}
+
+
+def _session_level_predicates(extra_filters: str):
+    """Map reference filter names onto sessions-table columns where they
+    are session-level (is_scored,manual → score_details.manual_score)."""
+    if not extra_filters:
+        return None
+    return compile_filter(extra_filters, {"date_range": "start_dt"})
+
+
+def sync_incremental(spark: SparkSession, raw: dict[str, DataFrame],
+                     warehouse: str, stop: str) -> None:
+    """Daily-mode incremental passes (run-et-etl.py:66-116):
+    1. last-30-days re-sync of manually scored sessions;
+    2. re-sync of sessions in categories updated since the watermark."""
+    stop_dt = datetime.fromisoformat(stop)
+    start = (stop_dt - timedelta(days=INCREMENTAL_LOOKBACK_DAYS)).date().isoformat()
+    sync_period(spark, raw, warehouse, start, stop, "is_scored,manual")
+
+    wm = read_watermark(spark, warehouse)
+    if wm is not None:
+        updated_cat_ids = [str(r["id"]) for r in
+                           raw["categories"]
+                           .filter(F.to_timestamp("updated_at") > F.lit(wm))
+                           .select("id").collect()]
+        if updated_cat_ids:
+            # sessions in updated categories: semi-join via exploded bridge
+            cat_filter = f"categories,{','.join(updated_cat_ids)}|or"
+            raw_sessions = raw["sessions"].filter(F.exists(
+                "categories",
+                lambda c: c["id"].isin([int(i) for i in updated_cat_ids])))
+            sync_period(spark, {**raw, "sessions": raw_sessions},
+                        warehouse, start, stop)
+            _ = cat_filter  # DSL form documented; predicate applied above
+    write_watermark(spark, warehouse, stop_dt)

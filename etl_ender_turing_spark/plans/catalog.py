@@ -467,6 +467,82 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Pivot — per-channel maps like overlaps_data/duration_details (SURVEY §2.5)
+# =========================================================================
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+@register(
+    "q_pivot_event_types",
+    f"""
+    SELECT user_id,
+           {', '.join(f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+                      for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="pivot on enum column — score_details/duration_details map recompute (SURVEY §2.5)")
+def q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES)
+           .agg(F.count(F.lit(1))))
+    for t in _EVENT_TYPES:
+        out = out.withColumnRenamed(t, f"n_{t}")
+    return out
+
+
+# =========================================================================
+# Set operations: intersect / except (SURVEY §2.7)
+# =========================================================================
+
+@register(
+    "q_set_intersect_except",
+    """
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      INTERSECT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_rich' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+      EXCEPT
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000
+    )
+    """,
+    doc="intersect + except distinct set semantics (SURVEY §2.7)")
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rich = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big = o.filter(F.col("o_totalprice") > 300000) \
+           .select(F.col("o_custkey").alias("c_custkey"))
+    both = rich.intersect(big).withColumn("tag", F.lit("both"))
+    only = rich.exceptAll(big.distinct()).distinct() \
+               .withColumn("tag", F.lit("only_rich"))
+    return both.unionByName(only)
+
+
+# =========================================================================
+# Count-only scan — /sessions/filter/number_of_sessions (SURVEY §2.1)
+# =========================================================================
+
+_COUNT_DSL = "date_range,2024-01-10,2024-01-20±event_type,purchase|or"
+
+@register(
+    "q_count_pushdown",
+    f"""
+    SELECT COUNT(*) AS n_matched
+    FROM events
+    WHERE {compile_filter_sql(_COUNT_DSL, {"date_range": "ts"})}
+    """,
+    doc="count-only scan with pushed DSL filters (SURVEY §2.1 session-count row)")
+def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.filter(compile_filter(_COUNT_DSL, {"date_range": "ts"}))
+            .agg(F.count(F.lit(1)).alias("n_matched")))
+
+
+# =========================================================================
 # Explode / flatten — the signature op, over synthesized arrays (SURVEY §2.4)
 # =========================================================================
 

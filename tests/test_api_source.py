@@ -1,0 +1,37 @@
+"""Custom DataSource: interval-parallel paginated scan (SURVEY §2.1 row 1)."""
+
+from etl_ender_turing_spark.sources.api_source import (
+    read_sessions_api, split_half_days,
+)
+
+
+def test_split_half_days():
+    ivs = split_half_days("2024-06-01", "2024-06-02")
+    assert len(ivs) == 4
+    assert ivs[0] == ("2024-06-01", "2024-06-01", "00:00", "12:00")
+    assert ivs[3] == ("2024-06-02", "2024-06-02", "12:01", "23:59")
+
+
+def test_api_source_reads_all_sessions(spark):
+    df = read_sessions_api(spark, "2024-06-01", "2024-06-03")
+    assert df.count() == 300          # all fixture sessions
+    assert df.select("id").distinct().count() == 300
+
+
+def test_api_source_interval_partitioning(spark):
+    df = read_sessions_api(spark, "2024-06-01", "2024-06-03")
+    # 3 days × 2 half-day windows = 6 input partitions (parallel scans)
+    assert df.rdd.getNumPartitions() == 6
+
+
+def test_api_source_date_pushdown(spark):
+    df = read_sessions_api(spark, "2024-06-01", "2024-06-01")
+    got = df.select("start_dt").collect()
+    assert all(r.start_dt.startswith("2024-06-01") for r in got)
+    assert 0 < len(got) < 300
+
+
+def test_api_source_pagination_boundary(spark):
+    # page size smaller than result set forces multi-page accumulation
+    small = read_sessions_api(spark, "2024-06-01", "2024-06-03", page_limit=7)
+    assert small.count() == 300       # same rows regardless of page size
