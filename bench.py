@@ -32,6 +32,10 @@ BENCH_QUERIES = [
     "q_explode_part_tokens",
     "q_dedup_latest_event",
     "q_rollup_order_status",
+    # LLM-pipeline ops: content dedup, embedding similarity, text scoring
+    "q_dedup_minhash_lsh",
+    "q_dedup_embed_cosine",
+    "q_text_quality",
 ]
 
 
@@ -41,8 +45,9 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JVM + parquet footer caches
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warmup: JVM + parquet footer caches for every benched table family
+    for t in ("lineitem", "documents", "embeddings"):
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
     timings: dict[str, float] = {}
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]

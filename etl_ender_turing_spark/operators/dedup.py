@@ -40,15 +40,21 @@ def tokens_sql(text_col: str = "text") -> str:
 
 
 def shingle_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                   n: int = 3) -> DataFrame:
-    """(id, shingle) pairs, DISTINCT per doc — the input to minhash/jaccard."""
+                   n: int = 3, distinct: bool = True) -> DataFrame:
+    """(id, shingle) pairs — the input to minhash/jaccard.
+
+    ``distinct=True`` (a full shuffle) is required for exact Jaccard set
+    semantics; MinHash passes ``distinct=False`` since min() over duplicate
+    shingles equals min() over the distinct set — same signatures, one
+    shuffle less.
+    """
     parts = ", ".join(f"element_at(t, i + {k})" for k in range(n))
-    return (df.select(F.col(id_col), tokens(text_col).alias("t"))
-            .filter(F.size("t") >= n)
-            .select(id_col, F.explode(F.expr(
-                f"transform(sequence(1, size(t) - {n - 1}),"
-                f" i -> concat_ws(' ', {parts}))")).alias("shingle"))
-            .distinct())
+    sh = (df.select(F.col(id_col), tokens(text_col).alias("t"))
+          .filter(F.size("t") >= n)
+          .select(id_col, F.explode(F.expr(
+              f"transform(sequence(1, size(t) - {n - 1}),"
+              f" i -> concat_ws(' ', {parts}))")).alias("shingle")))
+    return sh.distinct() if distinct else sh
 
 
 def shingle_sql(table: str = "documents", text_col: str = "text",
@@ -100,19 +106,25 @@ def minhash_band_pairs(sigs: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs (a<b) sharing any band signature.
 
-    Implemented as melt → self-join on (band, h): shuffle key is the
-    band hash (uniform), never the doc id — skew-free at scale.
+    Implemented as melt → groupBy (band, h) → in-bucket pair expansion,
+    not a self-join: the signature subtree is evaluated once (a self-join
+    would recompute it on both sides), the single shuffle key is the band
+    hash (md5-uniform, skew-free), and pair generation is a narrow
+    higher-order-function expansion of each bucket's sorted id list.
     """
     stack = ", ".join(f"'{b}', h{b}" for b in range(n_bands))
     melted = sigs.select(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack}) AS (band, h)"))
-    a, b = melted.alias("a"), melted.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.h") == F.col("b.h"))
-                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-            .select(F.col(f"a.{id_col}").alias("doc_a"),
-                    F.col(f"b.{id_col}").alias("doc_b"))
+    buckets = (melted.groupBy("band", "h")
+               .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+               .filter(F.size("ids") >= 2))
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)), y ->"
+        " struct(x AS doc_a, y AS doc_b))))")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b")
             .distinct())
 
 

@@ -132,17 +132,58 @@ def lsh_buckets(emb: DataFrame, n_planes: int = 8, id_col: str = "vec_id",
             .select(id_col, lsh_bucket("v", planes).alias("bucket")))
 
 
-def lsh_buckets_sql(sf_table: str, n_planes: int = 8, id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> str:
-    planes = hyperplane_weights(n_planes)
+def _bucket_sql_expr(vec_expr: str, planes: list[list[int]]) -> str:
+    """DuckDB SQL for the same bucket formula as :func:`lsh_bucket`."""
     bits = []
     for h, row in enumerate(planes):
         w = "[" + ", ".join(f"{x}.0" for x in row) + "]"
-        s = (f"list_sum(list_transform(list_zip({vec_col}::DOUBLE[], {w}::DOUBLE[]),"
+        s = (f"list_sum(list_transform(list_zip({vec_expr}, {w}::DOUBLE[]),"
              f" p -> p[1] * p[2]))")
         bits.append(f"(CASE WHEN {s} > 0 THEN {2 ** h} ELSE 0 END)")
-    expr = " + ".join(bits)
+    return " + ".join(bits)
+
+
+def lsh_buckets_sql(sf_table: str, n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    expr = _bucket_sql_expr(f"{vec_col}::DOUBLE[]", hyperplane_weights(n_planes))
     return f"SELECT {id_col}, {expr} AS bucket FROM {sf_table}"
+
+
+def neardup_pairs(emb: DataFrame, threshold: float = 0.3, n_planes: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucket candidate generation.
+
+    The scale path of the dedup ladder: instead of the O(n²) all-pairs
+    cosine, candidates are restricted to vectors sharing an LSH bucket
+    (expected n²/2^planes pair reduction), then scored with exact cosine
+    and thresholded. The bucket self-join shuffles both sides on the
+    bucket key — uniform by construction (md5-derived hyperplanes), so no
+    skew salting is needed. Completes the reference-plus dedup ladder
+    (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
+    """
+    planes = hyperplane_weights(n_planes)
+    b = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .select(id_col, "v", lsh_bucket("v", planes).alias("bucket")))
+    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    return (a.join(c, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b",
+                    F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+            .filter(F.col("cos_sim") >= threshold))
+
+
+def neardup_pairs_sql(sf_table: str, threshold: float = 0.3, n_planes: int = 8,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    expr = _bucket_sql_expr("v", hyperplane_weights(n_planes))
+    return f"""
+    WITH b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    bk AS (SELECT {id_col}, v, {expr} AS bucket FROM b)
+    SELECT a.{id_col} AS id_a, c.{id_col} AS id_b,
+           ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+    FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.{id_col} < c.{id_col}
+    WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+    """
 
 
 def ann_bucketed_topk(emb: DataFrame, query_id: int, k: int = 10,

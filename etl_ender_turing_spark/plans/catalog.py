@@ -374,6 +374,25 @@ def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_orders")))
 
 
+@register(
+    "q_cube_distinct_callers",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="cube aggregation + exact distinct-count — caller/agent cardinality "
+        "rollups (SURVEY §2.5; approx_count_distinct is the drop-in scale "
+        "path, excluded from the oracle because HLL sketches differ by engine)")
+def q_cube_distinct_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count_distinct("o_custkey").alias("n_customers"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
 # =========================================================================
 # Set ops: union + default-row injection (SURVEY §2.7)
 # =========================================================================

@@ -47,7 +47,7 @@ _SHINGLE_CTE = dd.shingle_sql("documents")
     dd.minhash_sql(_SHINGLE_CTE, n_bands=8),
     doc="MinHash signatures + LSH banding -> candidate near-dup pairs")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
+    sh = dd.shingle_select(_docs(spark, sf_dir), distinct=False)
     sigs = dd.minhash_signatures(sh, n_bands=8)
     return dd.minhash_band_pairs(sigs, n_bands=8)
 
@@ -67,6 +67,16 @@ def q_dedup_simhash(spark, sf_dir):
 def q_dedup_ngram_jaccard(spark, sf_dir):
     sh = dd.shingle_select(_docs(spark, sf_dir))
     return dd.jaccard_pairs(sh, threshold=0.6)
+
+
+@register(
+    "q_dedup_embed_cosine",
+    sim.neardup_pairs_sql("embeddings", threshold=0.3),
+    doc="embedding-cosine near-dup pairs: LSH-bucket candidates + exact "
+        "cosine threshold (synthetic vectors are random, so 0.3 keeps the "
+        "high-similarity tail; real corpora use ~0.95)")
+def q_dedup_embed_cosine(spark, sf_dir):
+    return sim.neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
 
 
 # =========================================================================
