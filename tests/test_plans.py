@@ -1,0 +1,93 @@
+"""Physical-plan quality gates.
+
+Correctness tests prove the operators compute the right rows; these prove
+the plans are the ones we'd want at 100 TB: filters and projections reach
+the parquet scan, small dimensions broadcast, aggregates run partial+final,
+hot expressions stay in whole-stage codegen, and nothing in the catalog
+degenerates into a Cartesian product.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from etl_ender_turing_spark.plans import CATALOG
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: plan_of(spec.builder(spark, SF))
+            for name, spec in CATALOG.items()}
+
+
+def test_filter_pushdown_reaches_scan(plans):
+    p = plans["q2_filter_projection"]
+    assert "PushedFilters: [" in p
+    # at least one real predicate pushed, not an empty list
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed or "l_quantity" in pushed, pushed
+
+
+def test_column_pruning_reaches_scan(plans):
+    # the scan must read only the 5 referenced columns, not all 16
+    p = plans["q2_filter_projection"]
+    schema = p.split("ReadSchema: ", 1)[1].splitlines()[0]
+    read_cols = [c for c in schema.split(",") if ":" in c]
+    assert len(read_cols) <= 5, schema
+    assert "l_comment" not in schema
+
+
+def test_dsl_filter_pushdown(plans):
+    p = plans["q_dsl_filter_events"]
+    assert "PushedFilters: [" in p
+    pushed = p.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), "DSL-compiled predicate did not reach the scan"
+
+
+def test_dims_broadcast_in_join_query(plans):
+    # q5 joins lineitem to orders/customer/nation/region: the small dims
+    # must come in as broadcast joins, never all-shuffle
+    assert "BroadcastHashJoin" in plans["q5_revenue_by_nation"]
+
+
+def test_aggregates_are_partial_final(plans):
+    # two HashAggregate nodes (partial + final) = map-side combine active
+    for q in ("q1_pricing_summary", "q_hourly_event_rollup"):
+        assert plans[q].count("HashAggregate") >= 2, q
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE finalizes the plan only on execution; the final plan marks
+    # codegen spans with "*(n)" operator prefixes
+    for q in ("q1_pricing_summary", "q2_filter_projection",
+              "q_dedup_exact", "q_text_quality"):
+        df = CATALOG[q].builder(spark, SF)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in final, f"{q}: no WholeStageCodegen span\n{final[:500]}"
+
+
+def test_no_cartesian_product_anywhere(plans):
+    # broadcast_topk uses an intentional 1-row broadcast nested loop;
+    # an unhinted CartesianProduct is always a scale bug
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, name
+
+
+def test_no_python_row_udfs_in_batch_catalog(plans):
+    # BatchEvalPython = row-at-a-time Python UDF (the slow path).
+    # ArrowEvalPython/mapInPandas (multimodal) is the sanctioned exception.
+    for name, p in plans.items():
+        assert "BatchEvalPython" not in p, name
