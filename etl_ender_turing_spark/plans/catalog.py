@@ -562,6 +562,34 @@ def q_count_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =========================================================================
+# Structured Streaming — windowed agg run to completion (SURVEY §2.9)
+# =========================================================================
+
+@register(
+    "q_stream_hourly_counts",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    doc="Structured Streaming tumbling-window agg (watermark + availableNow "
+        "to a memory sink); single micro-batch over static input makes the "
+        "result equal the batch GROUP BY, so the stream passes the same "
+        "value-level oracle (SURVEY §2.9)")
+def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_windowed_counts_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_ckpt_")
+    return run_windowed_counts_batch(
+        spark, sf_dir, ckpt, nanos_ts=True, glob_filter="events.parquet")
+
+
+# =========================================================================
 # Explode / flatten — the signature op, over synthesized arrays (SURVEY §2.4)
 # =========================================================================
 

@@ -48,7 +48,9 @@ def windowed_event_counts(events: DataFrame, window: str = "1 hour",
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window).alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("sum_value"))
+                 # decimal-exact sum: reduction order never changes the value
+                 F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)")
+                 .alias("sum_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n_events", "sum_value"))
@@ -74,6 +76,47 @@ def incremental_sync_stream(spark: SparkSession, source_dir: str,
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
             .start())
+
+
+_EVENTS_NANOS_SCHEMA = T.StructType(
+    [f if f.name != "ts" else T.StructField("ts", T.LongType())
+     for f in EVENTS_SCHEMA.fields])
+
+
+def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
+                              checkpoint_dir: str, window: str = "1 hour",
+                              nanos_ts: bool = False,
+                              glob_filter: str | None = None) -> DataFrame:
+    """Run the windowed-count stream to completion over the files currently
+    in ``source_dir`` (availableNow) and return the materialized result.
+
+    All files land in a single micro-batch (no maxFilesPerTrigger), so the
+    watermark drops nothing and the result equals the batch GROUP BY — which
+    is exactly the oracle the catalog checks it against. The memory sink is
+    per-query-name; checkpoints are caller-owned and disposable.
+
+    ``nanos_ts``: the driver's events.parquet stores TIMESTAMP(NANOS),
+    which the session reads as epoch-nano longs — convert with integer
+    div exactly like ``sources.readers.read_table``.
+    """
+    schema = _EVENTS_NANOS_SCHEMA if nanos_ts else EVENTS_SCHEMA
+    reader = spark.readStream.schema(schema)
+    if glob_filter is not None:
+        # file streams need a directory basePath; a glob narrows it to the
+        # one table file inside the shared testdata dir
+        reader = reader.option("pathGlobFilter", glob_filter)
+    events = reader.parquet(source_dir)
+    if nanos_ts:
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    counts = windowed_event_counts(events, window=window)
+    q = (counts.writeStream
+         .format("memory").queryName("windowed_counts_result")
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("windowed_counts_result")
 
 
 def sessionized_counts_stream(spark: SparkSession, source_dir: str,
