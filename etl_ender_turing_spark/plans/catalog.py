@@ -375,6 +375,22 @@ def q_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_skew_salted_distinct",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    doc="skew-proof exact distinct count: two-phase (key, hash-salt) "
+        "aggregation — parallelism beyond the tiny group-key space "
+        "(operators/skew.py; SURVEY §2.5 cardinality metrics at 100 TB)")
+def q_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_distinct_count
+    ev = _t(spark, sf_dir, "events")
+    return salted_distinct_count(ev, ["event_type"], "user_id",
+                                 n_salts=64, out_col="n_users")
+
+
+@register(
     "q_cube_distinct_callers",
     """
     SELECT o_orderstatus, o_orderpriority,
