@@ -1,0 +1,97 @@
+"""Derived-metric recomputation (SURVEY §2.5) and file sinks (§2.1)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.pipeline.metrics import (
+    channel_map,
+    recompute_average_score,
+    recompute_comments_count,
+    recompute_score_details,
+)
+from etl_ender_turing_spark.sources.sinks import sink_path, write_file
+
+
+def _scores(spark):
+    return spark.createDataFrame(
+        [("s1", 1, 10, 100, 4), ("s1", 1, 10, 101, 2),
+         ("s1", 2, 11, 200, 1), ("s2", 2, 11, 200, 5)],
+        "session_id string, scorecard_id long, reviewer_id long,"
+        " scorecard_point_id long, score int")
+
+
+def test_average_score(spark):
+    got = {r.session_id: r.average_score
+           for r in recompute_average_score(_scores(spark)).collect()}
+    assert got == {"s1": (4 + 2 + 1) / 3, "s2": 5.0}
+
+
+def test_weighted_score_with_points(spark):
+    points = spark.createDataFrame(
+        [(100, 1, 5), (101, 1, 5), (200, 2, 10)],
+        "id long, scorecard_id long, max_score int")
+    got = {r.session_id: r.weighted_score
+           for r in recompute_average_score(_scores(spark), points).collect()}
+    assert got["s1"] == (4 + 2 + 1) / (5 + 5 + 10)
+    assert got["s2"] == 5 / 10
+
+
+def test_score_details_pivot(spark):
+    scorecards = spark.createDataFrame(
+        [(1, True), (2, False)], "id long, is_automated boolean")
+    got = {r.session_id: (r.automated_score, r.manual_score)
+           for r in recompute_score_details(_scores(spark), scorecards).collect()}
+    assert got["s1"] == ((4 + 2) / 2, 1.0)
+    assert got["s2"] == (None, 5.0)
+
+
+def test_comments_count(spark):
+    comments = spark.createDataFrame(
+        [("s1", 7, "a"), ("s1", 8, "b"), ("s2", 7, "c")],
+        "session_id string, author_id long, text string")
+    got = {r.session_id: r.comments_count
+           for r in recompute_comments_count(comments).collect()}
+    assert got == {"s1": 2, "s2": 1}
+
+
+def test_channel_map(spark):
+    rows = spark.createDataFrame(
+        [("s1", "client", 3.12), ("s1", "agent", 1.36), ("s2", "agent", 9.9)],
+        "session_id string, channel string, overlap double")
+    got = {r.session_id: r.overlaps_data
+           for r in channel_map(rows, "session_id", "channel",
+                                "overlap", "overlaps_data").collect()}
+    assert got["s1"] == {"client": 3.12, "agent": 1.36}
+    assert got["s2"] == {"agent": 9.9}
+
+
+# ----------------------------------------------------------------------
+# file sinks
+# ----------------------------------------------------------------------
+
+def test_sink_naming():
+    assert sink_path("/o", "agents", "csv").endswith("dict-agents.csv")
+    assert sink_path("/o", "sessions", "parquet", kind="fact",
+                     start="2024-06-01", stop="2024-06-02") \
+        .endswith("sessions-2024-06-01-2024-06-02.parquet")
+
+
+def test_sink_roundtrips(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b\tc", None)], "id int, name string, v double")
+    for fmt, reader in (
+            ("parquet", lambda p: spark.read.parquet(p)),
+            ("json", lambda p: spark.read.json(p)),
+            ("csv", lambda p: spark.read.option("header", True).csv(p)),
+            ("tsv", lambda p: spark.read.option("header", True)
+                .option("sep", "\t").csv(p))):
+        path = os.path.join(str(tmp_path), f"out_{fmt}")
+        write_file(df, path, fmt)
+        back = reader(path)
+        assert back.count() == 2, fmt
+        assert set(back.columns) == {"id", "name", "v"}, fmt
+    # tsv embedded-tab value survives via quoting
+    tsv = (spark.read.option("header", True).option("sep", "\t")
+           .csv(os.path.join(str(tmp_path), "out_tsv")))
+    assert tsv.filter(F.col("name") == "b\tc").count() == 1
