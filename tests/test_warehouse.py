@@ -1,0 +1,51 @@
+"""Bucketed layout: co-located joins skip the shuffle entirely."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.sources.readers import read_table
+from etl_ender_turing_spark.sources.warehouse import (
+    cobucketed_join,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("wh"))
+    li = read_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    o = read_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    write_bucketed(li, "li_b", ["l_orderkey"], 8, path=f"{wh}/li_b")
+    write_bucketed(o.withColumnRenamed("o_orderkey", "l_orderkey"),
+                   "o_b", ["l_orderkey"], 8, path=f"{wh}/o_b")
+    yield spark
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_cobucketed_join_has_no_exchange(bucketed):
+    spark = bucketed
+    # disable broadcast so the join would otherwise shuffle both sides
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = cobucketed_join(spark, "li_b", "o_b", ["l_orderkey"])
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in final
+        assert "Exchange" not in final, final[:800]
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_cobucketed_join_correct(bucketed):
+    spark = bucketed
+    j = cobucketed_join(spark, "li_b", "o_b", ["l_orderkey"])
+    li = read_table(spark, SF, "lineitem")
+    o = read_table(spark, SF, "orders")
+    expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
+    assert j.count() == expect
