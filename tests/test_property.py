@@ -1,0 +1,145 @@
+"""Property-based tests (SURVEY §5.4): random nested sessions with
+adversarial null-ness/emptiness must uphold the transform invariants —
+no row loss through explodes, no crash on malformed datetimes,
+deterministic re-runs.
+
+Each hypothesis example costs a Spark job, so examples are few but each
+carries a whole batch of generated rows.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.pipeline.fixtures import _SESSIONS_DDL
+from etl_ender_turing_spark.pipeline.transform import transform_sessions
+
+# -- generators ------------------------------------------------------------
+
+_dt = st.one_of(
+    st.just("2024-06-01T10:15:44.620796"),
+    st.just("0001-01-01T00:00:00"),            # out-of-bounds -> 1900 default
+    st.just("2024-06-02T09:00:00+03:00junk"),  # regex-salvage path
+    st.just(""), st.none(),
+    st.text(max_size=12),                      # arbitrary garbage
+)
+
+_match = st.fixed_dictionaries({
+    "score": st.one_of(st.none(), st.floats(0, 1, allow_nan=False)),
+    "matched_corpus_text": st.one_of(st.none(), st.text(max_size=8)),
+    "is_agent": st.one_of(st.none(), st.booleans()),
+    "transcript_id": st.integers(1, 50),
+    "matched_query_text": st.none(),
+    "meta": st.none(),
+})
+
+_tag = st.fixed_dictionaries({
+    "id": st.integers(1, 9),
+    "match": st.one_of(st.none(), st.lists(_match, max_size=3)),
+})
+
+_point = st.fixed_dictionaries({
+    "scorecard_point_id": st.integers(1, 99),
+    "score": st.one_of(st.none(), st.integers(0, 5)),
+    "comment": st.none(),
+})
+
+_score = st.fixed_dictionaries({
+    "scorecard_id": st.integers(1, 5),
+    "reviewer_id": st.integers(1, 9),
+    "point_scores": st.one_of(st.none(), st.lists(_point, max_size=3)),
+})
+
+
+def _session(i: int, draw) -> dict:
+    base = {k: None for k in (
+        "type caller_id source language_code asr_size filename destination_id "
+        "end_dt created_at updated_at direction agent_id group_id duration "
+        "silence silence_percent agent_channel comments_count "
+        "default_scorecard_id average_score is_processed overlaps_data "
+        "duration_details score_details queue_name campaign_name term_reason "
+        "waiting_time fcr csi nps list_id words_count_agent "
+        "words_count_client words_count_both caller_prev_session_id "
+        "additional_info emotions sentiments activity compliance_matches "
+        "ptp_kept_prediction comment_author_ids category_ids low_quality "
+        "events_call_id").split()}
+    base.update({
+        "id": f"prop-{i}",
+        "start_dt": draw["start_dt"],
+        "tags": draw["tags"],
+        "categories": draw["categories"],
+        "reviewers": None,
+        "scores": draw["scores"],
+        "crm_statuses": None,
+        "comments": None,
+        "summary": None,
+    })
+    return base
+
+
+_session_draw = st.fixed_dictionaries({
+    "start_dt": _dt,
+    "tags": st.one_of(st.none(), st.lists(_tag, max_size=3)),
+    "categories": st.one_of(st.none(), st.lists(st.fixed_dictionaries({
+        "id": st.integers(1, 9), "is_verified": st.one_of(st.none(), st.booleans()),
+    }), max_size=2)),
+    "scores": st.one_of(st.none(), st.lists(_score, max_size=2)),
+})
+
+_batches = st.lists(_session_draw, min_size=1, max_size=12)
+
+_SLOW = settings(max_examples=8, deadline=None,
+                 suppress_health_check=[HealthCheck.too_slow])
+
+
+# -- invariants ------------------------------------------------------------
+
+@given(_batches)
+@_SLOW
+def test_explode_row_conservation(spark, draws):
+    rows = [_session(i, d) for i, d in enumerate(draws)]
+    raw = spark.createDataFrame(rows, _SESSIONS_DDL)
+    out = transform_sessions(raw)
+
+    # sessions: one output row per input row, always
+    assert out["sessions"].count() == len(rows)
+
+    # two-level tags explode: exactly sum(len(match)) rows
+    expect_tags = sum(len(m["match"] or []) for d in draws
+                      for m in (d["tags"] or []))
+    assert out["sessions_tags"].count() == expect_tags
+
+    # one-level categories explode
+    expect_cats = sum(len(d["categories"] or []) for d in draws)
+    assert out["sessions_categories"].count() == expect_cats
+
+    # two-level scores explode (None scores filtered by broken-scores guard)
+    expect_pts = sum(len(s["point_scores"] or []) for d in draws
+                     for s in (d["scores"] or []))
+    assert out["sessions_scores"].count() == expect_pts
+
+
+@given(_batches)
+@_SLOW
+def test_datetime_never_raises_and_in_bounds(spark, draws):
+    rows = [_session(i, d) for i, d in enumerate(draws)]
+    raw = spark.createDataFrame(rows, _SESSIONS_DDL)
+    sess = transform_sessions(raw)["sessions"]
+    # any start_dt input parses, salvages, or falls back — never throws,
+    # and never yields a pre-1900 timestamp
+    bad = sess.filter(F.col("start_dt") < F.lit("1900-01-01").cast("timestamp"))
+    assert bad.count() == 0
+
+
+@given(_batches)
+@_SLOW
+def test_transform_deterministic(spark, draws):
+    rows = [_session(i, d) for i, d in enumerate(draws)]
+    raw = spark.createDataFrame(rows, _SESSIONS_DDL)
+    a = transform_sessions(raw)["sessions_tags"]
+    b = transform_sessions(raw)["sessions_tags"]
+    ka = [tuple(r) for r in a.select("session_id", "tag_id", "transcript_id")
+          .orderBy("session_id", "tag_id", "transcript_id").collect()]
+    kb = [tuple(r) for r in b.select("session_id", "tag_id", "transcript_id")
+          .orderBy("session_id", "tag_id", "transcript_id").collect()]
+    assert ka == kb
