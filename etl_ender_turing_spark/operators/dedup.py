@@ -90,21 +90,28 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, n_bands: int = 8,
+def minhash_signatures(sh: DataFrame, n_hashes: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
-    """Per-doc MinHash signature: band b = min(md5('b|' || shingle)).
-
-    One hash family per band (band size 1 row) — candidate recall for
-    Jaccard j is 1-(1-j)^bands, ~0.96 at j=0.8 with 8 bands.
-    """
-    aggs = [F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"h{b}")
-            for b in range(n_bands)]
+    """Per-doc MinHash signature: n_hashes min-values, hash family i =
+    the i-th disjoint 4-hex-char (16-bit) slice of ONE md5 per shingle
+    (bits-of-one-hash construction — 8× less hashing than an md5 per
+    family, same order statistics)."""
+    h = F.md5(F.col("shingle"))
+    aggs = [F.min(F.substring(h, 4 * i + 1, 4)).alias(f"h{i}")
+            for i in range(n_hashes)]
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def minhash_band_pairs(sigs: DataFrame, n_bands: int = 8,
+def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
+                       rows_per_band: int = 2,
                        id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate pairs (a<b) sharing any band signature.
+
+    Banding: band b concatenates ``rows_per_band`` adjacent minhash
+    values (default 4 bands × 2 rows = 32-bit band signatures). Wider
+    bands keep chance collisions negligible at corpus scale — 16-bit
+    single-row bands would produce ~n²/2^17 false candidates per band
+    on n docs. Candidate recall: 1-(1-j^rows)^bands, ≈0.98 at j=0.8.
 
     Implemented as melt → groupBy (band, h) → in-bucket pair expansion,
     not a self-join: the signature subtree is evaluated once (a self-join
@@ -112,7 +119,10 @@ def minhash_band_pairs(sigs: DataFrame, n_bands: int = 8,
     hash (md5-uniform, skew-free), and pair generation is a narrow
     higher-order-function expansion of each bucket's sorted id list.
     """
-    stack = ", ".join(f"'{b}', h{b}" for b in range(n_bands))
+    n_bands = n_hashes // rows_per_band
+    stack = ", ".join(
+        f"'{b}', concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands))
     melted = sigs.select(
         F.col(id_col),
         F.expr(f"stack({n_bands}, {stack}) AS (band, h)"))
@@ -128,12 +138,17 @@ def minhash_band_pairs(sigs: DataFrame, n_bands: int = 8,
             .distinct())
 
 
-def minhash_sql(shingle_cte: str, n_bands: int = 8, id_col: str = "doc_id") -> str:
+def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
+                id_col: str = "doc_id") -> str:
     """DuckDB oracle for signatures + band pairs over a shingle CTE."""
+    n_bands = n_hashes // rows_per_band
     hs = ", ".join(
-        f"MIN(md5('{b}|' || shingle)) AS h{b}" for b in range(n_bands))
+        f"MIN(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}"
+        for i in range(n_hashes))
     band_union = " UNION ALL ".join(
-        f"SELECT {id_col}, '{b}' AS band, h{b} AS h FROM sigs"
+        f"SELECT {id_col}, '{b}' AS band, "
+        + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS h FROM sigs"
         for b in range(n_bands))
     return f"""
     WITH sh AS ({shingle_cte}),

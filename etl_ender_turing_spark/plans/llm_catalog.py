@@ -44,12 +44,13 @@ _SHINGLE_CTE = dd.shingle_sql("documents")
 
 @register(
     "q_dedup_minhash_lsh",
-    dd.minhash_sql(_SHINGLE_CTE, n_bands=8),
-    doc="MinHash signatures + LSH banding -> candidate near-dup pairs")
+    dd.minhash_sql(_SHINGLE_CTE),
+    doc="MinHash signatures + LSH banding (4 bands x 2 rows) -> candidate "
+        "near-dup pairs")
 def q_dedup_minhash_lsh(spark, sf_dir):
     sh = dd.shingle_select(_docs(spark, sf_dir), distinct=False)
-    sigs = dd.minhash_signatures(sh, n_bands=8)
-    return dd.minhash_band_pairs(sigs, n_bands=8)
+    sigs = dd.minhash_signatures(sh)
+    return dd.minhash_band_pairs(sigs)
 
 
 @register(
