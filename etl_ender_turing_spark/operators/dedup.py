@@ -138,9 +138,9 @@ def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
             .distinct())
 
 
-def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
-                id_col: str = "doc_id") -> str:
-    """DuckDB oracle for signatures + band pairs over a shingle CTE."""
+def _minhash_ctes(shingle_cte: str, n_hashes: int, rows_per_band: int,
+                  id_col: str) -> str:
+    """Shared CTE chain: shingles → signatures → melted bands → pairs."""
     n_bands = n_hashes // rows_per_band
     hs = ", ".join(
         f"MIN(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}"
@@ -153,11 +153,19 @@ def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
     return f"""
     WITH sh AS ({shingle_cte}),
     sigs AS (SELECT {id_col}, {hs} FROM sh GROUP BY {id_col}),
-    melted AS ({band_union})
-    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
-    FROM melted a JOIN melted b
-      ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
-    """
+    melted AS ({band_union}),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band = b.band AND a.h = b.h AND a.{id_col} < b.{id_col}
+    )"""
+
+
+def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
+                id_col: str = "doc_id") -> str:
+    """DuckDB oracle for signatures + band pairs over a shingle CTE."""
+    ctes = _minhash_ctes(shingle_cte, n_hashes, rows_per_band, id_col)
+    return f"{ctes}\n    SELECT doc_a, doc_b FROM pairs"
 
 
 # --------------------------------------------------------------------------
@@ -246,6 +254,52 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame, threshold: float = 0.6,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard restricted to given candidate pairs — the 100 TB
+    composition: LSH prunes n² to a near-linear candidate set, exact
+    verification touches only those. ``pairs`` is small by construction,
+    so both probe joins broadcast it; the only large shuffle is the
+    per-pair intersection count keyed on (doc_a, doc_b)."""
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (a.join(F.broadcast(pairs), "doc_a")
+             .join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("inter")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def lsh_jaccard_sql(shingle_cte: str, threshold: float = 0.6,
+                    n_hashes: int = 8, rows_per_band: int = 2,
+                    id_col: str = "doc_id") -> str:
+    """Oracle for the composed LSH-candidates → exact-Jaccard pipeline."""
+    ctes = _minhash_ctes(shingle_cte, n_hashes, rows_per_band, id_col)
+    return f"""{ctes},
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sh a ON a.{id_col} = p.doc_a
+      JOIN sh b ON b.{id_col} = p.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col})
+    SELECT doc_a, doc_b,
+           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON inter.doc_a = sa.{id_col}
+    JOIN sizes sb ON inter.doc_b = sb.{id_col}
+    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {threshold}
+    """
 
 
 def jaccard_sql(shingle_cte: str, threshold: float = 0.6,

@@ -71,6 +71,17 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_dedup_lsh_jaccard",
+    dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6),
+    doc="the composed 100 TB dedup pipeline: MinHash-LSH candidate pruning "
+        "-> exact Jaccard verification on candidates only")
+def q_dedup_lsh_jaccard(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))  # distinct: exact sets
+    pairs = dd.minhash_band_pairs(dd.minhash_signatures(sh))
+    return dd.jaccard_on_pairs(sh, pairs, threshold=0.6)
+
+
+@register(
     "q_dedup_embed_cosine",
     sim.neardup_pairs_sql("embeddings", threshold=0.3),
     doc="embedding-cosine near-dup pairs: LSH-bucket candidates + exact "
