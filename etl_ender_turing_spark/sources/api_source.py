@@ -24,7 +24,7 @@ it for an HTTP client is contained in ``_fetch_page`` — retry/backoff
 from __future__ import annotations
 
 import json
-from datetime import date, datetime, timedelta
+from datetime import date, timedelta
 
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
@@ -32,20 +32,28 @@ PAGE_LIMIT = 500  # Extract.py:28
 
 
 class FakeSessionService:
-    """Deterministic stand-in for the sessions API: filterable, paginated."""
+    """Deterministic stand-in for the sessions API: filterable, paginated.
+
+    ``extra`` carries pushed non-date DSL terms — (field, allowed values)
+    conjuncts the "server" evaluates, like the reference's API does with
+    its URL filter string."""
 
     def __init__(self):
         from ..pipeline.fixtures import raw_sessions
         self._rows = raw_sessions()
 
     def query(self, d1: str, d2: str, t1: str = "00:00", t2: str = "23:59",
-              skip: int = 0, limit: int = PAGE_LIMIT) -> list[dict]:
+              skip: int = 0, limit: int = PAGE_LIMIT,
+              extra: list[tuple[str, tuple[str, ...]]] = ()) -> list[dict]:
         out = []
         for r in self._rows:
             sd = r["start_dt"][:10]
             st = r["start_dt"][11:16]
-            if d1 <= sd <= d2 and t1 <= st <= t2:
-                out.append(r)
+            if not (d1 <= sd <= d2 and t1 <= st <= t2):
+                continue
+            if any(str(r.get(name)) not in values for name, values in extra):
+                continue
+            out.append(r)
         return out[skip:skip + limit]
 
 
@@ -69,22 +77,46 @@ class IntervalPartition(InputPartition):
 
 
 class SessionApiReader(DataSourceReader):
+    """DSL pushdown: a ``filters`` option (the reference's URL DSL) is
+    parsed here. Its ``date_range`` term replaces start/stop and clips
+    the half-day windows — pruned intervals are never fetched at all —
+    and every other term ships to the service as a server-side conjunct
+    (Extract.py:34-46 semantics)."""
+
     def __init__(self, schema, options):
         self.schema_ = schema
         self.start = options.get("start", "2024-06-01")
         self.stop = options.get("stop", "2024-06-03")
         self.page_limit = int(options.get("pagelimit", PAGE_LIMIT))
+        self.time_range: tuple[str, str] | None = None
+        self.extra: list[tuple[str, tuple[str, ...]]] = []
+        dsl = options.get("filters")
+        if dsl:
+            from ..functions.filter_dsl import parse_filter
+            for term in parse_filter(dsl):
+                if term.name == "date_range":
+                    self.start, self.stop = term.values
+                    self.time_range = term.time_range
+                else:
+                    self.extra.append((term.name, term.values))
 
     def partitions(self):
-        return [IntervalPartition(*iv)
-                for iv in split_half_days(self.start, self.stop)]
+        ivs = []
+        for d1, d2, t1, t2 in split_half_days(self.start, self.stop):
+            if self.time_range:
+                t1, t2 = max(t1, self.time_range[0]), min(t2, self.time_range[1])
+                if t1 > t2:      # window entirely outside the pushed range
+                    continue
+            ivs.append(IntervalPartition(d1, d2, t1, t2))
+        return ivs
 
     def read(self, partition: IntervalPartition):
         svc = FakeSessionService()
         skip = 0
         while True:
             page = svc.query(partition.d1, partition.d2, partition.t1,
-                             partition.t2, skip, self.page_limit)
+                             partition.t2, skip, self.page_limit,
+                             extra=self.extra)
             for r in page:
                 yield (r["id"], r["start_dt"], r["type"], r["agent_id"],
                        r["group_id"], r["duration"],
@@ -113,14 +145,16 @@ def register(spark) -> None:
     spark.dataSource.register(SessionApiDataSource)
 
 
-def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT):
+def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT,
+                      filters: str | None = None):
     register(spark)
-    return (spark.read.format("session_api")
-            .option("start", start).option("stop", stop)
-            .option("pagelimit", str(page_limit)).load())
+    r = (spark.read.format("session_api")
+         .option("start", start).option("stop", stop)
+         .option("pagelimit", str(page_limit)))
+    if filters:
+        r = r.option("filters", filters)
+    return r.load()
 
 
 __all__ = ["SessionApiDataSource", "read_sessions_api", "register",
            "split_half_days", "FakeSessionService"]
-
-_ = datetime  # (kept: parity helpers may format timestamps)

@@ -35,3 +35,23 @@ def test_api_source_pagination_boundary(spark):
     # page size smaller than result set forces multi-page accumulation
     small = read_sessions_api(spark, "2024-06-01", "2024-06-03", page_limit=7)
     assert small.count() == 300       # same rows regardless of page size
+
+
+def test_api_source_dsl_pushdown(spark):
+    # date_range term overrides start/stop AND prunes intervals; the time
+    # range kills every afternoon window before any fetch happens
+    dsl = "date_range,2024-06-01,2024-06-02||00:00,12:00±type,call,chat|or"
+    df = read_sessions_api(spark, "2024-06-01", "2024-06-03", filters=dsl)
+    assert df.rdd.getNumPartitions() == 2     # 2 days x morning only
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert r.start_dt[:10] in ("2024-06-01", "2024-06-02")
+        assert r.start_dt[11:16] <= "12:00"
+        assert r.type in ("call", "chat")
+    # parity: pushed result == unpushed scan filtered client-side
+    full = read_sessions_api(spark, "2024-06-01", "2024-06-03").collect()
+    expect = {r.id for r in full
+              if r.start_dt[:10] <= "2024-06-02" and r.start_dt[11:16] <= "12:00"
+              and r.type in ("call", "chat")}
+    assert {r.id for r in rows} == expect
