@@ -25,6 +25,7 @@ from datetime import datetime, timedelta
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.filter_dsl import compile_filter
+from ..operators.observe import with_row_metrics
 from ..operators.upsert import upsert_parquet
 from ..schemas import TABLES
 from .transform import transform_all
@@ -48,13 +49,21 @@ def write_watermark(spark: SparkSession, warehouse: str, ts: datetime) -> None:
 
 
 def load_tables(spark: SparkSession, tables: dict[str, DataFrame],
-                warehouse: str, order_col: str | None = None) -> None:
+                warehouse: str, order_col: str | None = None) -> dict[str, int]:
     """MERGE-upsert each table by its registry unique key (Load.py:63-183
-    equivalent — one set-based merge per table instead of per-row SQL)."""
+    equivalent — one set-based merge per table instead of per-row SQL).
+
+    Returns rows-synced per table, measured by Observation metrics that
+    ride the merge's own write action (the reference's progress counters,
+    settings.py:17 — with zero extra jobs)."""
+    counts: dict[str, int] = {}
     for name, df in tables.items():
         key = TABLES[name].unique_key
-        upsert_parquet(spark, df, os.path.join(warehouse, name),
+        observed, obs = with_row_metrics(df, f"sync_{name}")
+        upsert_parquet(spark, observed, os.path.join(warehouse, name),
                        list(key), order_col)
+        counts[name] = obs.get["n_rows"]
+    return counts
 
 
 def sync_period(spark: SparkSession, raw: dict[str, DataFrame], warehouse: str,
@@ -81,8 +90,8 @@ def sync_period(spark: SparkSession, raw: dict[str, DataFrame], warehouse: str,
         out[name] = tables[name].join(keys, "session_id", "left_semi")
     dims = {n: tables[n] for n in tables
             if not n.startswith("sessions")}
-    load_tables(spark, {**dims, **out}, warehouse)
-    return {n: df.count() for n, df in out.items()}
+    counts = load_tables(spark, {**dims, **out}, warehouse)
+    return {n: counts[n] for n in out}
 
 
 def _session_level_predicates(extra_filters: str):
