@@ -8,10 +8,9 @@ API never re-delivers. Each derivation is a plain groupBy/pivot plan:
 partial+final hash aggregation, shuffle keyed on session_id (GUID,
 uniform — no skew), dims broadcast.
 
-words_count_* and silence/duration require transcript utterances
+words_count_* and silence/duration derive from transcript utterances
 (reference: sessions_transcripts, schema.py:495-498 — commented out,
-"future"); they are the same per-session sum shape and land when a
-transcripts table exists.
+"future") via :func:`transcript_metrics`.
 """
 
 from __future__ import annotations
@@ -58,6 +57,42 @@ def recompute_comments_count(comments: DataFrame) -> DataFrame:
     """sessions.comments_count (reference: ETL/schema.py:321)."""
     return (comments.groupBy("session_id")
             .agg(F.count(F.lit(1)).alias("comments_count")))
+
+
+def transcript_metrics(transcripts: DataFrame,
+                       agent_channel: int = 0) -> DataFrame:
+    """sessions.words_count_agent/client/both, silence, duration
+    (reference: ETL/schema.py:317-319,331,336-338) recomputed from
+    transcript utterances — the derivation SURVEY §2.5 specifies for the
+    sessions_transcripts table the reference stubs out (schema.py:495-498).
+
+    Input: (session_id, utterances array<struct<channel:int, start:double,
+    end:double, text:string>>). One explode (narrow) + one shuffle on
+    session_id; silence is the sum of positive gaps between consecutive
+    utterances via a lag window over the running max end-time (robust to
+    overlapping speech, which must not create negative gaps).
+    """
+    from pyspark.sql import Window
+
+    u = (transcripts.select("session_id",
+                            F.explode("utterances").alias("u"))
+         .select("session_id", F.col("u.channel").alias("channel"),
+                 F.col("u.start").alias("start"), F.col("u.end").alias("end"),
+                 F.size(F.split(F.trim(F.col("u.text")), r"\s+"))
+                 .alias("n_words")))
+    w = (Window.partitionBy("session_id").orderBy("start", "end")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    gaps = u.withColumn("prev_end", F.max("end").over(w)) \
+            .withColumn("gap", F.greatest(F.col("start") - F.col("prev_end"),
+                                          F.lit(0.0)))
+    agent_words = F.sum(F.when(F.col("channel") == agent_channel,
+                               F.col("n_words")).otherwise(0))
+    return (gaps.groupBy("session_id").agg(
+        agent_words.alias("words_count_agent"),
+        (F.sum("n_words") - agent_words).alias("words_count_client"),
+        F.sum("n_words").alias("words_count_both"),
+        F.coalesce(F.sum("gap"), F.lit(0.0)).alias("silence"),
+        (F.max("end") - F.min("start")).alias("duration")))
 
 
 def channel_map(df: DataFrame, id_col: str, key_col: str,

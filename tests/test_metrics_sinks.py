@@ -66,6 +66,31 @@ def test_channel_map(spark):
     assert got["s2"] == {"agent": 9.9}
 
 
+def test_transcript_metrics(spark):
+    from etl_ender_turing_spark.pipeline.metrics import transcript_metrics
+    rows = [
+        # s1: agent(ch0) 2+3 words, client(ch1) 4; gaps: 1.0 (5->6) after
+        # overlap-protected max-end; duration 10-0
+        ("s1", [(0, 0.0, 2.0, "hello there"),
+                (1, 1.5, 5.0, "hi how are you"),   # overlaps agent turn
+                (0, 6.0, 10.0, "fine thanks bye")]),
+        # s2: single utterance -> no gaps, silence 0
+        ("s2", [(1, 2.0, 4.0, "just me")]),
+    ]
+    df = spark.createDataFrame(
+        rows, "session_id string, utterances array<struct<"
+              "channel:int, start:double, end:double, text:string>>")
+    got = {r.session_id: r for r in transcript_metrics(df).collect()}
+    s1 = got["s1"]
+    assert (s1.words_count_agent, s1.words_count_client,
+            s1.words_count_both) == (5, 4, 9)
+    assert s1.silence == 1.0         # only the 5.0 -> 6.0 gap counts
+    assert s1.duration == 10.0
+    s2 = got["s2"]
+    assert (s2.words_count_agent, s2.words_count_client) == (0, 2)
+    assert s2.silence == 0.0 and s2.duration == 2.0
+
+
 # ----------------------------------------------------------------------
 # file sinks
 # ----------------------------------------------------------------------
