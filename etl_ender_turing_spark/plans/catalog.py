@@ -229,6 +229,35 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rank_battery",
+    """
+    SELECT n_nationkey AS nation, c_custkey,
+           RANK()       OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           NTILE(4)     OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey)
+    """,
+    doc="analytic-window battery: rank/dense_rank/ntile/percent_rank/"
+        "cume_dist per dimension partition (SURVEY §2.6 'free via Window')")
+def q_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .select(F.col("n_nationkey").alias("nation"), "c_custkey",
+                    F.rank().over(w).alias("rnk"),
+                    F.dense_rank().over(w).alias("drnk"),
+                    F.ntile(4).over(w).alias("quartile"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+
+@register(
     "q_dedup_latest_event",
     """
     SELECT user_id, event_id AS last_event_id, event_type AS last_event_type
