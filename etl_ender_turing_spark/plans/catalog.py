@@ -438,6 +438,55 @@ def q_cube_distinct_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_orders")))
 
 
+@register(
+    "q_percentile_prices",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="exact interpolated percentiles per group (SURVEY §2.5 BI layer); "
+        "at 100 TB swap for approx_percentile (t-digest) — excluded from "
+        "the oracle because sketches differ by engine")
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
+    "q_date_spine_orders",
+    """
+    SELECT spine.d AS order_day, COALESCE(o.n, 0) AS n_orders
+    FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
+                                        INTERVAL 1 DAY))::DATE AS d) spine
+    LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
+               FROM orders
+               WHERE o_orderdate >= DATE '1996-01-01'
+                 AND o_orderdate <= DATE '1996-03-31'
+               GROUP BY 1) o ON spine.d = o.d
+    """,
+    doc="date-spine completeness: sequence+explode generates the calendar "
+        "(SURVEY §2.8 interval-generator row), left join keeps zero-order "
+        "days — the BI-layer gap-filling pattern")
+def q_date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    spine = spark.range(1).select(F.explode(F.expr(
+        "sequence(DATE '1996-01-01', DATE '1996-03-31', interval 1 day)"))
+        .alias("order_day"))
+    counts = (o.filter((F.col("o_orderdate") >= "1996-01-01")
+                       & (F.col("o_orderdate") <= "1996-03-31"))
+              .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return (spine.join(counts, "order_day", "left")
+            .select("order_day",
+                    F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")))
+
+
 # =========================================================================
 # Set ops: union + default-row injection (SURVEY §2.7)
 # =========================================================================
