@@ -119,6 +119,40 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
     return spark.table("windowed_counts_result")
 
 
+def stateful_dedup_stream(spark: SparkSession, source_dir: str,
+                          key_col: str = "event_id") -> DataFrame:
+    """Cross-micro-batch exactly-first dedup via ``applyInPandasWithState``
+    — the custom stateful-operator shape (SURVEY §2.9; the batch
+    equivalent is dedup-by-key upsert, operators/upsert.py).
+
+    Keyed boolean state marks ids already emitted; later arrivals of the
+    same key (any micro-batch) produce nothing. State lives in the state
+    store (checkpointed, partitioned by key hash) — at scale add a state
+    TTL (GroupStateTimeout) so the store doesn't grow unboundedly.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    events = read_event_stream(spark, source_dir)
+    out_schema = ("event_id long, ts timestamp, user_id long,"
+                  " event_type string, value double")
+
+    def first_only(key, pdf_iter, state: GroupState):
+        batches = [pdf for pdf in pdf_iter]
+        if state.exists:
+            return iter(())
+        state.update((True,))
+        first = (pd.concat(batches).sort_values("ts")
+                 [["event_id", "ts", "user_id", "event_type", "value"]]
+                 .head(1))
+        return iter([first])
+
+    return (events.groupBy(key_col)
+            .applyInPandasWithState(first_only, out_schema, "seen boolean",
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def sessionized_counts_stream(spark: SparkSession, source_dir: str,
                               gap: str = "30 minutes") -> DataFrame:
     """Session windows with gap timeout — the stateful-operator shape

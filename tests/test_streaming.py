@@ -55,6 +55,26 @@ def test_windowed_counts_match_batch_rollup(spark, tmp_path):
     assert g and all(b[k] == v for k, v in g.items())
 
 
+def test_stateful_dedup_exactly_first(spark, tmp_path):
+    from etl_ender_turing_spark.streaming.stream import stateful_dedup_stream
+
+    src = os.path.join(str(tmp_path), "dup_src")
+    ev = read_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    # write the SAME rows twice as separate files -> duplicate arrivals
+    # across micro-batches (maxFilesPerTrigger=4 in the reader keeps them
+    # in distinct batches only sometimes; keyed state dedups either way)
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    out = (stateful_dedup_stream(spark, src)
+           .writeStream.format("memory").queryName("dedup_state")
+           .outputMode("append").trigger(availableNow=True).start())
+    out.awaitTermination(120)
+    got = spark.table("dedup_state")
+    assert got.count() == 200                       # each key exactly once
+    assert got.select("event_id").distinct().count() == 200
+
+
 def test_session_windows_emit(spark, tmp_path):
     src, _ = _stage_events(spark, tmp_path)
     out = (sessionized_counts_stream(spark, src)
