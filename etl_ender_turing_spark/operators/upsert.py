@@ -76,6 +76,50 @@ def upsert_parquet(spark, source: DataFrame, path: str,
     os.rename(staging, path)
 
 
+def upsert_parquet_partitioned(spark, source: DataFrame, path: str,
+                               key: tuple[str, ...] | list[str],
+                               partition_col: str,
+                               order_col: str | None = None) -> list:
+    """Partition-pruned upsert: merge touches ONLY the partitions present
+    in the batch — the plain-parquet expression of Delta MERGE's partition
+    pruning, and the difference between rewriting 100 TB and rewriting one
+    day of it.
+
+    1. distinct partition values of the (deduped) batch — a tiny driver
+       list (dates), this is metadata, not data collection;
+    2. read the target pruned to those partitions (directory-level
+       pruning via the partition column filter);
+    3. merge and dynamically overwrite just those partition dirs
+       (``partitionOverwriteMode=dynamic``); all other partitions are
+       untouched bytes on disk.
+
+    Returns the touched partition values.
+    """
+    import os
+
+    src = dedup_latest(source, key, order_col)
+    if not os.path.exists(path):
+        src.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+        return [r[0] for r in src.select(partition_col).distinct().collect()]
+
+    parts = [r[0] for r in src.select(partition_col).distinct().collect()]
+    target = (spark.read.parquet(path)
+              .filter(F.col(partition_col).isin(parts)))
+    merged = merge_dataframes(target, src.select(*target.columns), key,
+                              order_col)
+    # break lineage off the target path before overwriting it (Spark
+    # refuses to overwrite a path it is reading); localCheckpoint
+    # materializes the merged partitions — which are small by construction
+    merged = merged.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.partitionBy(partition_col).mode("overwrite").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return parts
+
+
 def merge_sql(table: str, key: tuple[str, ...], update_cols: tuple[str, ...]) -> str:
     """The Delta-Lake MERGE this operator becomes on a transactional store.
 

@@ -70,3 +70,35 @@ def test_merge_sql_shape():
     sql = merge_sql("sessions", ("id",), ("type", "duration"))
     assert sql.startswith("MERGE INTO sessions t USING _source s ON t.id = s.id")
     assert "WHEN MATCHED THEN UPDATE SET t.type = s.type" in sql
+
+
+def test_partitioned_upsert_touches_only_batch_partitions(spark, tmp_path):
+    import glob
+    import os
+
+    from etl_ender_turing_spark.operators.upsert import upsert_parquet_partitioned
+
+    path = os.path.join(str(tmp_path), "fact")
+    day1 = [(1, "2024-06-01", "a"), (2, "2024-06-01", "b")]
+    day2 = [(3, "2024-06-02", "c"), (4, "2024-06-02", "d")]
+    df = spark.createDataFrame(day1 + day2, "id int, day string, v string")
+    touched = upsert_parquet_partitioned(spark, df, path, ["id"], "day")
+    assert sorted(touched) == ["2024-06-01", "2024-06-02"]
+
+    day1_files = {f: os.path.getmtime(f)
+                  for f in glob.glob(f"{path}/day=2024-06-01/*.parquet")}
+    assert day1_files
+
+    # batch updates day 2 only: one changed row, one new row
+    batch = spark.createDataFrame(
+        [(3, "2024-06-02", "C!"), (5, "2024-06-02", "e")],
+        "id int, day string, v string")
+    touched = upsert_parquet_partitioned(spark, batch, path, ["id"], "day")
+    assert touched == ["2024-06-02"]
+
+    got = {r.id: r.v for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b", 3: "C!", 4: "d", 5: "e"}
+
+    # day-1 partition is byte-identical untouched files
+    for f, mtime in day1_files.items():
+        assert os.path.getmtime(f) == mtime, f
