@@ -26,9 +26,14 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions.filter_dsl import compile_filter
 from ..operators.observe import with_row_metrics
-from ..operators.upsert import upsert_parquet
+from ..operators.upsert import upsert_parquet, upsert_parquet_partitioned
 from ..schemas import TABLES
 from .transform import transform_all
+
+# facts large enough to deserve date-partitioned layout + pruned merges;
+# start_date matches the reference's date-range access pattern
+# (ETL/utils.py:94-105) so date filters prune whole directories
+PARTITIONED_FACTS = {"sessions": "start_date"}
 
 WATERMARK_TABLE = "_sync_state"
 INCREMENTAL_LOOKBACK_DAYS = 30   # settings.py:22 incremental_sync_n_days
@@ -60,8 +65,12 @@ def load_tables(spark: SparkSession, tables: dict[str, DataFrame],
     for name, df in tables.items():
         key = TABLES[name].unique_key
         observed, obs = with_row_metrics(df, f"sync_{name}")
-        upsert_parquet(spark, observed, os.path.join(warehouse, name),
-                       list(key), order_col)
+        path = os.path.join(warehouse, name)
+        if name in PARTITIONED_FACTS:
+            upsert_parquet_partitioned(spark, observed, path, list(key),
+                                       PARTITIONED_FACTS[name], order_col)
+        else:
+            upsert_parquet(spark, observed, path, list(key), order_col)
         counts[name] = obs.get["n_rows"]
     return counts
 
