@@ -30,6 +30,36 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 PAGE_LIMIT = 500  # Extract.py:28
 
+# retry policy parity (ETL/utils.py:149-158: tenacity, 10 attempts,
+# exponential backoff 5-30 s, reraise)
+RETRY_ATTEMPTS = 10
+RETRY_BASE_S = 5.0
+RETRY_CAP_S = 30.0
+
+
+def with_retry(fn, *args, attempts: int = RETRY_ATTEMPTS,
+               base_s: float = RETRY_BASE_S, cap_s: float = RETRY_CAP_S,
+               _sleep=None, **kwargs):
+    """Call ``fn`` with exponential backoff; re-raise after the budget.
+
+    Runs INSIDE partition readers, so each task retries its own pages
+    independently; Spark task retries (spark.task.maxFailures) remain the
+    outer layer for whole-task failures.
+    """
+    import time as _time
+
+    sleep = _sleep or _time.sleep
+    last: Exception | None = None
+    for attempt in range(attempts):
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:          # noqa: BLE001 — policy is retry-any
+            last = e
+            if attempt == attempts - 1:
+                break
+            sleep(min(base_s * (2 ** attempt), cap_s))
+    raise last
+
 
 class FakeSessionService:
     """Deterministic stand-in for the sessions API: filterable, paginated.
@@ -114,9 +144,9 @@ class SessionApiReader(DataSourceReader):
         svc = FakeSessionService()
         skip = 0
         while True:
-            page = svc.query(partition.d1, partition.d2, partition.t1,
-                             partition.t2, skip, self.page_limit,
-                             extra=self.extra)
+            page = with_retry(svc.query, partition.d1, partition.d2,
+                              partition.t1, partition.t2, skip,
+                              self.page_limit, extra=self.extra)
             for r in page:
                 yield (r["id"], r["start_dt"], r["type"], r["agent_id"],
                        r["group_id"], r["duration"],

@@ -55,3 +55,31 @@ def test_api_source_dsl_pushdown(spark):
               if r.start_dt[:10] <= "2024-06-02" and r.start_dt[11:16] <= "12:00"
               and r.type in ("call", "chat")}
     assert {r.id for r in rows} == expect
+
+
+def test_with_retry_backoff_and_reraise():
+    from etl_ender_turing_spark.sources.api_source import with_retry
+
+    sleeps = []
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 4:
+            raise ConnectionError("transient")
+        return "ok"
+
+    assert with_retry(flaky, _sleep=sleeps.append) == "ok"
+    assert calls["n"] == 4
+    assert sleeps == [5.0, 10.0, 20.0]          # exp backoff, base 5
+
+    def always_fails():
+        raise TimeoutError("down")
+
+    sleeps.clear()
+    try:
+        with_retry(always_fails, attempts=3, _sleep=sleeps.append)
+        raise AssertionError("should have re-raised")
+    except TimeoutError:
+        pass
+    assert len(sleeps) == 2                      # attempts-1 waits

@@ -120,3 +120,29 @@ def test_sink_roundtrips(spark, tmp_path):
     tsv = (spark.read.option("header", True).option("sep", "\t")
            .csv(os.path.join(str(tmp_path), "out_tsv")))
     assert tsv.filter(F.col("name") == "b\tc").count() == 1
+
+
+def test_ep3_export_flow(spark, tmp_path):
+    """EP3 (get-scores / get-summaries-to-file): sessions enriched with
+    broadcast dims, date/time split, et_link, csv out."""
+    import os
+
+    from etl_ender_turing_spark.functions.derived import with_enrichment_columns
+    from etl_ender_turing_spark.pipeline import raw_fixture_tables, transform_all
+    from etl_ender_turing_spark.sources.sinks import write_file
+
+    tables = transform_all(raw_fixture_tables(spark), spark)
+    enriched = with_enrichment_columns(
+        tables["sessions"].drop("start_date", "start_time", "et_link"),
+        tables["agents"], tables["groups"], base_url="https://app")
+    row = enriched.filter(F.col("agent_name").isNotNull()).first()
+    assert row.et_link == f"https://app/main/conversations/view?session_id={row.id}"
+    assert row.agent_name.startswith("Agent")
+    assert row.group_name.startswith("Group")
+    assert len(row.start_date) == 10 and len(row.start_time) == 5
+
+    out = os.path.join(str(tmp_path), "export_csv")
+    write_file(enriched.select("id", "agent_name", "group_name",
+                               "start_date", "start_time", "et_link"), out, "csv")
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == enriched.count()
