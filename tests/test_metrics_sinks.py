@@ -146,3 +146,23 @@ def test_ep3_export_flow(spark, tmp_path):
                                "start_date", "start_time", "et_link"), out, "csv")
     back = spark.read.option("header", True).csv(out)
     assert back.count() == enriched.count()
+
+
+def test_xlsx_sink_gates(spark, tmp_path, monkeypatch):
+    """xlsx is driver-side: row-capped, and gated on openpyxl presence."""
+    import pytest
+
+    from etl_ender_turing_spark.sources import sinks
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    # cap enforcement fires before any collect-to-driver
+    monkeypatch.setattr(sinks, "XLSX_ROW_CAP", 1)
+    with pytest.raises(ValueError, match="refusing driver-side"):
+        sinks.write_file(df, os.path.join(str(tmp_path), "x.xlsx"), "xlsx")
+    monkeypatch.setattr(sinks, "XLSX_ROW_CAP", 1_000_000)
+    path = os.path.join(str(tmp_path), "ok.xlsx")
+    try:
+        sinks.write_file(df, path, "xlsx")
+        assert os.path.exists(path)
+    except NotImplementedError:
+        pass  # openpyxl absent in this container — documented gating
