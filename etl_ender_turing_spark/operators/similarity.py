@@ -149,6 +149,84 @@ def lsh_buckets_sql(sf_table: str, n_planes: int = 8, id_col: str = "vec_id",
     return f"SELECT {id_col}, {expr} AS bucket FROM {sf_table}"
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-cell counterpart to hyperplane LSH
+# --------------------------------------------------------------------------
+
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cell) assignment: each vector joins its max-cosine centroid.
+
+    Centroids are the first ``n_centroids`` vectors by id — deterministic
+    seed selection so Spark and the oracle agree exactly (real IVF runs
+    k-means first; the *serving* dataflow below is identical either way).
+    Assignment is a broadcast cross join against the tiny centroid set +
+    per-vector argmax window; one narrow pass, no big shuffle.
+
+    At 100 TB: repartition by cell after assignment; queries then read
+    only nprobe cells — the IVF analogue of the LSH bucket restriction.
+    """
+    cents = (emb.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     as_double(vec_col).alias("cv")))
+    scored = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+              .crossJoin(F.broadcast(cents))
+              .select(id_col, "cid",
+                      F.round(cosine("v", "cv"), 6).alias("sim")))
+    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, F.col("cid").alias("cell")))
+
+
+def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,
+             n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """ANN: exact cosine restricted to the ``n_probe`` centroid cells
+    nearest to the query vector."""
+    cents = (emb.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     as_double(vec_col).alias("cv")))
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(as_double(vec_col).alias("qv")))
+    probe = (cents.crossJoin(F.broadcast(q))
+             .select("cid", F.round(cosine("cv", "qv"), 6).alias("sim"))
+             .orderBy(F.col("sim").desc(), F.col("cid"))
+             .limit(n_probe).select(F.col("cid").alias("cell")))
+    cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    cands = (cells.join(F.broadcast(probe), "cell")
+             .filter(F.col(id_col) != query_id).select(id_col))
+    return brute_force_topk(
+        emb.join(cands.hint("broadcast"), id_col, "left_semi")
+           .unionByName(emb.filter(F.col(id_col) == query_id)),
+        query_id, k, id_col, vec_col)
+
+
+def ivf_assignments_sql(sf_table: str, n_centroids: int = N_CENTROIDS,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {n_centroids}),
+    scored AS (
+      SELECT v.{id_col}, c.cid,
+             ROUND(list_cosine_similarity(v.v, c.cv), 6) AS sim
+      FROM v CROSS JOIN c
+    )
+    SELECT {id_col}, cid AS cell FROM (
+      SELECT {id_col}, cid,
+             ROW_NUMBER() OVER (PARTITION BY {id_col}
+                                ORDER BY sim DESC, cid) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
 def neardup_pairs(emb: DataFrame, threshold: float = 0.3, n_planes: int = 8,
                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs, LSH-bucket candidate generation.

@@ -112,6 +112,24 @@ def q_embed_lsh_buckets(spark, sf_dir):
 
 
 @register(
+    "q_embed_ivf_cells",
+    sim.ivf_assignments_sql("embeddings"),
+    doc="IVF cell assignment: deterministic seed centroids, max-cosine "
+        "argmax per vector — the centroid-cell ANN scale path beside LSH")
+def q_embed_ivf_cells(spark, sf_dir):
+    return sim.ivf_assignments(_emb(spark, sf_dir))
+
+
+@register(
+    "q_embed_ivf_topk",
+    None,  # nprobe-restricted ANN: cells + topk oracles above cover the
+           # formulas; the 3-level nest is checked rows-only like the LSH ANN
+    doc="IVF ANN top-k: exact cosine within the nprobe nearest cells")
+def q_embed_ivf_topk(spark, sf_dir):
+    return sim.ivf_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@register(
     "q_embed_ann_lsh_topk",
     None,  # bucket-restricted ANN: same formulas, but the bucket restriction
            # makes the SQL a 3-level nest; covered rows-only + by the exact
