@@ -439,6 +439,23 @@ def q_cube_distinct_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_approx_sketches",
+    None,  # HLL / t-digest sketches are engine-specific — rows-only check;
+           # the exact counterparts (q_skew_salted_distinct,
+           # q_percentile_prices) are value-verified
+    doc="sketch path for 100 TB cardinality/quantiles: approx_count_distinct "
+        "(HLL) + approx_percentile (t-digest) — fixed memory per group vs "
+        "the exact operators' per-distinct-value state")
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+                 F.expr("approx_percentile(l_extendedprice, 0.5)")
+                 .alias("approx_p50"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+@register(
     "q_percentile_prices",
     """
     SELECT l_returnflag,
