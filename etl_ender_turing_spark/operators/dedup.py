@@ -8,7 +8,7 @@ module implements the standard ladder, all as JVM-side built-in expressions
 - exact dedup:        md5(normalized text) group-by
 - MinHash:            per-band min over shingle hashes; LSH banding joins
                       candidate pairs without the O(n²) cross join
-- SimHash:            16-bit sign-of-sum fingerprint over token hashes
+- SimHash:            32-bit sign-of-sum fingerprint over token hashes
 - n-gram Jaccard:     exact shingle-set similarity on candidate pairs
 
 Cross-engine determinism (DuckDB oracle parity): hashing uses md5 hex
@@ -169,7 +169,7 @@ def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
 
 
 # --------------------------------------------------------------------------
-# SimHash (16-bit, integer-exact)
+# SimHash (32-bit, integer-exact)
 # --------------------------------------------------------------------------
 
 _HEX = "0123456789abcdef"
@@ -185,21 +185,22 @@ def _bit_sql(tok_expr: str, pos: int, bit: int) -> str:
 
 
 def simhash_bit_sums_sql(tok_expr: str = "token") -> list[str]:
-    """16 SUM expressions (4 hex chars × 4 bits), bit index j = 4*(pos-1)+bit."""
+    """32 SUM expressions (8 hex chars × 4 bits), bit index j = 4*(pos-1)+bit."""
     return [f"SUM({_bit_sql(tok_expr, pos, bit)})"
-            for pos in range(1, 5) for bit in range(4)]
+            for pos in range(1, 9) for bit in range(4)]
 
 
 def simhash_combine_sql(sum_cols: list[str]) -> str:
-    """Fold 16 signed bit-sums into one integer fingerprint."""
-    terms = [f"(CASE WHEN {c} > 0 THEN {2 ** j} ELSE 0 END)"
+    """Fold the signed bit-sums into one integer fingerprint (BIGINT-safe:
+    high bits exceed int32)."""
+    terms = [f"(CASE WHEN {c} > 0 THEN CAST({2 ** j} AS BIGINT) ELSE 0 END)"
              for j, c in enumerate(sum_cols)]
     return " + ".join(terms)
 
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 16-bit SimHash fingerprint (integer; hash-exact cross-engine).
+    """Per-doc 32-bit SimHash fingerprint (integer; hash-exact cross-engine).
 
     explode tokens (narrow) → 16 integer sums per doc (one shuffle on
     id) → sign-combine. Token multiplicity is kept (frequency weighting).
@@ -209,7 +210,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     sums = tok.groupBy(id_col).agg(*[
         F.expr(s).alias(f"s{j}")
         for j, s in enumerate(simhash_bit_sums_sql("token"))])
-    combine = simhash_combine_sql([f"s{j}" for j in range(16)])
+    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
     return sums.select(id_col, F.expr(combine).alias("simhash"))
 
 
@@ -217,7 +218,7 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
                        id_col: str = "doc_id") -> str:
     sums = simhash_bit_sums_sql("token")
     sum_aliases = [f"{s} AS s{j}" for j, s in enumerate(sums)]
-    combine = simhash_combine_sql([f"s{j}" for j in range(16)])
+    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
     return f"""
     WITH tok AS (
       SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
@@ -227,6 +228,65 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
       FROM tok WHERE token <> '' GROUP BY {id_col}
     )
     SELECT {id_col}, {combine} AS simhash FROM sums
+    """
+
+
+def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, pigeonhole-banded.
+
+    With 8 bands of 4 bits, any pair within Hamming distance 3 agrees on
+    at least one whole band (pigeonhole) — so banding on nibbles loses no
+    true pair, and exact ``bit_count(xor)`` verification runs only on
+    band-colliding candidates. Same melt → bucket → in-bucket expansion
+    shape as MinHash banding: one uniform shuffle, no self-join.
+    """
+    melted = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.expr("explode(transform(sequence(0, 7),"
+               " b -> struct(b AS band, (simhash div CAST(pow(16, b) AS BIGINT))"
+               " % 16 AS nib)))").alias("bn")) \
+        .select(id_col, "simhash", "bn.band", "bn.nib")
+    buckets = (melted.groupBy("band", "nib")
+               .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("id"),
+                                                        F.col("simhash").alias("sh"))))
+                    .alias("xs"))
+               .filter(F.size("xs") >= 2))
+    pairs = F.expr(
+        "flatten(transform(xs, (a, i) ->"
+        " transform(slice(xs, i + 2, size(xs)), b ->"
+        " struct(a.id AS doc_a, b.id AS doc_b,"
+        " bit_count(bigint(a.sh) ^ bigint(b.sh)) AS hamming))))")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.hamming")
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def simhash_pairs_sql(table: str = "documents", max_hamming: int = 3,
+                      text_col: str = "text", id_col: str = "doc_id") -> str:
+    sums = simhash_bit_sums_sql("token")
+    sum_aliases = [f"{s} AS s{j}" for j, s in enumerate(sums)]
+    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
+    ),
+    sums AS (
+      SELECT {id_col}, {', '.join(sum_aliases)}
+      FROM tok WHERE token <> '' GROUP BY {id_col}
+    ),
+    sigs AS (SELECT {id_col}, {combine} AS simhash FROM sums),
+    melted AS (
+      SELECT {id_col}, simhash, b AS band,
+             (simhash // CAST(pow(16, b) AS INT)) % 16 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    )
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.nib = b.nib AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= {max_hamming}
     """
 
 

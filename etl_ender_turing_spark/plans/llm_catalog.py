@@ -56,9 +56,18 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 @register(
     "q_dedup_simhash",
     dd.simhash_oracle_sql("documents"),
-    doc="16-bit SimHash fingerprint per document (integer-exact)")
+    doc="32-bit SimHash fingerprint per document (integer-exact)")
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir))
+
+
+@register(
+    "q_dedup_simhash_pairs",
+    dd.simhash_pairs_sql("documents", max_hamming=3),
+    doc="SimHash near-dup pairs: pigeonhole nibble banding (no recall loss "
+        "at hamming<=3) + exact bit_count(xor) verification on candidates")
+def q_dedup_simhash_pairs(spark, sf_dir):
+    return dd.simhash_pairs(dd.simhash(_docs(spark, sf_dir)), max_hamming=3)
 
 
 @register(
