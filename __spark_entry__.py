@@ -11,11 +11,15 @@ the engine's query catalog to the driver contract.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_ender_turing_spark.plans import CATALOG
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_ender_turing_spark.plans import CATALOG  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
