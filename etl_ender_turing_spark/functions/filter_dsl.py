@@ -137,6 +137,42 @@ def compile_filter(dsl: str, column_map: dict[str, str] | None = None) -> Column
     return pred if pred is not None else F.lit(True)
 
 
+_BRIDGE_ID_COLS = {"tags": "tag_id", "categories": "category_id"}
+
+
+def sessions_matching_stored_filter(sessions, filter_data: str, bridges: dict,
+                                    id_col: str = "id"):
+    """Evaluate a stored category ``filter_data`` DSL client-side
+    (reference: ETL/schema.py:150 — e.g. ``'&&[tags,||and|2738|or]'``; the
+    reference only ships these to its API and never evaluates them, SURVEY
+    §2.2/§4).
+
+    Each term over a multi-valued field becomes a semi-join against its
+    bridge table (``bridges``: term name → bridge DataFrame with a
+    ``session_id`` column): ``|or`` = session has ANY listed id, ``|and``
+    = session has ALL listed ids (count-distinct-equals rewrite).
+    Conjunction chains semi-joins — Catalyst freely reorders them, and at
+    scale each semi-join is a broadcast of the (small) matching-key set.
+    """
+    from pyspark.sql import functions as _F
+
+    for term in parse_filter(filter_data):
+        bridge = bridges[term.name]
+        col = _BRIDGE_ID_COLS.get(term.name, f"{term.name.rstrip('s')}_id")
+        vals = [int(v) if re.fullmatch(r"-?\d+", v) else v for v in term.values]
+        matching = bridge.filter(_F.col(col).isin(vals))
+        if term.mode == "and" and len(vals) > 1:
+            keys = (matching.groupBy("session_id")
+                    .agg(_F.count_distinct(col).alias("_n"))
+                    .filter(_F.col("_n") == len(vals))
+                    .select("session_id"))
+        else:
+            keys = matching.select("session_id").distinct()
+        sessions = sessions.join(
+            keys, sessions[id_col] == keys["session_id"], "left_semi")
+    return sessions
+
+
 def compile_filter_sql(dsl: str, column_map: dict[str, str] | None = None) -> str:
     """ANSI-SQL rendering of the same predicate (for oracle parity tests)."""
     cmap = {"date_range": "start_dt"}

@@ -63,3 +63,30 @@ def test_sql_rendering_matches_semantics():
 def test_empty_dsl_is_true(spark):
     df = spark.createDataFrame([(1,)], "id int")
     assert df.filter(compile_filter("")).count() == 1
+
+
+def test_stored_filter_evaluation_semi_joins(spark):
+    """'&&[tags,||and|5|or]' evaluated client-side over the bridge."""
+    from etl_ender_turing_spark.functions.filter_dsl import (
+        sessions_matching_stored_filter,
+    )
+
+    sessions = spark.createDataFrame(
+        [("s1",), ("s2",), ("s3",)], "id string")
+    tags = spark.createDataFrame(
+        [("s1", 5), ("s1", 7), ("s2", 7), ("s3", 5), ("s3", 9)],
+        "session_id string, tag_id long")
+
+    got = sessions_matching_stored_filter(
+        sessions, "&&[tags,||and|5|or]", {"tags": tags})
+    assert {r.id for r in got.collect()} == {"s1", "s3"}
+
+    # |and over multiple ids: session must carry ALL of them
+    got_and = sessions_matching_stored_filter(
+        sessions, "tags,5,7|and", {"tags": tags})
+    assert {r.id for r in got_and.collect()} == {"s1"}
+
+    # conjunction of two terms chains semi-joins
+    got_conj = sessions_matching_stored_filter(
+        sessions, "tags,5|or±tags,9|or", {"tags": tags})
+    assert {r.id for r in got_conj.collect()} == {"s3"}
