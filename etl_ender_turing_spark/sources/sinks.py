@@ -30,6 +30,20 @@ def sink_path(out_dir: str, name: str, fmt: str, kind: str = "dim",
     return os.path.join(out_dir, f"{base}.{fmt}")
 
 
+def debug_dump(tables: dict[str, DataFrame], out_dir: str,
+               enabled: bool = False) -> None:
+    """Debug artifact dump (reference: ETL/Transform.py:176-177 pickles
+    every raw entity to ``{name}-debug.pkl``). Parquet instead of pickle
+    (portable, splittable), gated off by default — at scale an unguarded
+    full-input dump doubles the pipeline's write volume.
+    """
+    if not enabled:
+        return
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}-debug"))
+
+
 def write_file(df: DataFrame, path: str, fmt: str) -> None:
     fmt = fmt.lower()
     if fmt == "json":

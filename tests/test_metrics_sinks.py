@@ -166,3 +166,15 @@ def test_xlsx_sink_gates(spark, tmp_path, monkeypatch):
         assert os.path.exists(path)
     except NotImplementedError:
         pass  # openpyxl absent in this container — documented gating
+
+
+def test_debug_dump_gated(spark, tmp_path):
+    from etl_ender_turing_spark.sources.sinks import debug_dump
+
+    df = spark.createDataFrame([(1,)], "id int")
+    off = os.path.join(str(tmp_path), "dbg_off")
+    debug_dump({"t": df}, off, enabled=False)
+    assert not os.path.exists(os.path.join(off, "t-debug"))
+    on = os.path.join(str(tmp_path), "dbg_on")
+    debug_dump({"t": df}, on, enabled=True)
+    assert spark.read.parquet(os.path.join(on, "t-debug")).count() == 1
