@@ -8,7 +8,7 @@ module implements the standard ladder, all as JVM-side built-in expressions
 - exact dedup:        md5(normalized text) group-by
 - MinHash:            per-band min over shingle hashes; LSH banding joins
                       candidate pairs without the O(n²) cross join
-- SimHash:            32-bit sign-of-sum fingerprint over token hashes
+- SimHash:            60-bit sign-of-sum fingerprint over token hashes
 - n-gram Jaccard:     exact shingle-set similarity on candidate pairs
 
 Cross-engine determinism (DuckDB oracle parity): hashing uses md5 hex
@@ -169,7 +169,7 @@ def minhash_sql(shingle_cte: str, n_hashes: int = 8, rows_per_band: int = 2,
 
 
 # --------------------------------------------------------------------------
-# SimHash (32-bit, integer-exact)
+# SimHash (60-bit, integer-exact)
 # --------------------------------------------------------------------------
 
 _HEX = "0123456789abcdef"
@@ -185,9 +185,11 @@ def _bit_sql(tok_expr: str, pos: int, bit: int) -> str:
 
 
 def simhash_bit_sums_sql(tok_expr: str = "token") -> list[str]:
-    """32 SUM expressions (8 hex chars × 4 bits), bit index j = 4*(pos-1)+bit."""
+    """60 SUM expressions (15 hex chars × 4 bits), bit j = 4*(pos-1)+bit.
+
+    60 bits (not 64) keeps the fold below signed-BIGINT overflow."""
     return [f"SUM({_bit_sql(tok_expr, pos, bit)})"
-            for pos in range(1, 9) for bit in range(4)]
+            for pos in range(1, 16) for bit in range(4)]
 
 
 def simhash_combine_sql(sum_cols: list[str]) -> str:
@@ -200,7 +202,7 @@ def simhash_combine_sql(sum_cols: list[str]) -> str:
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Per-doc 32-bit SimHash fingerprint (integer; hash-exact cross-engine).
+    """Per-doc 60-bit SimHash fingerprint (integer; hash-exact cross-engine).
 
     explode tokens (narrow) → 16 integer sums per doc (one shuffle on
     id) → sign-combine. Token multiplicity is kept (frequency weighting).
@@ -210,7 +212,7 @@ def simhash(df: DataFrame, text_col: str = "text",
     sums = tok.groupBy(id_col).agg(*[
         F.expr(s).alias(f"s{j}")
         for j, s in enumerate(simhash_bit_sums_sql("token"))])
-    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
+    combine = simhash_combine_sql([f"s{j}" for j in range(60)])
     return sums.select(id_col, F.expr(combine).alias("simhash"))
 
 
@@ -218,7 +220,7 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
                        id_col: str = "doc_id") -> str:
     sums = simhash_bit_sums_sql("token")
     sum_aliases = [f"{s} AS s{j}" for j, s in enumerate(sums)]
-    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
+    combine = simhash_combine_sql([f"s{j}" for j in range(60)])
     return f"""
     WITH tok AS (
       SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}
@@ -235,17 +237,21 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, pigeonhole-banded.
 
-    With 8 bands of 4 bits, any pair within Hamming distance 3 agrees on
-    at least one whole band (pigeonhole) — so banding on nibbles loses no
-    true pair, and exact ``bit_count(xor)`` verification runs only on
-    band-colliding candidates. Same melt → bucket → in-bucket expansion
-    shape as MinHash banding: one uniform shuffle, no self-join.
+    With 4 bands of 15 bits, any pair within Hamming distance 3 agrees on
+    at least one whole band (pigeonhole) — banding loses no true pair —
+    and exact ``bit_count(xor)`` verification runs only on band-colliding
+    candidates. Band width matters: narrow bands (say 4-bit nibbles) give
+    only 16 buckets, and simhash bits are vocabulary-biased, so one bucket
+    can swallow half the corpus and the in-bucket expansion turns O(n²).
+    15-bit bands give 32 Ki buckets per band, keeping buckets small. Same
+    melt → bucket → in-bucket expansion shape as MinHash banding: one
+    uniform-ish shuffle, no self-join.
     """
     melted = sigs.select(
         F.col(id_col), F.col("simhash"),
-        F.expr("explode(transform(sequence(0, 7),"
-               " b -> struct(b AS band, (simhash div CAST(pow(16, b) AS BIGINT))"
-               " % 16 AS nib)))").alias("bn")) \
+        F.expr("explode(transform(sequence(0, 3),"
+               " b -> struct(b AS band, (simhash div CAST(pow(32768, b) AS BIGINT))"
+               " % 32768 AS nib)))").alias("bn")) \
         .select(id_col, "simhash", "bn.band", "bn.nib")
     buckets = (melted.groupBy("band", "nib")
                .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("id"),
@@ -267,7 +273,7 @@ def simhash_pairs_sql(table: str = "documents", max_hamming: int = 3,
                       text_col: str = "text", id_col: str = "doc_id") -> str:
     sums = simhash_bit_sums_sql("token")
     sum_aliases = [f"{s} AS s{j}" for j, s in enumerate(sums)]
-    combine = simhash_combine_sql([f"s{j}" for j in range(32)])
+    combine = simhash_combine_sql([f"s{j}" for j in range(60)])
     return f"""
     WITH tok AS (
       SELECT {id_col}, unnest({tokens_sql(text_col)}) AS token FROM {table}

@@ -56,7 +56,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 @register(
     "q_dedup_simhash",
     dd.simhash_oracle_sql("documents"),
-    doc="32-bit SimHash fingerprint per document (integer-exact)")
+    doc="60-bit SimHash fingerprint per document (integer-exact)")
 def q_dedup_simhash(spark, sf_dir):
     return dd.simhash(_docs(spark, sf_dir))
 

@@ -54,7 +54,7 @@ def test_jaccard_exact_values(docs):
 def test_simhash_identical_docs_equal_fingerprint(docs):
     fp = {r.doc_id: r.simhash for r in dd.simhash(docs).collect()}
     assert fp[1] == fp[2]
-    assert 0 <= fp[1] < 2 ** 32
+    assert 0 <= fp[1] < 2 ** 60
     assert fp[1] != fp[4]
 
 

@@ -1,0 +1,77 @@
+"""Scaling probe: how do the heavy operators behave as data grows?
+
+Usage: python tools/scale_probe.py [sf_dir]   (default /root/testdata/sf0.1)
+
+Replicates the documents/embeddings tables K× (ids offset to stay unique)
+and times the dedup/similarity operators at 1x/2x/4x/8x volume, printing
+wall seconds and the growth ratio step-over-step. Near-linear ratios
+(~2.0 per doubling) are the evidence that the candidate-pruned designs
+avoid the O(n²) cliff; the brute-force ANN baseline is included as the
+contrast (it scans linearly too, but its cross-join row count doubles —
+at real scale only the bucketed variants survive).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.operators import dedup as dd
+from etl_ender_turing_spark.operators import similarity as sim
+from etl_ender_turing_spark.session import get_spark
+from etl_ender_turing_spark.sources.readers import read_table
+
+
+def replicate(df, k: int, id_col: str):
+    """k copies with disjoint id ranges (content identical per copy —
+    a worst case for dedup ops: every doc gains k-1 exact near-dups)."""
+    span = 10_000_000
+    out = df
+    for i in range(1, k):
+        out = out.unionByName(
+            df.withColumn(id_col, F.col(id_col) + i * span))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs0 = read_table(spark, sf_dir, "documents")
+    emb0 = read_table(spark, sf_dir, "embeddings")
+    docs0.count(), emb0.count()  # warm
+
+    ops = {
+        "exact_dedup": lambda d, e: dd.exact_dedup_groups(d).count(),
+        "minhash_lsh": lambda d, e: dd.minhash_band_pairs(
+            dd.minhash_signatures(
+                dd.shingle_select(d, distinct=False))).count(),
+        "simhash_pairs": lambda d, e: dd.simhash_pairs(dd.simhash(d)).count(),
+        "embed_neardup": lambda d, e: sim.neardup_pairs(e).count(),
+        "embed_lsh_ann": lambda d, e: sim.ann_bucketed_topk(
+            e, query_id=0, k=10).count(),
+    }
+
+    print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
+          + "   ratios (per doubling)")
+    for name, fn in ops.items():
+        times = []
+        for k in (1, 2, 4, 8):
+            d = replicate(docs0, k, "doc_id")
+            e = replicate(emb0, k, "vec_id")
+            t0 = time.perf_counter()
+            fn(d, e)
+            times.append(time.perf_counter() - t0)
+        ratios = [times[i + 1] / times[i] for i in range(3)]
+        print(f"{name:<15} " + " ".join(f"{t:8.2f}" for t in times)
+              + "   " + " ".join(f"{r:.2f}" for r in ratios))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
