@@ -102,6 +102,30 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 8,
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def minhash_signatures_inline(df: DataFrame, text_col: str = "text",
+                              id_col: str = "doc_id", n_hashes: int = 8,
+                              n: int = 3) -> DataFrame:
+    """Signatures with ZERO shuffles: shingling and per-family mins run as
+    array higher-order functions inside one projection (no explode, no
+    groupBy) — min over the shingle multiset equals min over the distinct
+    set, so results are identical to the explode+groupBy path
+    (:func:`minhash_signatures`), which remains for pipelines that reuse
+    the exploded shingles (e.g. the composed LSH→Jaccard query)."""
+    parts = ", ".join(f"element_at(t, i + {k})" for k in range(n))
+    sh = (f"transform(sequence(1, size(t) - {n - 1}),"
+          f" i -> md5(concat_ws(' ', {parts})))")
+    mins = [
+        F.expr(f"array_min(transform(_h, h -> substring(h, {4 * i + 1}, 4)))")
+        .alias(f"h{i}")
+        for i in range(n_hashes)]
+    return (df.select(F.col(id_col),
+                      F.expr(f"lower({text_col})").alias("_txt"))
+            .select(id_col, F.expr("split(_txt, ' ')").alias("t"))
+            .filter(F.size("t") >= n)
+            .select(id_col, F.expr(sh).alias("_h"))
+            .select(id_col, *mins))
+
+
 def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
                        rows_per_band: int = 2,
                        id_col: str = "doc_id") -> DataFrame:

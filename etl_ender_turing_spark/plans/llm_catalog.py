@@ -48,8 +48,7 @@ _SHINGLE_CTE = dd.shingle_sql("documents")
     doc="MinHash signatures + LSH banding (4 bands x 2 rows) -> candidate "
         "near-dup pairs")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir), distinct=False)
-    sigs = dd.minhash_signatures(sh)
+    sigs = dd.minhash_signatures_inline(_docs(spark, sf_dir))
     return dd.minhash_band_pairs(sigs)
 
 
