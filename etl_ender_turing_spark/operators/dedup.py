@@ -240,6 +240,30 @@ def simhash(df: DataFrame, text_col: str = "text",
     return sums.select(id_col, F.expr(combine).alias("simhash"))
 
 
+def simhash_inline(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """SimHash with ZERO shuffles: one md5 per token, then a 60-slot
+    array fold (``aggregate`` + ``zip_with``) inside a single projection —
+    no token explode, no groupBy. Identical values to :func:`simhash`
+    (same per-token ±1 sums, addition is order-independent on ints), so
+    the same oracle applies; the explode+groupBy form remains for reuse
+    alongside other token-level aggregations.
+    """
+    bits = ", ".join(
+        f"(CASE WHEN ((instr('{_HEX}', substring(h, {pos}, 1)) - 1)"
+        f" % {2 ** (bit + 1)}) >= {2 ** bit} THEN 1 ELSE -1 END)"
+        for pos in range(1, 16) for bit in range(4))
+    acc = (f"aggregate(transform(filter(t, x -> x <> ''), x -> md5(x)),"
+           f" array_repeat(0, 60),"
+           f" (acc, h) -> zip_with(acc, array({bits}), (a, b) -> a + b))")
+    combine = simhash_combine_sql([f"element_at(s, {j + 1})"
+                                   for j in range(60)])
+    return (df.select(F.col(id_col), tokens(text_col).alias("t"))
+            .filter(F.expr("exists(t, x -> x <> '')"))
+            .select(id_col, F.expr(acc).alias("s"))
+            .select(id_col, F.expr(combine).alias("simhash")))
+
+
 def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
                        id_col: str = "doc_id") -> str:
     sums = simhash_bit_sums_sql("token")

@@ -57,7 +57,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     dd.simhash_oracle_sql("documents"),
     doc="60-bit SimHash fingerprint per document (integer-exact)")
 def q_dedup_simhash(spark, sf_dir):
-    return dd.simhash(_docs(spark, sf_dir))
+    return dd.simhash_inline(_docs(spark, sf_dir))
 
 
 @register(
@@ -66,7 +66,8 @@ def q_dedup_simhash(spark, sf_dir):
     doc="SimHash near-dup pairs: pigeonhole nibble banding (no recall loss "
         "at hamming<=3) + exact bit_count(xor) verification on candidates")
 def q_dedup_simhash_pairs(spark, sf_dir):
-    return dd.simhash_pairs(dd.simhash(_docs(spark, sf_dir)), max_hamming=3)
+    return dd.simhash_pairs(dd.simhash_inline(_docs(spark, sf_dir)),
+                            max_hamming=3)
 
 
 @register(
