@@ -439,6 +439,31 @@ def q_cube_distinct_callers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_conform_drift",
+    """
+    SELECT event_id,
+           CAST(user_id AS VARCHAR) AS user_id,
+           event_type,
+           CAST(NULL AS DOUBLE) AS score
+    FROM events
+    """,
+    doc="drift-audited schema conformance (SURVEY §1.4/§2.2): extras "
+        "dropped with a warning, missing columns NULL-filled, declared "
+        "casts applied — a pure projection, shuffle-free")
+def q_conform_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..operators.conform import conform
+    target = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.StringType()),     # declared cast
+        T.StructField("event_type", T.StringType()),
+        T.StructField("score", T.DoubleType()),       # absent -> NULL
+    ])
+    return conform(_t(spark, sf_dir, "events"), target, "events_conformed")
+
+
+@register(
     "q_approx_sketches",
     None,  # HLL / t-digest sketches are engine-specific — rows-only check;
            # the exact counterparts (q_skew_salted_distinct,
