@@ -49,9 +49,9 @@ def main() -> None:
     ops = {
         "exact_dedup": lambda d, e: dd.exact_dedup_groups(d).count(),
         "minhash_lsh": lambda d, e: dd.minhash_band_pairs(
-            dd.minhash_signatures(
-                dd.shingle_select(d, distinct=False))).count(),
-        "simhash_pairs": lambda d, e: dd.simhash_pairs(dd.simhash(d)).count(),
+            dd.minhash_signatures_inline(d)).count(),
+        "simhash_pairs": lambda d, e: dd.simhash_pairs(
+            dd.simhash_inline(d)).count(),
         "embed_neardup": lambda d, e: sim.neardup_pairs(e).count(),
         "embed_lsh_ann": lambda d, e: sim.ann_bucketed_topk(
             e, query_id=0, k=10).count(),
