@@ -102,3 +102,19 @@ def test_partitioned_upsert_touches_only_batch_partitions(spark, tmp_path):
     # day-1 partition is byte-identical untouched files
     for f, mtime in day1_files.items():
         assert os.path.getmtime(f) == mtime, f
+
+
+def test_partitioned_upsert_idempotent(spark, tmp_path):
+    import os
+
+    from etl_ender_turing_spark.operators.upsert import upsert_parquet_partitioned
+
+    path = os.path.join(str(tmp_path), "fact_idem")
+    batch = spark.createDataFrame(
+        [(1, "2024-06-01", "a"), (2, "2024-06-02", "b")],
+        "id int, day string, v string")
+    upsert_parquet_partitioned(spark, batch, path, ["id"], "day")
+    before = sorted(map(tuple, spark.read.parquet(path).collect()))
+    upsert_parquet_partitioned(spark, batch, path, ["id"], "day")
+    after = sorted(map(tuple, spark.read.parquet(path).collect()))
+    assert before == after and len(after) == 2
