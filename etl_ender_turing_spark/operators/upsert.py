@@ -60,10 +60,16 @@ def upsert_parquet(spark, source: DataFrame, path: str,
     Running the same batch twice converges to the same table (pinned by
     tests/test_upsert.py). Write goes through a staging suffix then swap,
     because Spark cannot overwrite a path it is concurrently reading.
+
+    Empty batches return without touching the table (the reference's
+    empty-input short-circuit, run-et-etl.py:54-60 / Load.py:84-86) —
+    without this, a no-op merge would rewrite the entire target.
     """
     import os
     import shutil
 
+    if not source.take(1):
+        return
     if os.path.exists(path):
         target = spark.read.parquet(path)
         merged = merge_dataframes(target, source, key, order_col)
@@ -103,6 +109,8 @@ def upsert_parquet_partitioned(spark, source: DataFrame, path: str,
         return [r[0] for r in src.select(partition_col).distinct().collect()]
 
     parts = [r[0] for r in src.select(partition_col).distinct().collect()]
+    if not parts:       # empty batch: touch nothing
+        return []
     target = (spark.read.parquet(path)
               .filter(F.col(partition_col).isin(parts)))
     merged = merge_dataframes(target, src.select(*target.columns), key,

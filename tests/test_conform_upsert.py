@@ -118,3 +118,30 @@ def test_partitioned_upsert_idempotent(spark, tmp_path):
     upsert_parquet_partitioned(spark, batch, path, ["id"], "day")
     after = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert before == after and len(after) == 2
+
+
+def test_empty_batch_short_circuit(spark, tmp_path):
+    """Reference parity (run-et-etl.py:54-60): empty input loads nothing —
+    and crucially never rewrites the existing table."""
+    import glob
+    import os
+
+    from etl_ender_turing_spark.operators.upsert import (
+        upsert_parquet,
+        upsert_parquet_partitioned,
+    )
+
+    df = spark.createDataFrame([(1, "2024-06-01", "a")],
+                               "id int, day string, v string")
+    empty = df.filter("id < 0")
+
+    flat = os.path.join(str(tmp_path), "flat")
+    upsert_parquet(spark, df, flat, ["id"])
+    files = {f: os.path.getmtime(f) for f in glob.glob(f"{flat}/*.parquet")}
+    upsert_parquet(spark, empty, flat, ["id"])
+    assert {f: os.path.getmtime(f) for f in glob.glob(f"{flat}/*.parquet")} == files
+
+    part = os.path.join(str(tmp_path), "part")
+    upsert_parquet_partitioned(spark, df, part, ["id"], "day")
+    assert upsert_parquet_partitioned(spark, empty, part, ["id"], "day") == []
+    assert spark.read.parquet(part).count() == 1
