@@ -420,6 +420,25 @@ def q_skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_grouping_sets_mixed",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {dsum_sql('o_totalprice')} AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="explicit GROUPING SETS — disjoint grouping combinations rollup/"
+        "cube cannot express (SURVEY §2.5 'free via Spark SQL')")
+def q_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"]],
+                           "o_orderstatus", "o_orderpriority")
+            .agg(dsum("o_totalprice").alias("sum_price"),
+                 F.count(F.lit(1)).alias("n_orders")))
+
+
+@register(
     "q_cube_distinct_callers",
     """
     SELECT o_orderstatus, o_orderpriority,
