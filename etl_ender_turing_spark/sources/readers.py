@@ -23,6 +23,10 @@ _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Self-contained: any vanilla SparkSession must be able to read the
+    # driver's nano-timestamp parquet, not just sessions built by our own
+    # get_spark() factory. The conf is runtime-settable, so pin it here.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):
         if isinstance(df.schema[col].dataType, T.LongType):
