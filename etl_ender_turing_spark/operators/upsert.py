@@ -36,8 +36,15 @@ def dedup_latest(df: DataFrame, key: tuple[str, ...] | list[str],
                  order_col: str | None = None) -> DataFrame:
     """Keep one row per unique key — the most recent when ``order_col`` is
     given, otherwise an arbitrary-but-deterministic single row."""
-    order = (F.col(order_col).desc_nulls_last()
-             if order_col else F.monotonically_increasing_id().desc())
+    if order_col:
+        order = F.col(order_col).desc_nulls_last()
+    else:
+        # content-derived tie-break: monotonically_increasing_id depends on
+        # partition layout, so replays on a different cluster size could
+        # keep a different row. Hashing the serialized row is stable under
+        # any repartitioning (to_json handles map/array/binary columns that
+        # xxhash64 and struct-ordering cannot).
+        order = F.md5(F.to_json(F.struct(*df.columns))).desc()
     w = Window.partitionBy(*key).orderBy(order)
     return (df.withColumn("_rn", F.row_number().over(w))
               .filter(F.col("_rn") == 1).drop("_rn"))
@@ -54,7 +61,8 @@ def merge_dataframes(target: DataFrame, source: DataFrame,
 
 def upsert_parquet(spark, source: DataFrame, path: str,
                    key: tuple[str, ...] | list[str],
-                   order_col: str | None = None) -> None:
+                   order_col: str | None = None,
+                   prechecked: bool = False) -> None:
     """Idempotent upsert of ``source`` into the parquet table at ``path``.
 
     Running the same batch twice converges to the same table (pinned by
@@ -64,11 +72,15 @@ def upsert_parquet(spark, source: DataFrame, path: str,
     Empty batches return without touching the table (the reference's
     empty-input short-circuit, run-et-etl.py:54-60 / Load.py:84-86) —
     without this, a no-op merge would rewrite the entire target.
+    Callers that carry an ``Observation`` on ``source`` must do that
+    emptiness check themselves on the UN-observed frame and pass
+    ``prechecked=True`` — otherwise the limited ``take(1)`` scan is the
+    observation's first action and the metrics report n_rows=1.
     """
     import os
     import shutil
 
-    if not source.take(1):
+    if not prechecked and not source.take(1):
         return
     if os.path.exists(path):
         target = spark.read.parquet(path)
@@ -78,8 +90,18 @@ def upsert_parquet(spark, source: DataFrame, path: str,
     staging = path.rstrip("/") + "._staging"
     merged.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.rename(staging, path)
+        # crash-safe swap: rename the live table aside, promote staging,
+        # then drop the old copy — a crash at any point leaves either the
+        # old or the new table recoverable on disk, never neither (the
+        # rmtree-then-rename order had a window with NO table at path).
+        old = path.rstrip("/") + "._old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(staging, path)
+        shutil.rmtree(old)
+    else:
+        os.rename(staging, path)
 
 
 def upsert_parquet_partitioned(spark, source: DataFrame, path: str,

@@ -64,13 +64,20 @@ def load_tables(spark: SparkSession, tables: dict[str, DataFrame],
     counts: dict[str, int] = {}
     for name, df in tables.items():
         key = TABLES[name].unique_key
+        # emptiness check on the RAW frame, before attaching the
+        # Observation: a take(1) on the observed frame would be its first
+        # action and pin the metrics at n_rows=1 (round-1 ADVICE bug).
+        if not df.take(1):
+            counts[name] = 0
+            continue
         observed, obs = with_row_metrics(df, f"sync_{name}")
         path = os.path.join(warehouse, name)
         if name in PARTITIONED_FACTS:
             upsert_parquet_partitioned(spark, observed, path, list(key),
                                        PARTITIONED_FACTS[name], order_col)
         else:
-            upsert_parquet(spark, observed, path, list(key), order_col)
+            upsert_parquet(spark, observed, path, list(key), order_col,
+                           prechecked=True)
         counts[name] = obs.get["n_rows"]
     return counts
 

@@ -17,7 +17,7 @@ def test_conform_drops_extras_fills_missing_casts(spark):
     out = conform(df, schema_of("agents"), "agents")
     assert out.columns == [f.name for f in schema_of("agents").fields]
     row = out.collect()[0]
-    assert row.id == 1 and row.junk_missing if False else True
+    assert row.id == 1
     assert "junk" not in out.columns
     assert isinstance(out.schema["id"].dataType, T.LongType)      # cast int->long
     assert isinstance(out.schema["deactivated_at"].dataType, T.TimestampType)
@@ -36,6 +36,26 @@ def test_dedup_latest_keeps_most_recent(spark):
         "id int, v string, updated string")
     out = {(r.id, r.v) for r in dedup_latest(df, ["id"], "updated").collect()}
     assert out == {(1, "new"), (2, "x")}
+
+
+def test_dedup_latest_stable_across_partitioning(spark):
+    """No order_col → tie-break must be content-derived, not layout-derived
+    (monotonically_increasing_id picks different keepers per layout)."""
+    rows = [(i % 5, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id int, v string")
+    a = {tuple(r) for r in dedup_latest(df.repartition(1), ["id"]).collect()}
+    b = {tuple(r) for r in dedup_latest(df.repartition(13), ["id"]).collect()}
+    assert a == b and len(a) == 5
+
+
+def test_upsert_swap_leaves_no_debris(spark, tmp_path):
+    path = os.path.join(str(tmp_path), "swap")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    upsert_parquet(spark, df, path, ["id"])
+    upsert_parquet(spark, df, path, ["id"])   # exercises the rename-aside path
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._staging")
 
 
 def test_merge_update_insert_keep(spark):

@@ -76,6 +76,13 @@ def test_two_level_conservation(raw, tables):
 def test_default_user_injected_once(spark, raw, tables):
     assert tables["users"].filter("id = 0").count() == 1
     assert tables["users"].count() == raw["users"].count() + 1
+    # exact value parity with the reference's et_default_user
+    # (ETL/Transform.py:20-27)
+    row = tables["users"].filter("id = 0").collect()[0]
+    assert row.full_name == "Ender Turing"
+    assert row.email == "ender.turing@enderturing.com"
+    assert row.is_active is False and row.is_superuser is False
+    assert str(row.invite_expires) == "1900-01-01 00:00:00"
     # idempotence: transform again, still exactly one id=0
     again = transform_all(raw, spark)
     assert again["users"].filter("id = 0").count() == 1
@@ -116,6 +123,20 @@ def test_sync_period_and_idempotency(spark, raw, tmp_path):
     # re-sync same period: nothing changes
     sync_period(spark, raw, wh, "2024-06-01", "2024-06-02")
     assert spark.read.parquet(os.path.join(wh, "sessions")).count() == sessions_n
+
+
+def test_sync_counts_match_loaded_rows(spark, raw, tmp_path):
+    """Round-1 ADVICE bug: for non-partitioned tables the reported sync
+    count came from the empty-check's take(1) scan (always 1). Counts must
+    equal the rows actually loaded into a fresh warehouse."""
+    wh = str(tmp_path / "whcounts")
+    counts = sync_period(spark, raw, wh, "2024-06-01", "2024-06-03")
+    multi = 0
+    for t, n in counts.items():
+        loaded = spark.read.parquet(os.path.join(wh, t)).count()
+        assert n == loaded, f"{t}: reported {n} != loaded {loaded}"
+        multi += loaded > 1
+    assert multi >= 5   # the bug pinned every non-partitioned count at 1
 
 
 def test_incremental_converges_to_full(spark, raw, tmp_path):
