@@ -127,12 +127,16 @@ def compile_filter(dsl: str, column_map: dict[str, str] | None = None) -> Column
             else:
                 lits = vals
             if term.mode == "and" and len(lits) > 1:
-                # '|and' over a scalar column is only satisfiable for one
-                # value; semantics in the reference apply to multi-valued
-                # tags — callers pass an array column for that case.
-                p = F.col(col).isin(lits)
-            else:
-                p = F.col(col).isin(lits)
+                # '|and' over a scalar column is unsatisfiable; the
+                # reference's AND semantics apply to multi-valued tags via
+                # bridge tables (ETL/schema.py:150). Refuse rather than
+                # silently degrading to OR/isin — route these through
+                # sessions_matching_stored_filter instead.
+                raise ValueError(
+                    f"'{term.name},{','.join(term.values)}|and' needs "
+                    "multi-valued (bridge) semantics; use "
+                    "sessions_matching_stored_filter for '|and' terms")
+            p = F.col(col).isin(lits)
         pred = p if pred is None else (pred & p)
     return pred if pred is not None else F.lit(True)
 

@@ -47,10 +47,11 @@ def brute_force_topk(emb: DataFrame, query_id: int, k: int = 10,
     """Exact top-k by cosine to the vector with id ``query_id``.
 
     The single query row is broadcast; ranking uses the 6dp-rounded score
-    with id tie-break so results are deterministic cross-engine. The
-    global window is a single-reducer sort of n rows × 1 score — at scale
-    replace with per-partition top-k + merge (same result, see
-    ``topk_scalable``).
+    with id tie-break so results are deterministic cross-engine. The take
+    is ``orderBy().limit(k)`` — Spark compiles that to
+    TakeOrderedAndProject (per-partition heap, driver merges k·p rows), so
+    no single reducer ever sorts all n scored rows; ``rnk`` is derived
+    afterwards over just the k survivors.
     """
     q = (emb.filter(F.col(id_col) == query_id)
          .select(as_double(vec_col).alias("qv")))
@@ -58,9 +59,10 @@ def brute_force_topk(emb: DataFrame, query_id: int, k: int = 10,
               .select(F.col(id_col), as_double(vec_col).alias("v"))
               .crossJoin(F.broadcast(q))
               .select(id_col, F.round(cosine("v", "qv"), 6).alias("cos_sim")))
-    w = Window.orderBy(F.col("cos_sim").desc(), F.col(id_col))
-    return (scored.withColumn("rnk", F.row_number().over(w))
-            .filter(F.col("rnk") <= k))
+    order = [F.col("cos_sim").desc(), F.col(id_col)]
+    top = topk_scalable(scored, k, order)
+    w = Window.orderBy(*order)  # k rows only — trivial post-take ranking
+    return top.withColumn("rnk", F.row_number().over(w))
 
 
 def topk_scalable(scored: DataFrame, k: int, order_cols: list[str]) -> DataFrame:
@@ -261,6 +263,79 @@ def neardup_pairs_sql(sf_table: str, threshold: float = 0.3, n_planes: int = 8,
            ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
     FROM bk a JOIN bk c ON a.bucket = c.bucket AND a.{id_col} < c.{id_col}
     WHERE ROUND(list_cosine_similarity(a.v, c.v), 6) >= {threshold}
+    """
+
+
+def ivf_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                 n_centroids: int = N_CENTROIDS, n_probe: int = N_PROBE,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`ivf_topk` — the same three formulas
+    (centroid argmax, nprobe probe-cell pick, in-cell brute-force top-k)
+    composed as one nested query."""
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {n_centroids}),
+    q AS (SELECT v AS qv FROM v WHERE {id_col} = {query_id}),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY ROUND(list_cosine_similarity(cv, qv), 6) DESC, cid
+               ) AS rn
+        FROM c, q
+      ) WHERE rn <= {n_probe}
+    ),
+    cells AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC, cid
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT v.{id_col}, v.v
+      FROM v JOIN cells USING ({id_col}) JOIN probe ON cells.cell = probe.cid
+      WHERE v.{id_col} <> {query_id}
+    ),
+    scored AS (
+      SELECT {id_col}, ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim
+      FROM cand, q
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+def ann_bucketed_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                          n_planes: int = 8, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`ann_bucketed_topk` — bucket assignment,
+    query-bucket restriction, then the brute-force top-k formula."""
+    expr = _bucket_sql_expr("v", hyperplane_weights(n_planes))
+    return f"""
+    WITH b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    bk AS (SELECT {id_col}, v, {expr} AS bucket FROM b),
+    qb AS (SELECT bucket FROM bk WHERE {id_col} = {query_id}),
+    q AS (SELECT v AS qv FROM bk WHERE {id_col} = {query_id}),
+    cand AS (
+      SELECT bk.{id_col}, bk.v FROM bk JOIN qb ON bk.bucket = qb.bucket
+      WHERE bk.{id_col} <> {query_id}
+    ),
+    scored AS (
+      SELECT {id_col}, ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim
+      FROM cand, q
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
     """
 
 

@@ -20,11 +20,13 @@ from ..operators.conform import conform
 from ..operators.normalize import FlattenSpec, flatten, flatten_two_level
 from ..schemas import schema_of
 
-# Default "Ender Turing" user injected when the API result lacks id=0
-# (reference: ETL/Transform.py:20-27,117-127).
-DEFAULT_USER = {"id": 0, "email": "support@enderturing.com", "is_active": True,
-                "is_superuser": False, "full_name": "Ender Turing",
-                "language": "en"}
+# Default "Ender Turing" user injected when the API result lacks id=0 —
+# exact value parity with the reference's et_default_user
+# (ETL/Transform.py:20-27; injected at 117-127).
+DEFAULT_USER = {"id": 0, "full_name": "Ender Turing",
+                "email": "ender.turing@enderturing.com",
+                "is_active": False, "is_superuser": False,
+                "invite_expires": "1900-01-01T00:00:00.000"}
 
 
 def _parse_ts(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -84,10 +86,12 @@ def transform_base_dicts(raw: dict[str, DataFrame],
     users = _parse_ts(raw["users"], ["invite_expires"])
     users_conf = conform(users, schema_of("users"), "users")
     default = conform(
-        spark.createDataFrame([DEFAULT_USER],
-                              "id long, email string, is_active boolean,"
-                              " is_superuser boolean, full_name string,"
-                              " language string"),
+        _parse_ts(
+            spark.createDataFrame([DEFAULT_USER],
+                                  "id long, full_name string, email string,"
+                                  " is_active boolean, is_superuser boolean,"
+                                  " invite_expires string"),
+            ["invite_expires"]),
         schema_of("users"), "users(default)")
     # anti-join guard: inject only when id=0 absent (Transform.py:117-127)
     inject = default.join(users_conf.select("id"), "id", "left_anti")

@@ -484,19 +484,39 @@ def q_conform_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_approx_sketches",
-    None,  # HLL / t-digest sketches are engine-specific — rows-only check;
-           # the exact counterparts (q_skew_salted_distinct,
-           # q_percentile_prices) are value-verified
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS hll_within_10pct,
+           TRUE AS p50_within_1pct,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc="sketch path for 100 TB cardinality/quantiles: approx_count_distinct "
         "(HLL) + approx_percentile (t-digest) — fixed memory per group vs "
-        "the exact operators' per-distinct-value state")
+        "the exact operators' per-distinct-value state. Sketch values are "
+        "engine-specific, so the value-level oracle checks the error BOUND: "
+        "Spark emits (exact value, approx-within-tolerance boolean) and the "
+        "oracle recomputes the exact values with literal TRUEs — a sketch "
+        "drifting past its published error budget hash-mismatches.")
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return (li.groupBy("l_returnflag")
-            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-                 F.expr("approx_percentile(l_extendedprice, 0.5)")
-                 .alias("approx_p50"),
-                 F.count(F.lit(1)).alias("n")))
+    agg = (li.groupBy("l_returnflag")
+           .agg(F.approx_count_distinct("l_orderkey").alias("_hll"),
+                F.count_distinct("l_orderkey").alias("exact_orders"),
+                F.expr("approx_percentile(l_extendedprice, 0.5)")
+                .alias("_p50a"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("_p50e"),
+                F.count(F.lit(1)).alias("n")))
+    # HLL default rsd=5% → 10% tolerance; t-digest at default accuracy is
+    # near-exact on this distribution → 1% value tolerance.
+    return agg.select(
+        "l_returnflag", "exact_orders",
+        (F.abs(F.col("_hll") - F.col("exact_orders"))
+         <= 0.10 * F.col("exact_orders")).alias("hll_within_10pct"),
+        (F.abs(F.col("_p50a") - F.col("_p50e"))
+         <= 0.01 * F.abs(F.col("_p50e"))).alias("p50_within_1pct"),
+        "n")
 
 
 @register(

@@ -131,8 +131,7 @@ def q_embed_ivf_cells(spark, sf_dir):
 
 @register(
     "q_embed_ivf_topk",
-    None,  # nprobe-restricted ANN: cells + topk oracles above cover the
-           # formulas; the 3-level nest is checked rows-only like the LSH ANN
+    sim.ivf_topk_sql("embeddings", query_id=0, k=10),
     doc="IVF ANN top-k: exact cosine within the nprobe nearest cells")
 def q_embed_ivf_topk(spark, sf_dir):
     return sim.ivf_topk(_emb(spark, sf_dir), query_id=0, k=10)
@@ -140,9 +139,7 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 @register(
     "q_embed_ann_lsh_topk",
-    None,  # bucket-restricted ANN: same formulas, but the bucket restriction
-           # makes the SQL a 3-level nest; covered rows-only + by the exact
-           # topk and bucket oracles above.
+    sim.ann_bucketed_topk_sql("embeddings", query_id=0, k=10),
     doc="LSH-bucketed approximate top-k: exact cosine within query bucket")
 def q_embed_ann_lsh_topk(spark, sf_dir):
     return sim.ann_bucketed_topk(_emb(spark, sf_dir), query_id=0, k=10)
