@@ -1,12 +1,21 @@
 """Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "runs": {name: [sec, ...]}, "noise_ratio": r,
+"sf": ...}.
 
 Each query is materialized via a count-only action (``df.count()`` after a
 noop cache-free plan) so timing covers scan→shuffle→agg, not driver-side
 row serialization. First query absorbs JVM warmup; a warmup pass runs a
 trivial scan first so per-query numbers are comparable.
+
+Noise hardening: every query runs $SPARK_GRAFT_BENCH_RUNS times (default
+2) and reports its BEST time — a machine-contention spike (concurrent
+sweeps on the shared host) then inflates at most one run, not the
+recorded number. ``runs`` keeps all raw samples and ``noise_ratio`` =
+sum(worst)/sum(best) quantifies how contended the run was (≈1.0 quiet,
+≫1 contended — read a large total with a large noise_ratio as machine
+noise, not a regression).
 """
 
 from __future__ import annotations
@@ -49,23 +58,32 @@ def main() -> None:
     for t in ("lineitem", "documents", "embeddings"):
         spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     extra = [n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n]
     for name in BENCH_QUERIES + extra:
         spec = CATALOG.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
-        # count() forces full execution of every operator in the plan
-        spec.builder(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            # count() forces full execution of every operator in the plan
+            spec.builder(spark, sf_dir).count()
+            samples.append(round(time.perf_counter() - t0, 3))
+        all_runs[name] = samples
+        timings[name] = min(samples)
 
     total = round(sum(timings.values()), 3)
+    worst = sum(max(s) for s in all_runs.values())
     print(json.dumps({
         "metric": "catalog_headline_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
+        "noise_ratio": round(worst / total, 3) if total else 1.0,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

@@ -40,18 +40,30 @@ class FlattenSpec:
     child_renames: dict[str, str] = field(default_factory=dict)
     keep: tuple[str, ...] = ()                      # post-flatten projection
     child_prefix: str = ""                          # json_normalize record_prefix
+    position_col: str = ""                          # posexplode ordinal column
 
 
 def flatten(df: DataFrame, spec: FlattenSpec) -> DataFrame:
-    """Explode ``spec.array_col``, promote struct fields, carry parent keys."""
+    """Explode ``spec.array_col``, promote struct fields, carry parent keys.
+
+    ``position_col`` keeps the element's array ordinal (posexplode) — the
+    synthetic within-parent key for child rows with no natural id, e.g.
+    transcript utterances."""
     parents = [F.col(src).alias(dst) for src, dst in spec.parent_keys.items()]
-    exploded = df.select(*parents, F.explode(spec.array_col).alias("_c"))
+    if spec.position_col:
+        exploded = df.select(
+            *parents,
+            F.posexplode(spec.array_col).alias(spec.position_col, "_c"))
+    else:
+        exploded = df.select(*parents, F.explode(spec.array_col).alias("_c"))
     child_fields = exploded.schema["_c"].dataType.fieldNames()
     children = []
     for name in child_fields:
         out = spec.child_renames.get(name, spec.child_prefix + name)
         children.append(F.col(f"_c.{name}").alias(out))
-    out = exploded.select(*[F.col(v) for v in spec.parent_keys.values()], *children)
+    pos = [F.col(spec.position_col)] if spec.position_col else []
+    out = exploded.select(*[F.col(v) for v in spec.parent_keys.values()],
+                          *pos, *children)
     if spec.keep:
         out = out.select(*spec.keep)
     return out

@@ -225,6 +225,45 @@ def raw_sessions() -> list[dict]:
     return rows
 
 
+def raw_transcripts() -> list[dict]:
+    """Per-session utterance arrays (reference fetch:
+    get-summaries-to-file.py:72-82; table stub schema.py:495-498).
+
+    Values are constructed so transcript_metrics() reproduces EXACTLY the
+    session's declared metrics (raw_sessions above): words_count_agent =
+    100+i, words_count_client = 80+i, silence = i%30 (one leading gap; the
+    overlapping third utterance must contribute nothing), duration = 60+i.
+    Sessions with i % 7 == 0 have no transcript (fetch gap — parity joins
+    must tolerate missing transcripts).
+    """
+    def words(prefix: str, n: int) -> str:
+        return " ".join(f"{prefix}{j}" for j in range(n))
+
+    rows = []
+    for i in range(1, N_SESSIONS + 1):
+        if i % 7 == 0:
+            continue
+        ach = i % 2                       # sessions.agent_channel
+        cch = 1 - ach
+        g = float(i % 30)                 # sessions.silence
+        rows.append({
+            "session_id": _guid(i),
+            "agent_channel": ach,
+            "utterances": [
+                {"channel": ach, "start": 0.0, "end": 10.0,
+                 "text": words("a", 99 + i)},
+                {"channel": cch, "start": 10.0 + g, "end": 40.0 + g,
+                 "text": words("c", 40)},
+                # overlaps the previous utterance: must add no silence
+                {"channel": cch, "start": 20.0 + g, "end": 50.0 + g,
+                 "text": words("d", 40 + i)},
+                {"channel": ach, "start": 50.0 + g, "end": 60.0 + float(i),
+                 "text": "bye"},
+            ],
+        })
+    return rows
+
+
 _SESSIONS_DDL = """
     id string, type string, caller_id string, source string,
     language_code string, asr_size string, filename string,
@@ -284,12 +323,16 @@ _DDL = {
                 full_name string, agent_id long, agent_group_id long,
                 language string, uuid string, invite_expires string,
                 role_ids array<long>, permissions string""",
+    "transcripts": """session_id string, agent_channel int,
+                      utterances array<struct<channel:int, start:double,
+                        end:double, text:string>>""",
 }
 
 _GENERATORS = {
     "sessions": raw_sessions, "agents": raw_agents, "groups": raw_groups,
     "labels": raw_labels, "categories": raw_categories,
     "scorecards": raw_scorecards, "tags": raw_tags, "users": raw_users,
+    "transcripts": raw_transcripts,
 }
 
 

@@ -60,23 +60,27 @@ def recompute_comments_count(comments: DataFrame) -> DataFrame:
 
 
 def transcript_metrics(transcripts: DataFrame,
-                       agent_channel: int = 0) -> DataFrame:
+                       agent_channel: int | str = 0) -> DataFrame:
     """sessions.words_count_agent/client/both, silence, duration
     (reference: ETL/schema.py:317-319,331,336-338) recomputed from
     transcript utterances — the derivation SURVEY §2.5 specifies for the
     sessions_transcripts table the reference stubs out (schema.py:495-498).
 
     Input: (session_id, utterances array<struct<channel:int, start:double,
-    end:double, text:string>>). One explode (narrow) + one shuffle on
-    session_id; silence is the sum of positive gaps between consecutive
-    utterances via a lag window over the running max end-time (robust to
-    overlapping speech, which must not create negative gaps).
+    end:double, text:string>>). ``agent_channel`` is a constant channel id
+    or the NAME of a per-session column on ``transcripts`` (sessions carry
+    their own agent_channel in the reference). One explode (narrow) + one
+    shuffle on session_id; silence is the sum of positive gaps between
+    consecutive utterances via a lag window over the running max end-time
+    (robust to overlapping speech, which must not create negative gaps).
     """
     from pyspark.sql import Window
 
-    u = (transcripts.select("session_id",
+    per_session = isinstance(agent_channel, str)
+    extra = [agent_channel] if per_session else []
+    u = (transcripts.select("session_id", *extra,
                             F.explode("utterances").alias("u"))
-         .select("session_id", F.col("u.channel").alias("channel"),
+         .select("session_id", *extra, F.col("u.channel").alias("channel"),
                  F.col("u.start").alias("start"), F.col("u.end").alias("end"),
                  F.size(F.split(F.trim(F.col("u.text")), r"\s+"))
                  .alias("n_words")))
@@ -85,7 +89,8 @@ def transcript_metrics(transcripts: DataFrame,
     gaps = u.withColumn("prev_end", F.max("end").over(w)) \
             .withColumn("gap", F.greatest(F.col("start") - F.col("prev_end"),
                                           F.lit(0.0)))
-    agent_words = F.sum(F.when(F.col("channel") == agent_channel,
+    agent_ch = F.col(agent_channel) if per_session else F.lit(agent_channel)
+    agent_words = F.sum(F.when(F.col("channel") == agent_ch,
                                F.col("n_words")).otherwise(0))
     return (gaps.groupBy("session_id").agg(
         agent_words.alias("words_count_agent"),

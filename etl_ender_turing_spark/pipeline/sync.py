@@ -102,8 +102,10 @@ def sync_period(spark: SparkSession, raw: dict[str, DataFrame], warehouse: str,
     out = {"sessions": sessions}
     for name in ("sessions_tags", "sessions_categories", "sessions_reviewers",
                  "sessions_scores", "sessions_crm_statuses",
-                 "sessions_comments", "sessions_summaries"):
-        out[name] = tables[name].join(keys, "session_id", "left_semi")
+                 "sessions_comments", "sessions_summaries",
+                 "sessions_transcripts"):
+        if name in tables:
+            out[name] = tables[name].join(keys, "session_id", "left_semi")
     dims = {n: tables[n] for n in tables
             if not n.startswith("sessions")}
     counts = load_tables(spark, {**dims, **out}, warehouse)

@@ -171,9 +171,23 @@ def transform_sessions(raw_sessions: DataFrame,
     return out
 
 
+def transform_transcripts(raw_transcripts: DataFrame) -> DataFrame:
+    """sessions_transcripts: utterance rows keyed by (session_id, array
+    ordinal) — the reference's stubbed table (schema.py:495-498) fed by its
+    real per-session fetch (get-summaries-to-file.py:72-82)."""
+    return conform(
+        flatten(raw_transcripts, FlattenSpec(
+            array_col="utterances",
+            parent_keys={"session_id": "session_id"},
+            position_col="utterance_id")),
+        schema_of("sessions_transcripts"), "sessions_transcripts")
+
+
 def transform_all(raw: dict[str, DataFrame], spark: SparkSession,
                   base_url: str = "https://app") -> dict[str, DataFrame]:
-    """Full Transform: all 20 tables from raw nested entities."""
+    """Full Transform: all 21 tables from raw nested entities."""
     out = transform_base_dicts(raw, spark)
     out.update(transform_sessions(raw["sessions"], base_url))
+    if "transcripts" in raw:
+        out["sessions_transcripts"] = transform_transcripts(raw["transcripts"])
     return out

@@ -142,6 +142,9 @@ _register(_spec("sessions", "fact", ("id",), [
     _f("score_details", SCORE_DETAILS),
     _f("queue_name", S), _f("campaign_name", S), _f("term_reason", S),
     _f("waiting_time", I), _f("fcr", I), _f("csi", I), _f("nps", I),
+    _f("list_id", I),
+    _f("words_count_agent", I), _f("words_count_client", I),
+    _f("words_count_both", I),
     _f("caller_prev_session_id", S),
     _f("additional_info", S),            # open-ended JSON kept raw
     _f("et_link", S), _f("start_date", S), _f("start_time", S),
@@ -187,6 +190,15 @@ _register(_spec("sessions_comments", "fact", ("session_id",), [
 
 _register(_spec("sessions_summaries", "fact", ("session_id", "text"), [
     _f("session_id", S, False), _f("text", S),
+], fks={"session_id": "sessions.id"}))
+
+# The reference stubs this table out ("Not Implemented", schema.py:495-498)
+# but fetches transcripts for real in get-summaries-to-file.py:72-82; the
+# utterance-row shape feeds transcript_metrics (words_count_*/silence/
+# duration recomputation, SURVEY §2.5).
+_register(_spec("sessions_transcripts", "fact", ("session_id", "utterance_id"), [
+    _f("session_id", S, False), _f("utterance_id", L, False),
+    _f("channel", I), _f("start", D), _f("end", D), _f("text", S),
 ], fks={"session_id": "sessions.id"}))
 
 

@@ -15,10 +15,13 @@ Spark's source API (PySpark 4 ``spark.dataSource.register``):
   ``filters`` option travels to the server exactly like the reference's
   URL DSL (Extract.py:34-46).
 
-No real HTTP in this environment: ``FakeSessionService`` answers
-deterministically (same fixture rows as pipeline/fixtures.py). Swapping
-it for an HTTP client is contained in ``_fetch_page`` — retry/backoff
-(utils.py:149-158 tenacity parity) belongs there too.
+Two interchangeable services sit behind the reader:
+``HttpSessionService`` speaks the reference's real wire protocol
+(``GET /sessions?skip=&limit=&filters=<url-encoded DSL>`` with a Bearer
+token — Extract.py:41-50, utils.py:121-131) over stdlib urllib, and
+``FakeSessionService`` answers deterministically from the fixture rows
+for tests. The ``endpoint`` option selects HTTP; without it the fake is
+used (no external network in this environment).
 """
 
 from __future__ import annotations
@@ -87,6 +90,45 @@ class FakeSessionService:
         return out[skip:skip + limit]
 
 
+class HttpSessionService:
+    """The reference's wire protocol over stdlib urllib.
+
+    Builds ``GET {endpoint}/sessions?skip=S&limit=L&filters=<quoted DSL>``
+    exactly as Extract.py:36-46 does (``date_range,{d1},{d2}||{t1},{t2}``
+    plus '±'-joined extra terms) and authenticates with a Bearer token
+    (utils.py:121-131 PAT init). Expects the reference's response shape
+    ``{"items": [...]}``.
+
+    Instantiated INSIDE partition readers — one client per task, no
+    driver-held connections; combined with ``with_retry`` each task owns
+    its own retry budget.
+    """
+
+    def __init__(self, endpoint: str, token: str | None = None,
+                 timeout_s: float = 30.0):
+        self.endpoint = endpoint.rstrip("/")
+        self.token = token
+        self.timeout_s = timeout_s
+
+    def query(self, d1: str, d2: str, t1: str = "00:00", t2: str = "23:59",
+              skip: int = 0, limit: int = PAGE_LIMIT,
+              extra: list[tuple[str, tuple[str, ...]]] = ()) -> list[dict]:
+        import urllib.parse
+        import urllib.request
+
+        dsl = f"date_range,{d1},{d2}||{t1},{t2}"
+        for name, values in extra:
+            dsl += f"±{name},{','.join(values)}"
+        url = (f"{self.endpoint}/sessions?skip={skip}&limit={limit}"
+               f"&filters={urllib.parse.quote(dsl)}")
+        req = urllib.request.Request(url)
+        if self.token:
+            req.add_header("Authorization", f"Bearer {self.token}")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        return payload["items"]
+
+
 def split_half_days(start: str, stop: str) -> list[tuple[str, str, str, str]]:
     """[start, stop] → per-day (day, day, '00:00','12:00') + ('12:01','23:59')
     windows — ETL/utils.py:94-105 semantics, but as parallel partitions."""
@@ -118,6 +160,8 @@ class SessionApiReader(DataSourceReader):
         self.start = options.get("start", "2024-06-01")
         self.stop = options.get("stop", "2024-06-03")
         self.page_limit = int(options.get("pagelimit", PAGE_LIMIT))
+        self.endpoint = options.get("endpoint")      # None -> fixture fake
+        self.token = options.get("token")
         self.time_range: tuple[str, str] | None = None
         self.extra: list[tuple[str, tuple[str, ...]]] = []
         dsl = options.get("filters")
@@ -141,7 +185,8 @@ class SessionApiReader(DataSourceReader):
         return ivs
 
     def read(self, partition: IntervalPartition):
-        svc = FakeSessionService()
+        svc = (HttpSessionService(self.endpoint, self.token)
+               if self.endpoint else FakeSessionService())
         skip = 0
         while True:
             page = with_retry(svc.query, partition.d1, partition.d2,
@@ -176,15 +221,20 @@ def register(spark) -> None:
 
 
 def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT,
-                      filters: str | None = None):
+                      filters: str | None = None, endpoint: str | None = None,
+                      token: str | None = None):
     register(spark)
     r = (spark.read.format("session_api")
          .option("start", start).option("stop", stop)
          .option("pagelimit", str(page_limit)))
     if filters:
         r = r.option("filters", filters)
+    if endpoint:
+        r = r.option("endpoint", endpoint)
+    if token:
+        r = r.option("token", token)
     return r.load()
 
 
 __all__ = ["SessionApiDataSource", "read_sessions_api", "register",
-           "split_half_days", "FakeSessionService"]
+           "split_half_days", "FakeSessionService", "HttpSessionService"]

@@ -76,8 +76,8 @@ def test_upsert_parquet_idempotent(spark, tmp_path):
     assert n1 == n2 == 2   # intra-batch dedup + idempotent re-run
 
 
-def test_registry_has_20_tables_with_keys():
-    assert len(TABLES) == 20
+def test_registry_has_21_tables_with_keys():
+    assert len(TABLES) == 21
     for spec in TABLES.values():
         assert spec.unique_key, spec.name
         assert set(spec.unique_key) <= {f.name for f in spec.schema.fields}

@@ -1,0 +1,92 @@
+"""Executed DB sink: staged set-based sqlite MERGE (reference Load surface,
+ET-ETL-DWH-PY312/ETL/Load.py:63-183, re-expressed as stage + one
+server-side statement)."""
+
+import os
+import sqlite3
+
+from etl_ender_turing_spark.operators.upsert import upsert_parquet
+from etl_ender_turing_spark.sources.db_sink import (
+    create_table_sql,
+    read_sqlite,
+    sqlite_merge_sql,
+    upsert_sqlite,
+)
+
+
+def _batches(spark):
+    b1 = spark.createDataFrame(
+        [(1, "a", "2024-06-01"), (2, "b", "2024-06-01"), (3, "c", "2024-06-01")],
+        "id long, v string, updated string")
+    b2 = spark.createDataFrame(          # overlaps ids 2,3; adds 4
+        [(2, "B", "2024-06-02"), (3, "C", "2024-06-02"), (4, "d", "2024-06-02")],
+        "id long, v string, updated string")
+    return b1, b2
+
+
+def test_sqlite_upsert_matches_parquet_merge(spark, tmp_path):
+    """Two overlapping batches through the sqlite sink converge to the same
+    table as upsert_parquet — the MERGE semantics are store-independent."""
+    db = str(tmp_path / "wh.db")
+    pq = str(tmp_path / "wh.parquet")
+    b1, b2 = _batches(spark)
+    for b in (b1, b2):
+        upsert_sqlite(b, db, "t", ("id",), order_col="updated")
+        upsert_parquet(spark, b, pq, ("id",), order_col="updated")
+    got = {tuple(r) for r in read_sqlite(spark, db, "t").collect()}
+    want = {tuple(r) for r in spark.read.parquet(pq).collect()}
+    assert got == want
+    assert {r[0] for r in got} == {1, 2, 3, 4}
+    assert dict((r[0], r[1]) for r in got)[2] == "B"     # updated, not dup
+
+
+def test_sqlite_upsert_idempotent(spark, tmp_path):
+    db = str(tmp_path / "idem.db")
+    b1, _ = _batches(spark)
+    n1 = upsert_sqlite(b1, db, "t", ("id",), order_col="updated")
+    n2 = upsert_sqlite(b1, db, "t", ("id",), order_col="updated")
+    assert n1 == n2 == 3
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 3
+        # staging table dropped after merge — no debris
+        names = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert names == {"t"}
+
+
+def test_sqlite_intra_batch_dedup_last_write_wins(spark, tmp_path):
+    db = str(tmp_path / "dup.db")
+    dup = spark.createDataFrame(
+        [(1, "old", "2024-06-01"), (1, "new", "2024-06-02")],
+        "id long, v string, updated string")
+    assert upsert_sqlite(dup, db, "t", ("id",), order_col="updated") == 1
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT v FROM t").fetchall() == [("new",)]
+
+
+def test_merge_sql_is_single_set_statement():
+    sql = sqlite_merge_sql("t", "_staging_t", ["id", "v"], ("id",))
+    assert sql.count("INSERT") == 1 and "excluded.v" in sql
+    # all-key table degrades to DO NOTHING, not invalid empty SET
+    sql2 = sqlite_merge_sql("t", "s", ["id"], ("id",))
+    assert "DO NOTHING" in sql2
+
+
+def test_create_table_declares_unique_key():
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("ts", T.TimestampType()),
+                           T.StructField("flag", T.BooleanType())])
+    ddl = create_table_sql("t", schema, ("id",))
+    assert "UNIQUE (id)" in ddl and "ts TEXT" in ddl and "flag INTEGER" in ddl
+
+
+def test_empty_batch_touches_nothing(spark, tmp_path):
+    db = str(tmp_path / "empty.db")
+    b1, _ = _batches(spark)
+    upsert_sqlite(b1, db, "t", ("id",))
+    empty = b1.filter("id < 0")
+    assert upsert_sqlite(empty, db, "t", ("id",)) == 0
+    with sqlite3.connect(db) as con:
+        assert con.execute("SELECT COUNT(*) FROM t").fetchone()[0] == 3

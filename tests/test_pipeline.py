@@ -30,8 +30,9 @@ def tables(spark, raw):
     return transform_all(raw, spark)
 
 
-def test_all_20_tables_produced(tables):
+def test_all_21_tables_produced(tables):
     assert set(tables) == set(TABLES)
+    assert "sessions_transcripts" in tables
 
 
 def test_schemas_match_registry(tables):
@@ -86,6 +87,39 @@ def test_default_user_injected_once(spark, raw, tables):
     # idempotence: transform again, still exactly one id=0
     again = transform_all(raw, spark)
     assert again["users"].filter("id = 0").count() == 1
+
+
+def test_transcript_metrics_match_declared_session_columns(spark, raw, tables):
+    """Recomputing words_count_*/silence/duration from fixture utterances
+    reproduces the sessions table's declared values exactly — the
+    round-trip validation for the sessions_transcripts wiring (SURVEY
+    §2.5; reference stubs the table at schema.py:495-498)."""
+    from etl_ender_turing_spark.pipeline.metrics import transcript_metrics
+
+    tm = transcript_metrics(raw["transcripts"], agent_channel="agent_channel")
+    declared = tables["sessions"].select(
+        F.col("id").alias("session_id"),
+        *[F.col(c).alias(f"decl_{c}")
+          for c in ("words_count_agent", "words_count_client",
+                    "words_count_both", "silence", "duration")])
+    joined = declared.join(tm, "session_id", "inner")
+    n = joined.count()
+    assert n == raw["transcripts"].count() and n > 200
+    bad = joined.filter(
+        (F.col("decl_words_count_agent") != F.col("words_count_agent"))
+        | (F.col("decl_words_count_client") != F.col("words_count_client"))
+        | (F.col("decl_words_count_both") != F.col("words_count_both"))
+        | (F.abs(F.col("decl_silence") - F.col("silence")) > 1e-9)
+        | (F.abs(F.col("decl_duration") - F.col("duration")) > 1e-9))
+    assert bad.count() == 0
+
+
+def test_transcripts_table_shape(raw, tables):
+    tt = tables["sessions_transcripts"]
+    # 4 utterances per transcribed session, ordinal key starts at 0
+    assert tt.count() == raw["transcripts"].count() * 4
+    assert tt.groupBy("session_id").count().filter("count != 4").count() == 0
+    assert tt.filter("utterance_id NOT BETWEEN 0 AND 3").count() == 0
 
 
 def test_dropped_columns_absent(tables):
