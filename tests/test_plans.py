@@ -86,6 +86,26 @@ def test_no_cartesian_product_anywhere(plans):
         assert "CartesianProduct" not in p, name
 
 
+def test_topk_has_no_global_window_sort(spark):
+    # brute_force_topk must take its k rows via TakeOrderedAndProject
+    # (per-partition heap + driver merge), never a single-partition global
+    # Window sorting all n scored rows; rnk is derived AFTER the take, so
+    # the only Window in the executed plan runs over exactly k rows.
+    df = CATALOG["q_embed_cosine_topk"].builder(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints "== Final Plan ==" then "== Initial Plan ==": judge only
+    # the final one
+    final = final.split("== Initial Plan ==", 1)[0]
+    assert "TakeOrderedAndProject" in final, final[:800]
+    # tree prints root-first: the rnk Window must sit ABOVE the take
+    # (appears before it) and nothing BELOW the take (the full scored
+    # relation) may contain a Window
+    above, below = final.split("TakeOrderedAndProject", 1)
+    assert "Window" in above
+    assert "Window" not in below, below[:800]
+
+
 def test_no_python_row_udfs_in_batch_catalog(plans):
     # BatchEvalPython = row-at-a-time Python UDF (the slow path).
     # ArrowEvalPython/mapInPandas (multimodal) is the sanctioned exception.
