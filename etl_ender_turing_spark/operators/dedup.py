@@ -433,3 +433,51 @@ def jaccard_sql(shingle_cte: str, threshold: float = 0.6,
     JOIN sizes sb ON inter.doc_b = sb.{id_col}
     WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination
+# --------------------------------------------------------------------------
+
+def contaminated_docs(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Training-set decontamination: corpus documents sharing any word
+    n-gram with a benchmark/eval set (the n-gram-overlap check LLM data
+    pipelines run before training; beyond the reference's surface, like
+    the rest of the dedup ladder).
+
+    Scale shape: the benchmark is small by definition, so its distinct
+    n-gram set BROADCASTS; the corpus side is a narrow explode (no
+    pre-shuffle) joined against that broadcast, and the only shuffle is
+    the per-doc hit count keyed on ``doc_id`` — uniform. At 100 TB the
+    corpus never self-joins and never shuffles its n-grams.
+
+    Returns (doc_id, n_shared) for contaminated docs, n_shared = number
+    of DISTINCT shared n-grams.
+    """
+    bench = shingle_select(benchmark, text_col, id_col, n=n) \
+        .select("shingle").distinct()
+    corp = shingle_select(corpus, text_col, id_col, n=n)  # distinct per doc
+    return (corp.join(F.broadcast(bench), "shingle")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_shared")))
+
+
+def contaminated_docs_sql(corpus_where: str, benchmark_where: str,
+                          table: str = "documents", n: int = 5,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`contaminated_docs` with the corpus and
+    benchmark expressed as WHERE clauses over the same table."""
+    corp_cte = shingle_sql(f"(SELECT * FROM {table} WHERE {corpus_where})",
+                           text_col, id_col, n)
+    bench_cte = shingle_sql(f"(SELECT * FROM {table} WHERE {benchmark_where})",
+                            text_col, id_col, n)
+    return f"""
+    WITH corp AS ({corp_cte}),
+    bench AS (SELECT DISTINCT shingle FROM ({bench_cte}))
+    SELECT corp.{id_col}, COUNT(*) AS n_shared
+    FROM corp JOIN bench USING (shingle)
+    GROUP BY corp.{id_col}
+    """

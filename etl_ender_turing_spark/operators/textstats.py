@@ -134,3 +134,101 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (out.withColumn("lang_guess", lang_guess_expr(text_col))
             .withColumn("fingerprint", fingerprint(text_col))
             .withColumn("n_regex_tokens", regex_token_count(text_col)))
+
+
+# --------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules)
+# --------------------------------------------------------------------------
+#
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher", table A1) filter
+# documents by duplicate n-gram mass and top-n-gram mass. On a
+# single-line corpus the line/paragraph variants collapse to these
+# word-stream forms. Everything below is built-in higher-order array
+# functions evaluated per row: zero shuffles at any scale (the whole
+# computation is a projection), exact integer counts + one rounded
+# division so DuckDB oracles hash-match.
+
+def ngram_array_expr(tok_col: str, n: int) -> str:
+    """SQL expr: array of word n-grams over token-array column
+    ``tok_col`` (element_at is 1-indexed). Guarded for short docs:
+    Spark's sequence(1, 0) counts DOWN, so without the CASE a doc with
+    < n tokens would produce garbage n-grams instead of none."""
+    parts = ", ".join(f"element_at({tok_col}, i + {k})" for k in range(n))
+    return (f"CASE WHEN size({tok_col}) >= {n} THEN"
+            f" transform(sequence(1, size({tok_col}) - {n - 1}),"
+            f" i -> concat_ws(' ', {parts}))"
+            f" ELSE array() END")
+
+
+def _top_frac_expr(arr: str) -> str:
+    """max element multiplicity / total — HOF nested loop, O(n·d) per row
+    JVM-side, no shuffle. ``arr`` must be a COLUMN name (evaluated once),
+    not an inline expression."""
+    return (f"CASE WHEN size({arr}) > 0 THEN round("
+            f" array_max(transform(array_distinct({arr}),"
+            f"   x -> size(filter({arr}, y -> y = x))))"
+            f" * CAST(1.0 AS DOUBLE) / size({arr}), 6) ELSE 0.0 END")
+
+
+def _dup_frac_expr(arr: str) -> str:
+    return (f"CASE WHEN size({arr}) > 0 THEN round("
+            f" 1.0 - size(array_distinct({arr}))"
+            f" * CAST(1.0 AS DOUBLE) / size({arr}), 6) ELSE 0.0 END")
+
+
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """doc-level repetition signals over the whitespace token stream:
+
+    - ``top1_frac``: mass of the most frequent unigram;
+    - ``top_bigram_frac``: mass of the most frequent bigram;
+    - ``dup_trigram_frac``: fraction of trigram occurrences that repeat an
+      earlier trigram (1 - distinct/total).
+
+    Token/n-gram arrays are materialized as intermediate columns so each
+    is computed once per row; the whole thing is a chain of projections —
+    zero shuffles at any scale.
+    """
+    return (df
+            .select(F.col(id_col),
+                    F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_t"))
+            .withColumn("_bg", F.expr(ngram_array_expr("_t", 2)))
+            .withColumn("_tg", F.expr(ngram_array_expr("_t", 3)))
+            .select(id_col,
+                    F.expr(_top_frac_expr("_t")).alias("top1_frac"),
+                    F.expr(_top_frac_expr("_bg")).alias("top_bigram_frac"),
+                    F.expr(_dup_frac_expr("_tg")).alias("dup_trigram_frac")))
+
+
+def repetition_signals_sql(table: str = "documents", text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle computing the same integer counts and rounded
+    divisions (1-indexed lists, list_* HOFs)."""
+
+    def ngrams(n: int) -> str:
+        parts = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+        return f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {parts})"
+
+    def top_frac(arr: str) -> str:
+        return (f"CASE WHEN len({arr}) > 0 THEN round("
+                f" list_max(list_transform(list_distinct({arr}),"
+                f"   x -> len(list_filter({arr}, y -> y = x))))"
+                f" * 1.0 / len({arr}), 6) ELSE 0.0 END")
+
+    def dup_frac(arr: str) -> str:
+        return (f"CASE WHEN len({arr}) > 0 THEN round("
+                f" 1.0 - len(list_distinct({arr}))"
+                f" * 1.0 / len({arr}), 6) ELSE 0.0 END")
+
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, string_split(lower(trim({text_col})), ' ') AS t
+      FROM {table}
+    ),
+    grams AS (SELECT {id_col}, t, {ngrams(2)} AS bg, {ngrams(3)} AS tg FROM tok)
+    SELECT {id_col},
+           {top_frac('t')} AS top1_frac,
+           {top_frac('bg')} AS top_bigram_frac,
+           {dup_frac('tg')} AS dup_trigram_frac
+    FROM grams
+    """

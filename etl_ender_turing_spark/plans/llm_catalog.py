@@ -206,6 +206,30 @@ def q_token_count(spark, sf_dir):
         "n_chars")
 
 
+@register(
+    "q_repetition_signals",
+    ts.repetition_signals_sql("documents"),
+    doc="Gopher-style repetition quality rules: top-unigram/bigram mass, "
+        "duplicate-trigram fraction — pure per-row HOF projections, zero "
+        "shuffles at any scale")
+def q_repetition_signals(spark, sf_dir):
+    return ts.repetition_signals(_docs(spark, sf_dir))
+
+
+@register(
+    "q_decontaminate",
+    dd.contaminated_docs_sql(corpus_where="doc_id >= 20",
+                             benchmark_where="doc_id < 20"),
+    doc="benchmark decontamination: corpus docs sharing any word 5-gram "
+        "with the benchmark set (benchmark n-grams broadcast; corpus side "
+        "never self-joins)")
+def q_decontaminate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dd.contaminated_docs(corpus=docs.filter(F.col("doc_id") >= 20),
+                                benchmark=docs.filter(F.col("doc_id") < 20),
+                                n=5)
+
+
 # =========================================================================
 # Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
 # =========================================================================

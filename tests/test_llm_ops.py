@@ -152,3 +152,43 @@ def test_ivf_cells_partition_space(spark):
     assert cells.select("vec_id").distinct().count() == n  # exactly once
     n_cells = cells.select("cell").distinct().count()
     assert 2 <= n_cells <= 16
+
+
+def test_repetition_signals_extremes(spark):
+    from etl_ender_turing_spark.operators.textstats import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a a a a a"),                 # degenerate repetition
+         (2, "one two three four five six"), # all distinct
+         (3, "x"),                           # shorter than any n-gram
+         (4, "p q p q p q p q")],            # alternating pair
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert got[1].top1_frac == 1.0
+    assert got[1].top_bigram_frac == 1.0
+    assert got[1].dup_trigram_frac == 0.75      # 4 trigrams, 1 distinct
+    assert got[2].dup_trigram_frac == 0.0
+    assert round(got[2].top1_frac, 6) == round(1 / 6, 6)
+    # 1-token doc: no bigrams/trigrams -> all-zero signals, no crash
+    assert got[3].top_bigram_frac == 0.0 and got[3].dup_trigram_frac == 0.0
+    assert got[3].top1_frac == 1.0
+    # alternating: each bigram alternates 'p q' (4x) / 'q p' (3x) over 7
+    assert round(got[4].top_bigram_frac, 6) == round(4 / 7, 6)
+
+
+def test_decontamination_planted_overlap(spark):
+    from etl_ender_turing_spark.operators.dedup import contaminated_docs
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(10, "prefix words the quick brown fox jumps tail"),  # planted 5-gram
+         (11, "completely different words with no overlap at all"),
+         (12, "the quick brown fox jumps over the lazy dog")],  # full copy
+        "doc_id long, text string")
+    got = {r.doc_id: r.n_shared
+           for r in contaminated_docs(corpus, bench, n=5).collect()}
+    assert 11 not in got
+    assert got[10] == 1          # exactly the planted 5-gram
+    assert got[12] == 5          # 9 tokens -> 5 distinct 5-grams, all shared
