@@ -160,22 +160,24 @@ N_PROBE = 2
 
 
 def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
-                    id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    centroids: DataFrame | None = None) -> DataFrame:
     """(id, cell) assignment: each vector joins its max-cosine centroid.
 
-    Centroids are the first ``n_centroids`` vectors by id — deterministic
-    seed selection so Spark and the oracle agree exactly (real IVF runs
-    k-means first; the *serving* dataflow below is identical either way).
+    Default centroids are the first ``n_centroids`` vectors by id —
+    deterministic seed selection so Spark and the oracle agree exactly;
+    pass ``centroids`` (cid, cv double-array) from :func:`kmeans_fit` for
+    trained cells (the serving dataflow is identical either way).
     Assignment is a broadcast cross join against the tiny centroid set +
     per-vector argmax window; one narrow pass, no big shuffle.
 
     At 100 TB: repartition by cell after assignment; queries then read
     only nprobe cells — the IVF analogue of the LSH bucket restriction.
     """
-    cents = (emb.filter(F.col(id_col) < n_centroids)
-             .select(F.col(id_col).alias("cid"),
-                     as_double(vec_col).alias("cv")))
+    cents = centroids if centroids is not None else \
+        (emb.filter(F.col(id_col) < n_centroids)
+         .select(F.col(id_col).alias("cid"),
+                 as_double(vec_col).alias("cv")))
     scored = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
               .crossJoin(F.broadcast(cents))
               .select(id_col, "cid",
@@ -184,6 +186,56 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(id_col, F.col("cid").alias("cell")))
+
+
+def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
+               id_col: str = "vec_id",
+               vec_col: str = "embedding") -> tuple[DataFrame, list[float]]:
+    """Lloyd's k-means over the embedding column — the training loop real
+    IVF runs before :func:`ivf_assignments` serves cells.
+
+    Iterative, so deliberately NOT oracle-SQL-expressible; proven by the
+    monotone-inertia + cluster-recovery tests. Per iteration:
+
+    1. assign: broadcast the k×d centroid set, per-vector argmax (cosine)
+       — one narrow pass over the data, no shuffle of the vectors;
+    2. update: posexplode vector dims → partial-aggregated mean per
+       (cell, dim) — ONE shuffle of k·d·partitions pre-aggregated rows,
+       not of the data — then k·d rows collect to the driver (metadata
+       scale, same pattern as MLlib's treeAggregate) to rebuild the
+       broadcast literal for the next round.
+
+    Seeds are the first ``k`` vectors (deterministic). Returns the final
+    centroid DataFrame (cid, cv) and the per-iteration inertia trace
+    (mean 1−cos to the assigned centroid) whose monotone decrease the
+    tests pin.
+    """
+    d = emb.select(F.size(as_double(vec_col)).alias("d")).first()["d"]
+    cents = (emb.filter(F.col(id_col) < k)
+             .select(F.col(id_col).alias("cid"),
+                     as_double(vec_col).alias("cv")))
+    v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+    inertia: list[float] = []
+    for _ in range(iters):
+        scored = (v.crossJoin(F.broadcast(cents))
+                  .select(id_col, "cid", cosine("v", "cv").alias("sim"), "v"))
+        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
+                                               F.col("cid"))
+        assigned = (scored.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1))
+        inertia.append(assigned.select(
+            F.avg(1 - F.col("sim")).alias("j")).first()["j"])
+        # element-wise mean per cell: dims explode narrow, partial agg
+        means = (assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+                 .groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+                 .collect())                       # k*d rows — driver metadata
+        by_cell: dict[int, list[float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cid"], [0.0] * d)[r["dim"]] = r["m"]
+        cents = spark.createDataFrame(
+            [(cid, vec) for cid, vec in sorted(by_cell.items())],
+            f"cid long, cv array<double>")
+    return cents, inertia
 
 
 def ivf_topk(emb: DataFrame, query_id: int, k: int = 10,

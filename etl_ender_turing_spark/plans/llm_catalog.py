@@ -138,6 +138,20 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_embed_ivf_kmeans",
+    None,  # Lloyd's is iterative — genuinely non-SQL-expressible; proven
+           # by monotone-inertia + planted-cluster-recovery tests, and the
+           # serving path it feeds (ivf_assignments) is value-oracled via
+           # q_embed_ivf_cells
+    doc="IVF with TRAINED centroids: 3 Lloyd iterations (broadcast assign "
+        "+ partial-aggregated dim means, k*d rows to driver per round), "
+        "then the oracled cell-assignment dataflow")
+def q_embed_ivf_kmeans(spark, sf_dir):
+    cents, _ = sim.kmeans_fit(spark, _emb(spark, sf_dir), k=16, iters=3)
+    return sim.ivf_assignments(_emb(spark, sf_dir), centroids=cents)
+
+
+@register(
     "q_embed_ann_lsh_topk",
     sim.ann_bucketed_topk_sql("embeddings", query_id=0, k=10),
     doc="LSH-bucketed approximate top-k: exact cosine within query bucket")

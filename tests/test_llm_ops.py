@@ -192,3 +192,39 @@ def test_decontamination_planted_overlap(spark):
     assert 11 not in got
     assert got[10] == 1          # exactly the planted 5-gram
     assert got[12] == 5          # 9 tokens -> 5 distinct 5-grams, all shared
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """3 well-separated direction clusters -> Lloyd's recovers the
+    partition and inertia decreases monotonically."""
+    import math
+
+    from etl_ender_turing_spark.operators import similarity as sim
+
+    rows = []
+    # three base directions in 8-d, 20 jittered members each
+    bases = [[10, 0, 0, 0, 0, 0, 0, 0],
+             [0, 10, 0, 0, 0, 0, 0, 0],
+             [0, 0, 10, 0, 0, 0, 0, 0]]
+    for c, base in enumerate(bases):
+        for j in range(20):
+            vec = [x + ((i + j) % 3) * 0.1 for i, x in enumerate(base)]
+            rows.append((c * 20 + j, vec))
+    # ids 0,20,40 are one seed per true cluster (first-k seeding with k=3
+    # picks ids 0,1,2 - same cluster; use remapped ids so seeds differ)
+    remap = {0: 0, 20: 1, 40: 2}
+    rows = [(remap.get(i, i + 100), v) for i, v in rows]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents, inertia = sim.kmeans_fit(spark, emb, k=3, iters=3)
+    assert all(b <= a + 1e-9 for a, b in zip(inertia, inertia[1:])), inertia
+    assert inertia[-1] < 0.001          # tight clusters -> near-zero
+    cells = sim.ivf_assignments(emb, centroids=cents)
+    # every true cluster lands in exactly one cell
+    got = {r.vec_id: r.cell for r in cells.collect()}
+    for c in range(3):
+        members = [i for i in got
+                   if (i in remap.values() and i == c)
+                   or (i >= 100 and (i - 100) // 20 == c)]
+        assert len({got[m] for m in members}) == 1, f"cluster {c} split"
+    assert len(set(got.values())) == 3
