@@ -129,6 +129,74 @@ class HttpSessionService:
         return payload["items"]
 
 
+def fetch_session_details(df, endpoint: str, suffix: str = "",
+                          token: str | None = None, id_col: str = "id",
+                          guard_col: str | None = None,
+                          out_col: str | None = None,
+                          retry_attempts: int = RETRY_ATTEMPTS,
+                          retry_base_s: float = RETRY_BASE_S,
+                          timeout_s: float = 30.0):
+    """Live per-row detail lookup-join (reference ``get_et_session_details``,
+    Extract.py:66-108: ``GET /sessions/{id}{suffix}``), distributed.
+
+    The reference loops over all sessions on the driver, one request at a
+    time. Here the fetch is an Arrow-batched ``mapInPandas`` stage: each
+    partition fetches only ITS rows, so the lookup parallelizes across
+    executors and composes with any upstream filter — the guarded-lookup
+    shape. Parity semantics:
+
+    - ``guard_col`` = the reference's ``column_should_contain_data``:
+      falsy guard values skip the fetch (NULL detail);
+    - per-row failures degrade to NULL after the retry budget, like the
+      reference's log-and-continue;
+    - the payload lands as a JSON string column named after the suffix
+      (``/scores`` → ``scores``), ready for ``from_json`` + the flatten
+      layer.
+
+    At 100 TB this stage is rate-limited by the API, not Spark — cap
+    parallelism by coalescing the guarded subset, not the whole frame.
+    """
+    from pyspark.sql import types as T
+
+    out_col = out_col or (suffix.strip("/") or "details")
+    # StructType.add mutates in place — build a fresh schema instead
+    schema = T.StructType(list(df.schema.fields)
+                          + [T.StructField(out_col, T.StringType())])
+    base = endpoint.rstrip("/")
+
+    def fetch_partition(batches):
+        import urllib.request
+
+        def one(sid):
+            req = urllib.request.Request(f"{base}/sessions/{sid}{suffix}")
+            if token:
+                req.add_header("Authorization", f"Bearer {token}")
+            with urllib.request.urlopen(req, timeout=timeout_s) as r:
+                return r.read().decode("utf-8")
+
+        for pdf in batches:
+            vals = []
+            guards = pdf[guard_col] if guard_col is not None else None
+            for i, sid in enumerate(pdf[id_col]):
+                if guards is not None:
+                    g = guards.iloc[i]
+                    empty = g is None or (isinstance(g, float) and g != g) \
+                        or (hasattr(g, "__len__") and len(g) == 0) or g == 0
+                    if empty:
+                        vals.append(None)
+                        continue
+                try:
+                    vals.append(with_retry(one, sid, attempts=retry_attempts,
+                                           base_s=retry_base_s))
+                except Exception:       # noqa: BLE001 — log-and-continue parity
+                    vals.append(None)
+            pdf = pdf.copy()
+            pdf[out_col] = vals
+            yield pdf
+
+    return df.mapInPandas(fetch_partition, schema)
+
+
 def split_half_days(start: str, stop: str) -> list[tuple[str, str, str, str]]:
     """[start, stop] → per-day (day, day, '00:00','12:00') + ('12:01','23:59')
     windows — ETL/utils.py:94-105 semantics, but as parallel partitions."""

@@ -74,15 +74,25 @@ class _StubApi:
             def do_GET(self):  # noqa: N802 — stdlib naming
                 parsed = urllib.parse.urlparse(self.path)
                 qs = urllib.parse.parse_qs(parsed.query)
-                stub.requests.append({
-                    "path": parsed.path,
-                    "skip": int(qs["skip"][0]), "limit": int(qs["limit"][0]),
-                    "filters": qs["filters"][0],
-                    "auth": self.headers.get("Authorization"),
-                })
-                skip, limit = int(qs["skip"][0]), int(qs["limit"][0])
-                body = _json.dumps(
-                    {"items": rows[skip:skip + limit]}).encode()
+                if parsed.path.rstrip("/") != "/sessions":
+                    # detail route /sessions/{id}[{suffix}]
+                    stub.requests.append({"path": parsed.path})
+                    parts = parsed.path.split("/")
+                    payload = {"id": parts[2],
+                               "suffix": "/".join(parts[3:]),
+                               "additional_info": f"info-{parts[2]}"}
+                    body = _json.dumps(payload).encode()
+                else:
+                    stub.requests.append({
+                        "path": parsed.path,
+                        "skip": int(qs["skip"][0]),
+                        "limit": int(qs["limit"][0]),
+                        "filters": qs["filters"][0],
+                        "auth": self.headers.get("Authorization"),
+                    })
+                    skip, limit = int(qs["skip"][0]), int(qs["limit"][0])
+                    body = _json.dumps(
+                        {"items": rows[skip:skip + limit]}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
@@ -151,6 +161,46 @@ def test_api_source_reads_through_http(spark):
         assert len(api.requests) == 6
     finally:
         api.close()
+
+
+def test_detail_fetch_guarded_lookup_join(spark):
+    """Per-row detail fetch (reference get_et_session_details): guarded
+    rows skip the fetch, fetched payload lands as a JSON column, failures
+    degrade to NULL — all executed inside executor tasks."""
+    import json as _json
+
+    from etl_ender_turing_spark.sources.api_source import fetch_session_details
+
+    api = _StubApi([])
+    try:
+        df = spark.createDataFrame(
+            [("s1", 2), ("s2", 0), ("s3", 1)],      # s2 guarded out
+            "id string, comments_count int").repartition(2)
+        out = fetch_session_details(
+            df, f"http://127.0.0.1:{api.port}", suffix="/comments",
+            guard_col="comments_count", retry_attempts=1)
+        got = {r.id: r.comments for r in out.collect()}
+        assert got["s2"] is None                    # guard skipped the fetch
+        for sid in ("s1", "s3"):
+            payload = _json.loads(got[sid])
+            assert payload["id"] == sid and payload["suffix"] == "comments"
+        fetched = {r["path"] for r in api.requests}
+        assert fetched == {"/sessions/s1/comments", "/sessions/s3/comments"}
+
+        # top-level meta fetch (no suffix) -> 'details' column
+        meta = fetch_session_details(
+            df.filter("id = 's1'"), f"http://127.0.0.1:{api.port}",
+            retry_attempts=1)
+        row = meta.collect()[0]
+        assert _json.loads(row.details)["additional_info"] == "info-s1"
+    finally:
+        api.close()
+
+    # dead endpoint: retry budget exhausts, row degrades to NULL
+    dead = fetch_session_details(
+        spark.createDataFrame([("sX", 1)], "id string, comments_count int"),
+        "http://127.0.0.1:1", retry_attempts=2, retry_base_s=0.01)
+    assert dead.collect()[0].details is None
 
 
 def test_with_retry_backoff_and_reraise():
