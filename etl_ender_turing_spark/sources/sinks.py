@@ -11,8 +11,10 @@ Naming parity: fact files ``{name}-{start}-{stop}.{ext}``, dimension files
 - json/csv/tsv/parquet: distributed ``df.write`` — scale to any size.
 - xlsx: driver-side via pandas (openpyxl availability gated) — dims only;
   guarded by a row cap so nobody collects a 100 TB fact to the driver.
-- pickle: dropped (non-portable across Python versions); parquet is the
-  debug-dump format here (Transform.py:176-177 equivalent).
+- pickle (the reference CLI accepts it, run-et-etl.py:133-135):
+  driver-side pandas ``to_pickle`` behind the same row cap, documented
+  non-portable across Python/pandas versions — parquet remains the
+  debug-dump format (Transform.py:176-177 equivalent).
 """
 
 from __future__ import annotations
@@ -62,5 +64,10 @@ def write_file(df: DataFrame, path: str, fmt: str) -> None:
             df.toPandas().to_excel(path, index=False)
         except ImportError as e:  # openpyxl not present
             raise NotImplementedError("excel sink requires openpyxl") from e
+    elif fmt in ("pkl", "pickle"):
+        n = df.limit(XLSX_ROW_CAP + 1).count()
+        if n > XLSX_ROW_CAP:
+            raise ValueError(f"refusing driver-side pickle write of >{XLSX_ROW_CAP} rows")
+        df.toPandas().to_pickle(path)
     else:
         raise ValueError(f"unknown sink format: {fmt}")

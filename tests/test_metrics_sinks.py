@@ -178,3 +178,13 @@ def test_debug_dump_gated(spark, tmp_path):
     on = os.path.join(str(tmp_path), "dbg_on")
     debug_dump({"t": df}, on, enabled=True)
     assert spark.read.parquet(os.path.join(on, "t-debug")).count() == 1
+
+
+def test_pickle_sink_roundtrip(spark, tmp_path):
+    import pandas as pd
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    path = str(tmp_path / "dict-agents.pkl")
+    write_file(df, path, "pkl")
+    back = pd.read_pickle(path)
+    assert sorted(map(tuple, back.values.tolist())) == [(1, "a"), (2, "b")]
