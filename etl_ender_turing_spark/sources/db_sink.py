@@ -83,6 +83,10 @@ def _to_sqlite_value(v):
 
     if isinstance(v, (_dt.datetime, _dt.date)):
         return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if hasattr(v, "asDict"):        # pyspark Row (struct column) -> JSON
+        import json
+
+        return json.dumps(v.asDict(recursive=True), default=str)
     if isinstance(v, (list, dict)):
         import json
 

@@ -1,0 +1,100 @@
+#!/usr/bin/env python3
+"""CLI mirroring the reference's ``run-et-etl.py`` lifecycle, Spark-native.
+
+Reference modes (run-et-etl.py:119-204):
+- daily sync (no args): base dicts → previous-day session sync →
+  incremental re-sync passes → watermark write;
+- historical sync (--start-dt [--stop-dt]): base dicts + period sync only;
+- ``--load-to`` selects the sink: db (MERGE-upsert warehouse) or a file
+  format; ``--test-mode`` caps the session count.
+
+Spark mapping: ``db`` loads the parquet MERGE warehouse via
+``pipeline.sync`` (the engine's primary sink), ``sqlite`` drives the
+executed SQL-store sink (`sources/db_sink.py`), file formats export the
+transformed star schema with the reference's naming parity
+(``dict-{name}.{ext}`` dims, ``{name}-{start}-{stop}.{ext}`` facts).
+
+Extraction here reads the deterministic fixture entities (the API double
+— no external network in this environment); the HTTP session source
+(`sources/api_source.py`, ``endpoint`` option) is the documented live
+swap point.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+# fixture data lives in a 3-day window; "daily" mode defaults to its
+# middle day — the fixture-world equivalent of "yesterday"
+FIXTURE_START, FIXTURE_STOP = "2024-06-01", "2024-06-03"
+FIXTURE_YESTERDAY = "2024-06-02"
+
+FILE_FORMATS = ("json", "csv", "tsv", "parquet", "xlsx", "pickle")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(
+        description="Sync the star schema from raw entities to a warehouse "
+                    "or file export (reference run-et-etl.py parity)")
+    p.add_argument("--load-to", default="db",
+                   choices=("db", "sqlite") + FILE_FORMATS)
+    p.add_argument("--start-dt", default=None,
+                   help="historical sync start (YYYY-MM-DD); omit for daily")
+    p.add_argument("--stop-dt", default=None,
+                   help="historical sync stop; defaults to start (one day)")
+    p.add_argument("--out", default="./warehouse",
+                   help="warehouse dir (db), sqlite file, or export dir")
+    p.add_argument("--filters", default="",
+                   help="extra filter-DSL terms for the period sync")
+    p.add_argument("--test-mode", action="store_true")
+    p.add_argument("--test-mode-limit-sessions", type=int, default=200)
+    return p.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    from etl_ender_turing_spark.pipeline import raw_fixture_tables, transform_all
+    from etl_ender_turing_spark.pipeline.sync import sync_incremental, sync_period
+    from etl_ender_turing_spark.schemas import TABLES
+    from etl_ender_turing_spark.session import get_spark
+    from etl_ender_turing_spark.sources.db_sink import upsert_sqlite
+    from etl_ender_turing_spark.sources.sinks import sink_path, write_file
+
+    args = parse_args(argv)
+    daily = args.start_dt is None
+    start = args.start_dt or FIXTURE_YESTERDAY
+    stop = args.stop_dt or (FIXTURE_YESTERDAY if daily else start)
+
+    spark = get_spark("run-etl")
+    raw = raw_fixture_tables(spark)
+    if args.test_mode:
+        raw["sessions"] = raw["sessions"].limit(args.test_mode_limit_sessions)
+
+    if args.load_to == "db":
+        counts = sync_period(spark, raw, args.out, start, stop, args.filters)
+        if daily:
+            sync_incremental(spark, raw, args.out, stop)
+        return counts
+
+    tables = transform_all(raw, spark)
+    if args.load_to == "sqlite":
+        counts = {}
+        for name, df in tables.items():
+            counts[name] = upsert_sqlite(df, args.out, name,
+                                         TABLES[name].unique_key)
+        return counts
+
+    fmt = {"pickle": "pkl"}.get(args.load_to, args.load_to)
+    os.makedirs(args.out, exist_ok=True)
+    counts = {}
+    for name, df in tables.items():
+        kind = "dim" if TABLES[name].kind in ("dim", "bridge") else "fact"
+        path = sink_path(args.out, name, fmt, kind, start, stop)
+        write_file(df, path, fmt)
+        counts[name] = df.count()
+    return counts
+
+
+if __name__ == "__main__":
+    out = main()
+    print({k: v for k, v in sorted(out.items())})

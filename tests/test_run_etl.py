@@ -1,0 +1,53 @@
+"""CLI lifecycle parity (reference run-et-etl.py modes)."""
+
+import os
+import sqlite3
+
+import run_etl
+
+
+def test_historical_db_sync(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    counts = run_etl.main(["--load-to", "db", "--start-dt", "2024-06-01",
+                           "--stop-dt", "2024-06-03", "--out", wh])
+    assert counts["sessions"] == 300
+    assert os.path.exists(os.path.join(wh, "sessions"))
+    # historical mode must NOT write the incremental watermark
+    assert not os.path.exists(os.path.join(wh, "_sync_state"))
+
+
+def test_daily_mode_runs_incremental_and_watermark(spark, tmp_path):
+    wh = str(tmp_path / "whd")
+    counts = run_etl.main(["--load-to", "db", "--out", wh])
+    assert 0 < counts["sessions"] < 300          # one fixture day only
+    assert os.path.exists(os.path.join(wh, "_sync_state"))
+
+
+def test_file_export_naming_parity(spark, tmp_path):
+    out = str(tmp_path / "export")
+    counts = run_etl.main(["--load-to", "json", "--start-dt", "2024-06-01",
+                           "--stop-dt", "2024-06-03", "--out", out])
+    files = set(os.listdir(out))
+    assert "dict-agents.json" in files           # dim naming
+    assert "sessions-2024-06-01-2024-06-03.json" in files   # fact naming
+    assert counts["users"] == 11                 # 10 + injected default
+
+
+def test_sqlite_export(spark, tmp_path):
+    db = str(tmp_path / "wh.db")
+    counts = run_etl.main(["--load-to", "sqlite", "--start-dt", "2024-06-01",
+                           "--out", db])
+    with sqlite3.connect(db) as con:
+        n = con.execute("SELECT COUNT(*) FROM sessions").fetchone()[0]
+        tables = {r[0] for r in con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert n == counts["sessions"] == 300
+    assert "agents" in tables and "sessions_transcripts" in tables
+
+
+def test_test_mode_caps_sessions(spark, tmp_path):
+    wh = str(tmp_path / "wht")
+    counts = run_etl.main(["--load-to", "db", "--start-dt", "2024-06-01",
+                           "--stop-dt", "2024-06-03", "--out", wh,
+                           "--test-mode", "--test-mode-limit-sessions", "50"])
+    assert counts["sessions"] <= 50

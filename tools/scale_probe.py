@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import similarity as sim
+from etl_ender_turing_spark.operators import textstats as ts
 from etl_ender_turing_spark.session import get_spark
 from etl_ender_turing_spark.sources.readers import read_table
 
@@ -55,6 +56,10 @@ def main() -> None:
         "embed_neardup": lambda d, e: sim.neardup_pairs(e).count(),
         "embed_lsh_ann": lambda d, e: sim.ann_bucketed_topk(
             e, query_id=0, k=10).count(),
+        "repetition": lambda d, e: ts.repetition_signals(d).count(),
+        "decontaminate": lambda d, e: dd.contaminated_docs(
+            d.filter(F.col("doc_id") % 10_000_000 >= 20),
+            d.filter(F.col("doc_id") % 10_000_000 < 20), n=5).count(),
     }
 
     print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
