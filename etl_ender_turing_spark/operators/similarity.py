@@ -229,12 +229,17 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
         means = (assigned.select("cid", F.posexplode("v").alias("dim", "x"))
                  .groupBy("cid", "dim").agg(F.avg("x").alias("m"))
                  .collect())                       # k*d rows — driver metadata
+        prev = {r["cid"]: list(r["cv"]) for r in cents.collect()}
         by_cell: dict[int, list[float]] = {}
         for r in means:
             by_cell.setdefault(r["cid"], [0.0] * d)[r["dim"]] = r["m"]
+        # a cell that lost every member keeps its previous centroid
+        # (standard Lloyd's fallback — k never silently shrinks)
+        for cid, cv in prev.items():
+            by_cell.setdefault(cid, cv)
         cents = spark.createDataFrame(
             [(cid, vec) for cid, vec in sorted(by_cell.items())],
-            f"cid long, cv array<double>")
+            "cid long, cv array<double>")
     return cents, inertia
 
 
