@@ -73,7 +73,10 @@ def q_dedup_simhash_pairs(spark, sf_dir):
 @register(
     "q_dedup_ngram_jaccard",
     dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6),
-    doc="exact n-gram Jaccard similarity on shingle-sharing candidate pairs")
+    doc="exact n-gram Jaccard similarity on shingle-sharing candidate "
+        "pairs — CORRECTNESS BASELINE ONLY (expands every shingle-sharing "
+        "pair); the production scale form is q_dedup_lsh_jaccard, which "
+        "must find the identical pair set")
 def q_dedup_ngram_jaccard(spark, sf_dir):
     sh = dd.shingle_select(_docs(spark, sf_dir))
     return dd.jaccard_pairs(sh, threshold=0.6)
