@@ -49,3 +49,35 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
     key the physical plan contains no Exchange under the SortMergeJoin —
     verified by tests/test_warehouse.py."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def upsert_bucketed(spark: SparkSession, source: DataFrame, table: str,
+                    key: list[str], n_buckets: int,
+                    bucket_cols: list[str] | None = None,
+                    order_col: str | None = None,
+                    path: str | None = None) -> None:
+    """Incremental MERGE-upsert that PRESERVES the bucketed layout.
+
+    Same semantics as ``upsert_parquet`` (intra-batch last-write-wins
+    dedup, then UPDATE ∪ INSERT ∪ KEEP against the live table), but the
+    rewrite lands through ``bucketBy`` again, so every sync keeps the
+    zero-Exchange join property instead of silently degrading the layout.
+    The merged frame is localCheckpoint-ed to break lineage off the table
+    being overwritten (Spark refuses to overwrite its own input).
+
+    At 100 TB pair this with date partitioning and merge per partition
+    (``upsert_parquet_partitioned`` pattern); the bucket spec must stay
+    identical across syncs or co-located joins lose their guarantee.
+    """
+    from ..operators.upsert import dedup_latest, merge_dataframes
+
+    bucket_cols = bucket_cols or key
+    if not spark.catalog.tableExists(table):
+        write_bucketed(dedup_latest(source, key, order_col), table,
+                       bucket_cols, n_buckets, path=path)
+        return
+    target = spark.table(table)
+    merged = merge_dataframes(target, source.select(*target.columns),
+                              key, order_col)
+    merged = merged.localCheckpoint(eager=True)
+    write_bucketed(merged, table, bucket_cols, n_buckets, path=path)

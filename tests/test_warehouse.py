@@ -49,3 +49,40 @@ def test_cobucketed_join_correct(bucketed):
     o = read_table(spark, SF, "orders")
     expect = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert j.count() == expect
+
+
+def test_upsert_bucketed_keeps_layout_and_merges(spark, tmp_path):
+    from etl_ender_turing_spark.sources.warehouse import upsert_bucketed
+
+    wh = str(tmp_path)
+    b1 = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d1")],
+        "k long, v string, updated string")
+    b2 = spark.createDataFrame(
+        [(2, "B", "d2"), (4, "d", "d2")], "k long, v string, updated string")
+    dim = spark.createDataFrame([(i, f"n{i}") for i in range(1, 5)],
+                                "k long, name string")
+    try:
+        upsert_bucketed(spark, b1, "f_b", ["k"], 8, order_col="updated",
+                        path=f"{wh}/f_b")
+        upsert_bucketed(spark, b2, "f_b", ["k"], 8, order_col="updated",
+                        path=f"{wh}/f_b")
+        got = {(r.k, r.v) for r in spark.table("f_b").collect()}
+        assert got == {(1, "a"), (2, "B"), (3, "c"), (4, "d")}
+
+        # the merged table still joins shuffle-free against a co-bucketed one
+        from etl_ender_turing_spark.sources.warehouse import (
+            cobucketed_join, write_bucketed,
+        )
+        write_bucketed(dim, "d_b", ["k"], 8, path=f"{wh}/d_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = cobucketed_join(spark, "f_b", "d_b", ["k"])
+            j.collect()
+            final = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in final, final[:800]
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS f_b")
+        spark.sql("DROP TABLE IF EXISTS d_b")
