@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_embed_cosine",
     "q_text_quality",
+    "q_repetition_signals",
+    "q_decontaminate",
 ]
 
 

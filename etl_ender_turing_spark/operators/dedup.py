@@ -458,10 +458,13 @@ def contaminated_docs(corpus: DataFrame, benchmark: DataFrame, n: int = 5,
     """
     bench = shingle_select(benchmark, text_col, id_col, n=n) \
         .select("shingle").distinct()
-    corp = shingle_select(corpus, text_col, id_col, n=n)  # distinct per doc
+    # distinct=False: deduping the FULL corpus n-gram stream would shuffle
+    # all of it; instead the explode stays narrow and count_distinct runs
+    # on only the broadcast-join survivors (tiny by definition)
+    corp = shingle_select(corpus, text_col, id_col, n=n, distinct=False)
     return (corp.join(F.broadcast(bench), "shingle")
             .groupBy(id_col)
-            .agg(F.count(F.lit(1)).alias("n_shared")))
+            .agg(F.count_distinct("shingle").alias("n_shared")))
 
 
 def contaminated_docs_sql(corpus_where: str, benchmark_where: str,

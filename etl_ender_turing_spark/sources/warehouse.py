@@ -51,6 +51,22 @@ def cobucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
+def with_surrogate_key(df: DataFrame, guid_col: str,
+                       out_col: str | None = None) -> DataFrame:
+    """64-bit surrogate of a GUID key (SURVEY risk #5): ``xxhash64`` of
+    the string key, for bucket/shuffle keys at 100 TB — an 8-byte shuffle
+    key moves ~4.5× less key-bytes than a 36-char GUID and compares as a
+    long. Join on the surrogate AND verify on the GUID (keep both
+    columns): xxhash64 collisions are ~0.3 expected at 10^11 rows, so the
+    GUID equality in the join condition makes collisions harmless while
+    the surrogate still drives partitioning.
+    """
+    from pyspark.sql import functions as F
+
+    return df.withColumn(out_col or f"{guid_col}_sk",
+                         F.xxhash64(F.col(guid_col)))
+
+
 def upsert_bucketed(spark: SparkSession, source: DataFrame, table: str,
                     key: list[str], n_buckets: int,
                     bucket_cols: list[str] | None = None,

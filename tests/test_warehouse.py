@@ -86,3 +86,21 @@ def test_upsert_bucketed_keeps_layout_and_merges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS f_b")
         spark.sql("DROP TABLE IF EXISTS d_b")
+
+
+def test_surrogate_key_join_equals_guid_join(spark):
+    from etl_ender_turing_spark.sources.warehouse import with_surrogate_key
+
+    left = spark.createDataFrame(
+        [(f"{i:032x}", i) for i in range(200)], "sid string, v long")
+    right = spark.createDataFrame(
+        [(f"{i:032x}", i * 10) for i in range(0, 200, 2)], "sid string, w long")
+    ls, rs = with_surrogate_key(left, "sid"), with_surrogate_key(right, "sid")
+    # surrogate drives the join, GUID equality verifies (collision-safe)
+    j = ls.join(rs, (ls.sid_sk == rs.sid_sk) & (ls.sid == rs.sid)) \
+          .select(ls.sid, "v", "w")
+    expect = left.join(right, "sid").count()
+    assert j.count() == expect == 100
+    # surrogate is deterministic across frames
+    both = ls.select("sid", "sid_sk").union(rs.select("sid", "sid_sk"))
+    assert both.distinct().count() == both.select("sid").distinct().count()
