@@ -52,9 +52,27 @@ def dedup_latest(df: DataFrame, key: tuple[str, ...] | list[str],
 
 def merge_dataframes(target: DataFrame, source: DataFrame,
                      key: tuple[str, ...] | list[str],
-                     order_col: str | None = None) -> DataFrame:
-    """MERGE semantics as a pure DataFrame rewrite (UPDATE ∪ INSERT ∪ KEEP)."""
+                     order_col: str | None = None,
+                     evolve_schema: bool = False) -> DataFrame:
+    """MERGE semantics as a pure DataFrame rewrite (UPDATE ∪ INSERT ∪ KEEP).
+
+    ``evolve_schema=True`` is Delta's ``mergeSchema`` equivalent: columns
+    new in the source are ADDED to the table (NULL for pre-existing
+    rows), columns absent from the source survive as NULL on the
+    update/insert rows — so producers can add fields without a manual
+    migration. Default off: silent schema drift on a parity table should
+    fail loudly (conform() is the sanctioned drift gate).
+    """
     src = dedup_latest(source, key, order_col)
+    if evolve_schema:
+        tgt_cols = set(target.columns)
+        src_cols = set(src.columns)
+        for f in src.schema.fields:
+            if f.name not in tgt_cols:
+                target = target.withColumn(f.name, F.lit(None).cast(f.dataType))
+        for f in target.schema.fields:
+            if f.name not in src_cols:
+                src = src.withColumn(f.name, F.lit(None).cast(f.dataType))
     kept = target.join(src.select(*key), on=list(key), how="left_anti")
     return kept.unionByName(src.select(*target.columns))
 
@@ -62,7 +80,8 @@ def merge_dataframes(target: DataFrame, source: DataFrame,
 def upsert_parquet(spark, source: DataFrame, path: str,
                    key: tuple[str, ...] | list[str],
                    order_col: str | None = None,
-                   prechecked: bool = False) -> None:
+                   prechecked: bool = False,
+                   evolve_schema: bool = False) -> None:
     """Idempotent upsert of ``source`` into the parquet table at ``path``.
 
     Running the same batch twice converges to the same table (pinned by
@@ -84,7 +103,8 @@ def upsert_parquet(spark, source: DataFrame, path: str,
         return
     if os.path.exists(path):
         target = spark.read.parquet(path)
-        merged = merge_dataframes(target, source, key, order_col)
+        merged = merge_dataframes(target, source, key, order_col,
+                                  evolve_schema=evolve_schema)
     else:
         merged = dedup_latest(source, key, order_col)
     staging = path.rstrip("/") + "._staging"

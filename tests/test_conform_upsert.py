@@ -165,3 +165,25 @@ def test_empty_batch_short_circuit(spark, tmp_path):
     upsert_parquet_partitioned(spark, df, part, ["id"], "day")
     assert upsert_parquet_partitioned(spark, empty, part, ["id"], "day") == []
     assert spark.read.parquet(part).count() == 1
+
+
+def test_upsert_schema_evolution(spark, tmp_path):
+    """evolve_schema=True: source-added columns join the table (NULL for
+    old rows), source-dropped columns survive as NULL on merged rows;
+    default (off) raises on drift instead of silently reshaping."""
+    import pytest
+
+    path = os.path.join(str(tmp_path), "evo")
+    b1 = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    upsert_parquet(spark, b1, path, ["id"])
+
+    b2 = spark.createDataFrame([(2, 9.5), (3, 1.5)], "id int, score double")
+    with pytest.raises(Exception):      # drift without opt-in fails loudly
+        upsert_parquet(spark, b2, path, ["id"])
+    upsert_parquet(spark, b2, path, ["id"], evolve_schema=True)
+
+    rows = {r.id: r for r in spark.read.parquet(path).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].v == "a" and rows[1].score is None      # old row, new col
+    assert rows[2].v is None and rows[2].score == 9.5      # replaced by src
+    assert rows[3].v is None and rows[3].score == 1.5      # inserted
