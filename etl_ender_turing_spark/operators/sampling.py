@@ -1,0 +1,169 @@
+"""Data-mixing operators: deterministic sampling, stratified rates,
+epoch-weighted mixtures, token budgeting.
+
+A training-data pipeline rarely trains on a corpus as-is — it mixes
+sources at chosen rates (e.g. 2.5 epochs of wiki, 0.3 of crawl) and cuts
+to a token budget. These operators make that mixing reproducible at
+100 TB:
+
+- sampling decisions are a pure function of the row id (md5-derived unit
+  interval), NOT an RNG: the same row is kept in every run, on any
+  cluster layout, and the DuckDB oracle selects the identical set;
+- the token-budget selector computes a global prefix sum WITHOUT a
+  single-reducer window: range-partition by the order key, per-partition
+  partial sums hop to the driver (one row per partition — metadata), and
+  each partition finishes its own cumulative sum in parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+HASH_SPACE = float(2 ** 32)
+
+
+def hash_unit(id_col: str) -> Column:
+    """Uniform [0,1) value derived from md5(id) — the deterministic coin.
+
+    First 8 hex chars → 32-bit int / 2^32. Identical in DuckDB via
+    ``('0x' || substr(md5(id::VARCHAR), 1, 8))::UBIGINT / 2^32``.
+    """
+    return (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                   16, 10).cast("double") / F.lit(HASH_SPACE))
+
+
+def hash_unit_sql(id_col: str) -> str:
+    return (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))::UBIGINT"
+            f" / {HASH_SPACE})")
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         id_col: str = "doc_id", salt: str = "") -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by id hash — reproducible on any
+    cluster and re-selectable (the same ids survive every run). ``salt``
+    decorrelates independent samples of the same data."""
+    col = (hash_unit(id_col) if not salt else
+           F.conv(F.substring(F.md5(F.concat(F.col(id_col).cast("string"),
+                                             F.lit(salt))), 1, 8),
+                  16, 10).cast("double") / F.lit(HASH_SPACE))
+    return df.filter(col < fraction)
+
+
+def stratified_sample(df: DataFrame, rates: dict[str, float],
+                      strata_col: str, id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Per-stratum sampling rates (``sampleBy`` semantics, deterministic).
+
+    One narrow filter — no shuffle, no RNG; strata missing from ``rates``
+    keep ``default_rate``.
+    """
+    rate = F.lit(default_rate)
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, F.lit(r)).otherwise(rate)
+    return df.filter(hash_unit(id_col) < rate)
+
+
+def stratified_sample_sql(table: str, rates: dict[str, float],
+                          strata_col: str, id_col: str = "doc_id",
+                          default_rate: float = 0.0) -> str:
+    whens = " ".join(f"WHEN {strata_col} = '{v}' THEN {r}"
+                     for v, r in sorted(rates.items()))
+    return (f"SELECT * FROM {table} WHERE {hash_unit_sql(id_col)} < "
+            f"(CASE {whens} ELSE {default_rate} END)")
+
+
+def epoch_mixture(df: DataFrame, epochs: dict[str, float], strata_col: str,
+                  id_col: str = "doc_id") -> DataFrame:
+    """Epoch-weighted mixture: stratum weight 2.5 → every row appears
+    twice plus a deterministic 50 % sample appears a third time.
+
+    ``epoch`` column distinguishes the replicas (downstream shuffles key
+    on (id, epoch), so replication cannot collapse in a dedup). Unions
+    are narrow; the fractional tail reuses the salted deterministic
+    sample so different epochs of the same stratum stay decorrelated.
+    """
+    parts: list[DataFrame] = []
+    for value, w in sorted(epochs.items()):
+        stratum = df.filter(F.col(strata_col) == value)
+        full, frac = int(w), w - int(w)
+        for e in range(full):
+            parts.append(stratum.withColumn("epoch", F.lit(e)))
+        if frac > 0:
+            parts.append(
+                deterministic_sample(stratum, frac, id_col, salt=f"ep{full}")
+                .withColumn("epoch", F.lit(full)))
+    if not parts:
+        return df.limit(0).withColumn("epoch", F.lit(0))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def epoch_mixture_sql(table: str, epochs: dict[str, float], strata_col: str,
+                      id_col: str = "doc_id") -> str:
+    selects = []
+    for value, w in sorted(epochs.items()):
+        full, frac = int(w), w - int(w)
+        for e in range(full):
+            selects.append(f"SELECT *, {e} AS epoch FROM {table} "
+                           f"WHERE {strata_col} = '{value}'")
+        if frac > 0:
+            salted = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+                      f"'ep{full}'), 1, 8))::UBIGINT / {HASH_SPACE})")
+            selects.append(f"SELECT *, {full} AS epoch FROM {table} "
+                           f"WHERE {strata_col} = '{value}' AND {salted} < {frac}")
+    return " UNION ALL ".join(selects)
+
+
+def token_budget_head(df: DataFrame, budget: int, quality_col: str,
+                      token_col: str, id_col: str = "doc_id",
+                      n_ranges: int = 32) -> DataFrame:
+    """Best-documents-first selection up to a token budget.
+
+    Rows are ranked by (``quality_col`` DESC, id) and kept while the
+    running token total stays ≤ ``budget`` — the standard "take the
+    highest-quality N tokens" cut.
+
+    Scale shape — NO single-reducer global window: range-partition on the
+    rank key (``repartitionByRange`` samples split points), cumulative-sum
+    WITHIN each partition in parallel, and add each partition's prefix
+    offset (one driver round-trip of ``n_ranges`` numbers). The selected
+    set depends only on the total order, not on where the splits land.
+    """
+    ranged = df.repartitionByRange(
+        n_ranges, F.col(quality_col).desc(), F.col(id_col))
+    # pin the sampled range boundaries: the offsets job and the final job
+    # must see the SAME layout (repartitionByRange re-samples per job)
+    ranged = ranged.localCheckpoint(eager=True)
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    totals = {r["_pid"]: r["_t"] for r in
+              pid.groupBy("_pid").agg(F.sum(token_col).alias("_t")).collect()}
+    offsets = {}
+    acc = 0
+    for p in sorted(totals):
+        offsets[p] = acc
+        acc += totals[p]
+    off = F.lit(0)
+    for p, o in sorted(offsets.items()):
+        off = F.when(F.col("_pid") == p, F.lit(o)).otherwise(off)
+    w = (Window.partitionBy("_pid")
+         .orderBy(F.col(quality_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (pid.withColumn("cum_tokens", (F.sum(token_col).over(w) + off)
+                           .cast("long"))
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_pid"))
+
+
+def token_budget_head_sql(table: str, budget: int, quality_col: str,
+                          token_col: str, id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT * FROM (
+      SELECT *, CAST(SUM({token_col}) OVER (
+               ORDER BY {quality_col} DESC, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM {table}
+    ) WHERE cum_tokens <= {budget}
+    """

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as dd
+from ..operators import sampling as sp
 from ..operators import similarity as sim
 from ..operators import textstats as ts
 from ..sources.readers import read_table
@@ -245,6 +246,45 @@ def q_decontaminate(spark, sf_dir):
     return dd.contaminated_docs(corpus=docs.filter(F.col("doc_id") >= 20),
                                 benchmark=docs.filter(F.col("doc_id") < 20),
                                 n=5)
+
+
+# =========================================================================
+# Data mixing: deterministic sampling / epoch weighting / token budget
+# =========================================================================
+
+_RATES = {"src0": 0.5, "src1": 0.25, "src2": 1.0}
+_EPOCHS = {"src0": 2.5, "src3": 0.4}
+
+
+@register(
+    "q_sample_stratified",
+    sp.stratified_sample_sql("documents", _RATES, "source"),
+    doc="deterministic stratified sampling: per-source keep rates decided "
+        "by md5(id) — reproducible on any cluster, no RNG, one narrow "
+        "filter (no shuffle)")
+def q_sample_stratified(spark, sf_dir):
+    return sp.stratified_sample(_docs(spark, sf_dir), _RATES, "source")
+
+
+@register(
+    "q_data_mixture",
+    sp.epoch_mixture_sql("documents", _EPOCHS, "source"),
+    doc="epoch-weighted data mixture: 2.5 epochs of src0 + 0.4 of src3, "
+        "fractional tails as salted deterministic samples, epoch column "
+        "keys the replicas")
+def q_data_mixture(spark, sf_dir):
+    return sp.epoch_mixture(_docs(spark, sf_dir), _EPOCHS, "source")
+
+
+@register(
+    "q_token_budget",
+    sp.token_budget_head_sql("documents", budget=20_000,
+                             quality_col="n_chars", token_col="n_chars"),
+    doc="best-documents-first selection to a 20k-char budget: range-"
+        "partitioned two-pass prefix sum — NO single-reducer global window")
+def q_token_budget(spark, sf_dir):
+    return sp.token_budget_head(_docs(spark, sf_dir), budget=20_000,
+                                quality_col="n_chars", token_col="n_chars")
 
 
 # =========================================================================

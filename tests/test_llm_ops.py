@@ -228,3 +228,54 @@ def test_kmeans_recovers_planted_clusters(spark):
                    or (i >= 100 and (i - 100) // 20 == c)]
         assert len({got[m] for m in members}) == 1, f"cluster {c} split"
     assert len(set(got.values())) == 3
+
+
+def test_deterministic_sample_stable_across_layout(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r.doc_id for r in sp.deterministic_sample(
+        df.repartition(1), 0.3).collect()}
+    b = {r.doc_id for r in sp.deterministic_sample(
+        df.repartition(17), 0.3).collect()}
+    assert a == b                       # layout-independent
+    assert 0.25 < len(a) / 1000 < 0.35  # ~rate
+    # salt decorrelates
+    c = {r.doc_id for r in sp.deterministic_sample(df, 0.3, salt="x").collect()}
+    assert c != a and 0.25 < len(c) / 1000 < 0.35
+
+
+def test_epoch_mixture_counts(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 500 else "b") for i in range(1000)],
+        "doc_id long, src string")
+    out = sp.epoch_mixture(df, {"a": 2.5, "b": 0.2}, "src")
+    per = {(r.src, r.epoch): 1 for r in out.collect()}
+    by_epoch = out.groupBy("src", "epoch").count().collect()
+    counts = {(r.src, r.epoch): r["count"] for r in by_epoch}
+    assert counts[("a", 0)] == counts[("a", 1)] == 500   # 2 full epochs
+    assert 0.4 < counts[("a", 2)] / 500 < 0.6            # 0.5 tail
+    assert 0.1 < counts[("b", 0)] / 500 < 0.3            # 0.2 sample
+    assert ("b", 1) not in counts
+    _ = per
+
+
+def test_token_budget_exact_prefix(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+
+    rows = [(i, (i * 37) % 100, 10 + i % 5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, q long, toks long")
+    out = sp.token_budget_head(df, budget=500, quality_col="q",
+                               token_col="toks", n_ranges=7)
+    got = sorted((r.doc_id, r.cum_tokens) for r in out.collect())
+    # reference: python prefix sum over the total order
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expect = 0, []
+    for i, q, t in order:
+        cum += t
+        if cum > 500:
+            break
+        expect.append((i, cum))
+    assert got == sorted(expect)
