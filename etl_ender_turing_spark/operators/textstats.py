@@ -232,3 +232,40 @@ def repetition_signals_sql(table: str = "documents", text_col: str = "text",
            {dup_frac('tg')} AS dup_trigram_frac
     FROM grams
     """
+
+
+# --------------------------------------------------------------------------
+# PII scan / redaction
+# --------------------------------------------------------------------------
+#
+# Standard pretraining cleanup: detect and mask contact-info spans before
+# training. Patterns stick to the regex subset with identical semantics in
+# Java regex (Spark) and RE2 (DuckDB): character classes, counted repeats,
+# no backrefs/lookaround.
+
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9 ()\-]{6,}[0-9]"
+
+
+def pii_columns(text_col: str = "text") -> dict[str, Column]:
+    """Counts + masked rewrite. Pure regexp projections — narrow at any
+    scale; emails mask first so phone digits never match inside the
+    replacement token."""
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+        "redacted": redacted,
+    }
+
+
+def pii_sql_columns(text_col: str = "text") -> dict[str, str]:
+    return {
+        "n_emails": f"len(regexp_extract_all({text_col}, '{EMAIL_RE}'))",
+        "n_phones": f"len(regexp_extract_all({text_col}, '{PHONE_RE}'))",
+        "redacted": (f"regexp_replace(regexp_replace({text_col}, "
+                     f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
+                     f"'{PHONE_RE}', '<PHONE>', 'g')"),
+    }

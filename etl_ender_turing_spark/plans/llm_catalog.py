@@ -287,6 +287,46 @@ def q_token_budget(spark, sf_dir):
                                 quality_col="n_chars", token_col="n_chars")
 
 
+_PII_PLANT_SQL = (
+    "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
+    "'@example.com or +1 (555) 123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END")
+
+_PII_SQL = ts.pii_sql_columns("txt")
+
+
+@register(
+    "q_pii_redact",
+    f"""
+    WITH planted AS (SELECT doc_id, {_PII_PLANT_SQL} AS txt FROM documents)
+    SELECT doc_id, {_PII_SQL['n_emails']} AS n_emails,
+           {_PII_SQL['n_phones']} AS n_phones,
+           md5({_PII_SQL['redacted']}) AS redacted_md5
+    FROM planted
+    """,
+    doc="PII scan + redaction: email/phone detection and masking as pure "
+        "regexp projections (Java-regex/RE2-common subset). The synthetic "
+        "corpus has no PII, so the query plants deterministic contact "
+        "strings on doc_id%7==0 rows in BOTH engines — positives are real "
+        "and the masked text md5-matches value-for-value")
+def q_pii_redact(spark, sf_dir):
+    plant = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact user"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com or +1 (555) 123-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0")))
+        .otherwise(F.lit("")))
+    cols = ts.pii_columns("txt")
+    return (_docs(spark, sf_dir).select("doc_id", plant.alias("txt"))
+            .select("doc_id",
+                    cols["n_emails"].alias("n_emails"),
+                    cols["n_phones"].alias("n_phones"),
+                    F.md5(cols["redacted"]).alias("redacted_md5")))
+
+
 # =========================================================================
 # Multimodal plumbing (Arrow-batched mapInPandas; decode stubbed)
 # =========================================================================

@@ -279,3 +279,22 @@ def test_token_budget_exact_prefix(spark):
             break
         expect.append((i, cum))
     assert got == sorted(expect)
+
+
+def test_pii_redaction_masks_planted_spans(spark):
+    from etl_ender_turing_spark.operators.textstats import pii_columns
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@ex.co and phone +1 (555) 123-4567 end"),
+         (2, "no pii here at all"),
+         (3, "two mails x@y.io z@w.ai")],
+        "doc_id long, txt string")
+    cols = pii_columns("txt")
+    got = {r.doc_id: r for r in df.select(
+        "doc_id", cols["n_emails"].alias("ne"), cols["n_phones"].alias("np"),
+        cols["redacted"].alias("red")).collect()}
+    assert (got[1].ne, got[1].np) == (1, 1)
+    assert "<EMAIL>" in got[1].red and "<PHONE>" in got[1].red
+    assert "555" not in got[1].red and "@" not in got[1].red
+    assert (got[2].ne, got[2].np) == (0, 0) and got[2].red == "no pii here at all"
+    assert got[3].ne == 2 and got[3].red.count("<EMAIL>") == 2
