@@ -165,3 +165,57 @@ def sessionized_counts_stream(spark: SparkSession, source_dir: str,
             .select(F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "user_id", "n_events"))
+
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def quality_gated_doc_stream(spark: SparkSession, source_dir: str,
+                             min_tokens: int = 40,
+                             glob_filter: str | None = None) -> DataFrame:
+    """Streaming ingest-time document gating: the textstats battery
+    (token counts, stopword ratio, fingerprint, PII redaction) applied to
+    a document stream, keeping only docs above the token floor.
+
+    Every expression is a narrow projection, so the streaming plan is the
+    batch plan verbatim — no state, no watermark needed; the parity test
+    pins stream == batch on identical files. This is how the LLM-pipeline
+    operators run at ingest time rather than as a backfill.
+    """
+    from ..operators.textstats import fingerprint, pii_columns, quality_columns
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir)
+    q = quality_columns("text")
+    pii = pii_columns("text")
+    return (docs.select(
+        "doc_id", "source",
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        fingerprint("text").alias("fingerprint"),
+        pii["redacted"].alias("clean_text"))
+        .filter(F.col("n_tokens") >= min_tokens))
+
+
+def run_quality_gate_batch(spark: SparkSession, source_dir: str,
+                           checkpoint_dir: str, min_tokens: int = 40,
+                           glob_filter: str | None = None) -> DataFrame:
+    """Drive the quality-gate stream to completion (availableNow) and
+    return the materialized result for parity checks."""
+    gated = quality_gated_doc_stream(spark, source_dir, min_tokens,
+                                     glob_filter)
+    q = (gated.writeStream.format("memory").queryName("quality_gate_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("quality_gate_result")

@@ -84,3 +84,30 @@ def test_session_windows_emit(spark, tmp_path):
     got = spark.table("sess")
     assert got.count() > 0
     assert got.filter("session_end <= session_start").count() == 0
+
+
+def test_quality_gate_stream_equals_batch(spark, tmp_path):
+    """Ingest-time doc gating: streaming result == the same projections
+    run in batch over identical files."""
+    from etl_ender_turing_spark.operators.textstats import (
+        fingerprint, pii_columns, quality_columns,
+    )
+    from etl_ender_turing_spark.streaming.stream import run_quality_gate_batch
+
+    sf = "/root/testdata/sf0.001"
+    got = run_quality_gate_batch(
+        spark, sf, str(tmp_path / "ckpt"), min_tokens=40,
+        glob_filter="documents.parquet")
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    q = quality_columns("text")
+    pii = pii_columns("text")
+    want = (docs.select(
+        "doc_id", "source", q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        fingerprint("text").alias("fingerprint"),
+        pii["redacted"].alias("clean_text"))
+        .filter("n_tokens >= 40"))
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+    assert 0 < got.count() < docs.count()
