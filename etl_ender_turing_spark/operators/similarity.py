@@ -407,3 +407,50 @@ def ann_bucketed_topk(emb: DataFrame, query_id: int, k: int = 10,
     return brute_force_topk(emb.join(cands.hint("broadcast"), id_col, "left_semi")
                             .unionByName(emb.filter(F.col(id_col) == query_id)),
                             query_id, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# int8 quantization — the embedding storage path
+# --------------------------------------------------------------------------
+
+def quantize_int8(emb: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = trunc(x[i] / scale). 4× smaller than float32 on disk — the
+    standard storage/serving trade at 100 TB — with the scale kept
+    per-row for dequantization. Pure projection, no shuffle.
+
+    trunc (CAST AS INT) rather than round: truncation toward zero is
+    identical in Spark and DuckDB, so the oracle matches bit-for-bit;
+    round() ties differ across engines. Zero vectors quantize to zeros
+    with scale 0.
+    """
+    v = as_double(vec_col)
+    maxabs = F.expr(
+        f"array_max(transform({vec_col}, x -> abs(CAST(x AS DOUBLE))))")
+    scale = F.round(maxabs / F.lit(127.0), 9)
+    qvec = F.expr(
+        "CASE WHEN array_max(transform({v}, x -> abs(CAST(x AS DOUBLE)))) = 0 "
+        "THEN transform({v}, x -> CAST(0 AS INT)) "
+        "ELSE transform({v}, x -> CAST(CAST(x AS DOUBLE) / "
+        "round(array_max(transform({v}, y -> abs(CAST(y AS DOUBLE)))) / 127.0, 9)"
+        " AS INT)) END".replace("{v}", vec_col))
+    _ = v
+    return emb.select(F.col(id_col), scale.alias("scale"),
+                      qvec.alias("qvec"))
+
+
+def quantize_int8_sql(sf_table: str, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> str:
+    v = f"{vec_col}::DOUBLE[]"
+    maxabs = f"list_max(list_transform({v}, x -> abs(x)))"
+    return f"""
+    SELECT {id_col},
+           ROUND({maxabs} / 127.0, 9) AS scale,
+           CASE WHEN {maxabs} = 0
+                THEN list_transform({v}, x -> CAST(0 AS INTEGER))
+                ELSE list_transform({v}, x ->
+                     CAST(TRUNC(x / ROUND({maxabs} / 127.0, 9)) AS INTEGER))
+           END AS qvec
+    FROM {sf_table}
+    """

@@ -287,6 +287,16 @@ def q_token_budget(spark, sf_dir):
                                 quality_col="n_chars", token_col="n_chars")
 
 
+@register(
+    "q_embed_quantize",
+    sim.quantize_int8_sql("embeddings"),
+    doc="symmetric per-vector int8 quantization (scale = max|x|/127, "
+        "trunc toward zero — identical in both engines): the 4x embedding "
+        "storage path; pure projection, no shuffle")
+def q_embed_quantize(spark, sf_dir):
+    return sim.quantize_int8(_emb(spark, sf_dir))
+
+
 _PII_PLANT_SQL = (
     "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
     "'@example.com or +1 (555) 123-' || "

@@ -298,3 +298,25 @@ def test_pii_redaction_masks_planted_spans(spark):
     assert "555" not in got[1].red and "@" not in got[1].red
     assert (got[2].ne, got[2].np) == (0, 0) and got[2].red == "no pii here at all"
     assert got[3].ne == 2 and got[3].red.count("<EMAIL>") == 2
+
+
+def test_quantize_int8_roundtrip_error_bounded(spark):
+    from etl_ender_turing_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, -0.5, 0.25, 0.0]), (1, [0.0, 0.0, 0.0, 0.0]),
+         (2, [-3.0, 1.5, 2.9, -0.1])],
+        "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    # all components within int8 range; max|x| maps to ±127 (trunc-exact)
+    for r in got.values():
+        assert all(-127 <= q <= 127 for q in r.qvec)
+    # max|x| maps to 127, or 126 when the 9dp-rounded scale trims the
+    # quotient just under the boundary before truncation
+    assert max(abs(q) for q in got[0].qvec) in (126, 127)
+    # zero vector -> zeros with scale 0, no division blowup
+    assert got[1].scale == 0.0 and got[1].qvec == [0, 0, 0, 0]
+    # dequantization error bounded by one quantization step per component
+    orig = [-3.0, 1.5, 2.9, -0.1]
+    deq = [q * got[2].scale for q in got[2].qvec]
+    assert all(abs(a - b) <= got[2].scale + 1e-9 for a, b in zip(orig, deq))
