@@ -484,3 +484,72 @@ def contaminated_docs_sql(corpus_where: str, benchmark_where: str,
     FROM corp JOIN bench USING (shingle)
     GROUP BY corp.{id_col}
     """
+
+
+# --------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# --------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Group near-duplicate PAIRS into clusters and name each cluster by
+    its minimum doc id — the step between pair generation (MinHash/
+    SimHash/cosine) and actually dropping duplicates: keep one canonical
+    doc per cluster, drop the rest.
+
+    Iterative min-label propagation (each node repeatedly adopts the
+    smallest label among itself and its neighbors) until fixpoint — the
+    simple form of distributed connected components. Per iteration: one
+    join of the (node,label) frame against the symmetric edge list + a
+    min-aggregation, lineage cut with localCheckpoint. Converges in
+    O(component diameter) rounds; near-dup components are shallow
+    (pair-generation is similarity-thresholded), so diameter stays small
+    at any corpus size. At extreme diameters switch to the large-star/
+    small-star variant (alternating conditional stars halve the diameter
+    per round); the per-round dataflow below is unchanged.
+
+    Input: (doc_a, doc_b) pairs (any extra columns ignored). Output:
+    (doc_id, cluster_id) for every doc appearing in at least one pair.
+    """
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("lbl", F.col("node")))
+    for _ in range(max_iters):
+        neighbor_min = (edges.join(labels, edges.dst == labels.node)
+                        .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.node == neighbor_min.src, "left")
+                      .select("node",
+                              F.least("lbl", F.coalesce("nlbl", "lbl"))
+                              .alias("lbl")))
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.lbl") != F.col("o.lbl")).take(1))
+        labels = new_labels
+        if not changed:
+            break
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def duplicate_clusters_sql(pairs_cte: str) -> str:
+    """DuckDB oracle: transitive closure via recursive CTE, cluster id =
+    min reachable node (exponential-blowup-safe at oracle scale only —
+    the Spark side is the distributed form)."""
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_cte}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    )
+    SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """

@@ -95,6 +95,20 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_dup_clusters",
+    dd.duplicate_clusters_sql(dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6)),
+    doc="duplicate-cluster resolution: connected components over the "
+        "LSH->Jaccard near-dup pairs via iterative min-label propagation "
+        "(O(diameter) rounds); canonical doc = min id per cluster. Oracle "
+        "computes the same closure with a recursive CTE")
+def q_dup_clusters(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    pairs = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
+    return dd.duplicate_clusters(pairs)
+
+
+@register(
     "q_dedup_embed_cosine",
     sim.neardup_pairs_sql("embeddings", threshold=0.3),
     doc="embedding-cosine near-dup pairs: LSH-bucket candidates + exact "

@@ -320,3 +320,19 @@ def test_quantize_int8_roundtrip_error_bounded(spark):
     orig = [-3.0, 1.5, 2.9, -0.1]
     deq = [q * got[2].scale for q in got[2].qvec]
     assert all(abs(a - b) <= got[2].scale + 1e-9 for a, b in zip(orig, deq))
+
+
+def test_duplicate_clusters_known_components(spark):
+    from etl_ender_turing_spark.operators.dedup import duplicate_clusters
+
+    # chain 1-2-3-4, pair (10,11), singleton-pair (20,21), long chain
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21),
+         (30, 31), (31, 32), (32, 33), (33, 34), (34, 35)],
+        "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in duplicate_clusters(pairs).collect()}
+    assert {got[i] for i in (1, 2, 3, 4)} == {1}
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+    assert {got[i] for i in range(30, 36)} == {30}
+    assert len(got) == 14
