@@ -109,6 +109,29 @@ def q_dup_clusters(spark, sf_dir):
 
 
 @register(
+    "q_dedup_keep_canonical",
+    f"""
+    WITH cl AS ({dd.duplicate_clusters_sql(
+        dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6))})
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+    """,
+    doc="the complete content-dedup pipeline: LSH candidates -> exact "
+        "Jaccard verify -> cluster resolution -> drop every non-canonical "
+        "member (anti-join); what actually ships to training")
+def q_dedup_keep_canonical(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingle_select(docs)
+    pairs = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
+    drop = (dd.duplicate_clusters(pairs)
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id"))
+    return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars"))
+
+
+@register(
     "q_dedup_embed_cosine",
     sim.neardup_pairs_sql("embeddings", threshold=0.3),
     doc="embedding-cosine near-dup pairs: LSH-bucket candidates + exact "
