@@ -324,6 +324,33 @@ def q_token_budget(spark, sf_dir):
                                 quality_col="n_chars", token_col="n_chars")
 
 
+_MULTI_PAIRS_SQL = f"""
+    SELECT doc_a, doc_b FROM ({dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6)})
+    UNION
+    SELECT id_a AS doc_a, id_b AS doc_b
+    FROM ({sim.neardup_pairs_sql("embeddings", threshold=0.3)})
+"""
+
+
+@register(
+    "q_dedup_multi_signal",
+    dd.duplicate_clusters_sql(_MULTI_PAIRS_SQL),
+    doc="multi-signal dedup: text near-dup pairs (LSH->Jaccard) UNION "
+        "embedding-cosine near-dup pairs feed ONE cluster closure — "
+        "catches paraphrases text shingles miss and template docs "
+        "embeddings miss; both candidate generators stay pruned")
+def q_dedup_multi_signal(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    text_pairs = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
+        threshold=0.6).select("doc_a", "doc_b")
+    embed_pairs = (sim.neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
+                   .select(F.col("id_a").alias("doc_a"),
+                           F.col("id_b").alias("doc_b")))
+    pairs = text_pairs.unionByName(embed_pairs).distinct()
+    return dd.duplicate_clusters(pairs)
+
+
 @register(
     "q_embed_quantize",
     sim.quantize_int8_sql("embeddings"),
