@@ -229,6 +229,42 @@ def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rolling_30d_window",
+    """
+    SELECT o_custkey, epoch_day,
+           COUNT(*) OVER w AS n_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER w AS DOUBLE)
+             AS sum_30d
+    FROM (SELECT o_custkey, o_totalprice,
+                 CAST(datediff('day', DATE '1970-01-01',
+                               CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS epoch_day
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_day
+                 RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing-30-day rolling aggregates per customer via a RANGE frame "
+        "over epoch days (time-range windows, SURVEY §2.6) — partitioned "
+        "by customer, so no global sort; decimal-exact rolling sum")
+def q_rolling_30d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey", "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("epoch_day"))
+    w = (Window.partitionBy("o_custkey").orderBy("epoch_day")
+         .rangeBetween(-29, 0))
+    return base.select(
+        "o_custkey", "epoch_day",
+        F.count(F.lit(1)).over(w).alias("n_30d"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER ("
+               "PARTITION BY o_custkey ORDER BY epoch_day "
+               "RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE)")
+        .alias("sum_30d"))
+
+
+@register(
     "q_rank_battery",
     """
     SELECT n_nationkey AS nation, c_custkey,
