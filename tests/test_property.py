@@ -143,3 +143,52 @@ def test_transform_deterministic(spark, draws):
     kb = [tuple(r) for r in b.select("session_id", "tag_id", "transcript_id")
           .orderBy("session_id", "tag_id", "transcript_id").collect()]
     assert ka == kb
+
+
+# -- LLM-operator properties ----------------------------------------------
+
+_word = st.text(alphabet="abcde", min_size=1, max_size=4)
+
+
+@given(st.lists(st.lists(_word, min_size=1, max_size=30),
+                min_size=1, max_size=20))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_signals_match_python_reference(spark, token_lists):
+    """Spark's HOF formulas == a plain-Python reference on arbitrary
+    token streams (short docs, heavy repetition, single tokens)."""
+    from etl_ender_turing_spark.operators.textstats import repetition_signals
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+    got = {r.doc_id: r for r in repetition_signals(
+        spark.createDataFrame(rows, "doc_id long, text string")).collect()}
+
+    for i, toks in enumerate(token_lists):
+        def top_frac(seq):
+            return (round(max(seq.count(x) for x in set(seq)) / len(seq), 6)
+                    if seq else 0.0)
+        bigrams = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        trigrams = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        dup_tri = (round(1 - len(set(trigrams)) / len(trigrams), 6)
+                   if trigrams else 0.0)
+        assert abs(got[i].top1_frac - top_frac(toks)) < 1e-9, toks
+        assert abs(got[i].top_bigram_frac - top_frac(bigrams)) < 1e-9, toks
+        assert abs(got[i].dup_trigram_frac - dup_tri) < 1e-9, toks
+
+
+@given(st.floats(0.0, 1.0), st.integers(1, 500))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_deterministic_sample_is_stable_subset(spark, fraction, n):
+    """Sampling twice yields the SAME set; a smaller fraction is always a
+    subset of a larger one (nested samples — the property that makes
+    hash-based sampling auditable)."""
+    from etl_ender_turing_spark.operators import sampling as sp
+
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    a = {r.doc_id for r in sp.deterministic_sample(df, fraction).collect()}
+    b = {r.doc_id for r in sp.deterministic_sample(df, fraction).collect()}
+    assert a == b
+    half = {r.doc_id for r in sp.deterministic_sample(
+        df, fraction / 2).collect()}
+    assert half <= a
