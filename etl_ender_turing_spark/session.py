@@ -31,6 +31,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # At 100 TB these would be set per-cluster; locally keep shuffle width
     # bounded so tests don't spawn 200 tiny tasks.
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
+    # zstd over default snappy: ~30% smaller parquet at comparable read
+    # speed — at 100 TB that's tens of TB of storage and scan I/O saved.
+    # (DuckDB/Arrow read zstd parquet natively — oracle parity verified.)
+    "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
     # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
     # parquet reader rejects; read as long and convert in readers.py.
