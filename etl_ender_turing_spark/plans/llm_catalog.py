@@ -440,3 +440,39 @@ def q_multimodal_features(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", ts.fingerprint("text").alias("fingerprint"), "source")
+
+
+# =========================================================================
+# Document shaping: chunking / packing / term weighting
+# =========================================================================
+
+from ..operators import chunking as ck   # noqa: E402
+from ..operators import terms as tm      # noqa: E402
+
+
+@register(
+    "q_chunk_documents",
+    ck.chunk_documents_sql("documents", chunk_tokens=64, overlap=16),
+    doc="sliding-window chunking (64-token windows, 16 overlap): narrow "
+        "explode, zero shuffle at any scale")
+def q_chunk_documents(spark, sf_dir):
+    return ck.chunk_documents(_docs(spark, sf_dir),
+                              chunk_tokens=64, overlap=16)
+
+
+@register(
+    "q_pack_sequences",
+    ck.pack_sequences_sql("documents", budget=256, n_shards=8),
+    doc="fixed-budget sequence packing: hash-sharded running token sum, "
+        "per-shard windows (no global sort / single reducer)")
+def q_pack_sequences(spark, sf_dir):
+    return ck.pack_sequences(_docs(spark, sf_dir), budget=256, n_shards=8)
+
+
+@register(
+    "q_tfidf_top_terms",
+    tm.tfidf_top_terms_sql("documents", k=3),
+    doc="TF-IDF top-3 terms per document: partial+final TF agg, "
+        "vocabulary-sized DF agg, per-document window (never global)")
+def q_tfidf_top_terms(spark, sf_dir):
+    return tm.tfidf_top_terms(_docs(spark, sf_dir), k=3)

@@ -1,0 +1,97 @@
+"""Chunking / sequence-packing / TF-IDF semantics on tiny hand-built
+inputs (catalog-level oracle checks cover the full data)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.operators import chunking as ck
+from etl_ender_turing_spark.operators import terms as tm
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, "a b c d e f g h i j"),     # 10 tokens
+         (2, "x y"),                     # shorter than one chunk
+         (3, "solo")],
+        "doc_id long, text string")
+
+
+def test_chunk_windows_and_overlap(docs):
+    # chunk=4, overlap=2 -> step=2: starts 0,2,4,6,8 for the 10-token doc
+    out = (ck.chunk_documents(docs, chunk_tokens=4, overlap=2)
+           .filter("doc_id = 1").orderBy("start").collect())
+    assert [r.start for r in out] == [0, 2, 4, 6, 8]
+    assert out[0].chunk_text == "a b c d"
+    assert out[1].chunk_text == "c d e f"          # 2-token overlap
+    assert out[-1].chunk_text == "i j"             # trailing remainder kept
+    assert [r.n_tokens for r in out] == [4, 4, 4, 4, 2]
+    assert [r.chunk_id for r in out] == [0, 1, 2, 3, 4]
+
+
+def test_chunk_short_doc_single_chunk(docs):
+    out = (ck.chunk_documents(docs, chunk_tokens=4, overlap=2)
+           .filter("doc_id = 2").collect())
+    assert len(out) == 1 and out[0].chunk_text == "x y" and out[0].n_tokens == 2
+
+
+def test_chunk_rejects_bad_overlap(docs):
+    with pytest.raises(ValueError):
+        ck.chunk_documents(docs, chunk_tokens=4, overlap=4)
+
+
+def test_chunk_plan_has_no_shuffle(docs):
+    plan = (ck.chunk_documents(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # one shard so the running sum is a single ordered stream
+    df = spark.createDataFrame(
+        [(i, " ".join(["t"] * 40)) for i in range(1, 6)],   # 5 docs x 40 toks
+        "doc_id long, text string")
+    out = (ck.pack_sequences(df, budget=100, n_shards=1)
+           .orderBy("doc_id").collect())
+    # cumulative: 40 80 120 160 200 -> preceding totals 0 40 80 120 160
+    assert [r.seq for r in out] == [0, 0, 0, 1, 1]
+    assert [r.cum_tokens for r in out] == [40, 80, 120, 160, 200]
+
+
+def test_pack_sequences_deterministic_across_layout(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(60)],
+        "doc_id long, text string")
+    a = ck.pack_sequences(df, budget=64, n_shards=4)
+    b = ck.pack_sequences(df.repartition(13), budget=64, n_shards=4)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_tfidf_scores_and_ties(spark):
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"),
+         (2, "banana cherry"),
+         (3, "cherry date date")],
+        "doc_id long, text string")
+    out = tm.tfidf_top_terms(df, k=2)
+    rows = {(r.doc_id, r.term): (r.tf, r.tfidf) for r in out.collect()}
+    # 'apple' appears twice in doc 1 and only in doc 1: tf=2, df=1, N=3
+    assert rows[(1, "apple")] == (2, round(2 * math.log(3 / 1), 6))
+    # 'banana' in 2 of 3 docs
+    assert rows[(1, "banana")][1] == round(1 * math.log(3 / 2), 6)
+    # every doc yields exactly k=2 rows here (>=2 distinct terms each)
+    assert out.groupBy("doc_id").count().filter("count != 2").count() == 0
+
+
+def test_tfidf_window_is_per_document(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "b c")],
+                               "doc_id long, text string")
+    plan = (tm.tfidf_top_terms(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the ranking window must be partitioned by document (the only
+    # SinglePartition exchange allowed is the 1-row n_docs count)
+    assert "windowspecdefinition(doc_id" in plan
+    # rank pushes the k-limit below the shuffle (WindowGroupLimit partial)
+    assert "WindowGroupLimit" in plan
