@@ -28,13 +28,33 @@ def entry(spark: SparkSession) -> DataFrame:
     return CATALOG["q5_revenue_by_nation"].builder(spark, "/root/testdata/sf0.001")
 
 
+# The driver verifies queries in dict order and stops at a budget cutoff
+# (round 2: first 50 of 61). Surface queries with no green certification yet
+# FIRST, so a cutoff lands on already-proven ones instead of leaving the
+# newest operators as unverified claims.
+_VERIFY_FIRST: tuple[str, ...] = (
+    # never driver-certified (registered past round 2's cutoff)
+    "q_sample_stratified", "q_data_mixture", "q_token_budget",
+    "q_dedup_multi_signal", "q_embed_quantize", "q_pii_redact",
+    "q_multimodal_features", "q_fingerprint", "q_chunk_documents",
+    "q_pack_sequences", "q_tfidf_top_terms",
+    # fixed this round (NTZ timestamp bug) — need re-certification
+    "q_event_lag_chain", "q_sessionize_events", "q_stream_hourly_counts",
+)
+
+
+def _ordered() -> list[str]:
+    first = [n for n in _VERIFY_FIRST if n in CATALOG]
+    return first + [n for n in CATALOG if n not in _VERIFY_FIRST]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.builder for name, spec in CATALOG.items()}
+    return {name: CATALOG[name].builder for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible ops
     → driver records a weaker rows-only check)."""
-    return {name: spec.oracle for name, spec in CATALOG.items()
-            if spec.oracle is not None}
+    return {name: CATALOG[name].oracle for name in _ordered()
+            if CATALOG[name].oracle is not None}

@@ -47,6 +47,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, sf_dir, name)
 
 
+def _epoch_us(col) -> F.Column:
+    """Epoch-microseconds of a timestamp column, physical-type-agnostic.
+
+    Driver testdata has shipped ``ts`` as TIMESTAMP(NANOS) (round 1) and
+    plain ``timestamp[us]`` → TIMESTAMP_NTZ (round 2+). ``unix_micros``
+    rejects NTZ, so cast first — value-preserving under the pinned-UTC
+    session (session.py sets spark.sql.session.timeZone=UTC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def dsum(expr_sql: str, scale: int = 2) -> F.Column:
     """Exact decimal sum of a per-row double expression, as double."""
     return F.expr(f"CAST(SUM(CAST(({expr_sql}) AS DECIMAL(28,{scale}))) AS DOUBLE)")
@@ -331,8 +342,8 @@ def q_event_lag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (ev.select("event_id", "user_id", "ts",
                       F.lag("event_id").over(w).alias("prev_event_id"),
-                      (F.unix_micros(F.col("ts"))
-                       - F.unix_micros(F.lag("ts").over(w))).alias("gap_us")))
+                      (_epoch_us("ts")
+                       - _epoch_us(F.lag("ts").over(w))).alias("gap_us")))
 
 
 @register(
@@ -386,7 +397,7 @@ def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gap = _epoch_us("ts") - _epoch_us(F.lag("ts").over(w))
     is_new = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
     run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
                 .rowsBetween(Window.unboundedPreceding, 0)
@@ -797,7 +808,7 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.stream import run_windowed_counts_batch
     ckpt = tempfile.mkdtemp(prefix="q_stream_ckpt_")
     return run_windowed_counts_batch(
-        spark, sf_dir, ckpt, nanos_ts=True, glob_filter="events.parquet")
+        spark, sf_dir, ckpt, glob_filter="events.parquet")
 
 
 # =========================================================================

@@ -36,8 +36,9 @@ DEFAULT_CONFS: dict[str, str] = {
     # (DuckDB/Arrow read zstd parquet natively — oracle parity verified.)
     "spark.sql.parquet.compression.codec": "zstd",
     "spark.ui.enabled": "false",
-    # testdata events.parquet carries TIMESTAMP(NANOS) which the Spark
-    # parquet reader rejects; read as long and convert in readers.py.
+    # Compatibility fallback: round-1 testdata carried TIMESTAMP(NANOS),
+    # which the Spark parquet reader rejects without this conf; readers.py
+    # branches on the observed schema, so micros/NTZ files are unaffected.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }

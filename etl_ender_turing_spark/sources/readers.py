@@ -15,17 +15,20 @@ TESTDATA_TABLES = ("region", "nation", "customer", "supplier", "part",
                    "orders", "lineitem", "events", "documents", "embeddings")
 
 
-# events.ts is TIMESTAMP(NANOS,false) in the driver's parquet; with session
-# conf spark.sql.legacy.parquet.nanosAsLong it arrives as an epoch-nano long.
-# Convert to micros-precision timestamps, truncating exactly like DuckDB /
-# Arrow do, so oracle comparisons see identical values.
+# Timestamp-type contract (FIXTURES.md): driver testdata has shipped
+# events.ts as TIMESTAMP(NANOS) (round 1) and plain timestamp[us] →
+# TIMESTAMP_NTZ (round 2+). Readers branch on the OBSERVED schema, never a
+# pinned assumption: nano longs (via nanosAsLong) are converted to
+# micros-precision timestamps, truncating exactly like DuckDB/Arrow do;
+# micros files pass through untouched (the isinstance check no-ops).
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Self-contained: any vanilla SparkSession must be able to read the
-    # driver's nano-timestamp parquet, not just sessions built by our own
-    # get_spark() factory. The conf is runtime-settable, so pin it here.
+    # Self-contained: any vanilla SparkSession must be able to read a
+    # nano-timestamp parquet, not just sessions built by our own get_spark()
+    # factory. The conf is runtime-settable and harmless for micros files,
+    # so pin it here as a compatibility fallback.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, ()):

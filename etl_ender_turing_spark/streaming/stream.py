@@ -78,14 +78,13 @@ def incremental_sync_stream(spark: SparkSession, source_dir: str,
             .start())
 
 
-_EVENTS_NANOS_SCHEMA = T.StructType(
-    [f if f.name != "ts" else T.StructField("ts", T.LongType())
-     for f in EVENTS_SCHEMA.fields])
+def _events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([f if f.name != "ts" else T.StructField("ts", ts_type)
+                         for f in EVENTS_SCHEMA.fields])
 
 
 def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
                               checkpoint_dir: str, window: str = "1 hour",
-                              nanos_ts: bool = False,
                               glob_filter: str | None = None) -> DataFrame:
     """Run the windowed-count stream to completion over the files currently
     in ``source_dir`` (availableNow) and return the materialized result.
@@ -95,19 +94,29 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
     is exactly the oracle the catalog checks it against. The memory sink is
     per-query-name; checkpoints are caller-owned and disposable.
 
-    ``nanos_ts``: the driver's events.parquet stores TIMESTAMP(NANOS),
-    which the session reads as epoch-nano longs — convert with integer
-    div exactly like ``sources.readers.read_table``.
+    File streams need an explicit schema, and the driver's events.parquet
+    has shipped different physical timestamp types across rounds
+    (TIMESTAMP(NANOS) → epoch-nano long under nanosAsLong; timestamp[us] →
+    TIMESTAMP_NTZ). Probe the batch-read schema and branch on what is
+    actually there — never pin an assumption (FIXTURES.md ts contract).
     """
-    schema = _EVENTS_NANOS_SCHEMA if nanos_ts else EVENTS_SCHEMA
-    reader = spark.readStream.schema(schema)
+    probe = spark.read
+    if glob_filter is not None:
+        probe = probe.option("pathGlobFilter", glob_filter)
+    ts_type = probe.parquet(source_dir).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_schema_with_ts(ts_type))
     if glob_filter is not None:
         # file streams need a directory basePath; a glob narrows it to the
         # one table file inside the shared testdata dir
         reader = reader.option("pathGlobFilter", glob_filter)
     events = reader.parquet(source_dir)
-    if nanos_ts:
+    if isinstance(ts_type, T.LongType):
+        # integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit mantissa
         events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ → session-local timestamp; value-preserving under
+        # the pinned-UTC session
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     counts = windowed_event_counts(events, window=window)
     q = (counts.writeStream
          .format("memory").queryName("windowed_counts_result")
