@@ -128,7 +128,8 @@ def minhash_signatures_inline(df: DataFrame, text_col: str = "text",
 
 def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
                        rows_per_band: int = 2,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       max_bucket: int = 1000) -> DataFrame:
     """Distinct candidate pairs (a<b) sharing any band signature.
 
     Banding: band b concatenates ``rows_per_band`` adjacent minhash
@@ -142,6 +143,15 @@ def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
     would recompute it on both sides), the single shuffle key is the band
     hash (md5-uniform, skew-free), and pair generation is a narrow
     higher-order-function expansion of each bucket's sorted id list.
+
+    ``max_bucket`` bounds the quadratic expansion: a web corpus has
+    millions of byte-identical boilerplate docs, and one such bucket would
+    otherwise become a single O(m²)-pair straggler task. Buckets above the
+    cap emit a linear "star" (every member paired with the bucket's min
+    id) instead of all pairs — connectivity-preserving, so downstream
+    connected-component clustering still merges the whole bucket, while
+    the task stays O(m). Observed buckets at sf0.1 max out at 9, so the
+    default cap never alters small-SF oracle results.
     """
     n_bands = n_hashes // rows_per_band
     stack = ", ".join(
@@ -153,10 +163,14 @@ def minhash_band_pairs(sigs: DataFrame, n_hashes: int = 8,
     buckets = (melted.groupBy("band", "h")
                .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
                .filter(F.size("ids") >= 2))
-    pairs = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids)), y ->"
-        " struct(x AS doc_a, y AS doc_b))))")
+    pairs = F.expr(f"""
+        CASE WHEN size(ids) <= {max_bucket}
+        THEN flatten(transform(ids, (x, i) ->
+               transform(slice(ids, i + 2, size(ids)), y ->
+                 struct(x AS doc_a, y AS doc_b))))
+        ELSE transform(slice(ids, 2, size(ids)), y ->
+               struct(ids[0] AS doc_a, y AS doc_b))
+        END""")
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.doc_a", "p.doc_b")
             .distinct())
@@ -282,7 +296,8 @@ def simhash_oracle_sql(table: str = "documents", text_col: str = "text",
 
 
 def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_bucket: int = 1000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, pigeonhole-banded.
 
     With 4 bands of 15 bits, any pair within Hamming distance 3 agrees on
@@ -294,6 +309,12 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
     15-bit bands give 32 Ki buckets per band, keeping buckets small. Same
     melt → bucket → in-bucket expansion shape as MinHash banding: one
     uniform-ish shuffle, no self-join.
+
+    ``max_bucket`` caps the quadratic in-bucket expansion exactly like
+    :func:`minhash_band_pairs`: oversized buckets (identical-boilerplate
+    mega-groups at corpus scale) emit a linear star around the bucket's
+    min id — in such buckets hamming(rep, member) is ~0, so the star edges
+    survive the exact-distance filter and keep the cluster connected.
     """
     melted = sigs.select(
         F.col(id_col), F.col("simhash"),
@@ -306,11 +327,16 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
                                                         F.col("simhash").alias("sh"))))
                     .alias("xs"))
                .filter(F.size("xs") >= 2))
-    pairs = F.expr(
-        "flatten(transform(xs, (a, i) ->"
-        " transform(slice(xs, i + 2, size(xs)), b ->"
-        " struct(a.id AS doc_a, b.id AS doc_b,"
-        " bit_count(bigint(a.sh) ^ bigint(b.sh)) AS hamming))))")
+    pairs = F.expr(f"""
+        CASE WHEN size(xs) <= {max_bucket}
+        THEN flatten(transform(xs, (a, i) ->
+               transform(slice(xs, i + 2, size(xs)), b ->
+                 struct(a.id AS doc_a, b.id AS doc_b,
+                        bit_count(bigint(a.sh) ^ bigint(b.sh)) AS hamming))))
+        ELSE transform(slice(xs, 2, size(xs)), b ->
+               struct(xs[0].id AS doc_a, b.id AS doc_b,
+                      bit_count(bigint(xs[0].sh) ^ bigint(b.sh)) AS hamming))
+        END""")
     return (buckets.select(F.explode(pairs).alias("p"))
             .select("p.doc_a", "p.doc_b", "p.hamming")
             .filter(F.col("hamming") <= max_hamming)

@@ -127,7 +127,10 @@ def q_dedup_keep_canonical(spark, sf_dir):
     drop = (dd.duplicate_clusters(pairs)
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id"))
-    return (docs.join(F.broadcast(drop), "doc_id", "left_anti")
+    # No broadcast hint: at real duplicate rates (30%+ of a 100 TB corpus)
+    # the drop-set is corpus-scale — let AQE pick broadcast vs shuffle
+    # anti-join from the observed size at runtime.
+    return (docs.join(drop, "doc_id", "left_anti")
             .select("doc_id", "source", "n_chars"))
 
 

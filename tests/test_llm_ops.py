@@ -336,3 +336,44 @@ def test_duplicate_clusters_known_components(spark):
     assert got[20] == got[21] == 20
     assert {got[i] for i in range(30, 36)} == {30}
     assert len(got) == 14
+
+
+def test_bucket_cap_star_expansion_minhash(spark):
+    """10k identical docs land in one LSH bucket per band; without the cap
+    the in-bucket expansion is ~50M pairs in one task. With the cap the
+    bucket emits a linear star around the min id that still connects every
+    member (what duplicate_clusters needs), so the run completes fast."""
+    n = 10_000
+    df = spark.createDataFrame(
+        [(i, "the exact same boilerplate text repeated verbatim")
+         for i in range(n)], "doc_id long, text string")
+    sigs = dd.minhash_signatures_inline(df)
+    pairs = dd.minhash_band_pairs(sigs, max_bucket=100)
+    got = pairs.collect()
+    # star: every doc paired with min id 0, once — linear, not quadratic
+    assert len(got) == n - 1
+    assert {r.doc_a for r in got} == {0}
+    assert {r.doc_b for r in got} == set(range(1, n))
+
+
+def test_bucket_cap_below_threshold_is_all_pairs(spark):
+    df = spark.createDataFrame(
+        [(i, "the exact same boilerplate text repeated verbatim")
+         for i in range(5)], "doc_id long, text string")
+    sigs = dd.minhash_signatures_inline(df)
+    pairs = dd.minhash_band_pairs(sigs, max_bucket=100)
+    assert pairs.count() == 5 * 4 // 2    # full quadratic set under the cap
+
+
+def test_bucket_cap_star_expansion_simhash(spark):
+    n = 2_000
+    df = spark.createDataFrame(
+        [(i, "identical boilerplate words for simhash banding")
+         for i in range(n)], "doc_id long, text string")
+    sigs = dd.simhash(df)
+    pairs = dd.simhash_pairs(sigs, max_bucket=100)
+    got = pairs.collect()
+    # identical sims -> hamming 0 star edges all survive the filter;
+    # 4 bands emit the same star, distinct() collapses them
+    assert len(got) == n - 1
+    assert all(r.hamming == 0 and r.doc_a == 0 for r in got)

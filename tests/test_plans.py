@@ -135,3 +135,23 @@ def test_no_python_row_udfs_in_batch_catalog(plans):
     # ArrowEvalPython/mapInPandas (multimodal) is the sanctioned exception.
     for name, p in _ok_plans(plans).items():
         assert "BatchEvalPython" not in p, name
+
+
+def test_keep_canonical_drop_set_not_force_broadcast(spark):
+    # The drop-set of a real dedup run is corpus-scale (30%+ duplicate
+    # rates), so q_dedup_keep_canonical must not HINT a broadcast of it:
+    # with the auto-broadcast threshold disabled, the anti-join has to
+    # plan as a shuffle join (AQE may still choose broadcast at runtime
+    # from the OBSERVED size — that's the point).
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(CATALOG["q_dedup_keep_canonical"].builder(spark, SF))
+        anti = [ln for ln in p.splitlines() if "LeftAnti" in ln]
+        assert anti, p[:800]
+        assert not any("Broadcast" in ln for ln in anti), anti
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
