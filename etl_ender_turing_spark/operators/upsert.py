@@ -173,8 +173,9 @@ def upsert_parquet_partitioned(spark, source: DataFrame, path: str,
 def merge_sql(table: str, key: tuple[str, ...], update_cols: tuple[str, ...]) -> str:
     """The Delta-Lake MERGE this operator becomes on a transactional store.
 
-    Kept as a generator (not executed here — no Delta in this environment)
-    so the SQL surface is documented and testable as a string.
+    Kept as a generator so the SQL surface is documented and testable as a
+    string even where delta-spark is absent; :func:`upsert_delta` executes
+    the same statement for real when the package is importable.
     """
     on = " AND ".join(f"t.{k} = s.{k}" for k in key)
     sets = ", ".join(f"t.{c} = s.{c}" for c in update_cols) or \
@@ -182,3 +183,37 @@ def merge_sql(table: str, key: tuple[str, ...], update_cols: tuple[str, ...]) ->
     return (f"MERGE INTO {table} t USING _source s ON {on} "
             f"WHEN MATCHED THEN UPDATE SET {sets} "
             f"WHEN NOT MATCHED THEN INSERT *")
+
+
+def delta_available() -> bool:
+    """True when delta-spark is importable (not baked into this container;
+    the execution path below is exercised wherever it is)."""
+    import importlib.util
+    return importlib.util.find_spec("delta") is not None
+
+
+def upsert_delta(spark, source: DataFrame, path: str,
+                 key: tuple[str, ...] | list[str],
+                 order_col: str | None = None) -> None:
+    """Executed transactional MERGE INTO a Delta table — the single-commit
+    form of :func:`upsert_parquet` (same intra-batch last-write-wins dedup,
+    same converge-on-replay semantics, but ACID and partition-pruned by the
+    Delta log instead of the staging-swap dance).
+
+    Reference parity: the server-side upsert loop at ETL/Load.py:120-162
+    (one statement per row) becomes ONE set-based MERGE per batch.
+    Raises ImportError where delta-spark is unavailable — callers branch on
+    :func:`delta_available` and fall back to :func:`upsert_parquet`.
+    """
+    from delta.tables import DeltaTable  # ImportError here is the guard
+
+    src = dedup_latest(source, key, order_col)
+    if not DeltaTable.isDeltaTable(spark, path):
+        src.write.format("delta").mode("overwrite").save(path)
+        return
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key)
+    (DeltaTable.forPath(spark, path).alias("t")
+     .merge(src.alias("s"), on)
+     .whenMatchedUpdateAll()
+     .whenNotMatchedInsertAll()
+     .execute())

@@ -1,11 +1,13 @@
 """conform() drift auditing (Load.py:94-110 parity) and MERGE upsert
 semantics (Load.py:101-162 parity, set-based)."""
 
+import pytest
 import os
 
 from pyspark.sql import functions as F, types as T
 
 from etl_ender_turing_spark.operators import conform, dedup_latest, upsert_parquet
+from etl_ender_turing_spark.operators import upsert as up
 from etl_ender_turing_spark.operators.upsert import merge_dataframes, merge_sql
 from etl_ender_turing_spark.schemas import TABLES, schema_of
 
@@ -187,3 +189,29 @@ def test_upsert_schema_evolution(spark, tmp_path):
     assert rows[1].v == "a" and rows[1].score is None      # old row, new col
     assert rows[2].v is None and rows[2].score == 9.5      # replaced by src
     assert rows[3].v is None and rows[3].score == 1.5      # inserted
+
+
+@pytest.mark.skipif(not up.delta_available(), reason="delta-spark not installed")
+def test_delta_merge_equals_parquet_upsert(spark, tmp_path):
+    """Executed MERGE INTO: overlapping batches through upsert_delta must
+    converge to exactly what upsert_parquet produces (same dedup, same
+    update-else-insert semantics)."""
+    b1 = spark.createDataFrame([(1, "a", 10), (2, "b", 20)], "k long, v string, ts long")
+    b2 = spark.createDataFrame([(2, "B", 30), (3, "c", 40)], "k long, v string, ts long")
+    dpath, ppath = str(tmp_path / "delta_t"), str(tmp_path / "parq_t")
+    for b in (b1, b2):
+        up.upsert_delta(spark, b, dpath, ("k",), order_col="ts")
+        up.upsert_parquet(spark, b, ppath, ("k",), order_col="ts")
+    got = {tuple(r) for r in spark.read.format("delta").load(dpath).collect()}
+    want = {tuple(r) for r in spark.read.parquet(ppath).collect()}
+    assert got == want and len(got) == 3
+
+
+def test_delta_guard_reports_unavailable_cleanly(spark):
+    # in this container delta-spark is absent: the guard must say so and
+    # upsert_delta must raise ImportError (callers fall back to parquet)
+    if up.delta_available():
+        pytest.skip("delta present; executed path covered above")
+    df = spark.createDataFrame([(1,)], "k long")
+    with pytest.raises(ImportError):
+        up.upsert_delta(spark, df, "/tmp/never-written", ("k",))
