@@ -45,3 +45,44 @@ def test_entry_survives_vanilla_session(spark):
     _simulate_vanilla(spark)
     df = entry.entry(spark)
     assert df.count() >= 0
+
+
+def test_read_table_handles_both_ts_encodings(spark, tmp_path):
+    """FIXTURES.md ts contract: driver testdata flipped events.ts between
+    TIMESTAMP(NANOS) (round 1) and timestamp[us]/NTZ (round 2+). The same
+    reader must yield identical micros-truncated values from either file,
+    by branching on the observed schema — never a pinned assumption."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_ender_turing_spark.sources.readers import read_table
+
+    base = dt.datetime(2024, 6, 26, 10, 15, 44, 620796)
+    stamps = [base + dt.timedelta(seconds=i, microseconds=137 * i)
+              for i in range(5)]
+    cols = {
+        "event_id": pa.array(range(5), pa.int64()),
+        "user_id": pa.array([7] * 5, pa.int64()),
+        "event_type": pa.array(["click"] * 5),
+        "value": pa.array([1.5] * 5, pa.float64()),
+        "props": pa.array(["{}"] * 5),
+    }
+    for sub, ts_type in (("nanos", pa.timestamp("ns")),
+                         ("micros", pa.timestamp("us"))):
+        d = tmp_path / sub
+        d.mkdir()
+        t = pa.table({"event_id": cols["event_id"],
+                      "ts": pa.array(stamps, ts_type), **{
+                          k: v for k, v in cols.items() if k != "event_id"}})
+        pq.write_table(t, d / "events.parquet", coerce_timestamps=None,
+                       version="2.6", store_schema=False)
+    read = {}
+    for sub in ("nanos", "micros"):
+        df = read_table(spark, str(tmp_path / sub), "events")
+        read[sub] = sorted(
+            (r.event_id, r.ts.replace(tzinfo=None) if r.ts.tzinfo else r.ts)
+            for r in df.select("event_id", "ts").collect())
+    assert read["nanos"] == read["micros"]
+    assert read["nanos"][0][1] == base
