@@ -40,6 +40,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_pack_sequences", "q_tfidf_top_terms",
     # fixed this round (NTZ timestamp bug) — need re-certification
     "q_event_lag_chain", "q_sessionize_events", "q_stream_hourly_counts",
+    # new this round
+    "q_semdedup_keep", "q_knn_graph", "q_dedup_normalized",
+    "q_boilerplate_ngrams", "q_incremental_dedup", "q_training_set",
 )
 
 

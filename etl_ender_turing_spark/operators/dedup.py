@@ -579,3 +579,126 @@ def duplicate_clusters_sql(pairs_cte: str) -> str:
     )
     SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
     """
+
+
+# --------------------------------------------------------------------------
+# normalized dedup + boilerplate mining + incremental (batch-vs-corpus)
+# --------------------------------------------------------------------------
+
+def normalize_expr(text_col: str = "text") -> Column:
+    """Aggressive normalization before hashing: lowercase, strip every
+    non-alphanumeric-non-space char, collapse whitespace runs, trim —
+    catches near-dups that differ only in case/punctuation/spacing (the
+    cheapest rung between exact and MinHash dedup)."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+        " +", " "))
+
+
+def normalize_sql(text_col: str = "text") -> str:
+    return (f"trim(regexp_replace(regexp_replace(lower({text_col}),"
+            f" '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))")
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over the NORMALIZED text: same one-shuffle hash-groupBy
+    as :func:`exact_dedup_groups`, run on :func:`normalize_expr` output."""
+    fp = F.md5(normalize_expr(text_col))
+    return (df.groupBy(fp.alias("fingerprint"))
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))
+
+
+def normalized_dedup_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT md5({normalize_sql(text_col)}) AS fingerprint,
+           MIN({id_col}) AS keep_id, COUNT(*) AS n_copies
+    FROM {table} GROUP BY 1
+    """
+
+
+def boilerplate_ngrams(df: DataFrame, min_df: int = 50, n: int = 3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """n-grams whose DOCUMENT frequency crosses ``min_df`` — the
+    boilerplate detector (nav bars, license headers, templated footers
+    recur verbatim across a web corpus; their n-grams have corpus-scale
+    df while genuine content n-grams stay rare).
+
+    One pass: distinct (doc, shingle) → count per shingle → threshold.
+    The shuffle key is the shingle hash (uniform); output is tiny (only
+    boilerplate survives), so downstream removal can broadcast it.
+    """
+    sh = shingle_select(df, text_col, id_col, n=n, distinct=True)
+    return (sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .filter(F.col("doc_freq") >= min_df))
+
+
+def boilerplate_ngrams_sql(table: str = "documents", min_df: int = 50,
+                           n: int = 3, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    return f"""
+    WITH sh AS ({shingle_sql(table, text_col, id_col, n)})
+    SELECT shingle, COUNT(*) AS doc_freq
+    FROM sh GROUP BY shingle HAVING COUNT(*) >= {min_df}
+    """
+
+
+def incremental_dedup_pairs(corpus_sigs: DataFrame, batch_sigs: DataFrame,
+                            n_hashes: int = 8, rows_per_band: int = 2,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(batch_id, corpus_id) candidate pairs: which NEW docs collide with
+    the EXISTING corpus — the production shape of continuous dedup, where
+    the historical signature table persists and each incoming batch only
+    joins against it (never re-LSH the whole corpus per batch).
+
+    The batch side of the band join is small by construction (one
+    ingestion increment), so Spark broadcasts it; the corpus side streams
+    by. Emits at most one row per (batch, corpus) pair via distinct.
+    """
+    n_bands = n_hashes // rows_per_band
+    stack = ", ".join(
+        f"'{b}', concat({', '.join(f'h{b * rows_per_band + r}' for r in range(rows_per_band))})"
+        for b in range(n_bands))
+
+    def melt(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.expr(f"stack({n_bands}, {stack}) AS (band, h)"))
+
+    corpus = melt(corpus_sigs, "corpus_id")
+    batch = melt(batch_sigs, "batch_id")
+    return (corpus.join(F.broadcast(batch), ["band", "h"])
+            .select("batch_id", "corpus_id")
+            .distinct())
+
+
+def incremental_dedup_sql(table: str = "documents", split_id: int = 400,
+                          n_hashes: int = 8, rows_per_band: int = 2,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    """Oracle: same signatures computed over the whole table, banded pairs
+    restricted to corpus-side (< split) × batch-side (>= split)."""
+    n_bands = n_hashes // rows_per_band
+    shingles = shingle_sql(table, text_col, id_col, n=3)
+    hs = ", ".join(
+        f"MIN(substring(md5(shingle), {4 * i + 1}, 4)) AS h{i}"
+        for i in range(n_hashes))
+    melted = "\n      UNION ALL ".join(
+        f"SELECT {id_col}, {b} AS band, "
+        + " || ".join(f"h{b * rows_per_band + r}" for r in range(rows_per_band))
+        + " AS h FROM sigs"
+        for b in range(n_bands))
+    return f"""
+    WITH sh AS ({shingles}),
+    sigs AS (SELECT {id_col}, {hs} FROM sh GROUP BY {id_col}),
+    melted AS (
+      {melted}
+    )
+    SELECT DISTINCT b.{id_col} AS batch_id, c.{id_col} AS corpus_id
+    FROM melted c JOIN melted b ON c.band = b.band AND c.h = b.h
+    WHERE c.{id_col} < {split_id} AND b.{id_col} >= {split_id}
+    """

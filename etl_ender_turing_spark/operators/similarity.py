@@ -454,3 +454,113 @@ def quantize_int8_sql(sf_table: str, id_col: str = "vec_id",
            END AS qvec
     FROM {sf_table}
     """
+
+
+# --------------------------------------------------------------------------
+# k-NN graph + semantic dedup (SemDeDup) — the embedding-side corpus ops
+# --------------------------------------------------------------------------
+
+def knn_graph(emb: DataFrame, k: int = 3, n_planes: int = 8,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Per-vector k nearest neighbors WITHIN the vector's LSH bucket —
+    the distributed k-NN-graph primitive (inputs to SemDeDup, graph-based
+    curation, label propagation).
+
+    Scale shape: one shuffle on the bucket key for the self-join (uniform
+    by construction — md5-derived hyperplanes), then a per-id window over
+    only in-bucket candidates (bounded by bucket size, never n). The
+    O(n²) alternative — a global cross join + per-id window — is exactly
+    what this avoids; recall is the LSH trade, tunable via n_planes.
+    """
+    planes = hyperplane_weights(n_planes)
+    b = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .select(id_col, "v", lsh_bucket("v", planes).alias("bucket")))
+    a = b.select("bucket", F.col(id_col).alias("src"), F.col("v").alias("va"))
+    c = b.select("bucket", F.col(id_col).alias("dst"), F.col("v").alias("vb"))
+    scored = (a.join(c, "bucket")
+              .filter(F.col("src") != F.col("dst"))
+              .select("src", "dst",
+                      F.round(cosine("va", "vb"), 6).alias("cos_sim")))
+    w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(),
+                                          F.col("dst"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def knn_graph_sql(sf_table: str, k: int = 3, n_planes: int = 8,
+                  id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    expr = _bucket_sql_expr("v", hyperplane_weights(n_planes))
+    return f"""
+    WITH b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    bk AS (SELECT {id_col}, v, {expr} AS bucket FROM b),
+    scored AS (
+      SELECT a.{id_col} AS src, c.{id_col} AS dst,
+             ROUND(list_cosine_similarity(a.v, c.v), 6) AS cos_sim
+      FROM bk a JOIN bk c ON a.bucket = c.bucket
+      WHERE a.{id_col} <> c.{id_col}
+    )
+    SELECT src, dst, cos_sim, rnk FROM (
+      SELECT src, dst, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY cos_sim DESC, dst) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
+                        n_centroids: int = N_CENTROIDS,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
+    then inside each cluster drop every vector that has an above-threshold
+    cosine neighbor with a smaller id (the kept one) — semantic duplicates
+    collapse to one representative without any cross-cluster comparison.
+
+    Dataflow: deterministic IVF cell assignment (broadcast k·d centroids,
+    one narrow pass) → within-cell self-join (single shuffle on the cell
+    key) → exact cosine threshold → anti-join the losers. At 100 TB the
+    within-cell join is the only quadratic piece, bounded by cell size —
+    exactly how the paper shards the problem (k scales with corpus size).
+    """
+    cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .join(cells, id_col))
+    a = v.select("cell", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
+    b = v.select("cell", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    drop = (a.join(b, "cell")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(F.round(cosine("va", "vb"), 6) >= threshold)
+            .select(F.col("id_b").alias(id_col))
+            .distinct())
+    return (cells.join(drop, id_col, "left_anti")
+            .select(id_col, "cell"))
+
+
+def semantic_dedup_sql(sf_table: str, threshold: float = 0.3,
+                       n_centroids: int = N_CENTROIDS,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {n_centroids}),
+    cells AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC, cid
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    vc AS (SELECT v.{id_col}, v.v, cells.cell
+           FROM v JOIN cells USING ({id_col})),
+    drop_ids AS (
+      SELECT DISTINCT b.{id_col}
+      FROM vc a JOIN vc b ON a.cell = b.cell AND a.{id_col} < b.{id_col}
+      WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= {threshold}
+    )
+    SELECT {id_col}, cell FROM cells
+    WHERE {id_col} NOT IN (SELECT {id_col} FROM drop_ids)
+    """

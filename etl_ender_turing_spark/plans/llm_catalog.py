@@ -479,3 +479,90 @@ def q_pack_sequences(spark, sf_dir):
         "vocabulary-sized DF agg, per-document window (never global)")
 def q_tfidf_top_terms(spark, sf_dir):
     return tm.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
+# =========================================================================
+# Semantic dedup / kNN graph / normalized dedup / boilerplate /
+# incremental dedup / the composed end-to-end curation pipeline
+# =========================================================================
+
+from ..operators import curation as cu   # noqa: E402
+
+
+@register(
+    "q_semdedup_keep",
+    sim.semantic_dedup_sql("embeddings", threshold=0.3),
+    doc="SemDeDup (arXiv:2303.09540): IVF-cell clustering, within-cell "
+        "cosine threshold, drop every vector with a smaller-id "
+        "above-threshold neighbor — semantic dedup without any "
+        "cross-cluster comparison (the quadratic piece is bounded by "
+        "cell size)")
+def q_semdedup_keep(spark, sf_dir):
+    return sim.semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.3)
+
+
+@register(
+    "q_knn_graph",
+    sim.knn_graph_sql("embeddings", k=3),
+    doc="k-NN graph (k=3) within LSH buckets: one uniform bucket-key "
+        "shuffle + per-id window over in-bucket candidates only — the "
+        "distributed primitive under SemDeDup/graph curation; never the "
+        "O(n^2) global cross join")
+def q_knn_graph(spark, sf_dir):
+    return sim.knn_graph(_emb(spark, sf_dir), k=3)
+
+
+@register(
+    "q_dedup_normalized",
+    dd.normalized_dedup_sql("documents"),
+    doc="normalization-hash dedup: lowercase, strip non-alnum, collapse "
+        "whitespace, then the same one-shuffle hash-groupBy as exact "
+        "dedup — the cheapest rung between exact and MinHash")
+def q_dedup_normalized(spark, sf_dir):
+    return dd.normalized_dedup_groups(_docs(spark, sf_dir))
+
+
+@register(
+    "q_boilerplate_ngrams",
+    dd.boilerplate_ngrams_sql("documents", min_df=4),
+    doc="boilerplate n-gram mining: 3-grams whose document frequency "
+        "crosses the threshold (nav bars / license headers recur "
+        "verbatim); distinct (doc,shingle) -> uniform-hash shuffle -> "
+        "tiny thresholded output fit for broadcast removal")
+def q_boilerplate_ngrams(spark, sf_dir):
+    return dd.boilerplate_ngrams(_docs(spark, sf_dir), min_df=4)
+
+
+@register(
+    "q_incremental_dedup",
+    dd.incremental_dedup_sql("documents", split_id=400),
+    doc="incremental dedup: NEW batch (doc_id>=400) LSH-banded against "
+        "the EXISTING corpus signatures (doc_id<400) — the continuous-"
+        "ingestion shape where the historical signature table persists "
+        "and only the small batch side broadcasts; never re-LSH the "
+        "corpus per batch")
+def q_incremental_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    corpus_sigs = dd.minhash_signatures_inline(
+        docs.filter(F.col("doc_id") < 400))
+    batch_sigs = dd.minhash_signatures_inline(
+        docs.filter(F.col("doc_id") >= 400))
+    return dd.incremental_dedup_pairs(corpus_sigs, batch_sigs)
+
+
+_CURATION_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+@register(
+    "q_training_set",
+    cu.prepare_training_set_sql("documents", rates=_CURATION_RATES,
+                                default_rate=0.5),
+    doc="the composed end-to-end curation pipeline (what actually ships "
+        "to a training run): quality gate -> exact dedup (keep min id) "
+        "-> benchmark decontamination (5-gram broadcast) -> "
+        "deterministic stratified mixture; each stage keeps its "
+        "individual scale shape, certified as ONE value-level oracle")
+def q_training_set(spark, sf_dir):
+    return cu.prepare_training_set(_docs(spark, sf_dir),
+                                   rates=_CURATION_RATES,
+                                   default_rate=0.5)

@@ -377,3 +377,86 @@ def test_bucket_cap_star_expansion_simhash(spark):
     # 4 bands emit the same star, distinct() collapses them
     assert len(got) == n - 1
     assert all(r.hamming == 0 and r.doc_a == 0 for r in got)
+
+
+def test_semantic_dedup_drops_near_identical_vectors(spark):
+    # 3 copies of one direction + 1 orthogonal vector: the two higher-id
+    # copies are semantic dups of vec 16 (ids < 16 are centroid seeds, so
+    # test vectors start above the seed range and land in its cells)
+    import math
+    # third axis: orthogonal to EVERY (cos i, sin i, 0, ...) seed vector
+    orth = [0.0, 0.0, 1.0] + [0.0] * 61
+    rows = ([(i, [1.0] + [0.0] * 63) for i in (16, 17, 18)]
+            + [(19, orth)]
+            + [(i, [math.cos(i), math.sin(i)] + [0.0] * 62) for i in range(16)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = {r.vec_id for r in
+            sim.semantic_dedup_keep(emb, threshold=0.99).collect()}
+    # 16/17/18 duplicate seed vector 0 ([cos 0, sin 0] == [1, 0, ...]):
+    # the min id of the duplicate group survives, every copy is dropped
+    assert 0 in kept
+    assert not {16, 17, 18} & kept
+    # the orthogonal vector has no above-threshold neighbor -> kept
+    assert 19 in kept
+
+
+def test_knn_graph_is_per_source_topk(spark):
+    import math
+    rows = [(i, [math.cos(i / 10.0), math.sin(i / 10.0)] + [0.0] * 62)
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = sim.knn_graph(emb, k=2).collect()
+    per_src = {}
+    for r in g:
+        per_src.setdefault(r.src, []).append(r)
+        assert r.src != r.dst
+    assert all(len(v) <= 2 for v in per_src.values())
+    assert all(sorted(r.rnk for r in v) == list(range(1, len(v) + 1))
+               for v in per_src.values())
+
+
+def test_normalized_dedup_collapses_case_and_punct(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO   world."),
+         (4, "goodbye world")],
+        "doc_id long, text string")
+    out = {r.keep_id: r.n_copies
+           for r in dd.normalized_dedup_groups(df).collect()}
+    assert out[1] == 3 and out[4] == 1
+
+
+def test_incremental_dedup_flags_batch_collisions(spark):
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "totally unrelated historical content here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),   # dup of corpus 1
+         (101, "fresh novel text never seen before")],
+        "doc_id long, text string")
+    pairs = dd.incremental_dedup_pairs(
+        dd.minhash_signatures_inline(corpus),
+        dd.minhash_signatures_inline(batch)).collect()
+    assert {(r.batch_id, r.corpus_id) for r in pairs} == {(100, 1)}
+
+
+def test_prepare_training_set_stages_compose(spark):
+    from etl_ender_turing_spark.operators import curation as cu
+    long_text = " ".join(f"tok{i % 37}" for i in range(60))
+    bench_text = " ".join(f"b{i}" for i in range(50))
+    leak = "b10 b11 b12 b13 b14"                        # 5-gram of bench
+    rows = ([(i, "srcA", long_text + f" uniq{i}") for i in range(20, 25)]
+            + [(25, "srcA", long_text + " " + leak)]    # contaminated
+            + [(30, "srcA", long_text + " uniq20")      # exact dup of 20
+               ] + [(5, "srcB", bench_text)]            # benchmark doc
+            + [(31, "srcB", "short text")])             # fails quality gate
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = cu.prepare_training_set(
+        docs, rates={"srcA": 1.0, "srcB": 1.0}, default_rate=1.0,
+        benchmark_max_id=20, min_tokens=40, min_ttr=0.2)
+    kept = {r.doc_id for r in out.collect()}
+    assert 30 not in kept          # deduped (copy of 20)
+    assert 31 not in kept          # quality-gated
+    assert 25 not in kept          # shares a 5-gram with the benchmark
+    assert 5 not in kept           # benchmark docs aren't corpus rows
+    assert 20 in kept and 21 in kept
