@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "q_text_quality",
     "q_repetition_signals",
     "q_decontaminate",
+    # round-3 additions: embedding self-joins + the composed curation chain
+    "q_semdedup_keep",
+    "q_knn_graph",
+    "q_incremental_dedup",
+    "q_training_set",
 ]
 
 

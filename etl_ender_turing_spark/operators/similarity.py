@@ -182,10 +182,13 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
               .crossJoin(F.broadcast(cents))
               .select(id_col, "cid",
                       F.round(cosine("v", "cv"), 6).alias("sim")))
-    w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(), F.col("cid"))
-    return (scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, F.col("cid").alias("cell")))
+    # argmax via max_by over (sim, -cid): ties break to the SMALLEST cid,
+    # matching the oracle's ROW_NUMBER(ORDER BY sim DESC, cid). A
+    # partial+final aggregation (map-side combine over the k candidate
+    # rows per id) — cheaper than the window form, which shuffles all
+    # k·n scored rows then sorts each id group.
+    return (scored.groupBy(id_col)
+            .agg(F.expr("max_by(cid, struct(sim, -cid))").alias("cell")))
 
 
 def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
