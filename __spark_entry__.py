@@ -43,6 +43,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # new this round
     "q_semdedup_keep", "q_knn_graph", "q_dedup_normalized",
     "q_boilerplate_ngrams", "q_incremental_dedup", "q_training_set",
+    "q_quality_gate_percentile", "q_corpus_stats",
 )
 
 

@@ -167,3 +167,66 @@ def token_budget_head_sql(table: str, budget: int, quality_col: str,
       FROM {table}
     ) WHERE cum_tokens <= {budget}
     """
+
+
+def quality_percentile_gate(df: DataFrame, score_col: str,
+                            strata_col: str, p: float = 0.5) -> DataFrame:
+    """Keep rows at or above their STRATUM's p-th score percentile —
+    distribution-aware filtering (an absolute threshold tuned on one
+    source over- or under-filters every other source).
+
+    Scale shape: the per-stratum percentile aggregate is stratum-count
+    sized (tiny) and broadcast back for a narrow filter — never a window
+    over the full data per stratum. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` (t-digest, partial+final) with no change to
+    the dataflow; exact interpolation is kept here because the oracle
+    compares values bit-for-bit.
+    """
+    cuts = (df.groupBy(strata_col)
+            .agg(F.round(F.expr(f"percentile({score_col}, {p})"), 6)
+                 .alias("_cut")))
+    return (df.join(F.broadcast(cuts), strata_col)
+            .filter(F.col(score_col) >= F.col("_cut"))
+            .drop("_cut"))
+
+
+def quality_percentile_gate_sql(table: str, score_col: str,
+                                strata_col: str, p: float = 0.5) -> str:
+    return f"""
+    WITH cuts AS (
+      SELECT {strata_col},
+             ROUND(quantile_cont({score_col}, {p}), 6) AS _cut
+      FROM {table} GROUP BY {strata_col}
+    )
+    SELECT t.* FROM {table} t JOIN cuts USING ({strata_col})
+    WHERE {score_col} >= _cut
+    """
+
+
+def corpus_mixture_stats(df: DataFrame, token_col: str,
+                         strata_col: str) -> DataFrame:
+    """Per-stratum corpus composition: doc count, exact token sum, and
+    token SHARE of the whole corpus — the numbers a mixture design is
+    written against.
+
+    One partial+final aggregation over the data; the share denominator is
+    a window over the stratum-count-sized aggregate (never the data)."""
+    agg = (df.groupBy(strata_col)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(token_col).cast("long").alias("n_tokens")))
+    total = Window.partitionBy()
+    return agg.select(
+        strata_col, "n_docs", "n_tokens",
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+        .alias("token_share"))
+
+
+def corpus_mixture_stats_sql(table: str, token_col: str,
+                             strata_col: str) -> str:
+    return f"""
+    SELECT {strata_col}, COUNT(*) AS n_docs,
+           CAST(SUM({token_col}) AS BIGINT) AS n_tokens,
+           ROUND(SUM({token_col}) / SUM(SUM({token_col})) OVER (), 6)
+             AS token_share
+    FROM {table} GROUP BY {strata_col}
+    """

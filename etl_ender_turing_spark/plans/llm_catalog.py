@@ -566,3 +566,25 @@ def q_training_set(spark, sf_dir):
     return cu.prepare_training_set(_docs(spark, sf_dir),
                                    rates=_CURATION_RATES,
                                    default_rate=0.5)
+
+
+@register(
+    "q_quality_gate_percentile",
+    sp.quality_percentile_gate_sql("documents", "n_chars", "source", p=0.5),
+    doc="distribution-aware quality gate: keep docs at/above their "
+        "SOURCE's median score — per-stratum percentile aggregate "
+        "(tiny, broadcast back), never a per-stratum window over the "
+        "data; approx_percentile swaps in at 100 TB unchanged")
+def q_quality_gate_percentile(spark, sf_dir):
+    return sp.quality_percentile_gate(_docs(spark, sf_dir), "n_chars",
+                                      "source", p=0.5)
+
+
+@register(
+    "q_corpus_stats",
+    sp.corpus_mixture_stats_sql("documents", "n_chars", "source"),
+    doc="corpus composition stats per source: doc count, exact token sum, "
+        "token share — the input numbers of a mixture design; one "
+        "partial+final agg, share via window over the tiny aggregate")
+def q_corpus_stats(spark, sf_dir):
+    return sp.corpus_mixture_stats(_docs(spark, sf_dir), "n_chars", "source")

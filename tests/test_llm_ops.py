@@ -460,3 +460,28 @@ def test_prepare_training_set_stages_compose(spark):
     assert 25 not in kept          # shares a 5-gram with the benchmark
     assert 5 not in kept           # benchmark docs aren't corpus rows
     assert 20 in kept and 21 in kept
+
+
+def test_quality_percentile_gate_is_per_stratum(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    # srcA scores 1..4 (median 2.5), srcB scores 100..103 (median 101.5):
+    # an absolute threshold can't pass both; the per-stratum gate keeps
+    # the top half of EACH source
+    rows = ([(i, "srcA", i) for i in range(1, 5)]
+            + [(10 + i, "srcB", 100 + i) for i in range(4)])
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    kept = {r.doc_id for r in
+            sp.quality_percentile_gate(df, "score", "source").collect()}
+    assert kept == {3, 4, 12, 13}
+
+
+def test_corpus_mixture_stats_shares_sum_to_one(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    df = spark.createDataFrame(
+        [(1, "a", 30), (2, "a", 30), (3, "b", 40)],
+        "doc_id long, source string, n_tok long")
+    out = {r.source: r for r in
+           sp.corpus_mixture_stats(df, "n_tok", "source").collect()}
+    assert out["a"].n_docs == 2 and out["a"].n_tokens == 60
+    assert abs(out["a"].token_share - 0.6) < 1e-9
+    assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-6

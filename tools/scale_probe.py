@@ -60,6 +60,15 @@ def main() -> None:
         "decontaminate": lambda d, e: dd.contaminated_docs(
             d.filter(F.col("doc_id") % 10_000_000 >= 20),
             d.filter(F.col("doc_id") % 10_000_000 < 20), n=5).count(),
+        # round-3 ops: replication is the worst case for all three (every
+        # copy is an exact semantic/content dup of its source row)
+        "semdedup": lambda d, e: sim.semantic_dedup_keep(e).count(),
+        "knn_graph": lambda d, e: sim.knn_graph(e, k=3).count(),
+        "incr_dedup": lambda d, e: dd.incremental_dedup_pairs(
+            dd.minhash_signatures_inline(
+                d.filter(F.col("doc_id") % 10_000_000 < 400)),
+            dd.minhash_signatures_inline(
+                d.filter(F.col("doc_id") % 10_000_000 >= 400))).count(),
     }
 
     print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
