@@ -526,6 +526,9 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
     within-cell join is the only quadratic piece, bounded by cell size —
     exactly how the paper shards the problem (k scales with corpus size).
     """
+    # cell ids stay a SKINNY (id, cell) frame and re-join the vectors:
+    # measured faster than carrying the 64-dim arrays through the argmax
+    # shuffle (AQE broadcasts the skinny side of the re-join)
     cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
     v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
          .join(cells, id_col))
