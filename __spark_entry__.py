@@ -44,6 +44,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_semdedup_keep", "q_knn_graph", "q_dedup_normalized",
     "q_boilerplate_ngrams", "q_incremental_dedup", "q_training_set",
     "q_quality_gate_percentile", "q_corpus_stats",
+    "q_stream_session_windows", "q_stream_quality_gate",
 )
 
 

@@ -832,3 +832,40 @@ def q_explode_part_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token")
             .agg(F.count(F.lit(1)).alias("n_parts"))
             .filter(F.col("n_parts") >= 20))
+
+
+@register(
+    "q_stream_session_windows",
+    """
+    WITH lagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM lagged
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+    doc="Structured Streaming session_window run to completion (complete "
+        "output, availableNow): every gap-merged session value-matches the "
+        "islands-and-gaps SQL (new session iff the inter-event gap is >= "
+        "the 30-minute timeout; window end = last event + gap) — the "
+        "stateful-session operator certified against a batch oracle "
+        "(SURVEY §2.9)")
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_sessionized_counts_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_sess_ckpt_")
+    return run_sessionized_counts_batch(
+        spark, sf_dir, ckpt, glob_filter="events.parquet")

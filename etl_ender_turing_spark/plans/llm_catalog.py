@@ -588,3 +588,33 @@ def q_quality_gate_percentile(spark, sf_dir):
         "partial+final agg, share via window over the tiny aggregate")
 def q_corpus_stats(spark, sf_dir):
     return sp.corpus_mixture_stats(_docs(spark, sf_dir), "n_chars", "source")
+
+
+_QG = ts.quality_sql_columns("text")
+_QG_PII = ts.pii_sql_columns("text")
+
+
+@register(
+    "q_stream_quality_gate",
+    rf"""
+    SELECT doc_id, source,
+           {_QG['n_tokens']} AS n_tokens,
+           {_QG['stopword_ratio']} AS stopword_ratio,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+             AS fingerprint,
+           {_QG_PII['redacted']} AS clean_text
+    FROM documents
+    WHERE {_QG['n_tokens']} >= 40
+    """,
+    doc="streaming ingest-time quality gate run to completion "
+        "(availableNow): token-floor filter + stopword ratio + content "
+        "fingerprint + PII redaction on a document STREAM, value-matched "
+        "against the batch SQL — stateless projections make the streaming "
+        "plan the batch plan verbatim (SURVEY §2.9 + LLM quality ladder)")
+def q_stream_quality_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_quality_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_qg_ckpt_")
+    return run_quality_gate_batch(spark, sf_dir, ckpt, min_tokens=40,
+                                  glob_filter="documents.parquet")

@@ -228,3 +228,42 @@ def run_quality_gate_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("quality_gate_result")
+
+
+def run_sessionized_counts_batch(spark: SparkSession, source_dir: str,
+                                 checkpoint_dir: str,
+                                 gap: str = "30 minutes",
+                                 glob_filter: str | None = None) -> DataFrame:
+    """Drive a ``session_window`` stream to completion (availableNow,
+    complete output — no watermark cutoff, so EVERY session emits) and
+    return the materialized sessions for value-level oracle comparison.
+
+    Same observed-schema timestamp probing as
+    :func:`run_windowed_counts_batch` (FIXTURES.md ts contract).
+    """
+    probe = spark.read
+    if glob_filter is not None:
+        probe = probe.option("pathGlobFilter", glob_filter)
+    ts_type = probe.parquet(source_dir).schema["ts"].dataType
+    reader = spark.readStream.schema(_events_schema_with_ts(ts_type))
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    events = reader.parquet(source_dir)
+    if isinstance(ts_type, T.LongType):
+        events = events.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif not isinstance(ts_type, T.TimestampType):
+        events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    sessions = (events
+                .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"))
+                .select(F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "user_id", "n_events"))
+    q = (sessions.writeStream
+         .format("memory").queryName("session_counts_result")
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("session_counts_result")
