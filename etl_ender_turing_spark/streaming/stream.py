@@ -100,6 +100,9 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
     TIMESTAMP_NTZ). Probe the batch-read schema and branch on what is
     actually there — never pin an assumption (FIXTURES.md ts contract).
     """
+    # same compatibility fallback as readers.read_table: a NANOS file is
+    # unreadable without this conf; harmless for micros/NTZ files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read
     if glob_filter is not None:
         probe = probe.option("pathGlobFilter", glob_filter)
@@ -241,6 +244,9 @@ def run_sessionized_counts_batch(spark: SparkSession, source_dir: str,
     Same observed-schema timestamp probing as
     :func:`run_windowed_counts_batch` (FIXTURES.md ts contract).
     """
+    # same compatibility fallback as readers.read_table: a NANOS file is
+    # unreadable without this conf; harmless for micros/NTZ files
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe = spark.read
     if glob_filter is not None:
         probe = probe.option("pathGlobFilter", glob_filter)
