@@ -45,6 +45,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_boilerplate_ngrams", "q_incremental_dedup", "q_training_set",
     "q_quality_gate_percentile", "q_corpus_stats",
     "q_stream_session_windows", "q_stream_quality_gate",
+    "q_range_join_attribution", "q_value_histogram", "q_data_profile",
 )
 
 

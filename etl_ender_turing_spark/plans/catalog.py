@@ -869,3 +869,82 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix="q_stream_sess_ckpt_")
     return run_sessionized_counts_batch(
         spark, sf_dir, ckpt, glob_filter="events.parquet")
+
+
+# =========================================================================
+# Range join / histogram / data profile (SURVEY §2.3, §2.5 extensions)
+# =========================================================================
+
+@register(
+    "q_range_join_attribution",
+    """
+    SELECT p.event_id, p.user_id,
+           COUNT(c.event_id) AS n_prior_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+    doc="range join (attribution): per purchase, clicks by the same user "
+        "in the trailing hour — equi-join on the user key carries the "
+        "shuffle, the time-range predicate evaluates post-join; at 100 TB "
+        "both sides are date-partitioned so the range restricts scanned "
+        "partitions (SURVEY §2.3 temporal-association extension)")
+def q_range_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("event_id", "user_id", "ts"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("c_id")))
+    joined = p.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("ts")), "left")
+    return (joined.groupBy("event_id", "user_id")
+            .agg(F.count("c_id").alias("n_prior_clicks")))
+
+
+@register(
+    "q_value_histogram",
+    f"""
+    SELECT CAST(FLOOR(value / 50) AS BIGINT) AS bucket,
+           COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    doc="fixed-width value histogram: bucket arithmetic is a narrow "
+        "projection, then one partial+final agg on ~range/width keys — "
+        "distribution profiling at any scale (SURVEY §2.5 extension)")
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 50).cast("long")
+                       .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 6).alias("sum_value")))
+
+
+@register(
+    "q_data_profile",
+    """
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(value) AS n_null_value,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    """,
+    doc="single-pass data-quality profile: row/null/distinct cardinalities "
+        "+ time bounds in ONE aggregation over the table — the audit query "
+        "every ingestion pipeline runs before trusting a batch")
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null_value"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
