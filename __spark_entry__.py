@@ -46,6 +46,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_quality_gate_percentile", "q_corpus_stats",
     "q_stream_session_windows", "q_stream_quality_gate",
     "q_range_join_attribution", "q_value_histogram", "q_data_profile",
+    "q_token_rarity", "q_embed_outliers",
 )
 
 

@@ -570,3 +570,62 @@ def semantic_dedup_sql(sf_table: str, threshold: float = 0.3,
     SELECT {id_col}, cell FROM cells
     WHERE {id_col} NOT IN (SELECT {id_col} FROM drop_ids)
     """
+
+
+def embed_outliers(emb: DataFrame, per_cell: int = 3,
+                   n_centroids: int = N_CENTROIDS,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """The ``per_cell`` vectors FARTHEST from their IVF cell centroid —
+    embedding-space outlier detection (mislabeled/garbage rows cluster
+    badly; curation drops or reviews them).
+
+    The ranking window is per cell (bounded), never global; the centroid
+    re-join is the same broadcast as assignment. Exact-rank selection
+    (row_number), not percentile interpolation, so the oracle matches
+    bit-for-bit.
+    """
+    cents = (emb.filter(F.col(id_col) < n_centroids)
+             .select(F.col(id_col).alias("cid"),
+                     as_double(vec_col).alias("cv")))
+    cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    scored = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+              .join(cells, id_col)
+              .join(F.broadcast(cents), F.col("cell") == F.col("cid"))
+              .select(id_col, "cell",
+                      F.round(cosine("v", "cv"), 6).alias("centroid_sim")))
+    w = Window.partitionBy("cell").orderBy(F.col("centroid_sim").asc(),
+                                           F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= per_cell))
+
+
+def embed_outliers_sql(sf_table: str, per_cell: int = 3,
+                       n_centroids: int = N_CENTROIDS,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {n_centroids}),
+    cells AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC, cid
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT v.{id_col}, cells.cell,
+             ROUND(list_cosine_similarity(v.v, c.cv), 6) AS centroid_sim
+      FROM v JOIN cells USING ({id_col}) JOIN c ON cells.cell = c.cid
+    )
+    SELECT {id_col}, cell, centroid_sim, rnk FROM (
+      SELECT {id_col}, cell, centroid_sim,
+             ROW_NUMBER() OVER (PARTITION BY cell
+                                ORDER BY centroid_sim ASC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {per_cell}
+    """

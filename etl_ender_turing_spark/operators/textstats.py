@@ -269,3 +269,45 @@ def pii_sql_columns(text_col: str = "text") -> dict[str, str]:
                      f"'{EMAIL_RE}', '<EMAIL>', 'g'), "
                      f"'{PHONE_RE}', '<PHONE>', 'g')"),
     }
+
+
+def token_rarity(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean CORPUS frequency of its tokens — the
+    rational-arithmetic cousin of an n-gram LM quality score (boilerplate
+    docs average high, unusual/garbled docs average low), kept free of
+    transcendental functions so Spark and the oracle agree bit-for-bit.
+
+    Two aggregations: corpus token counts (vocabulary-sized, uniform
+    hash keys), then an explode + broadcast-join of the tiny vocabulary
+    back onto the token stream and a per-doc exact-decimal mean.
+    """
+    from pyspark.sql import functions as F
+
+    tok = (df.select(F.col(id_col),
+                     F.explode(F.split(F.lower(F.col(text_col)), " "))
+                     .alias("token"))
+           .filter(F.col("token") != ""))
+    vocab = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    return (tok.join(F.broadcast(vocab), "token")
+            .groupBy(id_col)
+            .agg(F.expr(
+                "CAST(SUM(CAST(tf AS DECIMAL(28,6))) AS DOUBLE)"
+                " / COUNT(tf)").alias("mean_token_freq")))
+
+
+def token_rarity_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+    WITH tok AS (
+      SELECT {id_col}, unnest(string_split(lower({text_col}), ' ')) AS token
+      FROM {table}
+    ),
+    tok2 AS (SELECT * FROM tok WHERE token <> ''),
+    vocab AS (SELECT token, COUNT(*) AS tf FROM tok2 GROUP BY token)
+    SELECT {id_col},
+           CAST(SUM(CAST(tf AS DECIMAL(28,6))) AS DOUBLE) / COUNT(tf)
+             AS mean_token_freq
+    FROM tok2 JOIN vocab USING (token)
+    GROUP BY {id_col}
+    """

@@ -618,3 +618,23 @@ def q_stream_quality_gate(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="q_stream_qg_ckpt_")
     return run_quality_gate_batch(spark, sf_dir, ckpt, min_tokens=40,
                                   glob_filter="documents.parquet")
+
+
+@register(
+    "q_token_rarity",
+    ts.token_rarity_sql("documents"),
+    doc="per-doc mean corpus token frequency: the rational-arithmetic "
+        "LM-style quality signal (high = boilerplate, low = garbled/rare); "
+        "vocabulary-sized agg broadcast back onto the token stream")
+def q_token_rarity(spark, sf_dir):
+    return ts.token_rarity(_docs(spark, sf_dir))
+
+
+@register(
+    "q_embed_outliers",
+    sim.embed_outliers_sql("embeddings", per_cell=3),
+    doc="embedding-space outliers: the 3 vectors farthest from their IVF "
+        "cell centroid, per cell — exact-rank selection via a per-cell "
+        "(bounded) window, never a global sort or percentile interpolation")
+def q_embed_outliers(spark, sf_dir):
+    return sim.embed_outliers(_emb(spark, sf_dir), per_cell=3)

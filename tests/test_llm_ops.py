@@ -485,3 +485,29 @@ def test_corpus_mixture_stats_shares_sum_to_one(spark):
     assert out["a"].n_docs == 2 and out["a"].n_tokens == 60
     assert abs(out["a"].token_share - 0.6) < 1e-9
     assert abs(sum(r.token_share for r in out.values()) - 1.0) < 1e-6
+
+
+def test_token_rarity_orders_boilerplate_above_rare(spark):
+    df = spark.createDataFrame(
+        [(1, "common common common"),      # all tokens corpus-frequent
+         (2, "common rare1 rare2")],       # mixed
+        "doc_id long, text string")
+    out = {r.doc_id: r.mean_token_freq for r in ts.token_rarity(df).collect()}
+    # 'common' appears 4x corpus-wide; rare tokens once each
+    assert out[1] == 4.0
+    assert abs(out[2] - (4 + 1 + 1) / 3) < 1e-9
+
+
+def test_embed_outliers_flags_farthest_per_cell(spark):
+    import math
+    # seeds 0..15 define cells; vectors 20/21 near seed 0, 22 far off-axis
+    rows = ([(i, [math.cos(i), math.sin(i)] + [0.0] * 62) for i in range(16)]
+            + [(20, [1.0, 0.001] + [0.0] * 62),
+               (21, [1.0, 0.002] + [0.0] * 62),
+               (22, [0.5, 0.05, 0.86] + [0.0] * 61)])
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = sim.embed_outliers(emb, per_cell=1).collect()
+    by_cell = {r.cell: r for r in out}
+    # vector 22 has a large off-plane component -> lowest centroid_sim in
+    # its cell; it must be the rank-1 outlier wherever it landed
+    assert any(r.vec_id == 22 and r.rnk == 1 for r in out), by_cell
