@@ -33,20 +33,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST, so a cutoff lands on already-proven ones instead of leaving the
 # newest operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # never driver-certified (registered past round 2's cutoff)
+    # never driver-certified (registered past round 2's cutoff), cheapest
+    # first so a TIME-based cutoff also gets through them
     "q_sample_stratified", "q_data_mixture", "q_token_budget",
     "q_dedup_multi_signal", "q_embed_quantize", "q_pii_redact",
     "q_multimodal_features", "q_fingerprint", "q_chunk_documents",
     "q_pack_sequences", "q_tfidf_top_terms",
     # fixed this round (NTZ timestamp bug) — need re-certification
-    "q_event_lag_chain", "q_sessionize_events", "q_stream_hourly_counts",
-    # new this round
-    "q_semdedup_keep", "q_knn_graph", "q_dedup_normalized",
-    "q_boilerplate_ngrams", "q_incremental_dedup", "q_training_set",
-    "q_quality_gate_percentile", "q_corpus_stats",
-    "q_stream_session_windows", "q_stream_quality_gate",
-    "q_range_join_attribution", "q_value_histogram", "q_data_profile",
-    "q_token_rarity", "q_embed_outliers",
+    "q_event_lag_chain", "q_sessionize_events",
+    # new this round (cheap batch queries)
+    "q_dedup_normalized", "q_boilerplate_ngrams", "q_corpus_stats",
+    "q_quality_gate_percentile", "q_value_histogram", "q_data_profile",
+    "q_token_rarity", "q_range_join_attribution", "q_knn_graph",
+    "q_embed_outliers", "q_incremental_dedup", "q_training_set",
+    "q_semdedup_keep",
+    # streaming (run a full availableNow stream each — the slowest; keep
+    # them last inside the priority block)
+    "q_stream_hourly_counts", "q_stream_session_windows",
+    "q_stream_quality_gate",
 )
 
 
