@@ -192,3 +192,28 @@ def test_deterministic_sample_is_stable_subset(spark, fraction, n):
     half = {r.doc_id for r in sp.deterministic_sample(
         df, fraction / 2).collect()}
     assert half <= a
+
+
+@given(st.lists(st.sampled_from(["alpha beta gamma delta epsilon",
+                                 "alpha beta gamma delta zeta",
+                                 "one two three four five",
+                                 "six seven eight nine ten"]),
+                min_size=2, max_size=10))
+@settings(max_examples=8, deadline=None)
+def test_bucket_cap_preserves_candidate_connectivity(spark, texts):
+    """The max_bucket star expansion must yield the SAME connected
+    components over candidate pairs as the full quadratic expansion —
+    star edges keep every bucket member attached to the bucket's min id."""
+    from etl_ender_turing_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    sigs = dd.minhash_signatures_inline(docs)
+
+    def components(pairs_df):
+        cl = dd.duplicate_clusters(pairs_df)
+        return {(r.doc_id, r.cluster_id) for r in cl.collect()}
+
+    full = components(dd.minhash_band_pairs(sigs, max_bucket=10**9))
+    capped = components(dd.minhash_band_pairs(sigs, max_bucket=2))
+    assert full == capped

@@ -86,3 +86,13 @@ def test_read_table_handles_both_ts_encodings(spark, tmp_path):
             for r in df.select("event_id", "ts").collect())
     assert read["nanos"] == read["micros"]
     assert read["nanos"][0][1] == base
+
+
+def test_new_round3_queries_survive_vanilla_session(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    for name in ("q_training_set", "q_stream_session_windows",
+                 "q_embed_outliers"):
+        _simulate_vanilla(spark)
+        assert qs[name](spark, SF_SMOKE).count() >= 0, name
