@@ -629,3 +629,80 @@ def embed_outliers_sql(sf_table: str, per_cell: int = 3,
       FROM scored
     ) WHERE rnk <= {per_cell}
     """
+
+
+# --------------------------------------------------------------------------
+# Product quantization — the compressed-codebook storage path (IVF-PQ)
+# --------------------------------------------------------------------------
+
+N_SUBVECTORS = 8
+PQ_CODEBOOK = 16
+
+
+def pq_codes(emb: DataFrame, n_sub: int = N_SUBVECTORS,
+             n_codes: int = PQ_CODEBOOK, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization codes: split each vector into ``n_sub``
+    subvectors; each subvector stores only the id of its nearest codebook
+    entry (squared-L2, deterministic seed codebook = the first
+    ``n_codes`` vectors' subvectors). 64-dim float32 → 8 bytes: the
+    512 GB-of-raw-embeddings-per-TB-of-text problem becomes 8 GB.
+
+    Dataflow: melt to (id, sub, subvec) — a narrow explode — then a
+    broadcast join against the (n_sub × n_codes)-row codebook and a
+    min_by argmin per (id, sub); re-assemble codes with one groupBy on
+    id. Two shuffles total (argmin agg + reassembly), both on uniform
+    keys. Distances use raw double arithmetic (no sqrt), 6dp-rounded for
+    cross-engine comparison stability.
+    """
+    sub_expr = F.expr(
+        f"explode(transform(sequence(0, {n_sub - 1}),"
+        f" s -> struct(s AS sub, slice(v, s * size(v) div {n_sub} + 1,"
+        f" size(v) div {n_sub}) AS sv)))")
+    melted = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+              .select(id_col, sub_expr.alias("m"))
+              .select(id_col, "m.sub", "m.sv"))
+    book = (melted.filter(F.col(id_col) < n_codes)
+            .select(F.col(id_col).alias("code"), F.col("sub").alias("bsub"),
+                    F.col("sv").alias("bv")))
+    d2 = F.expr("aggregate(zip_with(sv, bv, (x, y) -> (x - y) * (x - y)),"
+                " CAST(0 AS DOUBLE), (acc, x) -> acc + x)")
+    assigned = (melted.join(F.broadcast(book), F.col("sub") == F.col("bsub"))
+                .select(id_col, "sub",
+                        F.round(d2, 6).alias("d2"), "code")
+                .groupBy(id_col, "sub")
+                .agg(F.expr("min_by(code, struct(d2, code))").alias("code")))
+    return (assigned.groupBy(id_col)
+            .agg(F.expr("transform(array_sort(collect_list(struct(sub, code))),"
+                        " p -> p.code)").alias("codes")))
+
+
+def pq_codes_sql(sf_table: str, n_sub: int = N_SUBVECTORS,
+                 n_codes: int = PQ_CODEBOOK, id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    melted AS (
+      SELECT {id_col}, s.sub,
+             v.v[s.sub * (len(v.v) // {n_sub}) + 1 :
+                 (s.sub + 1) * (len(v.v) // {n_sub})] AS sv
+      FROM v, (SELECT unnest(generate_series(0, {n_sub - 1})) AS sub) s
+    ),
+    book AS (
+      SELECT {id_col} AS code, sub AS bsub, sv AS bv
+      FROM melted WHERE {id_col} < {n_codes}
+    ),
+    assigned AS (
+      SELECT {id_col}, sub, code FROM (
+        SELECT m.{id_col}, m.sub, b.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY m.{id_col}, m.sub
+                 ORDER BY ROUND(list_sum(list_transform(
+                   list_zip(m.sv, b.bv), p -> (p[1] - p[2]) * (p[1] - p[2])
+                 )), 6) ASC, b.code ASC) AS rn
+        FROM melted m JOIN book b ON m.sub = b.bsub
+      ) WHERE rn = 1
+    )
+    SELECT {id_col}, list(code ORDER BY sub) AS codes
+    FROM assigned GROUP BY {id_col}
+    """

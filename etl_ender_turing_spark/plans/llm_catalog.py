@@ -638,3 +638,15 @@ def q_token_rarity(spark, sf_dir):
         "(bounded) window, never a global sort or percentile interpolation")
 def q_embed_outliers(spark, sf_dir):
     return sim.embed_outliers(_emb(spark, sf_dir), per_cell=3)
+
+
+@register(
+    "q_embed_pq_codes",
+    sim.pq_codes_sql("embeddings"),
+    doc="product quantization: 8 subvector codes per vector against a "
+        "deterministic 16-entry codebook (squared-L2 argmin) — 64-dim "
+        "float32 to 8 bytes, the IVF-PQ storage path; narrow melt + "
+        "broadcast codebook join + min_by argmin, uniform-key shuffles "
+        "only")
+def q_embed_pq_codes(spark, sf_dir):
+    return sim.pq_codes(_emb(spark, sf_dir))

@@ -511,3 +511,18 @@ def test_embed_outliers_flags_farthest_per_cell(spark):
     # vector 22 has a large off-plane component -> lowest centroid_sim in
     # its cell; it must be the rank-1 outlier wherever it landed
     assert any(r.vec_id == 22 and r.rnk == 1 for r in out), by_cell
+
+
+def test_pq_codes_identity_and_duplicates(spark):
+    import random
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(20)]
+    rows.append((30, list(rows[3][1])))       # exact copy of vector 3
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: list(r.codes) for r in sim.pq_codes(emb).collect()}
+    assert all(len(c) == 8 for c in out.values())
+    # codebook vectors quantize to themselves (distance 0, id tie-break)
+    for i in range(16):
+        assert out[i] == [i] * 8, (i, out[i])
+    # identical vectors get identical codes
+    assert out[30] == out[3]
