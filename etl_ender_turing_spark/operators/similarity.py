@@ -706,3 +706,92 @@ def pq_codes_sql(sf_table: str, n_sub: int = N_SUBVECTORS,
     SELECT {id_col}, list(code ORDER BY sub) AS codes
     FROM assigned GROUP BY {id_col}
     """
+
+
+def pq_topk(emb: DataFrame, query_id: int, k: int = 10,
+            n_sub: int = N_SUBVECTORS, n_codes: int = PQ_CODEBOOK,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Top-k served FROM the compressed PQ codes: reconstruct each vector
+    as the concatenation of its codebook entries, then exact cosine of
+    the (uncompressed) query against the reconstructions — the
+    asymmetric-distance serving path of IVF-PQ, where the corpus lives as
+    8-byte codes and only the codebook (n_sub × n_codes subvectors, KBs)
+    is broadcast.
+
+    Ranking error vs exact search is the quantization error — the
+    recall/storage trade the codes buy. Same TakeOrderedAndProject top-k
+    shape as :func:`brute_force_topk` (no global sort).
+    """
+    codes = pq_codes(emb, n_sub, n_codes, id_col, vec_col)
+    melted = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+              .select(id_col, F.expr(
+                  f"explode(transform(sequence(0, {n_sub - 1}),"
+                  f" s -> struct(s AS sub, slice(v, s * size(v) div {n_sub} + 1,"
+                  f" size(v) div {n_sub}) AS sv)))").alias("m"))
+              .select(id_col, "m.sub", "m.sv"))
+    book = (melted.filter(F.col(id_col) < n_codes)
+            .select(F.col(id_col).alias("code"), F.col("sub").alias("bsub"),
+                    F.col("sv").alias("bv")))
+    recon = (codes.select(F.col(id_col),
+                          F.posexplode("codes").alias("sub", "pcode"))
+             .join(F.broadcast(book),
+                   (F.col("sub") == F.col("bsub"))
+                   & (F.col("pcode") == F.col("code")))
+             .select(id_col, "sub", "bv")
+             .groupBy(id_col)
+             .agg(F.expr("flatten(transform(array_sort(collect_list("
+                         "struct(sub, bv))), p -> p.bv))").alias("rv")))
+    q = (emb.filter(F.col(id_col) == query_id)
+         .select(as_double(vec_col).alias("qv")))
+    scored = (recon.filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(id_col, F.round(cosine("rv", "qv"), 6).alias("cos_sim")))
+    order = [F.col("cos_sim").desc(), F.col(id_col)]
+    top = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def pq_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                n_sub: int = N_SUBVECTORS, n_codes: int = PQ_CODEBOOK,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    melted AS (
+      SELECT {id_col}, s.sub,
+             v.v[s.sub * (len(v.v) // {n_sub}) + 1 :
+                 (s.sub + 1) * (len(v.v) // {n_sub})] AS sv
+      FROM v, (SELECT unnest(generate_series(0, {n_sub - 1})) AS sub) s
+    ),
+    book AS (
+      SELECT {id_col} AS code, sub AS bsub, sv AS bv
+      FROM melted WHERE {id_col} < {n_codes}
+    ),
+    assigned AS (
+      SELECT {id_col}, sub, code FROM (
+        SELECT m.{id_col}, m.sub, b.code,
+               ROW_NUMBER() OVER (
+                 PARTITION BY m.{id_col}, m.sub
+                 ORDER BY ROUND(list_sum(list_transform(
+                   list_zip(m.sv, b.bv), p -> (p[1] - p[2]) * (p[1] - p[2])
+                 )), 6) ASC, b.code ASC) AS rn
+        FROM melted m JOIN book b ON m.sub = b.bsub
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT a.{id_col},
+             flatten(list(b.bv ORDER BY a.sub)) AS rv
+      FROM assigned a JOIN book b ON a.sub = b.bsub AND a.code = b.code
+      GROUP BY a.{id_col}
+    ),
+    q AS (SELECT v AS qv FROM v WHERE {id_col} = {query_id}),
+    scored AS (
+      SELECT {id_col}, ROUND(list_cosine_similarity(rv, qv), 6) AS cos_sim
+      FROM recon, q WHERE {id_col} <> {query_id}
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """

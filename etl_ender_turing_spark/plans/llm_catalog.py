@@ -650,3 +650,14 @@ def q_embed_outliers(spark, sf_dir):
         "only")
 def q_embed_pq_codes(spark, sf_dir):
     return sim.pq_codes(_emb(spark, sf_dir))
+
+
+@register(
+    "q_embed_pq_topk",
+    sim.pq_topk_sql("embeddings", query_id=0, k=10),
+    doc="top-k served FROM the 8-byte PQ codes: codebook reconstruction "
+        "(broadcast, KB-sized) + exact cosine against the uncompressed "
+        "query — the asymmetric-distance serving path; same "
+        "TakeOrderedAndProject top-k shape as the brute-force baseline")
+def q_embed_pq_topk(spark, sf_dir):
+    return sim.pq_topk(_emb(spark, sf_dir), query_id=0, k=10)

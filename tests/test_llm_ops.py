@@ -526,3 +526,13 @@ def test_pq_codes_identity_and_duplicates(spark):
         assert out[i] == [i] * 8, (i, out[i])
     # identical vectors get identical codes
     assert out[30] == out[3]
+
+
+def test_pq_topk_recall_vs_brute_force(spark):
+    from etl_ender_turing_spark.sources.readers import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {r.vec_id for r in sim.brute_force_topk(emb, query_id=0, k=10).collect()}
+    approx = sim.pq_topk(emb, query_id=0, k=10).collect()
+    assert len(approx) == 10
+    # quantized reconstruction: meaningful-but-partial overlap with exact
+    assert 1 <= len(exact & {r.vec_id for r in approx}) <= 10
