@@ -302,14 +302,20 @@ def neardup_pairs(emb: DataFrame, threshold: float = 0.3, n_planes: int = 8,
     (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
     """
     planes = hyperplane_weights(n_planes)
+    # per-row norms precomputed (bit-identical; each pair = one dot fold)
     b = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-         .select(id_col, "v", lsh_bucket("v", planes).alias("bucket")))
-    a = b.select("bucket", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    c = b.select("bucket", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+         .select(id_col, "v", norm("v").alias("nv"),
+                 lsh_bucket("v", planes).alias("bucket")))
+    a = b.select("bucket", F.col(id_col).alias("id_a"),
+                 F.col("v").alias("va"), F.col("nv").alias("na"))
+    c = b.select("bucket", F.col(id_col).alias("id_b"),
+                 F.col("v").alias("vb"), F.col("nv").alias("nb"))
     return (a.join(c, "bucket")
             .filter(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b",
-                    F.round(cosine("va", "vb"), 6).alias("cos_sim"))
+                    F.round(dot("va", "vb")
+                            / (F.col("na") * F.col("nb")), 6)
+                    .alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold))
 
 
@@ -476,14 +482,21 @@ def knn_graph(emb: DataFrame, k: int = 3, n_planes: int = 8,
     what this avoids; recall is the LSH trade, tunable via n_planes.
     """
     planes = hyperplane_weights(n_planes)
+    # norms precomputed ONCE per row (bit-identical to per-pair norm():
+    # the same double either way), so each pair costs one dot, not 3 folds
     b = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
-         .select(id_col, "v", lsh_bucket("v", planes).alias("bucket")))
-    a = b.select("bucket", F.col(id_col).alias("src"), F.col("v").alias("va"))
-    c = b.select("bucket", F.col(id_col).alias("dst"), F.col("v").alias("vb"))
+         .select(id_col, "v", norm("v").alias("nv"),
+                 lsh_bucket("v", planes).alias("bucket")))
+    a = b.select("bucket", F.col(id_col).alias("src"),
+                 F.col("v").alias("va"), F.col("nv").alias("na"))
+    c = b.select("bucket", F.col(id_col).alias("dst"),
+                 F.col("v").alias("vb"), F.col("nv").alias("nb"))
     scored = (a.join(c, "bucket")
               .filter(F.col("src") != F.col("dst"))
               .select("src", "dst",
-                      F.round(cosine("va", "vb"), 6).alias("cos_sim")))
+                      F.round(dot("va", "vb")
+                              / (F.col("na") * F.col("nb")), 6)
+                      .alias("cos_sim")))
     w = Window.partitionBy("src").orderBy(F.col("cos_sim").desc(),
                                           F.col("dst"))
     return (scored.withColumn("rnk", F.row_number().over(w))
@@ -531,12 +544,16 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
     # shuffle (AQE broadcasts the skinny side of the re-join)
     cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
     v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .select(id_col, "v", norm("v").alias("nv"))
          .join(cells, id_col))
-    a = v.select("cell", F.col(id_col).alias("id_a"), F.col("v").alias("va"))
-    b = v.select("cell", F.col(id_col).alias("id_b"), F.col("v").alias("vb"))
+    a = v.select("cell", F.col(id_col).alias("id_a"),
+                 F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = v.select("cell", F.col(id_col).alias("id_b"),
+                 F.col("v").alias("vb"), F.col("nv").alias("nb"))
     drop = (a.join(b, "cell")
             .filter(F.col("id_a") < F.col("id_b"))
-            .filter(F.round(cosine("va", "vb"), 6) >= threshold)
+            .filter(F.round(dot("va", "vb")
+                            / (F.col("na") * F.col("nb")), 6) >= threshold)
             .select(F.col("id_b").alias(id_col))
             .distinct())
     return (cells.join(drop, id_col, "left_anti")
