@@ -812,3 +812,71 @@ def pq_topk_sql(sf_table: str, query_id: int, k: int = 10,
       FROM scored
     ) WHERE rnk <= {k}
     """
+
+
+def _probe_masks(n_planes: int, radius: int = 2) -> list[int]:
+    """XOR masks for every bucket within Hamming distance ``radius`` of
+    the query bucket (multi-probe LSH, Lv et al. VLDB'07): 1 + 8 + 28 =
+    37 masks at radius 2 over 8 planes."""
+    masks = [0]
+    masks += [1 << i for i in range(n_planes)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    return masks
+
+
+def ann_multiprobe_topk(emb: DataFrame, query_id: int, k: int = 10,
+                        n_planes: int = 8, radius: int = 2,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Multi-probe LSH ANN: exact cosine over every bucket within
+    Hamming distance ``radius`` of the query's bucket — the standard
+    recall lever for hyperplane LSH (neighbors that fall just across one
+    or two hyperplanes land in adjacent buckets; single-bucket probing
+    misses them). Radius 2 probes 37 of 256 buckets (~14 % of the corpus
+    in expectation) instead of 1/256, trading a bounded scan increase
+    for a large recall gain (measured in tools/recall_probe.py).
+    """
+    b = lsh_buckets(emb, n_planes, id_col, vec_col)
+    qb = b.filter(F.col(id_col) == query_id).select("bucket")
+    masks = ", ".join(str(m) for m in _probe_masks(n_planes, radius))
+    probes = qb.select(F.explode(F.expr(
+        f"transform(array({masks}), m -> int(bucket) ^ m)")).alias("bucket"))
+    cands = (b.join(F.broadcast(probes), "bucket")
+             .filter(F.col(id_col) != query_id).select(id_col))
+    return brute_force_topk(
+        emb.join(cands.hint("broadcast"), id_col, "left_semi")
+           .unionByName(emb.filter(F.col(id_col) == query_id)),
+        query_id, k, id_col, vec_col)
+
+
+def ann_multiprobe_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                            n_planes: int = 8, radius: int = 2,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> str:
+    expr = _bucket_sql_expr("v", hyperplane_weights(n_planes))
+    masks = ", ".join(str(m) for m in _probe_masks(n_planes, radius))
+    return f"""
+    WITH b AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    bk AS (SELECT {id_col}, v, {expr} AS bucket FROM b),
+    qb AS (SELECT bucket FROM bk WHERE {id_col} = {query_id}),
+    probes AS (
+      SELECT DISTINCT xor(qb.bucket::BIGINT, m.m::BIGINT) AS bucket
+      FROM qb, (SELECT unnest([{masks}]) AS m) m
+    ),
+    q AS (SELECT v AS qv FROM bk WHERE {id_col} = {query_id}),
+    cand AS (
+      SELECT bk.{id_col}, bk.v FROM bk JOIN probes ON bk.bucket = probes.bucket
+      WHERE bk.{id_col} <> {query_id}
+    ),
+    scored AS (
+      SELECT {id_col}, ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim
+      FROM cand, q
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """

@@ -661,3 +661,14 @@ def q_embed_pq_codes(spark, sf_dir):
         "TakeOrderedAndProject top-k shape as the brute-force baseline")
 def q_embed_pq_topk(spark, sf_dir):
     return sim.pq_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@register(
+    "q_embed_ann_multiprobe",
+    sim.ann_multiprobe_topk_sql("embeddings", query_id=0, k=10),
+    doc="multi-probe LSH ANN (Lv et al. VLDB'07): exact cosine over the "
+        "37 buckets within Hamming radius 2 of the query bucket — the "
+        "recall lever of hyperplane LSH (~14% of corpus scanned vs 1/256 "
+        "single-bucket; recall measured in tools/recall_probe.py)")
+def q_embed_ann_multiprobe(spark, sf_dir):
+    return sim.ann_multiprobe_topk(_emb(spark, sf_dir), query_id=0, k=10)

@@ -536,3 +536,15 @@ def test_pq_topk_recall_vs_brute_force(spark):
     assert len(approx) == 10
     # quantized reconstruction: meaningful-but-partial overlap with exact
     assert 1 <= len(exact & {r.vec_id for r in approx}) <= 10
+
+
+def test_multiprobe_recall_at_least_single_bucket(spark):
+    from etl_ender_turing_spark.sources.readers import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {r.vec_id for r in sim.brute_force_topk(emb, 20, k=10).collect()}
+    single = {r.vec_id for r in sim.ann_bucketed_topk(emb, 20, k=10).collect()}
+    multi = {r.vec_id for r in sim.ann_multiprobe_topk(emb, 20, k=10).collect()}
+    # radius-2 probing is a strict superset of the query bucket, so its
+    # candidate set — and therefore recall — dominates single-bucket
+    assert len(exact & multi) >= len(exact & single)
+    assert len(multi) == 10 or len(multi) >= len(single)
