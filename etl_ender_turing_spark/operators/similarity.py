@@ -880,3 +880,50 @@ def ann_multiprobe_topk_sql(sf_table: str, query_id: int, k: int = 10,
       FROM scored
     ) WHERE rnk <= {k}
     """
+
+
+def kmeans_one_step(emb: DataFrame, k: int = N_CENTROIDS,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ONE Lloyd iteration, value-level certifiable: assign every vector
+    to its max-cosine seed centroid, then the element-wise mean per
+    (cell, dim) as rows — exactly the update step :func:`kmeans_fit`
+    loops, with the reduction made order-independent (exact decimal sum /
+    count) so the oracle hash-matches. The iterative trainer itself stays
+    rows-only (loops are not SQL-expressible); this query certifies its
+    per-round dataflow at value level.
+    """
+    cells = ivf_assignments(emb, k, id_col, vec_col)
+    v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .join(cells, id_col))
+    return (v.select("cell", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cell", "dim")
+            .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+                        " / COUNT(x)").alias("m")))
+
+
+def kmeans_one_step_sql(sf_table: str, k: int = N_CENTROIDS,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {k}),
+    cells AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6) DESC, cid
+               ) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    melted AS (
+      SELECT cells.cell, d.dim - 1 AS dim, v.v[d.dim] AS x
+      FROM v JOIN cells USING ({id_col}),
+           (SELECT unnest(generate_series(1, 64)) AS dim) d
+    )
+    SELECT cell, dim,
+           CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS m
+    FROM melted GROUP BY cell, dim
+    """

@@ -672,3 +672,14 @@ def q_embed_pq_topk(spark, sf_dir):
         "single-bucket; recall measured in tools/recall_probe.py)")
 def q_embed_ann_multiprobe(spark, sf_dir):
     return sim.ann_multiprobe_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+@register(
+    "q_kmeans_one_step",
+    sim.kmeans_one_step_sql("embeddings"),
+    doc="one Lloyd iteration at value level: seed-centroid assignment + "
+        "exact-decimal element-wise means per (cell, dim) — certifies the "
+        "per-round dataflow of the iterative kmeans_fit trainer (which "
+        "stays rows-only because loops are not SQL-expressible)")
+def q_kmeans_one_step(spark, sf_dir):
+    return sim.kmeans_one_step(_emb(spark, sf_dir))
