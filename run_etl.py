@@ -49,6 +49,11 @@ def parse_args(argv=None):
                    help="extra filter-DSL terms for the period sync")
     p.add_argument("--test-mode", action="store_true")
     p.add_argument("--test-mode-limit-sessions", type=int, default=200)
+    p.add_argument("--curate", default=None, metavar="SF_DIR",
+                   help="run the training-set curation pipeline (quality "
+                        "gate -> exact dedup -> decontamination -> "
+                        "stratified mixture) over SF_DIR/documents.parquet "
+                        "and write the kept set to --out as parquet")
     return p.parse_args(argv)
 
 
@@ -66,6 +71,18 @@ def main(argv=None) -> dict:
     stop = args.stop_dt or (FIXTURE_YESTERDAY if daily else start)
 
     spark = get_spark("run-etl")
+
+    if args.curate is not None:
+        from etl_ender_turing_spark.operators.curation import (
+            prepare_training_set,
+        )
+        from etl_ender_turing_spark.sources.readers import read_table
+
+        docs = read_table(spark, args.curate, "documents")
+        kept = prepare_training_set(docs, rates={}, default_rate=1.0)
+        kept.write.mode("overwrite").parquet(args.out)
+        return {"training_set": spark.read.parquet(args.out).count()}
+
     raw = raw_fixture_tables(spark)
     if args.test_mode:
         raw["sessions"] = raw["sessions"].limit(args.test_mode_limit_sessions)

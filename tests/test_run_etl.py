@@ -51,3 +51,15 @@ def test_test_mode_caps_sessions(spark, tmp_path):
                            "--stop-dt", "2024-06-03", "--out", wh,
                            "--test-mode", "--test-mode-limit-sessions", "50"])
     assert counts["sessions"] <= 50
+
+
+def test_curate_mode_writes_training_set(spark, tmp_path):
+    import run_etl
+
+    out = str(tmp_path / "train")
+    counts = run_etl.main(["--curate", "/root/testdata/sf0.001",
+                           "--out", out])
+    assert counts["training_set"] > 0
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "source", "n_tokens"}
+    assert got.filter("n_tokens < 40").count() == 0    # quality gate held
