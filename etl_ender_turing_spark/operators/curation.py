@@ -105,3 +105,26 @@ def prepare_training_set_sql(table: str = "documents",
     WHERE {sp.hash_unit_sql(id_col)} <
           (CASE {whens} ELSE {default_rate} END)
     """
+
+
+def write_training_shards(df: DataFrame, path: str, n_shards: int = 16,
+                          id_col: str = "doc_id") -> dict[int, int]:
+    """Export the curated set as ``n_shards`` deterministic shards — the
+    hand-off layout a pretraining loader consumes (shard = worker unit;
+    within-shard order is the loader's concern).
+
+    Shard assignment is md5(id) mod n_shards: stable under ANY cluster
+    size, partition layout, or re-run (no RNG, no
+    monotonically_increasing_id), so resumed/repeated exports place every
+    doc in the same shard — the property that makes incremental re-export
+    and on-disk dedup of shards possible. One shuffle (partitionBy write
+    with one dir per shard); returns per-shard row counts.
+    """
+    import pyspark.sql.functions as F
+
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards).alias("shard")
+    sharded = df.withColumn("shard", shard)
+    sharded.write.partitionBy("shard").mode("overwrite").parquet(path)
+    out = sharded.groupBy("shard").count().collect()
+    return {int(r["shard"]): r["count"] for r in out}

@@ -548,3 +548,18 @@ def test_multiprobe_recall_at_least_single_bucket(spark):
     # candidate set — and therefore recall — dominates single-bucket
     assert len(exact & multi) >= len(exact & single)
     assert len(multi) == 10 or len(multi) >= len(single)
+
+
+def test_training_shards_deterministic_and_complete(spark, tmp_path):
+    from etl_ender_turing_spark.operators.curation import write_training_shards
+    df = spark.createDataFrame([(i, f"doc {i}") for i in range(200)],
+                               "doc_id long, text string")
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    c1 = write_training_shards(df, p1, n_shards=8)
+    # different partitioning, same assignment (layout-independent hash)
+    c2 = write_training_shards(df.repartition(13), p2, n_shards=8)
+    assert c1 == c2 and sum(c1.values()) == 200
+    r1 = spark.read.parquet(p1)
+    assert r1.count() == 200
+    assert r1.select("doc_id").distinct().count() == 200
+    assert r1.select("shard").distinct().count() == 8
