@@ -948,3 +948,48 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_type").alias("n_event_types"),
         F.countDistinct("user_id").alias("n_users"),
         F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts"))
+
+
+@register(
+    "q_stats_moments",
+    f"""
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             {dsum_sql('l_quantity', 6)} AS sx,
+             {dsum_sql('l_extendedprice', 6)} AS sy,
+             {dsum_sql('l_quantity * l_quantity', 6)} AS sxx,
+             {dsum_sql('l_extendedprice * l_extendedprice', 6)} AS syy,
+             {dsum_sql('l_quantity * l_extendedprice', 6)} AS sxy
+      FROM lineitem
+    )
+    SELECT n,
+           ROUND(sx / n, 6) AS mean_qty,
+           ROUND(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+             AS corr_qty_price
+    FROM s
+    """,
+    doc="statistical aggregates made cross-engine exact: stddev and "
+        "correlation from EXACT decimal power sums (one partial+final "
+        "pass), then one deterministic double expression — engine-native "
+        "corr()/stddev() use order-dependent streaming algorithms that "
+        "can never hash-match across engines (SURVEY §2.5 extension)")
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", 6).alias("sx"),
+        dsum("l_extendedprice", 6).alias("sy"),
+        dsum("l_quantity * l_quantity", 6).alias("sxx"),
+        dsum("l_extendedprice * l_extendedprice", 6).alias("syy"),
+        dsum("l_quantity * l_extendedprice", 6).alias("sxy"))
+    return s.select(
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_qty"),
+        F.round(F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                       / (F.col("n") - 1)), 6).alias("stddev_qty"),
+        F.round((F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n"))
+                / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                         * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))),
+                6).alias("corr_qty_price"))
