@@ -230,3 +230,39 @@ def corpus_mixture_stats_sql(table: str, token_col: str,
              AS token_share
     FROM {table} GROUP BY {strata_col}
     """
+
+
+def group_token_budget(df: DataFrame, budget: int, quality_col: str,
+                       token_col: str, strata_col: str,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Best-documents-first selection up to a PER-STRATUM token budget —
+    the mixture-design primitive ("at most N tokens from each source,
+    picking the best first").
+
+    The cumulative-sum window partitions on the stratum, so each group
+    ranks independently and no global order exists anywhere — at scale
+    the window is bounded by stratum size; a pathologically huge stratum
+    falls back to the range-partitioned two-pass form of
+    :func:`token_budget_head` applied per stratum.
+    """
+    w = (Window.partitionBy(strata_col)
+         .orderBy(F.col(quality_col).desc(), F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (df.withColumn("cum_tokens",
+                          F.sum(token_col).over(w).cast("long"))
+            .filter(F.col("cum_tokens") <= budget))
+
+
+def group_token_budget_sql(table: str, budget: int, quality_col: str,
+                           token_col: str, strata_col: str,
+                           id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT * FROM (
+      SELECT *, CAST(SUM({token_col}) OVER (
+               PARTITION BY {strata_col}
+               ORDER BY {quality_col} DESC, {id_col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM {table}
+    ) WHERE cum_tokens <= {budget}
+    """

@@ -683,3 +683,18 @@ def q_embed_ann_multiprobe(spark, sf_dir):
         "stays rows-only because loops are not SQL-expressible)")
 def q_kmeans_one_step(spark, sf_dir):
     return sim.kmeans_one_step(_emb(spark, sf_dir))
+
+
+@register(
+    "q_group_token_budget",
+    sp.group_token_budget_sql("documents", budget=2000,
+                              quality_col="n_chars", token_col="n_chars",
+                              strata_col="source"),
+    doc="per-stratum token budget: best-first cumulative selection to at "
+        "most 2000 chars PER SOURCE — the window partitions on the "
+        "stratum, so no global order exists anywhere (mixture-design "
+        "primitive; per-group form of q_token_budget)")
+def q_group_token_budget(spark, sf_dir):
+    return sp.group_token_budget(_docs(spark, sf_dir), budget=2000,
+                                 quality_col="n_chars",
+                                 token_col="n_chars", strata_col="source")
