@@ -24,7 +24,7 @@ catalog query computes it on shingle-join candidates at test SF).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
 # tokenization + shingling (shared by minhash / simhash / jaccard)
@@ -702,3 +702,57 @@ def incremental_dedup_sql(table: str = "documents", split_id: int = 400,
     FROM melted c JOIN melted b ON c.band = b.band AND c.h = b.h
     WHERE c.{id_col} < {split_id} AND b.{id_col} >= {split_id}
     """
+
+
+# --------------------------------------------------------------------------
+# prefix-filtering similarity join (AllPairs/PPJoin family) — exact recall
+# --------------------------------------------------------------------------
+
+def prefix_filter_pairs(sh: DataFrame, threshold: float = 0.6,
+                        id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs by PREFIX FILTERING (Bayardo et al., WWW'07 /
+    PPJoin): order each doc's shingles by ascending global document
+    frequency; two docs with Jaccard >= t MUST share a shingle inside
+    each other's first |d| - ceil(t*|d|) + 1 rarest shingles — so
+    bucketing only the prefixes gives EXACT recall (unlike MinHash-LSH's
+    probabilistic recall) while the candidate stream shrinks to the
+    rare-shingle prefix instead of every shingle.
+
+    Dataflow: global shingle df (vocabulary-sized agg) joins back as the
+    ordering key; per-doc rank window is bounded by doc length; the pair
+    bucket key is a rare shingle, so buckets are small BY CONSTRUCTION
+    (a shingle frequent enough to make a big bucket is never in a
+    prefix). Verification is exact Jaccard on candidates.
+    """
+    import math
+
+    df_counts = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("_df"))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_sz"))
+    ranked = (sh.join(df_counts, "shingle")
+              .withColumn("_rk", F.row_number().over(
+                  Window.partitionBy(id_col)
+                  .orderBy(F.col("_df").asc(), F.col("shingle").asc())))
+              .join(sizes, id_col))
+    prefix = ranked.filter(
+        F.col("_rk") <= F.col("_sz")
+        - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+    a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
+    return (a.join(b, "shingle")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct())
+
+
+def prefix_filter_jaccard(docs: DataFrame, threshold: float = 0.6,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """The complete prefix-filtered similarity join: exact-recall
+    candidates -> exact Jaccard verify. Output is IDENTICAL to the
+    exhaustive :func:`jaccard_pairs` at the same threshold (recall 1 is
+    a theorem, not a tuning outcome), which is exactly what the shared
+    oracle certifies."""
+    sh = shingle_select(docs, text_col, id_col)
+    cands = prefix_filter_pairs(sh, threshold, id_col)
+    return jaccard_on_pairs(sh, cands, threshold=threshold, id_col=id_col)

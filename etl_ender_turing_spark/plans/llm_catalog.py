@@ -698,3 +698,16 @@ def q_group_token_budget(spark, sf_dir):
     return sp.group_token_budget(_docs(spark, sf_dir), budget=2000,
                                  quality_col="n_chars",
                                  token_col="n_chars", strata_col="source")
+
+
+@register(
+    "q_dedup_prefix_jaccard",
+    dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6),
+    doc="prefix-filtering similarity join (AllPairs/PPJoin, WWW'07): "
+        "rarest-shingle prefixes give EXACT-recall candidates (a theorem, "
+        "vs MinHash-LSH's probabilistic recall) and small buckets by "
+        "construction; certified against the SAME exhaustive-Jaccard "
+        "oracle as q_dedup_ngram_jaccard — different algorithm, "
+        "provably identical output")
+def q_dedup_prefix_jaccard(spark, sf_dir):
+    return dd.prefix_filter_jaccard(_docs(spark, sf_dir), threshold=0.6)

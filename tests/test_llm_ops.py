@@ -563,3 +563,14 @@ def test_training_shards_deterministic_and_complete(spark, tmp_path):
     assert r1.count() == 200
     assert r1.select("doc_id").distinct().count() == 200
     assert r1.select("shard").distinct().count() == 8
+
+
+def test_prefix_filter_equals_exhaustive_jaccard(docs, spark):
+    # exact recall is a theorem of prefix filtering: the output must be
+    # IDENTICAL to the exhaustive all-shingle-sharing-pairs join
+    sh = dd.shingle_select(docs)
+    full = {(r.doc_a, r.doc_b): r.jaccard
+            for r in dd.jaccard_pairs(sh, threshold=0.5).collect()}
+    pf = {(r.doc_a, r.doc_b): r.jaccard
+          for r in dd.prefix_filter_jaccard(docs, threshold=0.5).collect()}
+    assert full == pf and full          # non-empty and identical
