@@ -756,3 +756,60 @@ def prefix_filter_jaccard(docs: DataFrame, threshold: float = 0.6,
     sh = shingle_select(docs, text_col, id_col)
     cands = prefix_filter_pairs(sh, threshold, id_col)
     return jaccard_on_pairs(sh, cands, threshold=threshold, id_col=id_col)
+
+
+def incremental_dedup_verified(docs: DataFrame, split_id: int = 400,
+                               threshold: float = 0.6,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """The full continuous-ingestion dedup decision: LSH candidates from
+    :func:`incremental_dedup_pairs`, then exact Jaccard against the
+    matched corpus docs — output is (batch_id, corpus_id, jaccard) for
+    every NEW doc that actually duplicates the existing corpus (what the
+    ingestion job drops or links, not just what it inspects).
+
+    Shingles are computed only for candidate-matched docs on both sides
+    (semi-join pruning), so the verify cost scales with the candidate
+    count, not the corpus.
+    """
+    corpus = docs.filter(F.col(id_col) < split_id)
+    batch = docs.filter(F.col(id_col) >= split_id)
+    cands = incremental_dedup_pairs(
+        minhash_signatures_inline(corpus, text_col, id_col),
+        minhash_signatures_inline(batch, text_col, id_col),
+        id_col=id_col)
+    sh = shingle_select(docs, text_col, id_col)
+    pairs = cands.select(F.col("corpus_id").alias("doc_a"),
+                         F.col("batch_id").alias("doc_b"))
+    verified = jaccard_on_pairs(sh, pairs, threshold=threshold,
+                                id_col=id_col)
+    return verified.select(F.col("doc_b").alias("batch_id"),
+                           F.col("doc_a").alias("corpus_id"), "jaccard")
+
+
+def incremental_dedup_verified_sql(table: str = "documents",
+                                   split_id: int = 400,
+                                   threshold: float = 0.6,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id") -> str:
+    cand = incremental_dedup_sql(table, split_id, text_col=text_col,
+                                 id_col=id_col)
+    shingles = shingle_sql(table, text_col, id_col)
+    return f"""
+    WITH cand AS ({cand}),
+    shx AS ({shingles}),
+    sz AS (SELECT {id_col}, COUNT(*) AS n FROM shx GROUP BY {id_col}),
+    inter AS (
+      SELECT c.batch_id, c.corpus_id, COUNT(*) AS i
+      FROM cand c
+      JOIN shx a ON a.{id_col} = c.corpus_id
+      JOIN shx b ON b.{id_col} = c.batch_id AND a.shingle = b.shingle
+      GROUP BY c.batch_id, c.corpus_id
+    )
+    SELECT i.batch_id, i.corpus_id,
+           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+    FROM inter i
+    JOIN sz sa ON sa.{id_col} = i.corpus_id
+    JOIN sz sb ON sb.{id_col} = i.batch_id
+    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
+    """

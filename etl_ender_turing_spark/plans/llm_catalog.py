@@ -711,3 +711,16 @@ def q_group_token_budget(spark, sf_dir):
         "provably identical output")
 def q_dedup_prefix_jaccard(spark, sf_dir):
     return dd.prefix_filter_jaccard(_docs(spark, sf_dir), threshold=0.6)
+
+
+@register(
+    "q_incremental_dedup_verified",
+    dd.incremental_dedup_verified_sql("documents", split_id=400,
+                                      threshold=0.6),
+    doc="the full continuous-ingestion dedup decision: batch-vs-corpus "
+        "LSH candidates -> exact Jaccard verify -> (batch_id, corpus_id, "
+        "jaccard) for every NEW doc that actually duplicates the corpus "
+        "(what ingestion drops/links, not just inspects)")
+def q_incremental_dedup_verified(spark, sf_dir):
+    return dd.incremental_dedup_verified(_docs(spark, sf_dir),
+                                         split_id=400, threshold=0.6)
