@@ -29,28 +29,29 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver verifies queries in dict order and stops at a budget cutoff
-# (round 2: first 50 of 61). Surface queries with no green certification yet
-# FIRST, so a cutoff lands on already-proven ones instead of leaving the
-# newest operators as unverified claims.
+# (~50 queries). Surface queries with no green certification yet FIRST, so
+# a cutoff lands on already-proven ones instead of leaving the newest
+# operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # never driver-certified (registered past round 2's cutoff), cheapest
-    # first so a TIME-based cutoff also gets through them
-    "q_sample_stratified", "q_data_mixture", "q_token_budget",
-    "q_dedup_multi_signal", "q_embed_quantize", "q_pii_redact",
-    "q_multimodal_features", "q_fingerprint", "q_chunk_documents",
-    "q_pack_sequences", "q_tfidf_top_terms",
-    # fixed this round (NTZ timestamp bug) — need re-certification
-    "q_event_lag_chain", "q_sessionize_events",
-    # new this round (cheap batch queries)
-    "q_dedup_normalized", "q_boilerplate_ngrams", "q_corpus_stats",
-    "q_quality_gate_percentile", "q_value_histogram", "q_data_profile",
-    "q_token_rarity", "q_range_join_attribution", "q_knn_graph",
-    "q_embed_outliers", "q_incremental_dedup", "q_training_set",
-    "q_semdedup_keep",
-    # streaming (run a full availableNow stream each — the slowest; keep
-    # them last inside the priority block)
-    "q_stream_hourly_counts", "q_stream_session_windows",
-    "q_stream_quality_gate",
+    # never driver-certified (registered past earlier rounds' cutoffs, or
+    # ERR'd): these 9 lead round 4; cheapest first so a TIME-based cutoff
+    # also gets through them
+    "q_stats_moments", "q_group_token_budget", "q_kmeans_one_step",
+    "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ann_multiprobe",
+    "q_dedup_prefix_jaccard", "q_incremental_dedup_verified",
+    "q_embed_ivf_kmeans",
+    # driver-red in r3, fixed this round (BIGINT cast / array->csv), plus
+    # q_date_spine_orders whose output type changed (date -> timestamp)
+    "q_sessionize_events", "q_embed_quantize", "q_date_spine_orders",
+    # green in r2 but not re-run since (rotate proofs fresh)
+    "q_json_extract_props", "q_scalar_functions", "q_pivot_event_types",
+    "q_set_intersect_except", "q_count_pushdown", "q_explode_part_tokens",
+    "q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+    "q_dedup_simhash_pairs", "q_dedup_ngram_jaccard", "q_dedup_lsh_jaccard",
+    "q_dup_clusters", "q_dedup_keep_canonical", "q_dedup_embed_cosine",
+    "q_embed_cosine_topk", "q_embed_lsh_buckets", "q_embed_ivf_cells",
+    "q_embed_ivf_topk", "q_embed_ann_lsh_topk", "q_text_quality",
+    "q_lang_id", "q_token_count", "q_repetition_signals", "q_decontaminate",
 )
 
 

@@ -74,6 +74,10 @@ def prepare_training_set_sql(table: str = "documents",
     qs = quality_sql_columns(text_col)
     whens = " ".join(f"WHEN source = '{v}' THEN {r}"
                      for v, r in sorted((rates or {}).items()))
+    # empty rates: a WHEN-less CASE is invalid SQL; the Python twin
+    # (stratified_sample with rates={}) applies default_rate to every row
+    rate_expr = (f"(CASE {whens} ELSE {default_rate} END)" if whens
+                 else f"({default_rate})")
     bench_sh = dd.shingle_sql(
         f"(SELECT * FROM {table} WHERE {id_col} < {benchmark_max_id})",
         text_col, id_col, n=5)
@@ -102,8 +106,7 @@ def prepare_training_set_sql(table: str = "documents",
       WHERE {id_col} NOT IN (SELECT {id_col} FROM contaminated)
     )
     SELECT {id_col}, source, n_tokens FROM clean
-    WHERE {sp.hash_unit_sql(id_col)} <
-          (CASE {whens} ELSE {default_rate} END)
+    WHERE {sp.hash_unit_sql(id_col)} < {rate_expr}
     """
 
 

@@ -315,6 +315,18 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
     mega-groups at corpus scale) emit a linear star around the bucket's
     min id — in such buckets hamming(rep, member) is ~0, so the star edges
     survive the exact-distance filter and keep the cluster connected.
+
+    APPROXIMATION BOUNDARY: the star fallback preserves connectivity only
+    when an over-cap bucket holds near-identical signatures. If a >
+    ``max_bucket`` bucket arose from band collisions of genuinely
+    DISSIMILAR docs, star edges to the representative would be pruned by
+    the hamming filter while in-distance member-member pairs are never
+    generated — a recall loss. The certified catalog queries are exact
+    because every observed bucket at oracle SF is far below the default
+    cap (max 9 vs 1000, asserted by tests/test_dedup.py's bucket-size
+    check); at corpus scale, size ``max_bucket`` above the largest
+    plausible non-duplicate collision group, or treat the output as
+    approximate for over-cap buckets.
     """
     melted = sigs.select(
         F.col(id_col), F.col("simhash"),
@@ -734,9 +746,12 @@ def prefix_filter_pairs(sh: DataFrame, threshold: float = 0.6,
                   Window.partitionBy(id_col)
                   .orderBy(F.col("_df").asc(), F.col("shingle").asc())))
               .join(sizes, id_col))
+    # round to 6dp before ceil: for (t, sz) where t*sz is mathematically an
+    # integer, IEEE noise a hair above it would make ceil gain 1 and shrink
+    # the prefix by one element, voiding the exact-recall theorem
     prefix = ranked.filter(
         F.col("_rk") <= F.col("_sz")
-        - F.ceil(F.lit(threshold) * F.col("_sz")) + 1)
+        - F.ceil(F.round(F.lit(threshold) * F.col("_sz"), 6)) + 1)
     a = prefix.select(F.col(id_col).alias("doc_a"), "shingle")
     b = prefix.select(F.col(id_col).alias("doc_b"), "shingle")
     return (a.join(b, "shingle")
@@ -811,5 +826,5 @@ def incremental_dedup_verified_sql(table: str = "documents",
     FROM inter i
     JOIN sz sa ON sa.{id_col} = i.corpus_id
     JOIN sz sb ON sb.{id_col} = i.batch_id
-    WHERE i.i * 1.0 / (sa.n + sb.n - i.i) >= {threshold}
+    WHERE ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= {threshold}
     """

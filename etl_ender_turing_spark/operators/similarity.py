@@ -197,8 +197,11 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
     """Lloyd's k-means over the embedding column — the training loop real
     IVF runs before :func:`ivf_assignments` serves cells.
 
-    Iterative, so deliberately NOT oracle-SQL-expressible; proven by the
-    monotone-inertia + cluster-recovery tests. Per iteration:
+    Iterative, but every round is bit-reproducible cross-engine (6dp
+    argmax rounding, exact-decimal means, deterministic seeds), so a
+    FIXED iteration count is value-certifiable against
+    :func:`kmeans_ivf_sql`'s unrolled CTEs; the monotone-inertia +
+    cluster-recovery tests cover the open-ended form. Per iteration:
 
     1. assign: broadcast the k×d centroid set, per-vector argmax (cosine)
        — one narrow pass over the data, no shuffle of the vectors;
@@ -220,8 +223,13 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
     v = emb.select(F.col(id_col), as_double(vec_col).alias("v"))
     inertia: list[float] = []
     for _ in range(iters):
+        # 6dp-rounded sim for the argmax (cid tie-break) and exact-decimal
+        # means: every round is bit-reproducible cross-engine, so the
+        # FIXED-iteration trainer is value-certifiable by unrolled CTEs
+        # (kmeans_ivf_sql) despite "iterative" usually meaning rows-only
         scored = (v.crossJoin(F.broadcast(cents))
-                  .select(id_col, "cid", cosine("v", "cv").alias("sim"), "v"))
+                  .select(id_col, "cid",
+                          F.round(cosine("v", "cv"), 6).alias("sim"), "v"))
         w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
                                                F.col("cid"))
         assigned = (scored.withColumn("_rn", F.row_number().over(w))
@@ -230,7 +238,9 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
             F.avg(1 - F.col("sim")).alias("j")).first()["j"])
         # element-wise mean per cell: dims explode narrow, partial agg
         means = (assigned.select("cid", F.posexplode("v").alias("dim", "x"))
-                 .groupBy("cid", "dim").agg(F.avg("x").alias("m"))
+                 .groupBy("cid", "dim")
+                 .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+                             " / COUNT(x)").alias("m"))
                  .collect())                       # k*d rows — driver metadata
         prev = {r["cid"]: list(r["cv"]) for r in cents.collect()}
         by_cell: dict[int, list[float]] = {}
@@ -817,12 +827,14 @@ def pq_topk_sql(sf_table: str, query_id: int, k: int = 10,
 def _probe_masks(n_planes: int, radius: int = 2) -> list[int]:
     """XOR masks for every bucket within Hamming distance ``radius`` of
     the query bucket (multi-probe LSH, Lv et al. VLDB'07): 1 + 8 + 28 =
-    37 masks at radius 2 over 8 planes."""
-    masks = [0]
-    masks += [1 << i for i in range(n_planes)]
-    if radius >= 2:
-        masks += [(1 << i) | (1 << j)
-                  for i in range(n_planes) for j in range(i + 1, n_planes)]
+    37 masks at radius 2 over 8 planes. Supports arbitrary radius via
+    bit-combinations (sum of C(n_planes, r) for r <= radius masks)."""
+    import itertools
+
+    masks = []
+    for r in range(min(radius, n_planes) + 1):
+        for bits in itertools.combinations(range(n_planes), r):
+            masks.append(sum(1 << i for i in bits))
     return masks
 
 
@@ -926,4 +938,56 @@ def kmeans_one_step_sql(sf_table: str, k: int = N_CENTROIDS,
     SELECT cell, dim,
            CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(x) AS m
     FROM melted GROUP BY cell, dim
+    """
+
+
+def kmeans_ivf_sql(sf_table: str, k: int = N_CENTROIDS, iters: int = 3,
+                   dims: int = 64, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> str:
+    """Lloyd's unrolled as ``iters`` nested CTE rounds, then the final
+    cell assignment — the value-level oracle for :func:`kmeans_fit` +
+    :func:`ivf_assignments`. Deterministic seeds (first k vectors),
+    exact-decimal means, and 6dp-rounded cosine argmax make each round
+    bit-reproducible, so the "iterative" trainer is fully certifiable for
+    a fixed iteration count. Empty cells keep their previous centroid
+    (COALESCE), mirroring the trainer's Lloyd fallback."""
+    ctes = [
+        f"v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table})",
+        f"c0 AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {k})",
+    ]
+    for i in range(iters):
+        prev, nxt = f"c{i}", f"c{i + 1}"
+        ctes.append(f"""a{i + 1} AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, {prev}.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, {prev}.cv), 6)
+                          DESC, cid) AS rn
+        FROM v CROSS JOIN {prev}
+      ) WHERE rn = 1
+    )""")
+        ctes.append(f"""{nxt} AS (
+      SELECT c.cid, COALESCE(mm.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN (
+        SELECT cell AS cid, list(m ORDER BY dim) AS cv FROM (
+          SELECT a.cell, d.dim,
+                 CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
+                 / COUNT(v.v[d.dim]) AS m
+          FROM v JOIN a{i + 1} a USING ({id_col}),
+               (SELECT unnest(generate_series(1, {dims})) AS dim) d
+          GROUP BY a.cell, d.dim
+        ) GROUP BY cell
+      ) mm USING (cid)
+    )""")
+    final = f"c{iters}"
+    return "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT {id_col}, cell FROM (
+      SELECT v.{id_col}, {final}.cid AS cell,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.{id_col}
+               ORDER BY ROUND(list_cosine_similarity(v.v, {final}.cv), 6)
+                        DESC, {final}.cid) AS rn
+      FROM v CROSS JOIN {final}
+    ) WHERE rn = 1
     """

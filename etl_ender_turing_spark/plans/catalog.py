@@ -377,8 +377,8 @@ def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sessionize_events",
     """
     SELECT user_id,
-           MAX(sess_id) AS n_sessions,
-           COUNT(*) AS n_events
+           CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
     FROM (
       SELECT user_id,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -589,7 +589,7 @@ def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_date_spine_orders",
     """
-    SELECT spine.d AS order_day, COALESCE(o.n, 0) AS n_orders
+    SELECT spine.d::TIMESTAMP AS order_day, COALESCE(o.n, 0) AS n_orders
     FROM (SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-03-31',
                                         INTERVAL 1 DAY))::DATE AS d) spine
     LEFT JOIN (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n
@@ -610,8 +610,11 @@ def q_date_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                        & (F.col("o_orderdate") <= "1996-03-31"))
               .groupBy(F.col("o_orderdate").cast("date").alias("order_day"))
               .agg(F.count(F.lit(1)).alias("n")))
+    # timestamp (not date) output: pandas maps Spark DATE to object cells
+    # while DuckDB DATE becomes datetime64 — dtype-kind mismatch under the
+    # driver's pandas canonicalizer; TIMESTAMP is datetime64 on both sides
     return (spine.join(counts, "order_day", "left")
-            .select("order_day",
+            .select(F.col("order_day").cast("timestamp").alias("order_day"),
                     F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")))
 
 

@@ -183,13 +183,14 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 @register(
     "q_embed_ivf_kmeans",
-    None,  # Lloyd's is iterative — genuinely non-SQL-expressible; proven
-           # by monotone-inertia + planted-cluster-recovery tests, and the
-           # serving path it feeds (ivf_assignments) is value-oracled via
-           # q_embed_ivf_cells
+    # the loop is unrolled to 3 CTE rounds: deterministic seeds +
+    # exact-decimal means + 6dp argmax make each round bit-reproducible,
+    # so the iterative trainer is value-certified, not just rows-only
+    sim.kmeans_ivf_sql("embeddings", k=16, iters=3),
     doc="IVF with TRAINED centroids: 3 Lloyd iterations (broadcast assign "
         "+ partial-aggregated dim means, k*d rows to driver per round), "
-        "then the oracled cell-assignment dataflow")
+        "then the oracled cell-assignment dataflow; oracle = 3 unrolled "
+        "CTE rounds")
 def q_embed_ivf_kmeans(spark, sf_dir):
     cents, _ = sim.kmeans_fit(spark, _emb(spark, sf_dir), k=16, iters=3)
     return sim.ivf_assignments(_emb(spark, sf_dir), centroids=cents)
@@ -356,12 +357,17 @@ def q_dedup_multi_signal(spark, sf_dir):
 
 @register(
     "q_embed_quantize",
-    sim.quantize_int8_sql("embeddings"),
+    # qvec serialized to a comma-joined string: the driver's pandas
+    # canonicalizer sorts cell values and cannot hash list cells.
+    f"SELECT vec_id, scale, array_to_string(qvec, ',') AS qvec_csv "
+    f"FROM ({sim.quantize_int8_sql('embeddings')})",
     doc="symmetric per-vector int8 quantization (scale = max|x|/127, "
         "trunc toward zero — identical in both engines): the 4x embedding "
         "storage path; pure projection, no shuffle")
 def q_embed_quantize(spark, sf_dir):
-    return sim.quantize_int8(_emb(spark, sf_dir))
+    return (sim.quantize_int8(_emb(spark, sf_dir))
+            .select("vec_id", "scale",
+                    F.array_join("qvec", ",").alias("qvec_csv")))
 
 
 _PII_PLANT_SQL = (
@@ -642,14 +648,20 @@ def q_embed_outliers(spark, sf_dir):
 
 @register(
     "q_embed_pq_codes",
-    sim.pq_codes_sql("embeddings"),
+    # codes serialized to a comma-joined string: the driver's pandas
+    # canonicalizer cannot sort/hash list cells
+    f"SELECT vec_id, array_to_string(codes, ',') AS codes_csv "
+    f"FROM ({sim.pq_codes_sql('embeddings')})",
     doc="product quantization: 8 subvector codes per vector against a "
         "deterministic 16-entry codebook (squared-L2 argmin) — 64-dim "
         "float32 to 8 bytes, the IVF-PQ storage path; narrow melt + "
         "broadcast codebook join + min_by argmin, uniform-key shuffles "
         "only")
 def q_embed_pq_codes(spark, sf_dir):
-    return sim.pq_codes(_emb(spark, sf_dir))
+    return (sim.pq_codes(_emb(spark, sf_dir))
+            .select("vec_id", F.array_join(
+                F.expr("transform(codes, c -> CAST(c AS STRING))"),
+                ",").alias("codes_csv")))
 
 
 @register(

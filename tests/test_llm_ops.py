@@ -574,3 +574,30 @@ def test_prefix_filter_equals_exhaustive_jaccard(docs, spark):
     pf = {(r.doc_a, r.doc_b): r.jaccard
           for r in dd.prefix_filter_jaccard(docs, threshold=0.5).collect()}
     assert full == pf and full          # non-empty and identical
+
+
+def test_certification_sf_buckets_far_below_star_cap(spark):
+    """The star-fallback approximation (dedup.py max_bucket) never engages
+    at certification SF: every minhash band bucket and simhash band bucket
+    on the sf0.01 documents table is far below the default cap of 1000, so
+    the certified catalog queries are EXACT, not star-approximated."""
+    from etl_ender_turing_spark.sources.readers import read_table
+    docs01 = read_table(spark, "/root/testdata/sf0.01", "documents")
+
+    sigs = dd.minhash_signatures_inline(docs01)
+    stack = ", ".join(f"'{b}', concat(h{2 * b}, h{2 * b + 1})"
+                      for b in range(4))
+    mh_max = (sigs.select(F.expr(f"stack(4, {stack}) AS (band, h)"))
+              .groupBy("band", "h").count()
+              .agg(F.max("count")).first()[0])
+
+    sh = dd.simhash(docs01)
+    nib = F.explode(F.expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, "
+        "(simhash div CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib))"))
+    sim_max = (sh.select(nib.alias("bn"))
+               .groupBy("bn.band", "bn.nib").count()
+               .agg(F.max("count")).first()[0])
+
+    assert mh_max < 100, f"minhash bucket {mh_max} approaching star cap"
+    assert sim_max < 100, f"simhash bucket {sim_max} approaching star cap"

@@ -155,3 +155,44 @@ def test_keep_canonical_drop_set_not_force_broadcast(spark):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         else:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_driver_canon_contract(spark):
+    """Every oracled query must survive the driver's pandas canonicalizer:
+    (1) Spark output schema has no bare array/map/struct columns (pandas
+    cannot sort/hash list cells — r3's q_embed_quantize ERR), and
+    (2) the DuckDB oracle's column types contain no HUGEINT (int128 from
+    an unwrapped window SUM hashes differently than Spark's BIGINT —
+    r3's q_sessionize_events hash FAIL) and no list types.
+    """
+    import duckdb
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from etl_ender_turing_spark.sources.readers import TESTDATA_TABLES
+
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'/root/testdata/sf0.001/{t}.parquet'")
+    bad: list[str] = []
+    for name, spec in CATALOG.items():
+        if spec.oracle is None:
+            continue
+        schema = spec.builder(spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}: spark col '{f.name}' is "
+                           f"{f.dataType.simpleString()} (unhashable)")
+        try:
+            desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        except Exception as exc:  # noqa: BLE001
+            bad.append(f"{name}: oracle DESCRIBE failed: {exc}")
+            continue
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                bad.append(f"{name}: oracle col '{col}' is {typ} "
+                           f"(wrap in CAST(... AS BIGINT))")
+            if "[]" in typ or "LIST" in typ.upper() or "MAP" in typ.upper():
+                bad.append(f"{name}: oracle col '{col}' is {typ} "
+                           f"(serialize to string)")
+    assert not bad, "\n".join(bad)

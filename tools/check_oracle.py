@@ -27,6 +27,11 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.9g}"
+    try:
+        if v != v:  # pd.NaT (self-inequal, not a float)
+            return "NULL"
+    except Exception:
+        pass
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, bool):
@@ -38,6 +43,34 @@ def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = sorted(tuple(norm(r[i]) for i in order) for r in rows)
     return out
+
+
+# dtype "kind buckets" for the driver-canon check: the driver hashes pandas
+# frames, so an int64 column vs a float64 column (e.g. DuckDB HUGEINT from a
+# window SUM) hash-differ even when values are numerically equal.
+_KIND_BUCKET = {"i": "int", "u": "int", "f": "float", "M": "ts",
+                "m": "td", "b": "bool", "O": "obj", "S": "obj", "U": "obj"}
+
+
+def pandas_canon_problems(spdf, odf):
+    """Mimic the driver's pandas canonicalization failure modes:
+    (1) sort_values over all columns crashes on unhashable cells (lists),
+    (2) dtype-kind mismatches (int vs float) hash-differ despite equal values.
+    Returns a list of problem strings (empty = clean)."""
+    problems = []
+    for label, df in (("spark", spdf), ("oracle", odf)):
+        try:
+            df[sorted(df.columns)].sort_values(list(sorted(df.columns)))
+        except TypeError as e:
+            problems.append(f"driver-canon: {label} frame unsortable ({e})")
+    for col in sorted(set(spdf.columns) & set(odf.columns)):
+        sk = _KIND_BUCKET.get(spdf[col].dtype.kind, "?")
+        ok = _KIND_BUCKET.get(odf[col].dtype.kind, "?")
+        if sk != ok:
+            problems.append(
+                f"driver-canon: dtype kind mismatch on '{col}': "
+                f"spark={spdf[col].dtype} oracle={odf[col].dtype}")
+    return problems
 
 
 def main() -> int:
@@ -58,7 +91,8 @@ def main() -> int:
         try:
             sdf = spec.builder(spark, sf_dir)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = [tuple(r) for r in spdf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
@@ -67,14 +101,14 @@ def main() -> int:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            ores = con.execute(spec.oracle)
-            ocols = [d[0] for d in ores.description]
-            orows = ores.fetchall()
+            odf = con.execute(spec.oracle).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures += 1
             continue
-        problems = []
+        problems = pandas_canon_problems(spdf, odf)
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
