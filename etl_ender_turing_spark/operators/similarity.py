@@ -192,8 +192,8 @@ def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
 
 
 def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
-               id_col: str = "vec_id",
-               vec_col: str = "embedding") -> tuple[DataFrame, list[float]]:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               compute_inertia: bool = True) -> tuple[DataFrame, list[float]]:
     """Lloyd's k-means over the embedding column — the training loop real
     IVF runs before :func:`ivf_assignments` serves cells.
 
@@ -234,8 +234,9 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
                                                F.col("cid"))
         assigned = (scored.withColumn("_rn", F.row_number().over(w))
                     .filter(F.col("_rn") == 1))
-        inertia.append(assigned.select(
-            F.avg(1 - F.col("sim")).alias("j")).first()["j"])
+        if compute_inertia:   # one extra job per round — skippable when
+            inertia.append(assigned.select(   # only centroids are needed
+                F.avg(1 - F.col("sim")).alias("j")).first()["j"])
         # element-wise mean per cell: dims explode narrow, partial agg
         means = (assigned.select("cid", F.posexplode("v").alias("dim", "x"))
                  .groupBy("cid", "dim")

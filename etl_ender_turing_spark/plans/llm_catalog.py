@@ -192,7 +192,8 @@ def q_embed_ivf_topk(spark, sf_dir):
         "then the oracled cell-assignment dataflow; oracle = 3 unrolled "
         "CTE rounds")
 def q_embed_ivf_kmeans(spark, sf_dir):
-    cents, _ = sim.kmeans_fit(spark, _emb(spark, sf_dir), k=16, iters=3)
+    cents, _ = sim.kmeans_fit(spark, _emb(spark, sf_dir), k=16, iters=3,
+                              compute_inertia=False)
     return sim.ivf_assignments(_emb(spark, sf_dir), centroids=cents)
 
 

@@ -147,3 +147,72 @@ def read_sqlite(spark, db_path: str, table: str) -> DataFrame:
     if not rows:
         return spark.createDataFrame([], ", ".join(f"{c} string" for c in cols))
     return spark.createDataFrame(rows, cols)
+
+
+# ---------------------------------------------------------------------------
+# Second executed dialect: ANSI exists→UPDATE-else-INSERT on DuckDB
+# ---------------------------------------------------------------------------
+
+def ansi_upsert_sql(table: str, staging: str, columns: list[str],
+                    key: tuple[str, ...] | list[str]) -> tuple[str, ...]:
+    """The reference's MSSQL upsert (Load.py:120-162: per-row exists-check
+    → UPDATE else INSERT) as TWO set-based ANSI statements — no
+    dialect-specific ON CONFLICT, so the same pair runs on DuckDB, MSSQL,
+    and Postgres (``UPDATE … FROM`` + ``INSERT … WHERE NOT EXISTS``).
+    Update first, then insert: a staged row either matches an existing key
+    (updated in statement 1, excluded by NOT EXISTS in statement 2) or is
+    new (untouched by 1, inserted by 2)."""
+    collist = ", ".join(columns)
+    on = " AND ".join(f"{table}.{k} = s.{k}" for k in key)
+    on_t = " AND ".join(f"t.{k} = s.{k}" for k in key)
+    sets = ", ".join(f"{c} = s.{c}" for c in columns if c not in key)
+    ins = (f"INSERT INTO {table} ({collist}) SELECT {collist} "
+           f"FROM {staging} s WHERE NOT EXISTS "
+           f"(SELECT 1 FROM {table} t WHERE {on_t})")
+    if not sets:   # all columns are key columns — nothing to update
+        return (ins,)
+    return (f"UPDATE {table} SET {sets} FROM {staging} s WHERE {on}", ins)
+
+
+def upsert_duckdb(source: DataFrame, db_path: str, table: str,
+                  key: tuple[str, ...] | list[str],
+                  order_col: str | None = None) -> int:
+    """Executed upsert against DuckDB — the second SQL dialect for the
+    merge surface (sqlite runs the ON CONFLICT form; DuckDB runs the ANSI
+    exists→UPDATE-else-INSERT pair the reference uses on MSSQL).
+
+    Staging is an Arrow-registered view (zero-copy into DuckDB); the
+    merge is the two set-based statements from :func:`ansi_upsert_sql` in
+    ONE transaction. Same semantics as :func:`upsert_sqlite`: intra-batch
+    last-write-wins dedup, idempotent on replay. Returns staged rows.
+    """
+    import duckdb
+
+    src = dedup_latest(source, key, order_col)
+    cols = src.columns
+    pdf = src.toPandas()   # driver-local store — same transport note as sqlite
+    con = duckdb.connect(db_path)
+    try:
+        ddl_cols = ", ".join(
+            f"{f.name} {_DUCKDB_TYPES.get(type(f.dataType), 'VARCHAR')}"
+            for f in src.schema.fields)
+        con.execute(f"CREATE TABLE IF NOT EXISTS {table} ({ddl_cols}, "
+                    f"UNIQUE ({', '.join(key)}))")
+        con.register("_staging_df", pdf)
+        con.execute("BEGIN")
+        for stmt in ansi_upsert_sql(table, "_staging_df", cols, key):
+            con.execute(stmt)
+        con.execute("COMMIT")
+        con.unregister("_staging_df")
+    finally:
+        con.close()
+    return len(pdf)
+
+
+_DUCKDB_TYPES = {
+    T.LongType: "BIGINT", T.IntegerType: "INTEGER", T.ShortType: "SMALLINT",
+    T.ByteType: "TINYINT", T.BooleanType: "BOOLEAN",
+    T.DoubleType: "DOUBLE", T.FloatType: "FLOAT",
+    T.StringType: "VARCHAR", T.TimestampType: "TIMESTAMP",
+    T.DateType: "DATE", T.BinaryType: "BLOB",
+}

@@ -124,3 +124,55 @@ def test_delta_merge_into_executes_when_available(tmp_path):
     spark.sql(merge_sql("delta.`" + path + "`", ("id",), ("v",)))
     got = {(r.id, r.v) for r in spark.read.format("delta").load(path).collect()}
     assert got == {(1, "a"), (2, "B"), (3, "c")}
+
+
+def _read_duckdb(db_path, table):
+    import duckdb
+
+    con = duckdb.connect(db_path)
+    try:
+        return {tuple(r) for r in
+                con.execute(f"SELECT * FROM {table}").fetchall()}
+    finally:
+        con.close()
+
+
+def test_duckdb_upsert_second_dialect_executes(spark, tmp_path):
+    """The ANSI exists→UPDATE-else-INSERT pair (the reference's MSSQL
+    Load.py:120-162 shape, set-based) EXECUTES on a second SQL dialect —
+    DuckDB — and converges to the same table as the sqlite ON CONFLICT
+    form on the same batches."""
+    ddb = str(tmp_path / "wh.duckdb")
+    sdb = str(tmp_path / "wh.sqlite")
+    from etl_ender_turing_spark.sources.db_sink import upsert_duckdb
+
+    b1, b2 = _batches(spark)
+    for b in (b1, b2):
+        upsert_duckdb(b, ddb, "t", ("id",), order_col="updated")
+        upsert_sqlite(b, sdb, "t", ("id",), order_col="updated")
+    got = _read_duckdb(ddb, "t")
+    want = {tuple(r) for r in read_sqlite(spark, sdb, "t").collect()}
+    assert got == want
+    assert dict((r[0], r[1]) for r in got)[2] == "B"
+
+
+def test_duckdb_upsert_idempotent_replay(spark, tmp_path):
+    ddb = str(tmp_path / "idem.duckdb")
+    from etl_ender_turing_spark.sources.db_sink import upsert_duckdb
+
+    b1, _ = _batches(spark)
+    upsert_duckdb(b1, ddb, "t", ("id",), order_col="updated")
+    first = _read_duckdb(ddb, "t")
+    upsert_duckdb(b1, ddb, "t", ("id",), order_col="updated")  # replay
+    assert _read_duckdb(ddb, "t") == first
+
+
+def test_ansi_upsert_sql_shapes():
+    from etl_ender_turing_spark.sources.db_sink import ansi_upsert_sql
+
+    upd, ins = ansi_upsert_sql("t", "s_tbl", ["id", "v"], ("id",))
+    assert upd.startswith("UPDATE t SET v = s.v FROM s_tbl s")
+    assert "NOT EXISTS" in ins and ins.startswith("INSERT INTO t")
+    # all-key degenerate form: single INSERT, no UPDATE statement
+    (only,) = ansi_upsert_sql("t", "s_tbl", ["id"], ("id",))
+    assert only.startswith("INSERT INTO t")
