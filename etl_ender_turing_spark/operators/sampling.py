@@ -266,3 +266,63 @@ def group_token_budget_sql(table: str, budget: int, quality_col: str,
       FROM {table}
     ) WHERE cum_tokens <= {budget}
     """
+
+
+def source_head_cap(df: DataFrame, cap: int, quality_col: str,
+                    strata_col: str = "source",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Cap every stratum at its ``cap`` best documents — the per-domain
+    ceiling a crawl corpus applies so no single site dominates training
+    (count-based sibling of :func:`group_token_budget`'s cumulative token
+    form). Rank = quality desc, id tie-break, per-stratum window: the
+    partition key is the stratum, so there is no global sort anywhere and
+    skewed strata parallelize across their partition's tasks only.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= cap)
+            .select(id_col, strata_col, quality_col,
+                    F.col("_rk").alias("rank_in_source")))
+
+
+def source_head_cap_sql(table: str, cap: int, quality_col: str,
+                        strata_col: str = "source",
+                        id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col}, {strata_col}, {quality_col},
+           CAST(rank_in_source AS BIGINT) AS rank_in_source
+    FROM (
+      SELECT {id_col}, {strata_col}, {quality_col},
+             ROW_NUMBER() OVER (PARTITION BY {strata_col}
+                                ORDER BY {quality_col} DESC, {id_col})
+               AS rank_in_source
+      FROM {table}
+    ) WHERE rank_in_source <= {cap}
+    """
+
+
+def weighted_sample(df: DataFrame, score_col: str,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Quality-weighted deterministic sampling: each row keeps with
+    probability score/max(score) — better documents oversampled, junk
+    kept occasionally so the distribution tail stays represented (the
+    soft form of a hard quality gate). The decision is hash-based
+    (:func:`hash_unit`), so it is reproducible across runs, layouts, and
+    engines, and the scalar max broadcasts — no per-row shuffle beyond
+    one global-agg exchange of partition maxima.
+    """
+    mx = df.agg(F.max(F.col(score_col)).alias("m"))
+    return (df.crossJoin(F.broadcast(mx))
+            .filter(hash_unit(id_col) < F.col(score_col) / F.col("m"))
+            .select(id_col, score_col))
+
+
+def weighted_sample_sql(table: str, score_col: str,
+                        id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col}, {score_col}
+    FROM (SELECT {id_col}, {score_col},
+                 MAX({score_col}) OVER () AS m FROM {table})
+    WHERE {hash_unit_sql(id_col)} < {score_col} * 1.0 / m
+    """

@@ -311,3 +311,86 @@ def token_rarity_sql(table: str = "documents", text_col: str = "text",
     FROM tok2 JOIN vocab USING (token)
     GROUP BY {id_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher / C4 heuristic rule battery — the pre-training quality gate
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_columns(text_col: str = "text") -> dict[str, Column]:
+    """Per-document pass/fail for the published heuristic filters a
+    pre-training corpus runs before any model-based scoring — the Gopher
+    rules (Rae et al. 2021 §A1.1) plus C4's lexical drops (Raffel et al.
+    2020 §2.2). All pure column expressions (JVM-side, no UDF), computed
+    in one projection:
+
+    * ``rule_word_count``   — 50 <= words <= 100 000
+    * ``rule_mean_word_len``— mean word length in [3, 10]
+    * ``rule_alpha_words``  — >= 80 % of words contain a letter
+    * ``rule_stopwords``    — >= 2 distinct Gopher stopwords present
+    * ``rule_symbol_ratio`` — (# + ellipsis) / words < 0.1
+    * ``rule_no_brace``     — no '{' (C4: drops code/templating)
+    * ``rule_no_lorem``     — no 'lorem ipsum' (C4: placeholder text)
+    * ``keep``              — conjunction of all rules
+    """
+    toks = f"filter(split(lower({text_col}), ' '), t -> t <> '')"
+    nw = f"size({toks})"
+    stop_arr = "array(" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + ")"
+    alpha = (f"size(filter({toks}, t -> t rlike '[a-z]'))")
+    sym = (f"size(filter({toks}, t -> t rlike '^(#|\\\\.\\\\.\\\\.)'))")
+    rules = {
+        "n_words": F.expr(nw),
+        "rule_word_count": F.expr(f"{nw} BETWEEN 50 AND 100000"),
+        "rule_mean_word_len": F.expr(
+            f"(aggregate({toks}, 0, (a, t) -> a + length(t)) * 1.0 / {nw})"
+            f" BETWEEN 3 AND 10"),
+        "rule_alpha_words": F.expr(f"{alpha} * 1.0 / {nw} >= 0.8"),
+        "rule_stopwords": F.expr(
+            f"size(array_intersect(array_distinct({toks}), {stop_arr}))"
+            f" >= 2"),
+        "rule_symbol_ratio": F.expr(f"{sym} * 1.0 / {nw} < 0.1"),
+        "rule_no_brace": F.expr(f"NOT contains({text_col}, '{{')"),
+        "rule_no_lorem": F.expr(
+            f"NOT contains(lower({text_col}), 'lorem ipsum')"),
+    }
+    keep = None
+    for name, col in rules.items():
+        if name == "n_words":
+            continue
+        keep = col if keep is None else (keep & col)
+    rules["keep"] = keep
+    return rules
+
+
+def gopher_rules_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
+    nw = f"len({toks})"
+    stop_arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
+    alpha = (f"len(list_filter({toks},"
+             f" t -> regexp_matches(t, '[a-z]')))")
+    sym = (f"len(list_filter({toks},"
+           f" t -> regexp_matches(t, '^(#|\\.\\.\\.)')))")
+    cols = {
+        "n_words": f"CAST({nw} AS BIGINT)",
+        "rule_word_count": f"{nw} BETWEEN 50 AND 100000",
+        "rule_mean_word_len":
+            f"(list_sum(list_transform({toks}, t -> len(t))) * 1.0 / {nw})"
+            f" BETWEEN 3 AND 10",
+        "rule_alpha_words": f"{alpha} * 1.0 / {nw} >= 0.8",
+        "rule_stopwords":
+            f"len(list_intersect(list_distinct({toks}), {stop_arr})) >= 2",
+        "rule_symbol_ratio": f"{sym} * 1.0 / {nw} < 0.1",
+        "rule_no_brace": f"NOT contains({text_col}, '{{')",
+        "rule_no_lorem": f"NOT contains(lower({text_col}), 'lorem ipsum')",
+    }
+    keep = " AND ".join(f"({e})" for n, e in cols.items() if n != "n_words")
+    sel = ",\n           ".join(f"{e} AS {n}" for n, e in cols.items())
+    return f"""
+    SELECT {id_col}, {sel},
+           ({keep}) AS keep
+    FROM {table}
+    """

@@ -737,3 +737,41 @@ def q_dedup_prefix_jaccard(spark, sf_dir):
 def q_incremental_dedup_verified(spark, sf_dir):
     return dd.incremental_dedup_verified(_docs(spark, sf_dir),
                                          split_id=400, threshold=0.6)
+
+
+@register(
+    "q_gopher_rules",
+    ts.gopher_rules_sql("documents"),
+    doc="the published pre-training heuristic gate: Gopher rules (word "
+        "count, mean word length, alpha-word ratio, stopword presence, "
+        "symbol ratio; Rae et al. 2021 A1.1) + C4 lexical drops (brace, "
+        "lorem ipsum; Raffel et al. 2020 2.2) as ONE no-UDF projection — "
+        "per-rule booleans kept so corpus diagnostics can aggregate "
+        "failure causes, not just the keep bit")
+def q_gopher_rules(spark, sf_dir):
+    cols = ts.gopher_rule_columns("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "q_source_head_cap",
+    sp.source_head_cap_sql("documents", cap=30, quality_col="n_chars"),
+    doc="per-domain ceiling: keep each source's 30 best documents (rank "
+        "= quality desc, id tie-break) so no single site dominates the "
+        "corpus — count-based sibling of the token-budget selector; "
+        "per-stratum window only, no global sort")
+def q_source_head_cap(spark, sf_dir):
+    return sp.source_head_cap(_docs(spark, sf_dir), cap=30,
+                              quality_col="n_chars")
+
+
+@register(
+    "q_weighted_sample",
+    sp.weighted_sample_sql("documents", score_col="n_chars"),
+    doc="quality-weighted deterministic sampling: keep probability = "
+        "score/max(score) via the layout-stable hash unit — soft quality "
+        "gate that oversamples good docs but keeps the tail represented; "
+        "scalar max broadcasts, decision is engine-reproducible")
+def q_weighted_sample(spark, sf_dir):
+    return sp.weighted_sample(_docs(spark, sf_dir), score_col="n_chars")

@@ -601,3 +601,47 @@ def test_certification_sf_buckets_far_below_star_cap(spark):
 
     assert mh_max < 100, f"minhash bucket {mh_max} approaching star cap"
     assert sim_max < 100, f"simhash bucket {sim_max} approaching star cap"
+
+
+def test_gopher_rules_planted_extremes(spark):
+    good = ("the data " * 30).strip()            # 60 words, stopword 'the'
+    short = "too short to pass"                   # word-count fail
+    brace = ("the data " * 30).strip() + " {x}"   # C4 brace fail
+    lorem = ("the data " * 30).strip() + " lorem ipsum"
+    df = spark.createDataFrame(
+        [(1, good + " of it"), (2, short), (3, brace), (4, lorem)],
+        "doc_id long, text string")
+    rules = ts.gopher_rule_columns("text")
+    got = {r["doc_id"]: r for r in
+           df.select("doc_id", *[c.alias(n) for n, c in rules.items()])
+           .collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["rule_word_count"] is False and got[2]["keep"] is False
+    assert got[3]["rule_no_brace"] is False and got[3]["keep"] is False
+    assert got[4]["rule_no_lorem"] is False and got[4]["keep"] is False
+
+
+def test_source_head_cap_keeps_best_per_stratum(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    rows = [(i, "a" if i < 6 else "b", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    got = sp.source_head_cap(df, cap=2, quality_col="q").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # stratum a = ids 0..5 -> best two by q desc are 5,4; b = 6..9 -> 9,8
+    assert by_src == {"a": {5, 4}, "b": {9, 8}}
+    assert all(r["rank_in_source"] <= 2 for r in got)
+
+
+def test_weighted_sample_monotone_in_score(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    # max-score rows keep with probability 1; rate scales with score
+    df = spark.createDataFrame(
+        [(i, 100.0 if i % 2 == 0 else 1.0) for i in range(400)],
+        "doc_id long, s double")
+    got = sp.weighted_sample(df, score_col="s").collect()
+    hi = sum(1 for r in got if r["s"] == 100.0)
+    lo = sum(1 for r in got if r["s"] == 1.0)
+    assert hi == 200                  # score == max -> hash < 1.0 always
+    assert 0 <= lo < 30               # ~1% keep rate on the low scores
