@@ -874,6 +874,30 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ckpt, glob_filter="events.parquet")
 
 
+@register(
+    "q_stream_enriched_segments",
+    """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="stream-static enrichment join (SURVEY §2.9 composed with §2.3's "
+        "dim lookup): the event stream joins the broadcast customer "
+        "dimension per micro-batch, then aggregates per (segment, type); "
+        "run availableNow to a memory sink so the result equals the batch "
+        "join + GROUP BY oracle")
+def q_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_enriched_segments_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_enrich_ckpt_")
+    return run_enriched_segments_batch(
+        spark, sf_dir, ckpt, customer=_t(spark, sf_dir, "customer"),
+        glob_filter="events.parquet")
+
+
 # =========================================================================
 # Range join / histogram / data profile (SURVEY §2.3, §2.5 extensions)
 # =========================================================================

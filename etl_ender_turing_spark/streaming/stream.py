@@ -83,16 +83,10 @@ def _events_schema_with_ts(ts_type: T.DataType) -> T.StructType:
                          for f in EVENTS_SCHEMA.fields])
 
 
-def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
-                              checkpoint_dir: str, window: str = "1 hour",
-                              glob_filter: str | None = None) -> DataFrame:
-    """Run the windowed-count stream to completion over the files currently
-    in ``source_dir`` (availableNow) and return the materialized result.
-
-    All files land in a single micro-batch (no maxFilesPerTrigger), so the
-    watermark drops nothing and the result equals the batch GROUP BY — which
-    is exactly the oracle the catalog checks it against. The memory sink is
-    per-query-name; checkpoints are caller-owned and disposable.
+def open_event_stream(spark: SparkSession, source_dir: str,
+                      glob_filter: str | None = None) -> DataFrame:
+    """Schema-probed streaming reader for the events table with the ts
+    normalization every stream query needs.
 
     File streams need an explicit schema, and the driver's events.parquet
     has shipped different physical timestamp types across rounds
@@ -120,6 +114,22 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
         # TIMESTAMP_NTZ → session-local timestamp; value-preserving under
         # the pinned-UTC session
         events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events
+
+
+def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
+                              checkpoint_dir: str, window: str = "1 hour",
+                              glob_filter: str | None = None) -> DataFrame:
+    """Run the windowed-count stream to completion over the files currently
+    in ``source_dir`` (availableNow) and return the materialized result.
+
+    All files land in a single micro-batch (no maxFilesPerTrigger), so the
+    watermark drops nothing and the result equals the batch GROUP BY — which
+    is exactly the oracle the catalog checks it against. The memory sink is
+    per-query-name; checkpoints are caller-owned and disposable. Schema
+    probing and ts normalization live in :func:`open_event_stream`.
+    """
+    events = open_event_stream(spark, source_dir, glob_filter)
     counts = windowed_event_counts(events, window=window)
     q = (counts.writeStream
          .format("memory").queryName("windowed_counts_result")
@@ -273,3 +283,42 @@ def run_sessionized_counts_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("session_counts_result")
+
+
+def enriched_segment_counts(events: DataFrame,
+                            customer: DataFrame) -> DataFrame:
+    """Stream-static enrichment join + aggregation (SURVEY §2.9 composed
+    with §2.3's dim-lookup): each micro-batch joins the STATIC customer
+    dimension — Spark re-plans the join per micro-batch, and the dim is
+    explicitly broadcast, so no stream-side shuffle is added for the join;
+    the only stateful shuffle is the aggregation on (segment, event_type).
+    At 100 TB-of-stream scale this is the canonical shape: keep the dim
+    broadcast-small (or snapshot-join via Delta) and let the agg state
+    store hold only segment-cardinality keys.
+    """
+    dim = F.broadcast(customer.select(F.col("c_custkey").alias("user_id"),
+                                      "c_mktsegment"))
+    return (events.join(dim, "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)")
+                 .alias("sum_value")))
+
+
+def run_enriched_segments_batch(spark: SparkSession, source_dir: str,
+                                checkpoint_dir: str,
+                                customer: DataFrame,
+                                glob_filter: str | None = None) -> DataFrame:
+    """Run the stream-static enrichment to completion (availableNow, memory
+    sink) — single micro-batch over static input, so the result equals the
+    batch join + GROUP BY oracle."""
+    events = open_event_stream(spark, source_dir, glob_filter)
+    out = enriched_segment_counts(events, customer)
+    q = (out.writeStream
+         .format("memory").queryName("enriched_segments_result")
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("enriched_segments_result")

@@ -111,3 +111,30 @@ def test_quality_gate_stream_equals_batch(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
     assert 0 < got.count() < docs.count()
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.sources.readers import read_table
+    from etl_ender_turing_spark.streaming.stream import (
+        run_enriched_segments_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    customer = read_table(spark, sf, "customer")
+    got = run_enriched_segments_batch(
+        spark, sf, str(tmp_path / "ckpt"), customer=customer,
+        glob_filter="events.parquet")
+
+    events = read_table(spark, sf, "events")
+    want = (events.join(customer.select(
+                F.col("c_custkey").alias("user_id"), "c_mktsegment"),
+                "user_id")
+            .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)")
+                 .alias("sum_value")))
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+    assert got.count() > 0
