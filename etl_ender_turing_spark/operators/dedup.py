@@ -828,3 +828,66 @@ def incremental_dedup_verified_sql(table: str = "documents",
     JOIN sz sb ON sb.{id_col} = i.batch_id
     WHERE ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= {threshold}
     """
+
+
+# --------------------------------------------------------------------------
+# span-level dedup (exact-substring family, n-gram granularity)
+# --------------------------------------------------------------------------
+
+def span_dedup_stats(df: DataFrame, n: int = 8, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document duplicated-SPAN statistics: how much of each doc's
+    n-gram stream already appears in an EARLIER document (min-id owner) —
+    the n-gram-granularity form of exact-substring dedup (suffix-array
+    dedup à la "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2021), which drops repeated spans rather than whole docs.
+
+    Differs from :func:`boilerplate_ngrams` (corpus-FREQUENCY threshold):
+    here a span shared by just TWO docs counts against the later one, so
+    pairwise paste-plagiarism is caught, not only template boilerplate.
+
+    Dataflow: positions explode narrow; ownership is a gram-keyed
+    aggregation (min id per gram — uniform hash shuffle, no joins of doc
+    against doc); a doc's dup_frac = fraction of its gram POSITIONS whose
+    gram has an earlier owner. Output: (id, n_grams, n_dup_positions,
+    dup_frac). Downstream policy gates on dup_frac (drop > 0.8, strip
+    spans in 0.2..0.8, keep below).
+    """
+    parts = ", ".join(f"element_at(t, i + {k})" for k in range(n))
+    grams = (df.select(F.col(id_col), tokens(text_col).alias("t"))
+             .filter(F.size("t") >= n)
+             .select(id_col, F.explode(F.expr(
+                 f"transform(sequence(1, size(t) - {n - 1}),"
+                 f" i -> concat_ws(' ', {parts}))")).alias("gram")))
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("owner_id"))
+    return (grams.join(owner, "gram")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 F.sum(F.when(F.col("owner_id") < F.col(id_col), 1)
+                       .otherwise(0)).alias("n_dup_positions"))
+            .select(id_col, "n_grams", "n_dup_positions",
+                    F.round(F.col("n_dup_positions") / F.col("n_grams"), 6)
+                    .alias("dup_frac")))
+
+
+def span_dedup_stats_sql(table: str = "documents", n: int = 8,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    parts = " || ' ' || ".join(f"t[i + {k}]" for k in range(n))
+    return f"""
+    WITH grams AS (
+      SELECT {id_col}, unnest(list_transform(
+               generate_series(1, len(t) - {n - 1}), i -> {parts})) AS gram
+      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS t FROM {table})
+      WHERE len(t) >= {n}
+    ),
+    owner AS (SELECT gram, MIN({id_col}) AS owner_id FROM grams GROUP BY gram)
+    SELECT {id_col},
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN owner_id < {id_col} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_positions,
+           ROUND(SUM(CASE WHEN owner_id < {id_col} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_frac
+    FROM grams JOIN owner USING (gram)
+    GROUP BY {id_col}
+    """

@@ -775,3 +775,15 @@ def q_source_head_cap(spark, sf_dir):
         "scalar max broadcasts, decision is engine-reproducible")
 def q_weighted_sample(spark, sf_dir):
     return sp.weighted_sample(_docs(spark, sf_dir), score_col="n_chars")
+
+
+@register(
+    "q_span_dedup_stats",
+    dd.span_dedup_stats_sql("documents", n=8),
+    doc="span-level dedup statistics (exact-substring family, Lee et al. "
+        "2021, at 8-gram granularity): fraction of each doc's gram "
+        "positions whose gram appears in an earlier doc — catches "
+        "pairwise paste-duplication that frequency-threshold boilerplate "
+        "detection misses; gram-keyed min-owner agg, no doc-vs-doc join")
+def q_span_dedup_stats(spark, sf_dir):
+    return dd.span_dedup_stats(_docs(spark, sf_dir), n=8)

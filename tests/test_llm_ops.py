@@ -645,3 +645,18 @@ def test_weighted_sample_monotone_in_score(spark):
     lo = sum(1 for r in got if r["s"] == 1.0)
     assert hi == 200                  # score == max -> hash < 1.0 always
     assert 0 <= lo < 30               # ~1% keep rate on the low scores
+
+
+def test_span_dedup_planted_paste(spark):
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [(1, base),
+         (2, base + " unique tail words here now"),   # pastes doc 1 verbatim
+         (3, "totally different words with no overlap at all whatsoever ok")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dd.span_dedup_stats(df, n=8).collect()}
+    assert got[1]["dup_frac"] == 0.0            # earliest owner of its spans
+    assert got[2]["n_dup_positions"] == 3       # the three 8-grams inside base
+    assert got[2]["dup_frac"] > 0.0
+    assert got[3]["dup_frac"] == 0.0
