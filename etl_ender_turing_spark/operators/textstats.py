@@ -394,3 +394,58 @@ def gopher_rules_sql(table: str = "documents", text_col: str = "text",
            ({keep}) AS keep
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# classifier-based quality scoring — the model-filter integration shape
+# ---------------------------------------------------------------------------
+
+# Fixed linear weights over the deterministic quality features: a stand-in
+# for a trained quality classifier (the GPT-3/LLaMA pipelines filter on a
+# fasttext/logistic model score). The integration shape — featurize in one
+# projection, score with a broadcast-small model, gate on the score — is
+# the real deliverable; swap these constants for learned weights.
+QUALITY_CLF_WEIGHTS = {
+    "ttr": 2.0,              # lexical diversity up-weights
+    "stopword_ratio": 1.5,   # natural prose has stopwords
+    "mean_token_len": 0.25,  # very short tokens -> symbol soup
+    "log_n_tokens": 0.5,     # longer docs mildly favored
+    "bias": -2.0,
+}
+
+
+def quality_classifier_columns(text_col: str = "text") -> dict[str, Column]:
+    """Linear quality score + keep flag over the engine's deterministic
+    text features. The link is the RATIONAL squash z/(1+|z|) (not the
+    exponential sigmoid): it is monotone in z, bounded in (-1, 1), and —
+    unlike ``exp`` — computes bit-identically on every engine, so the
+    oracle can certify values instead of tolerances. ``log2`` of the
+    token count is exact for the feature because both engines implement
+    it on the same IEEE doubles (verified by the oracle hash).
+    """
+    q = quality_columns(text_col)
+    w = QUALITY_CLF_WEIGHTS
+    z = (F.lit(w["bias"])
+         + F.lit(w["ttr"]) * q["ttr"]
+         + F.lit(w["stopword_ratio"]) * q["stopword_ratio"]
+         + F.lit(w["mean_token_len"]) * q["mean_token_len"]
+         + F.lit(w["log_n_tokens"]) * F.log2(q["n_tokens"].cast("double")))
+    score = F.round(z / (F.lit(1.0) + F.abs(z)), 6)
+    return {"clf_score": score, "clf_keep": score >= 0.0}
+
+
+def quality_classifier_sql(table: str = "documents",
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    q = quality_sql_columns(text_col)
+    w = QUALITY_CLF_WEIGHTS
+    z = (f"({w['bias']} + {w['ttr']} * ({q['ttr']}) "
+         f"+ {w['stopword_ratio']} * ({q['stopword_ratio']}) "
+         f"+ {w['mean_token_len']} * ({q['mean_token_len']}) "
+         f"+ {w['log_n_tokens']} * log2(CAST({q['n_tokens']} AS DOUBLE)))")
+    return f"""
+    SELECT {id_col},
+           ROUND({z} / (1.0 + abs({z})), 6) AS clf_score,
+           ROUND({z} / (1.0 + abs({z})), 6) >= 0.0 AS clf_keep
+    FROM {table}
+    """

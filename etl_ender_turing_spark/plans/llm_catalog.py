@@ -787,3 +787,17 @@ def q_weighted_sample(spark, sf_dir):
         "detection misses; gram-keyed min-owner agg, no doc-vs-doc join")
 def q_span_dedup_stats(spark, sf_dir):
     return dd.span_dedup_stats(_docs(spark, sf_dir), n=8)
+
+
+@register(
+    "q_quality_classifier",
+    ts.quality_classifier_sql("documents"),
+    doc="classifier-based quality filtering (the fasttext/logistic model "
+        "gate of GPT-3/LLaMA-style pipelines) with a deterministic linear "
+        "stand-in: featurize in one projection, score with fixed "
+        "broadcast-small weights, gate on the score; rational squash "
+        "instead of exp so values certify bit-exactly cross-engine")
+def q_quality_classifier(spark, sf_dir):
+    cols = ts.quality_classifier_columns("text")
+    return _docs(spark, sf_dir).select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()])

@@ -660,3 +660,17 @@ def test_span_dedup_planted_paste(spark):
     assert got[2]["n_dup_positions"] == 3       # the three 8-grams inside base
     assert got[2]["dup_frac"] > 0.0
     assert got[3]["dup_frac"] == 0.0
+
+
+def test_quality_classifier_orders_prose_above_soup(spark):
+    prose = ("the quick brown fox jumps over a lazy dog and that was "
+             "fine because we have seen it happen with some regularity")
+    soup = "x x x x x x x x x x x x x x x x"
+    df = spark.createDataFrame(
+        [(1, prose), (2, soup)], "doc_id long, text string")
+    cols = ts.quality_classifier_columns("text")
+    got = {r["doc_id"]: r for r in df.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()]).collect()}
+    assert got[1]["clf_score"] > got[2]["clf_score"]
+    assert got[1]["clf_keep"] is True
+    assert -1.0 < got[2]["clf_score"] < 1.0       # bounded link
