@@ -43,7 +43,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # new in round 4 (never driver-run)
     "q_gopher_rules", "q_source_head_cap", "q_weighted_sample",
     "q_stream_enriched_segments", "q_span_dedup_stats",
-    "q_quality_classifier",
+    "q_quality_classifier", "q_bm25_topk", "q_cross_source_dups",
     # driver-red in r3, fixed this round (BIGINT cast / array->csv), plus
     # q_date_spine_orders whose output type changed (date -> timestamp)
     "q_sessionize_events", "q_embed_quantize", "q_date_spine_orders",

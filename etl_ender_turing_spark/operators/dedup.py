@@ -891,3 +891,56 @@ def span_dedup_stats_sql(table: str = "documents", n: int = 8,
     FROM grams JOIN owner USING (gram)
     GROUP BY {id_col}
     """
+
+
+def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            source_col: str = "source") -> DataFrame:
+    """Near-duplicate LEAKAGE matrix between sources: for every pair of
+    corpus sources, how many MinHash-candidate near-dup pairs span them.
+
+    The corpus-diagnostics view of dedup — before choosing which copy of
+    a near-dup cluster to keep, a curation run wants to know WHERE the
+    duplication lives (two crawls of the same site, a dataset uploaded
+    twice under different names, a benchmark mirrored into a web dump).
+    Same-source pairs are reported too (source_a = source_b), so the
+    matrix partitions the full candidate-pair set.
+
+    Scale shape (100 TB): candidate pairs come from
+    :func:`minhash_band_pairs` (bucketed, capped — never all-pairs); the
+    (id → source) attribution joins shuffle on the doc id, uniform and
+    skew-free, and the pair side is orders of magnitude smaller than the
+    corpus. The final matrix is at most |sources|² rows.
+    """
+    sigs = minhash_signatures_inline(docs, text_col=text_col, id_col=id_col)
+    pairs = minhash_band_pairs(sigs, id_col=id_col)
+    src = docs.select(F.col(id_col), F.col(source_col))
+    attributed = (pairs
+                  .join(src.withColumnRenamed(id_col, "doc_a")
+                        .withColumnRenamed(source_col, "_sa"), "doc_a")
+                  .join(src.withColumnRenamed(id_col, "doc_b")
+                        .withColumnRenamed(source_col, "_sb"), "doc_b"))
+    return (attributed
+            .select(F.least("_sa", "_sb").alias("source_a"),
+                    F.greatest("_sa", "_sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def cross_source_dup_matrix_sql(table: str = "documents",
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                source_col: str = "source") -> str:
+    ctes = _minhash_ctes(shingle_sql(table, text_col=text_col,
+                                     id_col=id_col), 8, 2, id_col)
+    return f"""{ctes},
+    src AS (SELECT {id_col}, {source_col} FROM {table}),
+    attributed AS (
+      SELECT least(sa.{source_col}, sb.{source_col}) AS source_a,
+             greatest(sa.{source_col}, sb.{source_col}) AS source_b
+      FROM pairs p
+      JOIN src sa ON p.doc_a = sa.{id_col}
+      JOIN src sb ON p.doc_b = sb.{id_col}
+    )
+    SELECT source_a, source_b, COUNT(*) AS n_pairs
+    FROM attributed GROUP BY 1, 2"""

@@ -76,3 +76,104 @@ FROM (SELECT *, row_number() OVER (PARTITION BY {id_col}
       FROM scored)
 WHERE rn <= {k}
 """
+
+
+def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 5,
+              k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Lexical retrieval: top-``k`` documents per query term by BM25.
+
+    The retrieval half of a curation loop (the ANN family in
+    similarity.py is the dense half): given a handful of probe terms,
+    rank documents by Okapi BM25 — idf · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))
+    with idf = ln(1 + (N-df+0.5)/(df+0.5)) (always positive, the
+    Lucene/ATIRE form).
+
+    Scale shape (100 TB):
+    - ``dl`` (doc token length) is a narrow per-row ``size(split(...))``
+      — no shuffle, no explode survives past the token filter;
+    - the explode is filtered to the query terms BEFORE the tf
+      aggregation, so the shuffled stream is |query_terms|-sparse, not
+      corpus-sized;
+    - ``df`` (document frequency) reuses the tf aggregate (query-term
+      cardinality rows) and rides back as a broadcast;
+    - corpus stats (N, avgdl) are a 1-row broadcast aggregate;
+    - top-k is a window partitioned BY TERM — |query_terms| partitions
+      of candidate postings, never a global sort.
+
+    Float parity: ln + double division mirrored token-for-token in
+    ``bm25_topk_sql``; one ROUND(·, 6) on the final score; ties broken
+    by doc id. Parity caveat as tfidf: a last-ulp libm divergence would
+    need a raw score within 5e-7 of a rounding boundary to surface.
+    """
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_arr"))
+    base = base.select(
+        id_col,
+        F.expr("size(filter(_arr, x -> x <> ''))").alias("dl"),
+        "_arr")
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)"
+               " / COUNT(dl)").alias("avgdl"))
+    tok = (base.select(id_col, "dl", F.explode("_arr").alias("term"))
+           .filter(F.expr(f"term IN ({terms_list})")))
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .withColumn("bm25", F.round(
+                  F.expr(f"ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))"
+                         f" * tf * ({k1} + 1)"
+                         f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"),
+                  6)))
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("term", id_col, "tf", "dl", "bm25"))
+
+
+def bm25_topk_sql(table: str, query_terms: tuple[str, ...], k: int = 5,
+                  k1: float = 1.2, b: float = 0.75, text_col: str = "text",
+                  id_col: str = "doc_id") -> str:
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+WITH base AS (
+  SELECT {id_col},
+         string_split(lower(trim({text_col})), ' ') AS arr
+  FROM {table}
+),
+base2 AS (
+  SELECT {id_col},
+         len(list_filter(arr, x -> x <> '')) AS dl, arr
+  FROM base
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE) / COUNT(dl) AS avgdl
+  FROM base2
+),
+tok AS (
+  SELECT {id_col}, dl, unnest(arr) AS term FROM base2
+),
+tf AS (
+  SELECT {id_col}, term, COUNT(*) AS tf, MIN(dl) AS dl
+  FROM tok WHERE term IN ({terms_list}) GROUP BY 1, 2
+),
+dfreq AS (SELECT term, COUNT(*) AS df_ FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.{id_col}, tf.term, tf.tf, tf.dl,
+         ROUND(ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+               * tf * ({k1} + 1)
+               / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)), 6) AS bm25
+  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+)
+SELECT term, {id_col}, tf, dl, bm25
+FROM (SELECT *, row_number() OVER (PARTITION BY term
+                                   ORDER BY bm25 DESC, {id_col}) AS rn
+      FROM scored)
+WHERE rn <= {k}
+"""

@@ -488,6 +488,29 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tm.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+_BM25_TERMS = ("vector", "stream", "join", "window")
+
+
+@register(
+    "q_bm25_topk",
+    tm.bm25_topk_sql("documents", _BM25_TERMS, k=5),
+    doc="BM25 lexical retrieval: top-5 docs per probe term; query-term "
+        "filter BEFORE the tf shuffle, broadcast df/corpus stats, "
+        "per-term window (the sparse-retrieval dual of the ANN family)")
+def q_bm25_topk(spark, sf_dir):
+    return tm.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=5)
+
+
+@register(
+    "q_cross_source_dups",
+    dd.cross_source_dup_matrix_sql("documents"),
+    doc="near-dup leakage matrix between corpus sources: MinHash candidate "
+        "pairs attributed to (source_a, source_b) cells — where the "
+        "duplication lives, not just how much")
+def q_cross_source_dups(spark, sf_dir):
+    return dd.cross_source_dup_matrix(_docs(spark, sf_dir))
+
+
 # =========================================================================
 # Semantic dedup / kNN graph / normalized dedup / boilerplate /
 # incremental dedup / the composed end-to-end curation pipeline

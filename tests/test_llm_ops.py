@@ -674,3 +674,43 @@ def test_quality_classifier_orders_prose_above_soup(spark):
     assert got[1]["clf_score"] > got[2]["clf_score"]
     assert got[1]["clf_keep"] is True
     assert -1.0 < got[2]["clf_score"] < 1.0       # bounded link
+
+
+def test_bm25_ranks_higher_tf_first(spark):
+    from etl_ender_turing_spark.operators import terms as tm
+    df = spark.createDataFrame(
+        [(1, "vector vector vector scan"),
+         (2, "vector scan scan scan"),
+         (3, "scan scan scan scan"),
+         (4, "merge merge merge merge")],
+        "doc_id long, text string")
+    out = tm.bm25_topk(df, ("vector",), k=10).collect()
+    ids = [r.doc_id for r in out]
+    assert ids[0] == 1 and set(ids) == {1, 2}   # only docs containing the term
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[1].tf == 3 and by_id[2].tf == 1
+    assert by_id[1].bm25 > by_id[2].bm25 > 0
+
+
+def test_bm25_length_normalization(spark):
+    from etl_ender_turing_spark.operators import terms as tm
+    # same tf; shorter doc should score HIGHER under b > 0
+    df = spark.createDataFrame(
+        [(1, "vector scan"),
+         (2, "vector scan merge join hash sort group batch")],
+        "doc_id long, text string")
+    by_id = {r.doc_id: r for r in tm.bm25_topk(df, ("vector",), k=10).collect()}
+    assert by_id[1].bm25 > by_id[2].bm25
+
+
+def test_cross_source_dup_matrix_attributes_pairs(spark):
+    # two near-identical docs in different sources + one unrelated
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [(1, base, "srcA"),
+         (2, base + " x", "srcB"),
+         (3, "completely different content with nothing shared at all", "srcC")],
+        "doc_id long, text string, source string")
+    rows = dd.cross_source_dup_matrix(df).collect()
+    cells = {(r.source_a, r.source_b): r.n_pairs for r in rows}
+    assert cells == {("srcA", "srcB"): 1}   # ordered (least, greatest) cell
