@@ -177,3 +177,72 @@ FROM (SELECT *, row_number() OVER (PARTITION BY term
       FROM scored)
 WHERE rn <= {k}
 """
+
+
+def hybrid_rrf_topk(docs: DataFrame, emb: DataFrame, term: str,
+                    query_id: int, k: int = 10, c: int = 60,
+                    doc_id_col: str = "doc_id",
+                    vec_id_col: str = "vec_id") -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of a sparse (BM25) and a
+    dense (cosine top-k) candidate list — rrf = 1/(c+rank_sparse) +
+    1/(c+rank_dense), absent list contributing 0 (Cormack et al. 2009).
+
+    Rank-based fusion is exactly reproducible cross-engine: the only
+    floats are 1/(c+r) for small integer r, identical IEEE doubles in
+    any engine. Candidate ids join on the doc_id == vec_id convention
+    (one embedding per document).
+
+    Scale shape: both inputs are ALREADY top-k (k·2 rows total), so the
+    fusion itself is a driver-trivial full-outer join + sort of ≤2k rows;
+    all heavy lifting lives in the candidate generators, which keep their
+    own scale shapes (BM25's filtered tf shuffle; TakeOrderedAndProject
+    for the dense scan — swap in the IVF/LSH ANN for the 100 TB path).
+    """
+    from .similarity import brute_force_topk
+
+    sparse = (bm25_topk(docs, (term,), k=k, id_col=doc_id_col)
+              .withColumn("r_sparse", F.row_number().over(
+                  Window.orderBy(F.desc("bm25"), F.asc(doc_id_col))))
+              .select(F.col(doc_id_col).alias("id"), "r_sparse"))
+    dense = (brute_force_topk(emb, query_id, k=k, id_col=vec_id_col)
+             .select(F.col(vec_id_col).alias("id"),
+                     F.col("rnk").alias("r_dense")))
+    fused = (sparse.join(dense, "id", "full_outer")
+             .withColumn("rrf", F.round(
+                 F.coalesce(1.0 / (F.lit(c) + F.col("r_sparse")), F.lit(0.0))
+                 + F.coalesce(1.0 / (F.lit(c) + F.col("r_dense")), F.lit(0.0)),
+                 6)))
+    w = Window.orderBy(F.desc("rrf"), F.asc("id"))
+    return (fused.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("id", "rrf", "rnk"))
+
+
+def hybrid_rrf_topk_sql(doc_table: str, emb_table: str, term: str,
+                        query_id: int, k: int = 10, c: int = 60,
+                        doc_id_col: str = "doc_id",
+                        vec_id_col: str = "vec_id") -> str:
+    from .similarity import brute_force_topk_sql
+
+    bm25 = bm25_topk_sql(doc_table, (term,), k=k, id_col=doc_id_col)
+    dense = brute_force_topk_sql(emb_table, query_id, k=k, id_col=vec_id_col)
+    return f"""
+WITH sparse AS (
+  SELECT {doc_id_col} AS id,
+         row_number() OVER (ORDER BY bm25 DESC, {doc_id_col}) AS r_sparse
+  FROM ({bm25})
+),
+dense AS (
+  SELECT {vec_id_col} AS id, rnk AS r_dense
+  FROM ({dense})
+),
+fused AS (
+  SELECT COALESCE(sparse.id, dense.id) AS id,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / ({c} + r_sparse), 0)
+               + COALESCE(CAST(1.0 AS DOUBLE) / ({c} + r_dense), 0), 6) AS rrf
+  FROM sparse FULL OUTER JOIN dense ON sparse.id = dense.id
+)
+SELECT id, rrf, rnk
+FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rnk FROM fused)
+WHERE rnk <= {k}
+"""

@@ -502,6 +502,19 @@ def q_bm25_topk(spark, sf_dir):
 
 
 @register(
+    "q_hybrid_rrf",
+    tm.hybrid_rrf_topk_sql("documents", "embeddings", term="vector",
+                           query_id=0, k=10),
+    doc="hybrid retrieval: reciprocal-rank fusion (1/(60+rank)) of the "
+        "BM25 sparse list and the dense cosine top-k — rank arithmetic "
+        "is bit-exact cross-engine; heavy lifting stays in the candidate "
+        "generators")
+def q_hybrid_rrf(spark, sf_dir):
+    return tm.hybrid_rrf_topk(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                              term="vector", query_id=0, k=10)
+
+
+@register(
     "q_cross_source_dups",
     dd.cross_source_dup_matrix_sql("documents"),
     doc="near-dup leakage matrix between corpus sources: MinHash candidate "

@@ -714,3 +714,23 @@ def test_cross_source_dup_matrix_attributes_pairs(spark):
     rows = dd.cross_source_dup_matrix(df).collect()
     cells = {(r.source_a, r.source_b): r.n_pairs for r in rows}
     assert cells == {("srcA", "srcB"): 1}   # ordered (least, greatest) cell
+
+
+def test_hybrid_rrf_fuses_both_lists(spark):
+    from etl_ender_turing_spark.operators import terms as tm
+    docs = spark.createDataFrame(
+        [(0, "vector vector vector"),    # sparse hit
+         (1, "vector scan"),             # sparse hit
+         (2, "merge join hash")],        # no term match
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1])],
+        "vec_id long, embedding array<float>")
+    out = {r.id: r for r in
+           tm.hybrid_rrf_topk(docs, emb, "vector", query_id=0, k=3).collect()}
+    # doc 2: dense-only (closest to query 0); doc 1: both lists
+    assert 1 in out and 2 in out
+    both = out[1].rrf            # sparse rank 2 + dense rank 2
+    assert abs(both - round(1 / 62 + 1 / 62, 6)) < 1e-9
+    dense_only = out[2].rrf      # dense rank 1 only
+    assert abs(dense_only - round(1 / 61, 6)) < 1e-9
