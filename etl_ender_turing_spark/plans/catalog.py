@@ -898,6 +898,30 @@ def q_stream_enriched_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob_filter="events.parquet")
 
 
+@register(
+    "q_stream_click_attribution",
+    """
+    SELECT p.event_id AS p_id, p.user_id, c.event_id AS c_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    """,
+    doc="stream-stream interval join (SURVEY §2.9): purchases stream "
+        "joined to the clicks stream within the trailing hour, watermarks "
+        "on both sides bound the join state (click side keeps watermark+1h "
+        "per key); availableNow append output equals the batch inner "
+        "range-join oracle")
+def q_stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_stream_stream_attribution_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_ssj_ckpt_")
+    return run_stream_stream_attribution_batch(
+        spark, sf_dir, ckpt, glob_filter="events.parquet")
+
+
 # =========================================================================
 # Range join / histogram / data profile (SURVEY §2.3, §2.5 extensions)
 # =========================================================================

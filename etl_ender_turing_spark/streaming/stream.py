@@ -322,3 +322,57 @@ def run_enriched_segments_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("enriched_segments_result")
+
+
+def stream_stream_attribution(purchases: DataFrame,
+                              clicks: DataFrame) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9 composed with the §2.3
+    range join): purchases joined to the SAME user's clicks in the
+    trailing hour, both sides unbounded streams.
+
+    The streaming-native form of ``q_range_join_attribution``: both sides
+    carry watermarks, and the join condition bounds click time to
+    [purchase_ts - 1 h, purchase_ts), so Spark can size the join state —
+    the click side keeps at most (watermark + 1 h) of history per user
+    key, the purchase side (watermark) — and evict rows as the watermarks
+    advance. Without the time bound the state store would grow without
+    limit; with it this is the canonical bounded-state shape for
+    100 TB-scale stream-stream joins. Inner join: append-mode rows emit
+    as soon as both sides have arrived (aggregation happens downstream,
+    or batch-side as in the parity test).
+    """
+    p = (purchases.select(F.col("event_id").alias("p_id"),
+                          F.col("user_id"),
+                          F.col("ts").alias("p_ts"))
+         .withWatermark("p_ts", "2 hours"))
+    c = (clicks.select(F.col("user_id").alias("c_user"),
+                       F.col("event_id").alias("c_id"),
+                       F.col("ts").alias("c_ts"))
+         .withWatermark("c_ts", "3 hours"))
+    return p.join(
+        c, (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+        "inner").select("p_id", "user_id", "c_id")
+
+
+def run_stream_stream_attribution_batch(spark: SparkSession, source_dir: str,
+                                        checkpoint_dir: str,
+                                        glob_filter: str | None = None
+                                        ) -> DataFrame:
+    """Drive the stream-stream join to completion (availableNow, memory
+    sink, append mode). Two independent file-source streams over the same
+    directory — a genuine stream-stream join, not a self-join alias."""
+    p = (open_event_stream(spark, source_dir, glob_filter)
+         .filter(F.col("event_type") == "purchase"))
+    c = (open_event_stream(spark, source_dir, glob_filter)
+         .filter(F.col("event_type") == "click"))
+    out = stream_stream_attribution(p, c)
+    q = (out.writeStream
+         .format("memory").queryName("stream_stream_attribution_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("stream_stream_attribution_result")

@@ -138,3 +138,32 @@ def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
     assert got.count() > 0
+
+
+def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.sources.readers import read_table
+    from etl_ender_turing_spark.streaming.stream import (
+        run_stream_stream_attribution_batch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = run_stream_stream_attribution_batch(
+        spark, sf, str(tmp_path / "ckpt"), glob_filter="events.parquet")
+
+    ev = read_table(spark, sf, "events")
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select(F.col("event_id").alias("p_id"), "user_id",
+                 F.col("ts").alias("p_ts")))
+    c = (ev.filter(F.col("event_type") == "click")
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("c_id"),
+                 F.col("ts").alias("c_ts")))
+    want = (p.join(c, (F.col("user_id") == F.col("c_user"))
+                   & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+                   & (F.col("c_ts") < F.col("p_ts")), "inner")
+            .select("p_id", "user_id", "c_id"))
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+    assert got.count() > 0
