@@ -1002,6 +1002,82 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_conversion",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_view,
+           COUNT(CASE WHEN t_click > t_view THEN 1 END) AS n_view_click,
+           COUNT(CASE WHEN t_purchase > t_click AND t_click > t_view
+                 THEN 1 END) AS n_view_click_purchase
+    FROM firsts
+    """,
+    doc="ordered funnel (view -> click -> purchase): one conditional-MIN "
+        "aggregation per user then one global count — two partial+final "
+        "aggs, no self-joins, no window; the product-analytics staple "
+        "(SURVEY §2.5 extension)")
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("t_purchase"))
+    return firsts.agg(
+        F.count("t_view").alias("n_view"),
+        F.count(F.when(F.col("t_click") > F.col("t_view"), 1))
+        .alias("n_view_click"),
+        F.count(F.when((F.col("t_purchase") > F.col("t_click"))
+                       & (F.col("t_click") > F.col("t_view")), 1))
+        .alias("n_view_click_purchase"))
+
+
+@register(
+    "q_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    )
+    SELECT cohort_week,
+           CAST(datediff('day', CAST(cohort_week AS DATE), CAST(wk AS DATE))
+                / 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM active JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="cohort retention matrix: cohort = first-activity week, one row "
+        "per (cohort, week-offset) with retained-user counts — first-event "
+        "agg + distinct (user, week) set + one join on the user key; every "
+        "shuffle keys on user_id or the tiny matrix key (SURVEY §2.5/§2.6 "
+        "extension)")
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    firsts = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+              .select("user_id",
+                      F.date_trunc("week", "first_ts").alias("cohort_week")))
+    active = (ev.select("user_id",
+                        F.date_trunc("week", "ts").alias("wk"))
+              .distinct())
+    return (active.join(firsts, "user_id")
+            .groupBy("cohort_week",
+                     (F.datediff(F.col("wk").cast("date"),
+                                 F.col("cohort_week").cast("date")) / 7)
+                     .cast("long").alias("week_offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+@register(
     "q_stats_moments",
     f"""
     WITH s AS (
