@@ -52,6 +52,13 @@ BENCH_QUERIES = [
     "q_knn_graph",
     "q_incremental_dedup",
     "q_training_set",
+    # round-4 additions: lexical + hybrid retrieval, source diagnostics,
+    # product analytics
+    "q_bm25_topk",
+    "q_hybrid_rrf",
+    "q_cross_source_dups",
+    "q_funnel_conversion",
+    "q_cohort_retention",
 ]
 
 

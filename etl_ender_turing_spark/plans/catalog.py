@@ -1057,24 +1057,25 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1, 2
     """,
     doc="cohort retention matrix: cohort = first-activity week, one row "
-        "per (cohort, week-offset) with retained-user counts — first-event "
-        "agg + distinct (user, week) set + one join on the user key; every "
-        "shuffle keys on user_id or the tiny matrix key (SURVEY §2.5/§2.6 "
-        "extension)")
+        "per (cohort, week-offset) with retained-user counts — ONE shuffle "
+        "on user_id (collect_set of the user's distinct weeks; cohort = "
+        "its min) + one matrix-key agg; no join, no countDistinct expand "
+        "(the per-user set already dedups), set size bounded by the "
+        "calendar (SURVEY §2.5/§2.6 extension)")
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
-    firsts = (ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
-              .select("user_id",
-                      F.date_trunc("week", "first_ts").alias("cohort_week")))
-    active = (ev.select("user_id",
-                        F.date_trunc("week", "ts").alias("wk"))
-              .distinct())
-    return (active.join(firsts, "user_id")
+    per_user = (ev.select("user_id",
+                          F.date_trunc("week", "ts").alias("wk"))
+                .groupBy("user_id")
+                .agg(F.sort_array(F.collect_set("wk")).alias("wks")))
+    return (per_user
+            .select(F.col("wks")[0].alias("cohort_week"),
+                    F.explode("wks").alias("wk"))
             .groupBy("cohort_week",
                      (F.datediff(F.col("wk").cast("date"),
                                  F.col("cohort_week").cast("date")) / 7)
                      .cast("long").alias("week_offset"))
-            .agg(F.countDistinct("user_id").alias("n_users")))
+            .agg(F.count(F.lit(1)).alias("n_users")))
 
 
 @register(

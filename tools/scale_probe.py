@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import similarity as sim
+from etl_ender_turing_spark.operators import terms as tm
 from etl_ender_turing_spark.operators import textstats as ts
 from etl_ender_turing_spark.session import get_spark
 from etl_ender_turing_spark.sources.readers import read_table
@@ -69,6 +70,12 @@ def main() -> None:
                 d.filter(F.col("doc_id") % 10_000_000 < 400)),
             dd.minhash_signatures_inline(
                 d.filter(F.col("doc_id") % 10_000_000 >= 400))).count(),
+        # round-4 ops: bm25's tf shuffle is query-term-sparse, so growth
+        # should track the scan, not the token stream; the cross-source
+        # matrix rides the minhash pair generator
+        "bm25": lambda d, e: tm.bm25_topk(
+            d, ("vector", "stream", "join", "window"), k=5).count(),
+        "cross_src_dups": lambda d, e: dd.cross_source_dup_matrix(d).count(),
     }
 
     print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
