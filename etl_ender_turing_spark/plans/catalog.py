@@ -408,6 +408,87 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+@register(
+    "q_scd2_intervals",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    intervals AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from) AS valid_to,
+           n_events
+    FROM intervals
+    """,
+    doc="SCD-type-2 interval construction (islands-and-gaps): each run of "
+        "consecutive identical states per user becomes a validity interval "
+        "[valid_from, valid_to) closed by the next run's start — the "
+        "change-data-capture history-table shape; per-user windows only, "
+        "never a global sort (SURVEY §2.6 extension)")
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+                .rowsBetween(Window.unboundedPreceding, 0)
+    intervals = (ev.withColumn("chg", chg)
+                 .withColumn("run_id", F.sum("chg").over(run))
+                 .groupBy("user_id", "event_type", "run_id")
+                 .agg(F.min("ts").alias("valid_from"),
+                      F.count(F.lit(1)).alias("n_events")))
+    close = Window.partitionBy("user_id").orderBy("valid_from")
+    return (intervals
+            .select("user_id", "event_type", "valid_from",
+                    F.lead("valid_from").over(close).alias("valid_to"),
+                    "n_events"))
+
+
+@register(
+    "q_unpivot_metrics",
+    f"""
+    WITH wide AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n_events,
+             {dsum_sql('value', 6)} AS sum_value
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, 'n_events' AS metric, n_events AS metric_value
+    FROM wide
+    UNION ALL
+    SELECT event_type, 'sum_value' AS metric, sum_value AS metric_value
+    FROM wide
+    """,
+    doc="unpivot/melt (wide metrics -> long form, the inverse of the "
+        "score_details pivot): one agg then a zero-shuffle melt — Spark's "
+        "native unpivot operator, the BI-export reshape (SURVEY §2.5 "
+        "extension)")
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    wide = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        dsum("value", 6).alias("sum_value"))
+    return wide.unpivot(
+        ["event_type"], ["n_events", "sum_value"], "metric", "metric_value")
+
+
 # =========================================================================
 # Tumbling time windows (SURVEY §2.9)
 # =========================================================================
