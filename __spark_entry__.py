@@ -46,7 +46,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_quality_classifier", "q_bm25_topk", "q_cross_source_dups",
     "q_hybrid_rrf", "q_stream_click_attribution",
     "q_funnel_conversion", "q_cohort_retention", "q_scd2_intervals",
-    "q_unpivot_metrics",
+    "q_unpivot_metrics", "q_sliding_window_counts",
     # driver-red in r3, fixed this round (BIGINT cast / array->csv), plus
     # q_date_spine_orders whose output type changed (date -> timestamp)
     "q_sessionize_events", "q_embed_quantize", "q_date_spine_orders",

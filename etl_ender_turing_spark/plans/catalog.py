@@ -510,6 +510,35 @@ def q_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("value", 6).alias("sum_value")))
 
 
+@register(
+    "q_sliding_window_counts",
+    f"""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS w0, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT w0 AS window_start, w0 + INTERVAL 2 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+    doc="sliding window agg (2 h window, 1 h slide): F.window assigns each "
+        "event to duration/slide = 2 windows before ONE partial+final agg "
+        "— the overlap factor bounds the fan-out, no self-join; completes "
+        "the window family (tumbling / session / sliding) (SURVEY §2.9)")
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 dsum("value", 6).alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "sum_value"))
+
+
 # =========================================================================
 # ROLLUP / grouping sets (SURVEY §2.5 — free via Spark SQL)
 # =========================================================================
