@@ -217,3 +217,38 @@ def test_bucket_cap_preserves_candidate_connectivity(spark, texts):
     full = components(dd.minhash_band_pairs(sigs, max_bucket=10**9))
     capped = components(dd.minhash_band_pairs(sigs, max_bucket=2))
     assert full == capped
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(events=st.lists(
+    st.tuples(st.integers(0, 4),                 # user
+              st.integers(0, 3_600_000),         # offset seconds
+              st.sampled_from(["view", "click", "purchase"])),
+    min_size=1, max_size=40))
+def test_scd2_intervals_partition_events(spark, events):
+    """SCD2 invariants on random event streams: interval n_events sum to
+    the row count; per user, exactly one open interval (valid_to NULL);
+    intervals never overlap (next valid_from == this valid_to)."""
+    from etl_ender_turing_spark.plans.catalog import CATALOG
+    import datetime as dt
+
+    rows = [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=off),
+             u, t, 1.0, "{}")
+            for i, (u, off, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = CATALOG["q_scd2_intervals"].builder(spark, d).collect()
+    assert sum(r.n_events for r in out) == len(rows)
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda r: r.valid_from)
+        assert sum(iv.valid_to is None for iv in ivs) == 1
+        for a, b in zip(ivs, ivs[1:]):
+            assert a.valid_to == b.valid_from
