@@ -734,3 +734,24 @@ def test_hybrid_rrf_fuses_both_lists(spark):
     assert abs(both - round(1 / 62 + 1 / 62, 6)) < 1e-9
     dense_only = out[2].rrf      # dense rank 1 only
     assert abs(dense_only - round(1 / 61, 6)) < 1e-9
+
+
+def test_ivf_index_serves_identical_results_with_partition_pruning(
+        spark, tmp_path):
+    from etl_ender_turing_spark.sources.readers import read_table
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_index")
+    sim.build_ivf_index(emb, path)
+
+    inline = sim.ivf_topk(emb, query_id=42, k=5).collect()
+    served_df = sim.ivf_topk_from_index(spark, path, query_id=42, k=5)
+    served = served_df.collect()
+    assert [tuple(r) for r in served] == [tuple(r) for r in inline]
+
+    # the serving scan must be partition-pruned to the probe cells: the
+    # candidate read touches only nprobe cell directories, not the corpus
+    vectors = spark.read.parquet(f"{path}/vectors")
+    probe_plan = (vectors.filter(F.col("cell").isin([0, 1]))
+                  ._jdf.queryExecution().executedPlan().toString())
+    assert "PartitionFilters" in probe_plan and "cell" in probe_plan
