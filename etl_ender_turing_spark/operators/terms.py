@@ -246,3 +246,65 @@ SELECT id, rrf, rnk
 FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS rnk FROM fused)
 WHERE rnk <= {k}
 """
+
+
+def build_text_index(df: DataFrame, table: str, n_buckets: int = 16,
+                     text_col: str = "text", id_col: str = "doc_id") -> None:
+    """Materialize the BM25 inverted index: the (term, doc, tf, dl) posting
+    table BUCKETED BY term, plus a 1-row corpus-stats table.
+
+    The sparse dual of :func:`build_ivf_index`: build once, amortize over
+    every query. Bucketing by term gives Spark BUCKET PRUNING on term
+    equality/IN predicates — a query reads |query_terms| buckets out of
+    ``n_buckets`` (``SelectedBucketsCount`` in the scan), never the whole
+    posting list, and the posting build is the ONLY pass over the corpus
+    text. At serving scale, ``n_buckets`` grows with the vocabulary.
+    """
+    spark = df.sparkSession
+    base = df.select(
+        F.col(id_col),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_arr"))
+    base = base.select(
+        id_col, F.expr("size(filter(_arr, x -> x <> ''))").alias("dl"),
+        "_arr")
+    tok = base.select(id_col, "dl", F.explode("_arr").alias("term")) \
+              .filter(F.col("term") != "")
+    tf = tok.groupBy("term", id_col).agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    (tf.write.mode("overwrite").format("parquet")
+     .bucketBy(n_buckets, "term").sortBy("term")
+     .saveAsTable(f"{table}_postings"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)"
+               " / COUNT(dl)").alias("avgdl"))
+    stats.write.mode("overwrite").format("parquet") \
+         .saveAsTable(f"{table}_stats")
+
+
+def bm25_from_index(spark, table: str, query_terms: tuple[str, ...],
+                    k: int = 5, k1: float = 1.2, b: float = 0.75,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Serve BM25 top-k from a :func:`build_text_index` artifact.
+
+    Touches only the postings buckets holding the query terms (bucket
+    pruning) and the 1-row stats table; document frequency is an
+    aggregation of the already-filtered postings. Result matches
+    :func:`bm25_topk` exactly (parity-tested).
+    """
+    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    tf = (spark.table(f"{table}_postings")
+          .filter(F.expr(f"term IN ({terms_list})")))
+    stats = spark.table(f"{table}_stats")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .join(F.broadcast(stats))
+              .withColumn("bm25", F.round(
+                  F.expr(f"ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))"
+                         f" * tf * ({k1} + 1)"
+                         f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"),
+                  6)))
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select("term", id_col, "tf", "dl", "bm25"))

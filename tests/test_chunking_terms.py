@@ -95,3 +95,24 @@ def test_tfidf_window_is_per_document(spark):
     assert "windowspecdefinition(doc_id" in plan
     # rank pushes the k-limit below the shuffle (WindowGroupLimit partial)
     assert "WindowGroupLimit" in plan
+
+
+def test_bm25_index_parity_and_bucket_pruning(spark, tmp_path):
+    from etl_ender_turing_spark.operators import terms as tm
+    from etl_ender_turing_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ("vector", "stream")
+    tm.build_text_index(docs, "bm25_idx", n_buckets=16)
+    try:
+        inline = tm.bm25_topk(docs, terms, k=5).collect()
+        served_df = tm.bm25_from_index(spark, "bm25_idx", terms, k=5)
+        assert sorted(map(tuple, served_df.collect())) == \
+            sorted(map(tuple, inline))
+        # the postings scan must be bucket-pruned to the query terms'
+        # buckets, not read the full inverted index
+        plan = (served_df._jdf.queryExecution().executedPlan().toString())
+        assert "SelectedBucketsCount" in plan, plan[:1200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_postings")
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_stats")
