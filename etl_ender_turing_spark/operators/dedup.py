@@ -944,3 +944,60 @@ def cross_source_dup_matrix_sql(table: str = "documents",
     )
     SELECT source_a, source_b, COUNT(*) AS n_pairs
     FROM attributed GROUP BY 1, 2"""
+
+
+def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
+                         threshold: float = 0.8,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Asymmetric shingle CONTAINMENT on candidate pairs: |A∩B| / |A|.
+
+    Jaccard misses subset duplication — a paragraph quoted inside a much
+    longer doc scores low Jaccard but containment ≈ 1 for the shorter
+    side. Emits one row per (contained, container) DIRECTION above the
+    threshold, so a pair can appear twice (mutual containment = exact
+    near-dup). Same scale shape as :func:`jaccard_on_pairs`: candidates
+    come pre-pruned (broadcast), the only large shuffle keys on the pair.
+    """
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (a.join(F.broadcast(pairs), "doc_a")
+             .join(b, ["doc_b", "shingle"])
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    both = (inter.join(sa, "doc_a").join(sb, "doc_b"))
+    fwd = both.select(F.col("doc_a").alias("contained"),
+                      F.col("doc_b").alias("container"),
+                      F.round(F.col("i") / F.col("na"), 6).alias("containment"))
+    rev = both.select(F.col("doc_b").alias("contained"),
+                      F.col("doc_a").alias("container"),
+                      F.round(F.col("i") / F.col("nb"), 6).alias("containment"))
+    return (fwd.unionByName(rev)
+            .filter(F.col("containment") >= threshold))
+
+
+def containment_sql(shingle_cte: str, threshold: float = 0.8,
+                    n_hashes: int = 8, rows_per_band: int = 2,
+                    id_col: str = "doc_id") -> str:
+    ctes = _minhash_ctes(shingle_cte, n_hashes, rows_per_band, id_col)
+    return f"""{ctes},
+    inter AS (
+      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
+      FROM pairs p
+      JOIN sh a ON a.{id_col} = p.doc_a
+      JOIN sh b ON b.{id_col} = p.doc_b AND a.shingle = b.shingle
+      GROUP BY p.doc_a, p.doc_b
+    ),
+    sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col}),
+    both_dirs AS (
+      SELECT i.doc_a AS contained, i.doc_b AS container,
+             ROUND(i.i * 1.0 / sa.n, 6) AS containment
+      FROM inter i JOIN sizes sa ON sa.{id_col} = i.doc_a
+      UNION ALL
+      SELECT i.doc_b, i.doc_a, ROUND(i.i * 1.0 / sb.n, 6)
+      FROM inter i JOIN sizes sb ON sb.{id_col} = i.doc_b
+    )
+    SELECT contained, container, containment
+    FROM both_dirs WHERE containment >= {threshold}"""

@@ -249,7 +249,8 @@ WHERE rnk <= {k}
 
 
 def build_text_index(df: DataFrame, table: str, n_buckets: int = 16,
-                     text_col: str = "text", id_col: str = "doc_id") -> None:
+                     text_col: str = "text", id_col: str = "doc_id",
+                     path: str | None = None) -> None:
     """Materialize the BM25 inverted index: the (term, doc, tf, dl) posting
     table BUCKETED BY term, plus a 1-row corpus-stats table.
 
@@ -271,15 +272,19 @@ def build_text_index(df: DataFrame, table: str, n_buckets: int = 16,
               .filter(F.col("term") != "")
     tf = tok.groupBy("term", id_col).agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
-    (tf.write.mode("overwrite").format("parquet")
-     .bucketBy(n_buckets, "term").sortBy("term")
-     .saveAsTable(f"{table}_postings"))
+    w = (tf.write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, "term").sortBy("term"))
+    if path is not None:   # external table at an absolute location — keeps
+        w = w.option("path", f"{path}/postings")   # the warehouse dir out of cwd
+    w.saveAsTable(f"{table}_postings")
     stats = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.expr("CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)"
                " / COUNT(dl)").alias("avgdl"))
-    stats.write.mode("overwrite").format("parquet") \
-         .saveAsTable(f"{table}_stats")
+    ws = stats.write.mode("overwrite").format("parquet")
+    if path is not None:
+        ws = ws.option("path", f"{path}/stats")
+    ws.saveAsTable(f"{table}_stats")
 
 
 def bm25_from_index(spark, table: str, query_terms: tuple[str, ...],

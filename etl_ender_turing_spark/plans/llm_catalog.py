@@ -95,6 +95,18 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_dedup_containment",
+    dd.containment_sql(_SHINGLE_CTE, threshold=0.8),
+    doc="asymmetric shingle containment |A∩B|/|A| on LSH candidates: "
+        "catches subset duplication (a doc quoted inside a longer one) "
+        "that symmetric Jaccard under-scores; directional rows")
+def q_dedup_containment(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    pairs = dd.minhash_band_pairs(dd.minhash_signatures(sh))
+    return dd.containment_on_pairs(sh, pairs, threshold=0.8)
+
+
+@register(
     "q_dup_clusters",
     dd.duplicate_clusters_sql(dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6)),
     doc="duplicate-cluster resolution: connected components over the "
@@ -512,6 +524,36 @@ def q_bm25_topk(spark, sf_dir):
 def q_hybrid_rrf(spark, sf_dir):
     return tm.hybrid_rrf_topk(_docs(spark, sf_dir), _emb(spark, sf_dir),
                               term="vector", query_id=0, k=10)
+
+
+@register(
+    "q_bm25_from_index",
+    tm.bm25_topk_sql("documents", _BM25_TERMS, k=5),
+    doc="BM25 served from the PERSISTED inverted index (postings bucketed "
+        "by term -> bucket-pruned scan; 1-row stats table): build-once/"
+        "serve-many lifecycle certified against the same oracle as the "
+        "inline form")
+def q_bm25_from_index(spark, sf_dir):
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="q_bm25_idx_")
+    tm.build_text_index(_docs(spark, sf_dir), "q_bm25_idx", n_buckets=16,
+                        path=idx)
+    return tm.bm25_from_index(spark, "q_bm25_idx", _BM25_TERMS, k=5)
+
+
+@register(
+    "q_embed_ivf_from_index",
+    sim.ivf_topk_sql("embeddings", query_id=7, k=10),
+    doc="IVF ANN served from the PERSISTED index (vectors partitioned by "
+        "cell on disk -> nprobe becomes parquet partition pruning): "
+        "certified against the same oracle as the inline IVF top-k")
+def q_embed_ivf_from_index(spark, sf_dir):
+    import tempfile
+
+    idx = tempfile.mkdtemp(prefix="q_ivf_idx_")
+    sim.build_ivf_index(_emb(spark, sf_dir), idx)
+    return sim.ivf_topk_from_index(spark, idx, query_id=7, k=10)
 
 
 @register(
