@@ -957,6 +957,13 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
     threshold, so a pair can appear twice (mutual containment = exact
     near-dup). Same scale shape as :func:`jaccard_on_pairs`: candidates
     come pre-pruned (broadcast), the only large shuffle keys on the pair.
+
+    Candidate choice matters for RECALL: a containment-0.8 pair can have
+    Jaccard ~|A|/|B| (arbitrarily low), which MinHash-LSH banding will
+    miss by design. Shingle-sharing candidates (:func:`containment_pairs`)
+    give exact recall — any containment > 0 pair shares a shingle — at
+    the quadratic-baseline cost; at corpus scale, bound the expansion the
+    same way `jaccard_pairs` documents (frequency-capped shingles).
     """
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -978,11 +985,27 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
             .filter(F.col("containment") >= threshold))
 
 
+def containment_pairs(sh: DataFrame, threshold: float = 0.8,
+                      id_col: str = "doc_id") -> DataFrame:
+    """Exact-recall containment: shingle-sharing candidates (any pair with
+    containment > 0 shares a shingle) + :func:`containment_on_pairs`."""
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    pairs = (a.join(b, "shingle")
+             .filter(F.col("doc_a") < F.col("doc_b"))
+             .select("doc_a", "doc_b").distinct())
+    return containment_on_pairs(sh, pairs, threshold, id_col)
+
+
 def containment_sql(shingle_cte: str, threshold: float = 0.8,
-                    n_hashes: int = 8, rows_per_band: int = 2,
                     id_col: str = "doc_id") -> str:
-    ctes = _minhash_ctes(shingle_cte, n_hashes, rows_per_band, id_col)
-    return f"""{ctes},
+    return f"""
+    WITH sh AS ({shingle_cte}),
+    pairs AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
+    ),
     inter AS (
       SELECT p.doc_a, p.doc_b, COUNT(*) AS i
       FROM pairs p

@@ -97,13 +97,14 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 @register(
     "q_dedup_containment",
     dd.containment_sql(_SHINGLE_CTE, threshold=0.8),
-    doc="asymmetric shingle containment |A∩B|/|A| on LSH candidates: "
-        "catches subset duplication (a doc quoted inside a longer one) "
-        "that symmetric Jaccard under-scores; directional rows")
+    doc="asymmetric shingle containment |A∩B|/|A|: catches subset "
+        "duplication (a doc quoted inside a longer one) that symmetric "
+        "Jaccard under-scores; shingle-sharing candidates = exact recall "
+        "(LSH would miss low-Jaccard containment by design); directional "
+        "rows")
 def q_dedup_containment(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
-    pairs = dd.minhash_band_pairs(dd.minhash_signatures(sh))
-    return dd.containment_on_pairs(sh, pairs, threshold=0.8)
+    return dd.containment_pairs(dd.shingle_select(_docs(spark, sf_dir)),
+                                threshold=0.8)
 
 
 @register(

@@ -755,3 +755,28 @@ def test_ivf_index_serves_identical_results_with_partition_pruning(
     probe_plan = (vectors.filter(F.col("cell").isin([0, 1]))
                   ._jdf.queryExecution().executedPlan().toString())
     assert "PartitionFilters" in probe_plan and "cell" in probe_plan
+
+
+def test_bm25_no_matching_terms_returns_empty(spark):
+    from etl_ender_turing_spark.operators import terms as tm
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id long, text string")
+    assert tm.bm25_topk(df, ("zzz",), k=5).count() == 0
+
+
+def test_containment_detects_subset_missed_by_jaccard(spark):
+    # doc 2 is a verbatim quote of doc 1's opening inside unrelated filler:
+    # low Jaccard (union is large), containment of the quote side ~ high
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)],
+        "doc_id long, text string")
+    sh = dd.shingle_select(df)
+    pairs = (sh.selectExpr("doc_id AS doc_a", "shingle")
+             .join(sh.selectExpr("doc_id AS doc_b", "shingle"), "shingle")
+             .filter("doc_a < doc_b").select("doc_a", "doc_b").distinct())
+    jac = dd.jaccard_on_pairs(sh, pairs, threshold=0.8).count()
+    cont = dd.containment_pairs(sh, threshold=0.8).collect()
+    assert jac == 0                       # symmetric metric misses it
+    assert [(r.contained, r.container) for r in cont] == [(1, 2)]
+    assert cont[0].containment == 1.0     # every quote shingle is contained
