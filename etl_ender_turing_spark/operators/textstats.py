@@ -449,3 +449,67 @@ def quality_classifier_sql(table: str = "documents",
            ROUND({z} / (1.0 + abs({z})), 6) >= 0.0 AS clf_keep
     FROM {table}
     """
+
+
+def bigram_coherence(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-doc mean bigram transition frequency — the 2-gram LM quality
+    proxy: for each adjacent token pair (w1, w2), corpus P(w2|w1) =
+    count(w1 w2) / count(w1 ·), averaged over the document.
+
+    Coherent text follows common transitions (high score); shuffled or
+    garbled text hits rare transitions (low score) even when its UNIGRAMS
+    are common — the signal :func:`token_rarity` cannot see. This is the
+    deterministic stand-in for a perplexity filter (CCNet-style), kept
+    cross-engine exact: each ratio is one double division ROUNDed to 6dp,
+    then an order-insensitive exact-decimal mean.
+
+    Scale: bigram explode is narrow; transition counts are one
+    vocabulary²-bounded aggregation (in practice ~vocabulary-sized);
+    both count tables broadcast back onto the bigram stream.
+    """
+    from pyspark.sql import functions as F
+
+    bg = (df.select(F.col(id_col),
+                    F.split(F.lower(F.trim(F.col(text_col))), " ").alias("t"))
+          .select(id_col, F.explode(F.expr(
+              "transform(sequence(1, size(t) - 1),"
+              " i -> struct(t[i - 1] AS w1, t[i] AS w2))")).alias("b"))
+          .select(id_col, "b.w1", "b.w2")
+          .filter((F.col("w1") != "") & (F.col("w2") != "")))
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
+    uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
+    return (bg.join(F.broadcast(bc), ["w1", "w2"])
+            .join(F.broadcast(uc), "w1")
+            .withColumn("_p", F.round(F.col("bf") / F.col("uf"), 6))
+            .groupBy(id_col)
+            .agg(F.expr(
+                "CAST(SUM(CAST(_p AS DECIMAL(28,6))) AS DOUBLE)"
+                " / COUNT(_p)").alias("mean_transition_p")))
+
+
+def bigram_coherence_sql(table: str = "documents", text_col: str = "text",
+                         id_col: str = "doc_id") -> str:
+    return f"""
+    WITH t AS (
+      SELECT {id_col}, string_split(lower(trim({text_col})), ' ') AS t
+      FROM {table}
+    ),
+    bg0 AS (
+      SELECT {id_col}, unnest(list_transform(
+               generate_series(2, len(t)),
+               i -> struct_pack(w1 := t[i - 1], w2 := t[i]))) AS b
+      FROM t
+    ),
+    bg AS (
+      SELECT {id_col}, b.w1 AS w1, b.w2 AS w2 FROM bg0
+      WHERE b.w1 <> '' AND b.w2 <> ''
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2),
+    uc AS (SELECT w1, COUNT(*) AS uf FROM bg GROUP BY 1)
+    SELECT {id_col},
+           CAST(SUM(CAST(ROUND(bf * 1.0 / uf, 6) AS DECIMAL(28,6)))
+                AS DOUBLE) / COUNT(*) AS mean_transition_p
+    FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
+    GROUP BY {id_col}
+    """

@@ -501,6 +501,17 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tm.tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+@register(
+    "q_bigram_coherence",
+    ts.bigram_coherence_sql("documents"),
+    doc="2-gram LM quality proxy: per-doc mean corpus transition "
+        "frequency P(w2|w1) — the deterministic perplexity-filter "
+        "stand-in; catches garbled token ORDER that unigram rarity "
+        "cannot see")
+def q_bigram_coherence(spark, sf_dir):
+    return ts.bigram_coherence(_docs(spark, sf_dir))
+
+
 _BM25_TERMS = ("vector", "stream", "join", "window")
 
 

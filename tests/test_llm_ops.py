@@ -780,3 +780,17 @@ def test_containment_detects_subset_missed_by_jaccard(spark):
     assert jac == 0                       # symmetric metric misses it
     assert [(r.contained, r.container) for r in cont] == [(1, 2)]
     assert cont[0].containment == 1.0     # every quote shingle is contained
+
+
+def test_bigram_coherence_penalizes_shuffled_order(spark):
+    # same unigrams, different order: the coherent doc repeats a common
+    # transition; the shuffled doc uses rare ones
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"),      # transitions all (a,b)/(b,a)
+         (2, "a a b b a b b a"),      # mixes in rare (a,a)/(b,b)
+         (3, "a b a b a b a b")],
+        "doc_id long, text string")
+    out = {r.doc_id: r.mean_transition_p
+           for r in ts.bigram_coherence(df).collect()}
+    assert out[1] == out[3]           # deterministic
+    assert out[1] > out[2]            # order matters, unigrams identical
