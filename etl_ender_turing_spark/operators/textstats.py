@@ -465,8 +465,8 @@ def bigram_coherence(df: DataFrame, text_col: str = "text",
     then an order-insensitive exact-decimal mean.
 
     Scale: bigram explode is narrow; transition counts are one
-    vocabulary²-bounded aggregation (in practice ~vocabulary-sized);
-    both count tables broadcast back onto the bigram stream.
+    vocabulary²-bounded aggregation (in practice ~vocabulary-sized); the
+    unigram table broadcasts, the bigram table joins under AQE sizing.
     """
     from pyspark.sql import functions as F
 
@@ -479,7 +479,10 @@ def bigram_coherence(df: DataFrame, text_col: str = "text",
           .filter((F.col("w1") != "") & (F.col("w2") != "")))
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
-    return (bg.join(F.broadcast(bc), ["w1", "w2"])
+    # uc is vocabulary-sized (safe broadcast); bc is vocabulary²-bounded
+    # and can exceed broadcast limits on a real corpus — no hint, AQE
+    # picks broadcast vs shuffle from the observed size
+    return (bg.join(bc, ["w1", "w2"])
             .join(F.broadcast(uc), "w1")
             .withColumn("_p", F.round(F.col("bf") / F.col("uf"), 6))
             .groupBy(id_col)
