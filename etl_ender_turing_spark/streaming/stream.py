@@ -376,3 +376,34 @@ def run_stream_stream_attribution_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("stream_stream_attribution_result")
+
+
+def watermarked_dedup_stream(events: DataFrame,
+                             key_col: str = "event_id",
+                             watermark: str = "2 hours") -> DataFrame:
+    """Built-in bounded-state stream dedup: ``dropDuplicatesWithinWatermark``
+    keeps each key's state only until the watermark passes it, so the state
+    store is bounded by the watermark horizon — the engine-native
+    complement to :func:`stateful_dedup_stream`'s custom exactly-first
+    state (which never expires without an explicit TTL). Use this form
+    when "duplicate" means re-delivery within the lateness window (queue
+    redelivery, at-least-once sources) rather than forever-uniqueness.
+    """
+    return (events.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark([key_col]))
+
+
+def run_watermarked_dedup_batch(spark: SparkSession, source_dir: str,
+                                checkpoint_dir: str,
+                                glob_filter: str | None = None) -> DataFrame:
+    """Drive the watermarked dedup to completion (availableNow, append)."""
+    events = open_event_stream(spark, source_dir, glob_filter)
+    out = watermarked_dedup_stream(events)
+    q = (out.writeStream
+         .format("memory").queryName("wm_dedup_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("wm_dedup_result")

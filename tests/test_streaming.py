@@ -167,3 +167,27 @@ def test_stream_stream_join_matches_batch_range_join(spark, tmp_path):
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
     assert got.count() > 0
+
+
+def test_watermarked_dedup_drops_redelivered_keys(spark, tmp_path):
+    import datetime as dt
+
+    from etl_ender_turing_spark.streaming.stream import (
+        run_watermarked_dedup_batch,
+    )
+
+    # source with planted duplicates: every event delivered twice
+    src = tmp_path / "src"
+    base = dt.datetime(2024, 1, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), i % 3, "click", 1.0, "{}")
+            for i in range(10)]
+    df = spark.createDataFrame(
+        rows + rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string")
+    df.write.mode("overwrite").parquet(str(src / "events.parquet"))
+
+    got = run_watermarked_dedup_batch(
+        spark, str(src / "events.parquet"), str(tmp_path / "ckpt"))
+    ids = [r.event_id for r in got.select("event_id").collect()]
+    assert sorted(ids) == list(range(10))     # each key exactly once
