@@ -1089,6 +1089,38 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_equidepth_histogram",
+    """
+    WITH bounds AS (
+      SELECT list_transform(
+               quantile_cont(l_extendedprice,
+                             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+               b -> ROUND(b, 6)) AS bs
+      FROM lineitem
+    )
+    SELECT len(list_filter(bs, b -> l_extendedprice > b)) AS bin,
+           COUNT(*) AS n_rows
+    FROM lineitem CROSS JOIN bounds
+    GROUP BY 1
+    """,
+    doc="equi-depth (decile) histogram: exact interpolated decile bounds "
+        "(1-row broadcast) then a narrow bin-assignment projection + one "
+        "partial+final agg — the distribution profile behind skew "
+        "detection and range-partition planning (SURVEY §2.5 extension)")
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qs = ", ".join(str(q / 10) for q in range(1, 10))
+    bounds = li.agg(F.expr(
+        f"transform(percentile(l_extendedprice, array({qs})),"
+        f" b -> round(b, 6))").alias("bs"))
+    return (li.crossJoin(F.broadcast(bounds))
+            .select(F.expr(
+                "size(filter(bs, b -> l_extendedprice > b))").alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+@register(
     "q_data_profile",
     """
     SELECT COUNT(*) AS n_rows,
