@@ -986,11 +986,30 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
 
 
 def containment_pairs(sh: DataFrame, threshold: float = 0.8,
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      max_df: int | None = None) -> DataFrame:
     """Exact-recall containment: shingle-sharing candidates (any pair with
-    containment > 0 shares a shingle) + :func:`containment_on_pairs`."""
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    containment > 0 shares a shingle) + :func:`containment_on_pairs`.
+
+    ``max_df`` is the corpus-scale lever (same discipline as
+    ``max_bucket`` in the LSH generators): shingles appearing in more
+    than ``max_df`` docs are EXCLUDED FROM PAIR GENERATION (never from
+    the exact intersection counts), bounding the per-shingle expansion at
+    O(max_df²). Recall is then exact for any pair sharing at least one
+    sub-cap shingle — a containment-0.8 pair whose every shared shingle
+    is boilerplate-common is the only miss, and those pairs are better
+    handled by :func:`boilerplate_ngrams` removal first. Default None =
+    exact recall (the certified oracle form).
+    """
+    gen = sh
+    if max_df is not None:
+        rare = (sh.groupBy("shingle")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("shingle"))
+        gen = sh.join(rare, "shingle")
+    a = gen.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = gen.select(F.col(id_col).alias("doc_b"), "shingle")
     pairs = (a.join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
              .select("doc_a", "doc_b").distinct())

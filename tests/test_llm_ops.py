@@ -794,3 +794,16 @@ def test_bigram_coherence_penalizes_shuffled_order(spark):
            for r in ts.bigram_coherence(df).collect()}
     assert out[1] == out[3]           # deterministic
     assert out[1] > out[2]            # order matters, unigrams identical
+
+
+def test_containment_max_df_caps_generation_keeps_exact_counts(spark):
+    quote = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [(1, quote), (2, quote + " extra trailing words here now")],
+        "doc_id long, text string")
+    sh = dd.shingle_select(df)
+    exact = dd.containment_pairs(sh, threshold=0.8).collect()
+    capped = dd.containment_pairs(sh, threshold=0.8, max_df=100).collect()
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
+    # cap below every shared shingle's df -> no candidates generated
+    assert dd.containment_pairs(sh, threshold=0.8, max_df=1).count() == 0
