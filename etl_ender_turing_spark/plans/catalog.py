@@ -1089,6 +1089,58 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_hourly_anomalies",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             COUNT(*) AS n FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT h, event_type, n,
+             COUNT(n)  OVER w AS cnt,
+             SUM(n)    OVER w AS sx,
+             SUM(n*n)  OVER w AS sxx
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT h AS hour_bucket, event_type, n AS n_events,
+           ROUND((n - sx * 1.0 / cnt)
+                 / sqrt((sxx - sx * sx * 1.0 / cnt) / (cnt - 1)), 6) AS z
+    FROM stats
+    WHERE cnt >= 8 AND (sxx - sx * sx * 1.0 / cnt) > 0
+      AND ABS((n - sx * 1.0 / cnt)
+              / sqrt((sxx - sx * sx * 1.0 / cnt) / (cnt - 1))) >= 2
+    """,
+    doc="windowed anomaly detection: per event type, hours whose count "
+        "z-scores >= 2 against the trailing-24 h mean/std — one tumbling "
+        "agg then per-type ROWS-frame windows over integer sums (exact "
+        "moments, one sqrt); the monitoring query every ingestion "
+        "pipeline runs (SURVEY §2.5 composition)")
+def q_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hourly = (ev.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = (Window.partitionBy("event_type").orderBy("h")
+         .rowsBetween(-24, -1))
+    stats = (hourly
+             .withColumn("cnt", F.count("n").over(w))
+             .withColumn("sx", F.sum("n").over(w))
+             .withColumn("sxx", F.sum(F.col("n") * F.col("n")).over(w)))
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") * 1.0 / F.col("cnt")) \
+        / (F.col("cnt") - 1)
+    z = (F.col("n") - F.col("sx") * 1.0 / F.col("cnt")) / F.sqrt(var)
+    return (stats
+            .filter((F.col("cnt") >= 8)
+                    & ((F.col("sxx")
+                        - F.col("sx") * F.col("sx") * 1.0 / F.col("cnt")) > 0)
+                    & (F.abs(z) >= 2))
+            .select(F.col("h").alias("hour_bucket"), "event_type",
+                    F.col("n").alias("n_events"),
+                    F.round(z, 6).alias("z")))
+
+
+@register(
     "q_equidepth_histogram",
     """
     WITH bounds AS (
