@@ -282,8 +282,8 @@ def q_rolling_30d_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            RANK()       OVER w AS rnk,
            DENSE_RANK() OVER w AS drnk,
            NTILE(4)     OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER w, 6) AS cume
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST()    OVER w * 1000000 + 0.5) / 1000000 AS cume
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     WINDOW w AS (PARTITION BY n_nationkey
                  ORDER BY c_acctbal DESC, c_custkey)
@@ -300,8 +300,15 @@ def q_rank_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.rank().over(w).alias("rnk"),
                     F.dense_rank().over(w).alias("drnk"),
                     F.ntile(4).over(w).alias("quartile"),
-                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-                    F.round(F.cume_dist().over(w), 6).alias("cume")))
+                    # floor(x*1e6+0.5)/1e6, NOT round(x, 6): rank ratios
+                    # are exact small-denominator rationals (333/640 =
+                    # .5203125) that land ON the 6dp half-way point, where
+                    # Spark rounds half-up but DuckDB half-even — pin
+                    # half-up in both engines (x >= 0 here)
+                    (F.floor(F.percent_rank().over(w) * 1_000_000 + 0.5)
+                     / 1_000_000).alias("pct_rank"),
+                    (F.floor(F.cume_dist().over(w) * 1_000_000 + 0.5)
+                     / 1_000_000).alias("cume")))
 
 
 @register(
