@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.rounding import round6u
+
 # --------------------------------------------------------------------------
 # tokenization + shingling (shared by minhash / simhash / jaccard)
 # --------------------------------------------------------------------------
@@ -37,7 +39,6 @@ def tokens(text_col: str = "text") -> Column:
 
 def tokens_sql(text_col: str = "text") -> str:
     return f"string_split(lower({text_col}), ' ')"
-
 
 def shingle_select(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                    n: int = 3, distinct: bool = True) -> DataFrame:
@@ -402,8 +403,8 @@ def jaccard_pairs(sh: DataFrame, threshold: float = 0.6,
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .withColumn("jaccard", round6u(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
@@ -425,8 +426,8 @@ def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame, threshold: float = 0.6,
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("jaccard", F.round(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+            .withColumn("jaccard", round6u(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
@@ -446,11 +447,11 @@ def lsh_jaccard_sql(shingle_cte: str, threshold: float = 0.6,
     ),
     sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col})
     SELECT doc_a, doc_b,
-           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+           FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON inter.doc_a = sa.{id_col}
     JOIN sizes sb ON inter.doc_b = sb.{id_col}
-    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {threshold}
+    WHERE FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= {threshold}
     """
 
 
@@ -465,11 +466,11 @@ def jaccard_sql(shingle_cte: str, threshold: float = 0.6,
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
-           ROUND(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+           FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter
     JOIN sizes sa ON inter.doc_a = sa.{id_col}
     JOIN sizes sb ON inter.doc_b = sb.{id_col}
-    WHERE ROUND(i * 1.0 / (sa.n + sb.n - i), 6) >= {threshold}
+    WHERE FLOOR((i * 1.0 / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= {threshold}
     """
 
 
@@ -822,11 +823,11 @@ def incremental_dedup_verified_sql(table: str = "documents",
       GROUP BY c.batch_id, c.corpus_id
     )
     SELECT i.batch_id, i.corpus_id,
-           ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) AS jaccard
+           FLOOR((i.i * 1.0 / (sa.n + sb.n - i.i)) * 1000000 + 0.5) / 1000000 AS jaccard
     FROM inter i
     JOIN sz sa ON sa.{id_col} = i.corpus_id
     JOIN sz sb ON sb.{id_col} = i.batch_id
-    WHERE ROUND(i.i * 1.0 / (sa.n + sb.n - i.i), 6) >= {threshold}
+    WHERE FLOOR((i.i * 1.0 / (sa.n + sb.n - i.i)) * 1000000 + 0.5) / 1000000 >= {threshold}
     """
 
 
@@ -866,7 +867,7 @@ def span_dedup_stats(df: DataFrame, n: int = 8, text_col: str = "text",
                  F.sum(F.when(F.col("owner_id") < F.col(id_col), 1)
                        .otherwise(0)).alias("n_dup_positions"))
             .select(id_col, "n_grams", "n_dup_positions",
-                    F.round(F.col("n_dup_positions") / F.col("n_grams"), 6)
+                    round6u(F.col("n_dup_positions") / F.col("n_grams"))
                     .alias("dup_frac")))
 
 
@@ -886,8 +887,8 @@ def span_dedup_stats_sql(table: str = "documents", n: int = 8,
            CAST(COUNT(*) AS BIGINT) AS n_grams,
            CAST(SUM(CASE WHEN owner_id < {id_col} THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_dup_positions,
-           ROUND(SUM(CASE WHEN owner_id < {id_col} THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS dup_frac
+           FLOOR(SUM(CASE WHEN owner_id < {id_col} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000 + 0.5) / 1000000 AS dup_frac
     FROM grams JOIN owner USING (gram)
     GROUP BY {id_col}
     """
@@ -977,10 +978,10 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
     both = (inter.join(sa, "doc_a").join(sb, "doc_b"))
     fwd = both.select(F.col("doc_a").alias("contained"),
                       F.col("doc_b").alias("container"),
-                      F.round(F.col("i") / F.col("na"), 6).alias("containment"))
+                      round6u(F.col("i") / F.col("na")).alias("containment"))
     rev = both.select(F.col("doc_b").alias("contained"),
                       F.col("doc_a").alias("container"),
-                      F.round(F.col("i") / F.col("nb"), 6).alias("containment"))
+                      round6u(F.col("i") / F.col("nb")).alias("containment"))
     return (fwd.unionByName(rev)
             .filter(F.col("containment") >= threshold))
 
@@ -1035,10 +1036,10 @@ def containment_sql(shingle_cte: str, threshold: float = 0.8,
     sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col}),
     both_dirs AS (
       SELECT i.doc_a AS contained, i.doc_b AS container,
-             ROUND(i.i * 1.0 / sa.n, 6) AS containment
+             FLOOR((i.i * 1.0 / sa.n) * 1000000 + 0.5) / 1000000 AS containment
       FROM inter i JOIN sizes sa ON sa.{id_col} = i.doc_a
       UNION ALL
-      SELECT i.doc_b, i.doc_a, ROUND(i.i * 1.0 / sb.n, 6)
+      SELECT i.doc_b, i.doc_a, FLOOR((i.i * 1.0 / sb.n) * 1000000 + 0.5) / 1000000
       FROM inter i JOIN sizes sb ON sb.{id_col} = i.doc_b
     )
     SELECT contained, container, containment

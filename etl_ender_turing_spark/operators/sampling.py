@@ -17,6 +17,7 @@ to a token budget. These operators make that mixing reproducible at
 
 from __future__ import annotations
 
+from ..functions.rounding import round6u
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 HASH_SPACE = float(2 ** 32)
@@ -217,7 +218,8 @@ def corpus_mixture_stats(df: DataFrame, token_col: str,
     total = Window.partitionBy()
     return agg.select(
         strata_col, "n_docs", "n_tokens",
-        F.round(F.col("n_tokens") / F.sum("n_tokens").over(total), 6)
+        # round6u: integer-ratio output (see functions/rounding)
+        round6u(F.col("n_tokens") / F.sum("n_tokens").over(total))
         .alias("token_share"))
 
 
@@ -226,8 +228,8 @@ def corpus_mixture_stats_sql(table: str, token_col: str,
     return f"""
     SELECT {strata_col}, COUNT(*) AS n_docs,
            CAST(SUM({token_col}) AS BIGINT) AS n_tokens,
-           ROUND(SUM({token_col}) / SUM(SUM({token_col})) OVER (), 6)
-             AS token_share
+           FLOOR(SUM({token_col}) / SUM(SUM({token_col})) OVER ()
+                 * 1000000 + 0.5) / 1000000 AS token_share
     FROM {table} GROUP BY {strata_col}
     """
 

@@ -10,6 +10,7 @@ integers or single IEEE divisions, so the DuckDB oracles hash-match.
 
 from __future__ import annotations
 
+from ..functions.rounding import round6u, round6u_sql
 from pyspark.sql import Column, DataFrame, functions as F
 
 # n-gram-free heuristic language ID: score = count of language-marker
@@ -90,14 +91,16 @@ def quality_columns(text_col: str = "text") -> dict[str, Column]:
     return {
         "n_tokens": F.expr(f"size({toks})"),
         "n_distinct_tokens": F.expr(f"size(array_distinct({toks}))"),
-        "ttr": F.round(F.expr(f"size(array_distinct({toks}))")
-                       / F.expr(f"size({toks})"), 6),
-        "mean_token_len": F.round(
+        # round6u, not round(·, 6): these are small-integer ratios that
+        # can land exactly on the 6dp halfway point (see functions/rounding)
+        "ttr": round6u(F.expr(f"size(array_distinct({toks}))")
+                       / F.expr(f"size({toks})")),
+        "mean_token_len": round6u(
             F.expr(f"aggregate({toks}, 0, (a, t) -> a + length(t))")
-            / F.expr(f"size({toks})"), 6),
-        "stopword_ratio": F.round(
+            / F.expr(f"size({toks})")),
+        "stopword_ratio": round6u(
             F.expr(f"size(filter({toks}, t -> array_contains({arr}, t)))")
-            / F.expr(f"size({toks})"), 6),
+            / F.expr(f"size({toks})")),
     }
 
 
@@ -108,13 +111,13 @@ def quality_sql_columns(text_col: str = "text") -> dict[str, str]:
     return {
         "n_tokens": f"len({toks})",
         "n_distinct_tokens": f"len(list_distinct({toks}))",
-        "ttr": f"ROUND(len(list_distinct({toks})) * 1.0 / len({toks}), 6)",
-        "mean_token_len":
-            f"ROUND(list_sum(list_transform({toks}, t -> len(t))) * 1.0"
-            f" / len({toks}), 6)",
-        "stopword_ratio":
-            f"ROUND(len(list_filter({toks}, t -> list_contains({arr}, t)))"
-            f" * 1.0 / len({toks}), 6)",
+        "ttr": round6u_sql(f"len(list_distinct({toks})) * 1.0 / len({toks})"),
+        "mean_token_len": round6u_sql(
+            f"list_sum(list_transform({toks}, t -> len(t))) * 1.0"
+            f" / len({toks})"),
+        "stopword_ratio": round6u_sql(
+            f"len(list_filter({toks}, t -> list_contains({arr}, t)))"
+            f" * 1.0 / len({toks})"),
     }
 
 
@@ -164,16 +167,18 @@ def _top_frac_expr(arr: str) -> str:
     """max element multiplicity / total — HOF nested loop, O(n·d) per row
     JVM-side, no shuffle. ``arr`` must be a COLUMN name (evaluated once),
     not an inline expression."""
-    return (f"CASE WHEN size({arr}) > 0 THEN round("
+    return (f"CASE WHEN size({arr}) > 0 THEN floor("
             f" array_max(transform(array_distinct({arr}),"
             f"   x -> size(filter({arr}, y -> y = x))))"
-            f" * CAST(1.0 AS DOUBLE) / size({arr}), 6) ELSE 0.0 END")
+            f" * CAST(1.0 AS DOUBLE) / size({arr})"
+            f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END")
 
 
 def _dup_frac_expr(arr: str) -> str:
-    return (f"CASE WHEN size({arr}) > 0 THEN round("
-            f" 1.0 - size(array_distinct({arr}))"
-            f" * CAST(1.0 AS DOUBLE) / size({arr}), 6) ELSE 0.0 END")
+    return (f"CASE WHEN size({arr}) > 0 THEN floor("
+            f" (1.0 - size(array_distinct({arr}))"
+            f" * CAST(1.0 AS DOUBLE) / size({arr}))"
+            f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END")
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
@@ -210,15 +215,17 @@ def repetition_signals_sql(table: str = "documents", text_col: str = "text",
         return f"list_transform(generate_series(1, len(t) - {n - 1}), i -> {parts})"
 
     def top_frac(arr: str) -> str:
-        return (f"CASE WHEN len({arr}) > 0 THEN round("
+        return (f"CASE WHEN len({arr}) > 0 THEN floor("
                 f" list_max(list_transform(list_distinct({arr}),"
                 f"   x -> len(list_filter({arr}, y -> y = x))))"
-                f" * 1.0 / len({arr}), 6) ELSE 0.0 END")
+                f" * 1.0 / len({arr})"
+                f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END")
 
     def dup_frac(arr: str) -> str:
-        return (f"CASE WHEN len({arr}) > 0 THEN round("
-                f" 1.0 - len(list_distinct({arr}))"
-                f" * 1.0 / len({arr}), 6) ELSE 0.0 END")
+        return (f"CASE WHEN len({arr}) > 0 THEN floor("
+                f" (1.0 - len(list_distinct({arr}))"
+                f" * 1.0 / len({arr}))"
+                f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END")
 
     return f"""
     WITH tok AS (
@@ -484,7 +491,7 @@ def bigram_coherence(df: DataFrame, text_col: str = "text",
     # picks broadcast vs shuffle from the observed size
     return (bg.join(bc, ["w1", "w2"])
             .join(F.broadcast(uc), "w1")
-            .withColumn("_p", F.round(F.col("bf") / F.col("uf"), 6))
+            .withColumn("_p", round6u(F.col("bf") / F.col("uf")))
             .groupBy(id_col)
             .agg(F.expr(
                 "CAST(SUM(CAST(_p AS DECIMAL(28,6))) AS DOUBLE)"
@@ -511,7 +518,8 @@ def bigram_coherence_sql(table: str = "documents", text_col: str = "text",
     bc AS (SELECT w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2),
     uc AS (SELECT w1, COUNT(*) AS uf FROM bg GROUP BY 1)
     SELECT {id_col},
-           CAST(SUM(CAST(ROUND(bf * 1.0 / uf, 6) AS DECIMAL(28,6)))
+           CAST(SUM(CAST(FLOOR(bf * 1.0 / uf * 1000000 + 0.5) / 1000000
+                         AS DECIMAL(28,6)))
                 AS DOUBLE) / COUNT(*) AS mean_transition_p
     FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
     GROUP BY {id_col}
