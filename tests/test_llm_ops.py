@@ -807,3 +807,27 @@ def test_containment_max_df_caps_generation_keeps_exact_counts(spark):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
     # cap below every shared shingle's df -> no candidates generated
     assert dd.containment_pairs(sh, threshold=0.8, max_df=1).count() == 0
+
+
+def test_round6u_agrees_cross_engine_on_halfway_values(spark):
+    """The bug class behind the sf0.1 q_rank_battery mismatch: 333/640 =
+    0.5203125 sits EXACTLY on the 6dp halfway point, where Spark's
+    round() goes half-up and DuckDB's half-even. round6u must agree with
+    itself across engines (and differ from at least one engine's round)."""
+    import duckdb
+
+    from etl_ender_turing_spark.functions.rounding import round6u, round6u_sql
+
+    row = (spark.range(1)
+           .select(round6u(F.lit(333) / F.lit(640)).alias("v"),
+                   F.round(F.lit(333) / F.lit(640), 6).alias("r"))
+           .first())
+    duck_val = duckdb.sql(
+        f"SELECT {round6u_sql('333 * 1.0 / 640')} AS v").fetchone()[0]
+    duck_round = duckdb.sql(
+        "SELECT ROUND(333 * 1.0 / 640, 6) AS v").fetchone()[0]
+    assert row["v"] == duck_val        # round6u: same IEEE ops -> agreement
+    # the original divergence: Spark round() treats the double as its
+    # exact decimal (0.52031249999...94 -> ...? no: BigDecimal half-up on
+    # the shortest repr 0.5203125 -> 0.520313), DuckDB rounds half-even
+    assert row["r"] == 0.520313 and duck_round == 0.520312
