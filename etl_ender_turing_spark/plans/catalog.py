@@ -931,6 +931,35 @@ def q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ckpt, glob_filter="events.parquet")
 
 
+@register(
+    "q_stream_sliding_counts",
+    f"""
+    WITH assigned AS (
+      SELECT date_trunc('hour', ts) AS w0, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value
+      FROM events
+    )
+    SELECT w0 AS window_start, w0 + INTERVAL 2 HOUR AS window_end,
+           event_type, COUNT(*) AS n_events,
+           {dsum_sql('value', 6)} AS sum_value
+    FROM assigned GROUP BY 1, 2, 3
+    """,
+    doc="Structured Streaming SLIDING-window agg (2 h window, 1 h slide, "
+        "watermark + availableNow): each event enters 2 overlapping state "
+        "windows; result equals the batch overlap-expansion oracle "
+        "(q_sliding_window_counts's) — completes the streaming window "
+        "family beside tumbling and session (SURVEY §2.9)")
+def q_stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_windowed_counts_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_slide_ckpt_")
+    return run_windowed_counts_batch(
+        spark, sf_dir, ckpt, window="2 hours", slide="1 hour",
+        glob_filter="events.parquet", query_name="sliding_counts_result")
+
+
 # =========================================================================
 # Explode / flatten — the signature op, over synthesized arrays (SURVEY §2.4)
 # =========================================================================

@@ -43,10 +43,16 @@ def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour",
-                          watermark: str = "2 hours") -> DataFrame:
-    """Late-tolerant tumbling-window counts (SURVEY §2.9 'Windows' row)."""
+                          watermark: str = "2 hours",
+                          slide: str | None = None) -> DataFrame:
+    """Late-tolerant windowed counts: tumbling by default, SLIDING when
+    ``slide`` < ``window`` — each event then lands in window/slide
+    overlapping windows before the same stateful agg (SURVEY §2.9
+    'Windows' row; the overlap factor bounds state fan-out)."""
+    win = (F.window("ts", window, slide) if slide is not None
+           else F.window("ts", window))
     return (events.withWatermark("ts", watermark)
-            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .groupBy(win.alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
                  # decimal-exact sum: reduction order never changes the value
                  F.expr("CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE)")
@@ -119,7 +125,10 @@ def open_event_stream(spark: SparkSession, source_dir: str,
 
 def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
                               checkpoint_dir: str, window: str = "1 hour",
-                              glob_filter: str | None = None) -> DataFrame:
+                              glob_filter: str | None = None,
+                              slide: str | None = None,
+                              query_name: str = "windowed_counts_result"
+                              ) -> DataFrame:
     """Run the windowed-count stream to completion over the files currently
     in ``source_dir`` (availableNow) and return the materialized result.
 
@@ -130,15 +139,15 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
     probing and ts normalization live in :func:`open_event_stream`.
     """
     events = open_event_stream(spark, source_dir, glob_filter)
-    counts = windowed_event_counts(events, window=window)
+    counts = windowed_event_counts(events, window=window, slide=slide)
     q = (counts.writeStream
-         .format("memory").queryName("windowed_counts_result")
+         .format("memory").queryName(query_name)
          .outputMode("complete")
          .option("checkpointLocation", checkpoint_dir)
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
-    return spark.table("windowed_counts_result")
+    return spark.table(query_name)
 
 
 def stateful_dedup_stream(spark: SparkSession, source_dir: str,
