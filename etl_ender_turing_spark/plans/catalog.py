@@ -1309,6 +1309,51 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_constraint_audit",
+    """
+    SELECT 'unique:o_orderkey' AS constraint,
+           CAST(COALESCE((SELECT SUM(n) FROM (
+             SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey
+             HAVING COUNT(*) > 1)), 0) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'not_null:o_custkey',
+           CAST((SELECT COUNT(*) - COUNT(o_custkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+                    OR o_orderstatus IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'fk:o_custkey->c_custkey',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'fk:l_orderkey->o_orderkey',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+    """,
+    doc="declarative data-quality audit (dbt-test/Deequ shape): unique "
+        "key, not-null, accepted values, referential integrity — each "
+        "check one aggregation or one anti-join count, unioned into a "
+        "single (constraint, n_violations) audit frame (the post-load "
+        "validation the reference's Load.py never does)")
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import constraints as cn
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return cn.audit([
+        cn.check_unique(o, ["o_orderkey"]),
+        cn.check_not_null(o, "o_custkey"),
+        cn.check_accepted_values(o, "o_orderstatus", ("O", "F", "P")),
+        cn.check_fk(o, "o_custkey", c, "c_custkey"),
+        cn.check_fk(li, "l_orderkey", o, "o_orderkey"),
+    ])
+
+
+@register(
     "q_stats_moments",
     f"""
     WITH s AS (

@@ -831,3 +831,19 @@ def test_round6u_agrees_cross_engine_on_halfway_values(spark):
     # exact decimal (0.52031249999...94 -> ...? no: BigDecimal half-up on
     # the shortest repr 0.5203125 -> 0.520313), DuckDB rounds half-even
     assert row["r"] == 0.520313 and duck_round == 0.520312
+
+
+def test_constraint_audit_detects_planted_violations(spark):
+    from etl_ender_turing_spark.operators import constraints as cn
+    child = spark.createDataFrame(
+        [(1, 10, "A"), (1, 11, None), (2, 99, "Z")],
+        "k long, fk long, status string")
+    parent = spark.createDataFrame([(10,), (11,)], "pk long")
+    out = {r.constraint: r.n_violations for r in cn.audit([
+        cn.check_unique(child, ["k"]),                 # k=1 twice -> 2 rows
+        cn.check_not_null(child, "status"),            # 1 null
+        cn.check_accepted_values(child, "status", ("A",)),  # None + 'Z' -> 2
+        cn.check_fk(child, "fk", parent, "pk"),        # fk=99 orphan -> 1
+    ]).collect()}
+    assert out == {"unique:k": 2, "not_null:status": 1,
+                   "accepted:status": 2, "fk:fk->pk": 1}
