@@ -1002,36 +1002,51 @@ def containment_pairs(sh: DataFrame, threshold: float = 0.8,
     handled by :func:`boilerplate_ngrams` removal first. Default None =
     exact recall (the certified oracle form).
     """
-    gen = sh
     if max_df is not None:
+        # capped: generate pairs from sub-cap shingles only, but count
+        # intersections over the FULL shingle sets (two-phase)
         rare = (sh.groupBy("shingle")
                 .agg(F.count(F.lit(1)).alias("_df"))
                 .filter(F.col("_df") <= max_df)
                 .select("shingle"))
         gen = sh.join(rare, "shingle")
-    a = gen.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = gen.select(F.col(id_col).alias("doc_b"), "shingle")
-    pairs = (a.join(b, "shingle")
+        a = gen.select(F.col(id_col).alias("doc_a"), "shingle")
+        b = gen.select(F.col(id_col).alias("doc_b"), "shingle")
+        pairs = (a.join(b, "shingle")
+                 .filter(F.col("doc_a") < F.col("doc_b"))
+                 .select("doc_a", "doc_b").distinct())
+        return containment_on_pairs(sh, pairs, threshold, id_col)
+    # exact form: ONE shingle self-join counts intersections directly
+    # (sh is distinct, so COUNT(*) per pair == |A∩B|) — no separate pair
+    # materialization + re-join (3 scans of the shingle join -> 1)
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (a.join(b, "shingle")
              .filter(F.col("doc_a") < F.col("doc_b"))
-             .select("doc_a", "doc_b").distinct())
-    return containment_on_pairs(sh, pairs, threshold, id_col)
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count(F.lit(1)).alias("i")))
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    both = inter.join(sa, "doc_a").join(sb, "doc_b")
+    fwd = both.select(F.col("doc_a").alias("contained"),
+                      F.col("doc_b").alias("container"),
+                      round6u(F.col("i") / F.col("na")).alias("containment"))
+    rev = both.select(F.col("doc_b").alias("contained"),
+                      F.col("doc_a").alias("container"),
+                      round6u(F.col("i") / F.col("nb")).alias("containment"))
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 def containment_sql(shingle_cte: str, threshold: float = 0.8,
                     id_col: str = "doc_id") -> str:
     return f"""
     WITH sh AS ({shingle_cte}),
-    pairs AS (
-      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+    inter AS (
+      SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b, COUNT(*) AS i
       FROM sh a JOIN sh b
         ON a.shingle = b.shingle AND a.{id_col} < b.{id_col}
-    ),
-    inter AS (
-      SELECT p.doc_a, p.doc_b, COUNT(*) AS i
-      FROM pairs p
-      JOIN sh a ON a.{id_col} = p.doc_a
-      JOIN sh b ON b.{id_col} = p.doc_b AND a.shingle = b.shingle
-      GROUP BY p.doc_a, p.doc_b
+      GROUP BY 1, 2
     ),
     sizes AS (SELECT {id_col}, COUNT(*) AS n FROM sh GROUP BY {id_col}),
     both_dirs AS (
