@@ -148,6 +148,42 @@ def q_dedup_keep_canonical(spark, sf_dir):
 
 
 @register(
+    "q_dedup_keep_best",
+    f"""
+    WITH cl AS ({dd.duplicate_clusters_sql(
+        dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6))}),
+    ranked AS (
+      SELECT cl.doc_id,
+             ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+      FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+    )
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """,
+    doc="QUALITY-AWARE canonical selection: per duplicate cluster keep the "
+        "best-scoring member (longest text, id tie-break) instead of the "
+        "min id — the curation-realistic variant of q_dedup_keep_canonical; "
+        "argmax per cluster via max_by (partial+final agg, no window over "
+        "the corpus)")
+def q_dedup_keep_best(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    sh = dd.shingle_select(docs)
+    pairs = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
+    cl = dd.duplicate_clusters(pairs)
+    members = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
+    best = (members.groupBy("cluster_id")
+            .agg(F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
+                 .alias("keep_id")))
+    drop = (cl.join(best, "cluster_id")
+            .filter(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id"))
+    return (docs.join(drop, "doc_id", "left_anti")
+            .select("doc_id", "source", "n_chars"))
+
+
+@register(
     "q_dedup_embed_cosine",
     sim.neardup_pairs_sql("embeddings", threshold=0.3),
     doc="embedding-cosine near-dup pairs: LSH-bucket candidates + exact "
