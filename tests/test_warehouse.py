@@ -104,3 +104,32 @@ def test_surrogate_key_join_equals_guid_join(spark):
     # surrogate is deterministic across frames
     both = ls.select("sid", "sid_sk").union(rs.select("sid", "sid_sk"))
     assert both.distinct().count() == both.select("sid").distinct().count()
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """At 100 TB the fact table is date-partitioned and dim-side filters
+    must prune fact partitions AT RUNTIME (DPP) — the scan subquery shows
+    a dynamicpruning expression instead of reading every partition."""
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.sources.readers import read_table
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    fact_path = str(tmp_path / "events_by_day")
+    (ev.withColumn("day", F.to_date("ts"))
+     .write.mode("overwrite").partitionBy("day").parquet(fact_path))
+    fact = spark.read.parquet(fact_path)
+    # independent dim with a SELECTIVE filter on its side: the DPP
+    # pattern (fact.partition_col = dim.key AND dim.filter)
+    import datetime as dt
+    all_days = [r["day"] for r in fact.select("day").distinct().collect()]
+    dim = spark.createDataFrame(
+        [(d, i % 2) for i, d in enumerate(sorted(all_days))],
+        "day date, flag int")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+                   "true")
+    j = (fact.join(dim.filter(F.col("flag") == 1), "day")
+         .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")))
+    assert j.count() > 0
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
