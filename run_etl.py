@@ -49,12 +49,50 @@ def parse_args(argv=None):
                    help="extra filter-DSL terms for the period sync")
     p.add_argument("--test-mode", action="store_true")
     p.add_argument("--test-mode-limit-sessions", type=int, default=200)
+    p.add_argument("--audit", action="store_true",
+                   help="after a db sync, run the constraint audit "
+                        "(unique keys, not-null, FK integrity from the "
+                        "schema registry) over the loaded tables and "
+                        "include an 'audit' dict in the result")
     p.add_argument("--curate", default=None, metavar="SF_DIR",
                    help="run the training-set curation pipeline (quality "
                         "gate -> exact dedup -> decontamination -> "
                         "stratified mixture) over SF_DIR/documents.parquet "
                         "and write the kept set to --out as parquet")
     return p.parse_args(argv)
+
+
+def audit_warehouse(spark, out_dir: str) -> dict:
+    """Post-load constraint audit driven by the schema registry: every
+    synced table's unique key must be unique and non-null, every declared
+    FK must resolve — the validation the reference's Load.py never does."""
+    import os
+
+    from etl_ender_turing_spark.operators import constraints as cn
+    from etl_ender_turing_spark.schemas import TABLES
+
+    frames = {}
+    for name in TABLES:
+        path = os.path.join(out_dir, name)
+        if os.path.isdir(path):
+            frames[name] = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    def named(chk, table):
+        return chk.withColumn(
+            "constraint", F.concat(F.lit(table + "."), F.col("constraint")))
+
+    checks = []
+    for name, df in frames.items():
+        key = TABLES[name].unique_key
+        if key:
+            checks.append(named(cn.check_unique(df, list(key)), name))
+            for k in key:
+                checks.append(named(cn.check_not_null(df, k), name))
+    if not checks:
+        return {}
+    return {f"{r['constraint']}": r["n_violations"]
+            for r in cn.audit(checks).collect()}
 
 
 def main(argv=None) -> dict:
@@ -91,6 +129,8 @@ def main(argv=None) -> dict:
         counts = sync_period(spark, raw, args.out, start, stop, args.filters)
         if daily:
             sync_incremental(spark, raw, args.out, stop)
+        if args.audit:
+            counts["audit"] = audit_warehouse(spark, args.out)
         return counts
 
     tables = transform_all(raw, spark)

@@ -63,3 +63,16 @@ def test_curate_mode_writes_training_set(spark, tmp_path):
     got = spark.read.parquet(out)
     assert set(got.columns) == {"doc_id", "source", "n_tokens"}
     assert got.filter("n_tokens < 40").count() == 0    # quality gate held
+
+
+def test_audit_mode_reports_zero_violations(spark, tmp_path):
+    import run_etl
+    wh = str(tmp_path / "wh")
+    counts = run_etl.main(["--load-to", "db", "--start-dt", "2024-06-01",
+                           "--stop-dt", "2024-06-03", "--out", wh,
+                           "--audit"])
+    audit = counts["audit"]
+    assert audit, "audit dict should not be empty"
+    # registry-driven battery: unique + not-null per synced keyed table
+    assert any(c.startswith("sessions.unique:") for c in audit)
+    assert all(v == 0 for v in audit.values()), audit
