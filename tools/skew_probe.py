@@ -86,6 +86,26 @@ def probe(spark, n_docs: int) -> dict:
             "t_capped": t_capped, "t_uncapped": t_uncapped}
 
 
+def probe_containment(spark, n_docs: int) -> dict:
+    """Same Zipf corpus, containment candidate generation: uncapped
+    shingle-sharing pairs grow quadratically (boilerplate shingles are
+    shared corpus-wide); max_df excludes those from pair generation and
+    growth falls to ~linear — the same cap discipline, different op."""
+    docs = zipf_docs(spark, n_docs)
+    sh = dd.shingle_select(docs).persist()
+    sh.count()
+    t0 = time.perf_counter()
+    capped = dd.containment_pairs(sh, threshold=0.0, max_df=20).count()
+    t_capped = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    uncapped = dd.containment_pairs(sh, threshold=0.0).count()
+    t_uncapped = time.perf_counter() - t0
+    sh.unpersist()
+    return {"n_docs": n_docs, "capped_pairs": capped,
+            "uncapped_pairs": uncapped,
+            "t_capped": t_capped, "t_uncapped": t_uncapped}
+
+
 def main() -> None:
     base = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000
     spark = get_spark("skew_probe")
@@ -105,6 +125,18 @@ def main() -> None:
               f" {r['uncapped_pairs']:>12} {r['t_capped']:>7.2f}"
               f" {r['t_uncapped']:>7.2f}   {cap_rate:8.1f} {unc_rate:8.1f}"
               f"{growth}")
+        prev = r
+    print("containment (shingle-sharing gen, max_df=20 vs uncapped):")
+    print(f"{'docs':>8} {'capped':>12} {'uncapped':>12} {'t_cap':>7} {'t_unc':>7}")
+    prev = None
+    for mult in (1, 2, 4):
+        r = probe_containment(spark, base * mult)
+        growth = ""
+        if prev:
+            growth = (f"   growth cap {r['capped_pairs'] / max(prev['capped_pairs'],1):.2f}x"
+                      f" unc {r['uncapped_pairs'] / max(prev['uncapped_pairs'],1):.2f}x")
+        print(f"{r['n_docs']:>8} {r['capped_pairs']:>12} {r['uncapped_pairs']:>12}"
+              f" {r['t_capped']:>7.2f} {r['t_uncapped']:>7.2f}{growth}")
         prev = r
     spark.stop()
 
