@@ -47,3 +47,39 @@ def conform(df: DataFrame, target: T.StructType, table_name: str = "?") -> DataF
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def reconcile(a: DataFrame, b: DataFrame, key_cols: list[str],
+              compare_cols: list[str] | None = None) -> DataFrame:
+    """Table reconciliation: one summary row — keys only in A, only in B,
+    in both-and-equal, in both-but-changed.
+
+    The migration-validation operator: run the reference pipeline and
+    this engine over the same input, reconcile on the unique key, expect
+    (0, 0, n, 0). One shuffle per side on the key columns; the compare is
+    a null-safe equality conjunction evaluated in the joined projection —
+    no collect, works at any table size.
+    """
+    from pyspark.sql import functions as F
+
+    cmp_cols = compare_cols or [c for c in a.columns if c not in key_cols]
+    av = a.select(*key_cols,
+                  *[F.col(c).alias(f"_a_{c}") for c in cmp_cols],
+                  F.lit(1).alias("_in_a"))
+    bv = b.select(*key_cols,
+                  *[F.col(c).alias(f"_b_{c}") for c in cmp_cols],
+                  F.lit(1).alias("_in_b"))
+    j = av.join(bv, key_cols, "full_outer")
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        same = eq if same is None else (same & eq)
+    return j.agg(
+        F.count(F.when(F.col("_in_b").isNull(), 1)).alias("n_only_a"),
+        F.count(F.when(F.col("_in_a").isNull(), 1)).alias("n_only_b"),
+        F.count(F.when(F.col("_in_a").isNotNull()
+                       & F.col("_in_b").isNotNull() & same, 1))
+        .alias("n_equal"),
+        F.count(F.when(F.col("_in_a").isNotNull()
+                       & F.col("_in_b").isNotNull() & ~same, 1))
+        .alias("n_changed"))

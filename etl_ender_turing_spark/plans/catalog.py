@@ -1309,6 +1309,45 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_table_reconcile",
+    """
+    WITH b AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderstatus = 'P'
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    j AS (
+      SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
+             a.o_totalprice AS va, b.o_totalprice AS vb
+      FROM orders a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    )
+    SELECT COUNT(CASE WHEN kb IS NULL THEN 1 END) AS n_only_a,
+           COUNT(CASE WHEN ka IS NULL THEN 1 END) AS n_only_b,
+           COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                       AND va = vb THEN 1 END) AS n_equal,
+           COUNT(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+                       AND va <> vb THEN 1 END) AS n_changed
+    FROM j
+    """,
+    doc="table reconciliation (migration validation): full-outer key join "
+        "-> (only_a, only_b, equal, changed) summary; the check a user "
+        "runs when switching engines over the same input — here against a "
+        "deterministically drifted copy so every bucket is exercised")
+def q_table_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.conform import reconcile
+    o = _t(spark, sf_dir, "orders")
+    drifted = (o.filter(F.col("o_orderkey") % 10 != 0)
+               .select("o_orderkey",
+                       F.when(F.col("o_orderstatus") == "P",
+                              F.col("o_totalprice") + 1)
+                       .otherwise(F.col("o_totalprice"))
+                       .alias("o_totalprice")))
+    return reconcile(o.select("o_orderkey", "o_totalprice"), drifted,
+                     ["o_orderkey"])
+
+
+@register(
     "q_constraint_audit",
     """
     SELECT 'unique:o_orderkey' AS constraint,

@@ -215,3 +215,17 @@ def test_delta_guard_reports_unavailable_cleanly(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ImportError):
         up.upsert_delta(spark, df, "/tmp/never-written", ("k",))
+
+
+def test_reconcile_buckets_match_planted_drift(spark):
+    from etl_ender_turing_spark.operators.conform import reconcile
+    a = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)],
+        "k long, v double")
+    b = spark.createDataFrame(
+        [(2, 20.0), (3, 31.0), (4, None), (5, 50.0)],
+        "k long, v double")
+    r = reconcile(a, b, ["k"]).first()
+    # 1 only in a; 5 only in b; 2 equal (k=2, and k=4 null==null
+    # null-safe); 3 changed
+    assert (r.n_only_a, r.n_only_b, r.n_equal, r.n_changed) == (1, 1, 2, 1)
