@@ -328,3 +328,66 @@ def weighted_sample_sql(table: str, score_col: str,
                  MAX({score_col}) OVER () AS m FROM {table})
     WHERE {hash_unit_sql(id_col)} < {score_col} * 1.0 / m
     """
+
+
+def temperature_mixture(df: DataFrame, strata_col: str = "source",
+                        token_col: str = "n_chars",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Temperature-weighted source rebalancing (T=2, i.e. share^(1/2) —
+    the XLM-R/mT5 multinomial recipe): oversized sources are downsampled
+    toward the sqrt-flattened distribution, small sources keep everything.
+
+    target share q_s ∝ sqrt(p_s); per-source keep rate r_s = (q_s/p_s)
+    normalized so the most-upweighted source keeps 100 % (sampling
+    without replacement cannot exceed 1). Selection is the deterministic
+    md5 coin, so the kept set is reproducible and layout-independent.
+
+    Float parity: shares are exact-decimal ratios; sqrt is correctly
+    rounded in every IEEE engine (unlike pow, which is why the exponent
+    is fixed at 1/2); rates are a chain of identical double ops in both
+    engines. All rate math happens on the |sources|-row aggregate —
+    the corpus-side work is one broadcast join + one filter.
+    """
+    stats = (df.groupBy(strata_col)
+             .agg(F.expr(f"CAST(SUM(CAST({token_col} AS DECIMAL(28,6)))"
+                         " AS DOUBLE)").alias("_toks")))
+    w_all = Window.partitionBy()
+    rates = (stats
+             .withColumn("_share", F.col("_toks") / F.sum("_toks").over(w_all))
+             .withColumn("_q", F.sqrt("_share")
+                         / F.sum(F.sqrt("_share")).over(w_all))
+             .withColumn("_ratio", F.col("_q") / F.col("_share"))
+             .withColumn("_rate", F.col("_ratio")
+                         / F.max("_ratio").over(w_all))
+             .select(strata_col, "_rate"))
+    return (df.join(F.broadcast(rates), strata_col)
+            .filter(hash_unit(id_col) < F.col("_rate"))
+            .select(id_col, strata_col))
+
+
+def temperature_mixture_sql(table: str = "documents",
+                            strata_col: str = "source",
+                            token_col: str = "n_chars",
+                            id_col: str = "doc_id") -> str:
+    return f"""
+    WITH stats AS (
+      SELECT {strata_col},
+             CAST(SUM(CAST({token_col} AS DECIMAL(28,6))) AS DOUBLE) AS toks
+      FROM {table} GROUP BY {strata_col}
+    ),
+    shares AS (
+      SELECT {strata_col}, toks / SUM(toks) OVER () AS share FROM stats
+    ),
+    qs AS (
+      SELECT {strata_col}, share,
+             sqrt(share) / SUM(sqrt(share)) OVER () AS q
+      FROM shares
+    ),
+    rates AS (
+      SELECT {strata_col}, (q / share) / MAX(q / share) OVER () AS rate
+      FROM qs
+    )
+    SELECT {id_col}, {strata_col}
+    FROM {table} JOIN rates USING ({strata_col})
+    WHERE {hash_unit_sql(id_col)} < rate
+    """

@@ -538,6 +538,17 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "q_temperature_mixture",
+    sp.temperature_mixture_sql("documents"),
+    doc="temperature-weighted source rebalancing (share^(1/2), XLM-R "
+        "recipe): per-source keep rates from the sqrt-flattened token "
+        "distribution, deterministic md5-coin selection; rate math on the "
+        "|sources|-row aggregate, corpus side one broadcast join + filter")
+def q_temperature_mixture(spark, sf_dir):
+    return sp.temperature_mixture(_docs(spark, sf_dir))
+
+
+@register(
     "q_bigram_coherence",
     ts.bigram_coherence_sql("documents"),
     doc="2-gram LM quality proxy: per-doc mean corpus transition "

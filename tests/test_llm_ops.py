@@ -847,3 +847,16 @@ def test_constraint_audit_detects_planted_violations(spark):
     ]).collect()}
     assert out == {"unique:k": 2, "not_null:status": 1,
                    "accepted:status": 2, "fk:fk->pk": 1}
+
+
+def test_temperature_mixture_flattens_toward_sqrt(spark):
+    from etl_ender_turing_spark.operators import sampling as samp
+    # 90/10 skew: sqrt-flattening keeps ALL of the small source and
+    # downsamples the big one toward sqrt(0.9)/ (sqrt(.9)+sqrt(.1)) share
+    rows = [(i, "big" if i < 900 else "small", 100) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    kept = samp.temperature_mixture(df).groupBy("source").count().collect()
+    by = {r.source: r["count"] for r in kept}
+    assert by["small"] == 100                   # most-upweighted keeps 100%
+    # big's keep rate = (q_b/p_b)/(q_s/p_s) = sqrt(p_b/p_s)^-1 ... = 1/3
+    assert abs(by["big"] / 900 - 1 / 3) < 0.05  # md5 coin ≈ rate
