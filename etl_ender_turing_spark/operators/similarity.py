@@ -1048,3 +1048,152 @@ def ivf_topk_from_index(spark, path: str, query_id: int, k: int = 10,
              .unionByName(vectors.filter(F.col(id_col) == query_id))
              .select(id_col, vec_col).dropDuplicates([id_col]))
     return brute_force_topk(cands, query_id, k, id_col, vec_col)
+
+
+# --------------------------------------------------------------------------
+# Modern serving compressions: Matryoshka prefixes, 1-bit sign quantization
+# --------------------------------------------------------------------------
+
+def matryoshka_topk(emb: DataFrame, query_id: int, k: int = 10,
+                    prefix_dims: int = 16, rerank: int = 50,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Two-stage MRL serving (Kusupati et al. 2022): rank by cosine over
+    the FIRST ``prefix_dims`` dimensions (cheap scan — at serving scale
+    the prefix is a separate, 4× smaller column), keep ``rerank``
+    candidates, then exact full-vector rerank to the final top-k.
+
+    The candidate stage's coarse scores order differently from the full
+    scores — that is the point; correctness of the final list only needs
+    the true top-k inside the rerank window (recall knob = ``rerank``).
+    Both stages are TakeOrderedAndProject; no global sort.
+    """
+    short = (emb.select(F.col(id_col),
+                        F.slice(as_double(vec_col), 1, prefix_dims)
+                        .alias("_pv")))
+    q = (short.filter(F.col(id_col) == query_id)
+         .select(F.col("_pv").alias("_qpv")))
+    coarse = (short.filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(id_col, F.round(cosine("_pv", "_qpv"), 6).alias("_cs"))
+              .orderBy(F.col("_cs").desc(), F.col(id_col))
+              .limit(rerank)
+              .select(id_col))
+    cands = (emb.join(F.broadcast(coarse), id_col, "left_semi")
+             .unionByName(emb.filter(F.col(id_col) == query_id)))
+    return brute_force_topk(cands, query_id, k, id_col, vec_col)
+
+
+def matryoshka_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                        prefix_dims: int = 16, rerank: int = 50,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    return f"""
+    WITH short AS (
+      SELECT {id_col}, ({vec_col}::DOUBLE[])[1:{prefix_dims}] AS pv
+      FROM {sf_table}
+    ),
+    q AS (SELECT pv AS qpv FROM short WHERE {id_col} = {query_id}),
+    coarse AS (
+      SELECT {id_col}
+      FROM (SELECT s.{id_col},
+                   ROW_NUMBER() OVER (
+                     ORDER BY ROUND(list_cosine_similarity(s.pv, q.qpv), 6)
+                       DESC, s.{id_col}) AS crn
+            FROM short s CROSS JOIN q WHERE s.{id_col} <> {query_id})
+      WHERE crn <= {rerank}
+    ),
+    cands AS (
+      SELECT e.* FROM {sf_table} e SEMI JOIN coarse USING ({id_col})
+      UNION ALL
+      SELECT * FROM {sf_table} WHERE {id_col} = {query_id}
+    ),
+    qv AS (SELECT {vec_col}::DOUBLE[] AS qv FROM {sf_table}
+           WHERE {id_col} = {query_id}),
+    scored AS (
+      SELECT {id_col},
+             ROUND(list_cosine_similarity({vec_col}::DOUBLE[], qv), 6)
+               AS cos_sim
+      FROM cands, qv WHERE {id_col} <> {query_id}
+    )
+    SELECT {id_col}, cos_sim, rnk FROM (
+      SELECT {id_col}, cos_sim,
+             ROW_NUMBER() OVER (ORDER BY cos_sim DESC, {id_col}) AS rnk
+      FROM scored
+    ) WHERE rnk <= {k}
+    """
+
+
+def _sign_pack(vec_col: str, lo: int, hi: int) -> str:
+    """Spark SQL expr packing sign bits of dims [lo, hi) into one BIGINT."""
+    bits = " + ".join(
+        f"(CASE WHEN element_at({vec_col}, {i + 1}) > 0"
+        f" THEN {1 << (i - lo)} ELSE 0 END)" for i in range(lo, hi))
+    return f"CAST({bits} AS BIGINT)"
+
+
+def binary_signature(vec_col: str, dims: int = DIMS) -> list[Column]:
+    """Sign signature as TWO 32-bit halves (bit 63 of a single signed
+    BIGINT would overflow): bit i set iff v[i] > 0 — 1-bit-per-dim
+    quantization (32× smaller than float32 at d=64·4B). Integer-exact,
+    engine-independent."""
+    half = dims // 2
+    return [F.expr(_sign_pack(vec_col, 0, half)).alias("_sig_lo"),
+            F.expr(_sign_pack(vec_col, half, dims)).alias("_sig_hi")]
+
+
+def binary_hamming_topk(emb: DataFrame, query_id: int, k: int = 10,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """ANN over 1-bit signatures: Hamming distance = bit_count(xor) of two
+    BIGINTs — the cheapest possible scan (one integer op per row against
+    a broadcast scalar). Integer-exact cross-engine; ties break by id.
+    At scale the signature column is precomputed at ingest (8 bytes/row)
+    and the float vectors are touched only by an optional rerank."""
+    sigs = emb.select(F.col(id_col), *binary_signature(vec_col))
+    q = (sigs.filter(F.col(id_col) == query_id)
+         .select(F.col("_sig_lo").alias("_qlo"),
+                 F.col("_sig_hi").alias("_qhi")))
+    scored = (sigs.filter(F.col(id_col) != query_id)
+              .crossJoin(F.broadcast(q))
+              .select(id_col,
+                      F.expr("bit_count(_sig_lo ^ _qlo)"
+                             " + bit_count(_sig_hi ^ _qhi)")
+                      .alias("hamming")))
+    top = scored.orderBy(F.col("hamming").asc(), F.col(id_col)).limit(k)
+    w = Window.orderBy(F.col("hamming").asc(), F.col(id_col))
+    return top.withColumn("rnk", F.row_number().over(w))
+
+
+def binary_hamming_topk_sql(sf_table: str, query_id: int, k: int = 10,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dims: int = DIMS) -> str:
+    half = dims // 2
+
+    def pack(lo: int, hi: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN ({vec_col}::DOUBLE[])[{i + 1}] > 0"
+            f" THEN {1 << (i - lo)}::BIGINT ELSE 0::BIGINT END)"
+            for i in range(lo, hi))
+
+    return f"""
+    WITH sigs AS (
+      SELECT {id_col},
+             CAST({pack(0, half)} AS BIGINT) AS sig_lo,
+             CAST({pack(half, dims)} AS BIGINT) AS sig_hi
+      FROM {sf_table}
+    ),
+    q AS (SELECT sig_lo AS qlo, sig_hi AS qhi FROM sigs
+          WHERE {id_col} = {query_id})
+    SELECT {id_col}, hamming, rnk FROM (
+      SELECT s.{id_col},
+             bit_count(xor(s.sig_lo, q.qlo))
+               + bit_count(xor(s.sig_hi, q.qhi)) AS hamming,
+             ROW_NUMBER() OVER (
+               ORDER BY bit_count(xor(s.sig_lo, q.qlo))
+                          + bit_count(xor(s.sig_hi, q.qhi)),
+                        s.{id_col}) AS rnk
+      FROM sigs s CROSS JOIN q WHERE s.{id_col} <> {query_id}
+    ) WHERE rnk <= {k}
+    """

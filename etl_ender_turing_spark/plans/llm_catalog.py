@@ -231,6 +231,26 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_embed_matryoshka_topk",
+    sim.matryoshka_topk_sql("embeddings", query_id=3, k=10),
+    doc="Matryoshka two-stage serving (MRL): coarse cosine over the "
+        "16-dim prefix (4x-smaller scan) -> 50-candidate exact full-dim "
+        "rerank -> top-10; both stages TakeOrderedAndProject")
+def q_embed_matryoshka_topk(spark, sf_dir):
+    return sim.matryoshka_topk(_emb(spark, sf_dir), query_id=3, k=10)
+
+
+@register(
+    "q_embed_binary_topk",
+    sim.binary_hamming_topk_sql("embeddings", query_id=3, k=10),
+    doc="1-bit sign-quantized ANN: 64-dim sign signature packed into two "
+        "BIGINT halves, Hamming = bit_count(xor) against a broadcast "
+        "scalar — integer-exact, 32x smaller than the float scan")
+def q_embed_binary_topk(spark, sf_dir):
+    return sim.binary_hamming_topk(_emb(spark, sf_dir), query_id=3, k=10)
+
+
+@register(
     "q_embed_ivf_kmeans",
     # the loop is unrolled to 3 CTE rounds: deterministic seeds +
     # exact-decimal means + 6dp argmax make each round bit-reproducible,

@@ -860,3 +860,31 @@ def test_temperature_mixture_flattens_toward_sqrt(spark):
     assert by["small"] == 100                   # most-upweighted keeps 100%
     # big's keep rate = (q_b/p_b)/(q_s/p_s) = sqrt(p_b/p_s)^-1 ... = 1/3
     assert abs(by["big"] / 900 - 1 / 3) < 0.05  # md5 coin ≈ rate
+
+
+def test_matryoshka_rerank_recovers_exact_topk_with_full_window(spark):
+    from etl_ender_turing_spark.sources.readers import read_table
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    exact = sim.brute_force_topk(emb, query_id=1, k=5).collect()
+    # rerank window = corpus size -> two-stage MUST equal exact top-k
+    full = sim.matryoshka_topk(emb, query_id=1, k=5, rerank=n).collect()
+    assert [tuple(r) for r in full] == [tuple(r) for r in exact]
+    # practical window: a top-k list of the right shape, mostly overlapping
+    fast = sim.matryoshka_topk(emb, query_id=1, k=5, rerank=20).collect()
+    assert len(fast) == 5
+    overlap = {r.vec_id for r in fast} & {r.vec_id for r in exact}
+    # random synthetic vectors leave the 16-dim prefix weakly correlated
+    # with the full cosine — real embeddings concentrate energy in early
+    # dims (that's MRL training's promise); here just require signal > 0
+    assert len(overlap) >= 1
+
+
+def test_binary_hamming_identical_vector_is_nearest(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, -1.0, 1.0, -1.0]), (1, [1.0, -1.0, 1.0, -1.0]),
+         (2, [-1.0, 1.0, -1.0, 1.0]), (3, [1.0, 1.0, 1.0, 1.0])],
+        "vec_id long, embedding array<float>")
+    out = sim.binary_hamming_topk(emb, query_id=0, k=3).collect()
+    assert out[0].vec_id == 1 and out[0].hamming == 0
+    assert out[-1].vec_id == 2 and out[-1].hamming == 4   # all bits flip
