@@ -129,6 +129,46 @@ class HttpSessionService:
         return payload["items"]
 
 
+def session_count(endpoint: str, d1: str, d2: str, t1: str = "00:00",
+                  t2: str = "23:59",
+                  extra: list[tuple[str, tuple[str, ...]]] = (),
+                  token: str | None = None, timeout_s: float = 30.0) -> int:
+    """Server-side session count for a filter DSL — the reference's
+    count-reconciliation check that was left as a TODO and never
+    implemented (reference ETL/Extract.py:158; endpoint shape from
+    get-scores.py:31-37): ``GET /sessions/filter/number_of_sessions``
+    with the same quoted filters as the extraction scan."""
+    import urllib.parse
+    import urllib.request
+
+    dsl = f"date_range,{d1},{d2}||{t1},{t2}"
+    for name, values in extra:
+        dsl += f"±{name},{','.join(values)}"
+    url = (f"{endpoint.rstrip('/')}/sessions/filter/number_of_sessions"
+           f"?filters={urllib.parse.quote(dsl)}")
+    req = urllib.request.Request(url)
+    if token:
+        req.add_header("Authorization", f"Bearer {token}")
+    with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+        payload = json.loads(resp.read().decode("utf-8"))
+    if isinstance(payload, dict):
+        return int(payload["number_of_sessions"])
+    return int(payload)
+
+
+def reconcile_extraction(df, endpoint: str, start: str, stop: str,
+                         token: str | None = None) -> dict:
+    """Completes the reference's intended post-extraction validation:
+    compare the extracted row count against the server's count endpoint
+    for the same interval. Returns {extracted, reported, match} — wire it
+    after a sync and alert on match=False (a mid-scan upstream mutation
+    or pagination bug shows up here first)."""
+    reported = with_retry(session_count, endpoint, start, stop, token=token)
+    extracted = df.count()
+    return {"extracted": extracted, "reported": reported,
+            "match": extracted == reported}
+
+
 def fetch_session_details(df, endpoint: str, suffix: str = "",
                           token: str | None = None, id_col: str = "id",
                           guard_col: str | None = None,
@@ -305,4 +345,5 @@ def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT
 
 
 __all__ = ["SessionApiDataSource", "read_sessions_api", "register",
-           "split_half_days", "FakeSessionService", "HttpSessionService"]
+           "split_half_days", "FakeSessionService", "HttpSessionService",
+           "session_count", "reconcile_extraction"]

@@ -74,7 +74,12 @@ class _StubApi:
             def do_GET(self):  # noqa: N802 — stdlib naming
                 parsed = urllib.parse.urlparse(self.path)
                 qs = urllib.parse.parse_qs(parsed.query)
-                if parsed.path.rstrip("/") != "/sessions":
+                if parsed.path.rstrip("/") == "/sessions/filter/number_of_sessions":
+                    stub.requests.append({"path": parsed.path,
+                                          "filters": qs["filters"][0]})
+                    body = _json.dumps(
+                        {"number_of_sessions": len(rows)}).encode()
+                elif parsed.path.rstrip("/") != "/sessions":
                     # detail route /sessions/{id}[{suffix}]
                     stub.requests.append({"path": parsed.path})
                     parts = parsed.path.split("/")
@@ -229,3 +234,36 @@ def test_with_retry_backoff_and_reraise():
     except TimeoutError:
         pass
     assert len(sleeps) == 2                      # attempts-1 waits
+
+
+def test_count_reconciliation_completes_the_reference_todo(spark):
+    """reference Extract.py:158 left 'compare extracted count vs
+    number_of_sessions endpoint' as a TODO — here it's implemented and
+    must hold on a clean extraction."""
+    from etl_ender_turing_spark.sources.api_source import (
+        reconcile_extraction, session_count,
+    )
+
+    from etl_ender_turing_spark.pipeline.fixtures import raw_sessions
+
+    rows = [r for r in raw_sessions()
+            if r["start_dt"][:10] == "2024-06-01"][:20]
+    api = _StubApi(rows)
+    try:
+        endpoint = f"http://127.0.0.1:{api.port}"
+        assert session_count(endpoint, "2024-06-01", "2024-06-01") == 20
+        df = read_sessions_api(spark, "2024-06-01", "2024-06-01",
+                               endpoint=endpoint)
+        # stub ignores windows: both half-day partitions return all rows
+        out = reconcile_extraction(df, endpoint, "2024-06-01", "2024-06-01")
+        assert out["reported"] == 20 and out["extracted"] == 40
+        assert out["match"] is False       # which is exactly what the
+        # reconciliation exists to surface on a double-read...
+        dedup = df.dropDuplicates(["id"])
+        out2 = reconcile_extraction(dedup, endpoint,
+                                    "2024-06-01", "2024-06-01")
+        assert out2 == {"extracted": 20, "reported": 20, "match": True}
+        assert any(r["path"].endswith("number_of_sessions")
+                   for r in api.requests)
+    finally:
+        api.close()
