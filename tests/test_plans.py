@@ -196,3 +196,32 @@ def test_driver_canon_contract(spark):
                 bad.append(f"{name}: oracle col '{col}' is {typ} "
                            f"(serialize to string)")
     assert not bad, "\n".join(bad)
+
+
+def test_shuffle_budgets_pinned(spark):
+    """Regression pin on the shuffle budget of representative plans: an
+    accidental repartition/extra distinct shows up here as an Exchange
+    count above the recorded budget (PLANS.md is the human-readable twin).
+    Counts come from the AQE-final executed plan at sf0.001."""
+    import re
+
+    from etl_ender_turing_spark.plans import CATALOG
+
+    budgets = {
+        "q1_pricing_summary": 1,
+        "q_sessionize_events": 1,
+        "q_cohort_retention": 2,
+        "q_dedup_minhash_lsh": 2,
+        "q_funnel_conversion": 2,   # user agg + 1-row global agg
+        "q_hourly_event_rollup": 1,
+    }
+    sf = "/root/testdata/sf0.001"
+    for name, budget in budgets.items():
+        df = CATALOG[name].builder(spark, sf)
+        df.count()   # execute so the AQE-final plan is materialized
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n_ex = len(re.findall(r"\bExchange\b", plan))
+        n_reused = len(re.findall(r"\bReusedExchange\b", plan))
+        assert n_ex - n_reused <= budget, (
+            f"{name}: {n_ex - n_reused} exchanges > budget {budget}\n"
+            + plan[:1500])
