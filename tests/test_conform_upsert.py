@@ -229,3 +229,20 @@ def test_reconcile_buckets_match_planted_drift(spark):
     # 1 only in a; 5 only in b; 2 equal (k=2, and k=4 null==null
     # null-safe); 3 changed
     assert (r.n_only_a, r.n_only_b, r.n_equal, r.n_changed) == (1, 1, 2, 1)
+
+
+def test_compaction_collapses_micro_files_preserving_rows(spark, tmp_path):
+    from etl_ender_turing_spark.sources.maintenance import (
+        compact_parquet, table_file_stats,
+    )
+    path = str(tmp_path / "accreted")
+    # simulate streaming-epoch accretion: 40 single-row appends
+    for i in range(40):
+        (spark.range(i * 10, i * 10 + 10).toDF("v")
+         .coalesce(1).write.mode("append").parquet(path))
+    n0, _ = table_file_stats(path)
+    assert n0 >= 40
+    before = spark.read.parquet(path).count()
+    stats = compact_parquet(spark, path, target_mb=128)
+    assert stats["files_after"] == 1 and stats["files_before"] == n0
+    assert spark.read.parquet(path).count() == before == 400
