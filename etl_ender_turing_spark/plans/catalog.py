@@ -1309,6 +1309,34 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_k_anonymity",
+    """
+    WITH groups AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_groups,
+           COUNT(CASE WHEN n < 5 THEN 1 END) AS n_below_k,
+           CAST(COALESCE(SUM(CASE WHEN n < 5 THEN n END), 0) AS BIGINT)
+             AS n_rows_at_risk,
+           CAST(MIN(n) AS BIGINT) AS min_group_size
+    FROM groups
+    """,
+    doc="k-anonymity audit (k=5) over the quasi-identifier pair "
+        "(lang, source): groups smaller than k re-identify their members "
+        "— the privacy-governance gate a training-data release runs "
+        "beside PII redaction; one partial+final agg over group counts")
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    groups = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("n") < 5, 1)).alias("n_below_k"),
+        F.coalesce(F.sum(F.when(F.col("n") < 5, F.col("n"))), F.lit(0))
+        .cast("long").alias("n_rows_at_risk"),
+        F.min("n").cast("long").alias("min_group_size"))
+
+
+@register(
     "q_table_reconcile",
     """
     WITH b AS (
