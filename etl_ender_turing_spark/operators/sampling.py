@@ -391,3 +391,41 @@ def temperature_mixture_sql(table: str = "documents",
     FROM {table} JOIN rates USING ({strata_col})
     WHERE {hash_unit_sql(id_col)} < rate
     """
+
+
+def train_val_test_split(df: DataFrame, val_frac: float = 0.1,
+                         test_frac: float = 0.1,
+                         id_col: str = "doc_id",
+                         strata_col: str = "source") -> DataFrame:
+    """Deterministic 3-way split summary: the md5 coin sends each doc to
+    train/val/test with per-STRATUM proportions (the hash is uniform
+    within every stratum, so stratification is free — no per-stratum
+    state, no shuffle beyond the final count agg).
+
+    Reproducible forever: membership depends only on the id, so adding
+    documents never moves an existing one across splits (the property
+    that keeps eval sets uncontaminated as the corpus grows).
+    Output: (stratum, split, n_docs).
+    """
+    u = hash_unit(id_col)
+    split = (F.when(u < F.lit(1.0 - val_frac - test_frac), "train")
+             .when(u < F.lit(1.0 - test_frac), "val")
+             .otherwise("test"))
+    return (df.select(F.col(strata_col), split.alias("split"))
+            .groupBy(strata_col, "split")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+def train_val_test_split_sql(table: str = "documents",
+                             val_frac: float = 0.1, test_frac: float = 0.1,
+                             id_col: str = "doc_id",
+                             strata_col: str = "source") -> str:
+    u = hash_unit_sql(id_col)
+    return f"""
+    SELECT {strata_col},
+           CASE WHEN {u} < {1.0 - val_frac - test_frac} THEN 'train'
+                WHEN {u} < {1.0 - test_frac} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM {table} GROUP BY 1, 2
+    """

@@ -558,6 +558,16 @@ def q_tfidf_top_terms(spark, sf_dir):
 
 
 @register(
+    "q_train_val_test_split",
+    sp.train_val_test_split_sql("documents"),
+    doc="deterministic stratified train/val/test split (80/10/10): md5 "
+        "coin per doc, membership stable under corpus growth (eval sets "
+        "never contaminated by re-splits); per-(source, split) counts")
+def q_train_val_test_split(spark, sf_dir):
+    return sp.train_val_test_split(_docs(spark, sf_dir))
+
+
+@register(
     "q_temperature_mixture",
     sp.temperature_mixture_sql("documents"),
     doc="temperature-weighted source rebalancing (share^(1/2), XLM-R "
