@@ -1309,6 +1309,106 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_funnel_windowed",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    vc AS (
+      SELECT DISTINCT v.user_id
+      FROM v JOIN c ON v.user_id = c.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+    ),
+    vcp AS (
+      SELECT DISTINCT v.user_id
+      FROM v
+      JOIN c ON v.user_id = c.user_id
+       AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 1 HOUR
+      JOIN p ON c.user_id = p.user_id
+       AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM v) AS n_view_users,
+           (SELECT COUNT(*) FROM vc) AS n_view_click_1h,
+           (SELECT COUNT(*) FROM vcp) AS n_full_funnel_1h
+    """,
+    doc="TIME-BOUNDED funnel: click within 1 h of a view, purchase "
+        "within 1 h of that click — chained range joins on the user key "
+        "(the shuffle), time predicates post-join; the windowed variant "
+        "of q_funnel_conversion (SURVEY §2.5/§2.3 composition)")
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view") \
+          .select("user_id", F.col("ts").alias("v_ts"))
+    c = ev.filter(F.col("event_type") == "click") \
+          .select(F.col("user_id").alias("c_user"),
+                  F.col("ts").alias("c_ts"))
+    p = ev.filter(F.col("event_type") == "purchase") \
+          .select(F.col("user_id").alias("p_user"),
+                  F.col("ts").alias("p_ts"))
+    hour = F.expr("INTERVAL 1 HOUR")
+    vc = (v.join(c, (F.col("user_id") == F.col("c_user"))
+                 & (F.col("c_ts") > F.col("v_ts"))
+                 & (F.col("c_ts") <= F.col("v_ts") + hour))
+          .select("user_id", "c_ts"))
+    vcp = (vc.join(p, (F.col("user_id") == F.col("p_user"))
+                   & (F.col("p_ts") > F.col("c_ts"))
+                   & (F.col("p_ts") <= F.col("c_ts") + hour))
+           .select("user_id"))
+    n_view = v.select(F.countDistinct("user_id").alias("n"))
+    n_vc = vc.select("user_id").distinct() \
+             .agg(F.count(F.lit(1)).alias("n"))
+    n_vcp = vcp.distinct().agg(F.count(F.lit(1)).alias("n"))
+    return (n_view.crossJoin(n_vc.withColumnRenamed("n", "n2"))
+            .crossJoin(n_vcp.withColumnRenamed("n", "n3"))
+            .select(F.col("n").alias("n_view_users"),
+                    F.col("n2").alias("n_view_click_1h"),
+                    F.col("n3").alias("n_full_funnel_1h")))
+
+
+@register(
+    "q_chi_square_lang_source",
+    """
+    WITH o AS (
+      SELECT lang, source, COUNT(*) AS obs FROM documents GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT lang, source, obs,
+             SUM(obs) OVER (PARTITION BY lang) AS row_n,
+             SUM(obs) OVER (PARTITION BY source) AS col_n,
+             SUM(obs) OVER () AS n
+      FROM o
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(
+             ROUND((obs - row_n * col_n * 1.0 / n)
+                   * (obs - row_n * col_n * 1.0 / n)
+                   / (row_n * col_n * 1.0 / n), 6)
+             AS DECIMAL(28,6))) AS DOUBLE), 6) AS chi2
+    FROM m
+    """,
+    doc="chi-square independence of (lang, source): contingency cells in "
+        "one agg, marginals via windows over the tiny cell table, "
+        "order-insensitive decimal sum of per-cell terms — the "
+        "composition-drift detector for corpus audits (SURVEY §2.5 "
+        "extension)")
+def q_chi_square_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    m = (o.withColumn("row_n", F.sum("obs").over(
+            Window.partitionBy("lang")))
+         .withColumn("col_n", F.sum("obs").over(
+            Window.partitionBy("source")))
+         .withColumn("n", F.sum("obs").over(Window.partitionBy())))
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.expr(
+            "CAST(SUM(CAST(ROUND((obs - row_n * col_n * 1.0 / n)"
+            " * (obs - row_n * col_n * 1.0 / n)"
+            " / (row_n * col_n * 1.0 / n), 6) AS DECIMAL(28,6))) AS DOUBLE)"
+        ), 6).alias("chi2"))
+
+
+@register(
     "q_k_anonymity",
     """
     WITH groups AS (
