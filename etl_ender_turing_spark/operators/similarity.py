@@ -216,7 +216,13 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
     (mean 1−cos to the assigned centroid) whose monotone decrease the
     tests pin.
     """
-    d = emb.select(F.size(as_double(vec_col)).alias("d")).first()["d"]
+    head = emb.select(F.size(as_double(vec_col)).alias("d")).head(1)
+    if not head:       # empty corpus: no centroids, empty trace — callers
+        # get a well-typed empty frame instead of a crash (empty input
+        # partitions are routine at scale)
+        return (emb.sparkSession.createDataFrame(
+            [], "cid long, cv array<double>"), [])
+    d = head[0]["d"]
     cents = (emb.filter(F.col(id_col) < k)
              .select(F.col(id_col).alias("cid"),
                      as_double(vec_col).alias("cv")))
@@ -1013,9 +1019,14 @@ def build_ivf_index(emb: DataFrame, path: str,
     at 100 TB (verified by the PartitionFilters plan test).
     """
     cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
-    (emb.join(cells, id_col)
-     .write.mode("overwrite").partitionBy("cell")
-     .parquet(f"{path}/vectors"))
+    indexed = emb.join(cells, id_col)
+    w = indexed.write.mode("overwrite")
+    # a partitionBy write of an EMPTY frame emits no data files at all
+    # (unreadable without a schema); fall back to a flat empty write so
+    # the index stays readable — both layouts load via read.parquet
+    if indexed.head(1):
+        w = w.partitionBy("cell")
+    w.parquet(f"{path}/vectors")
     (emb.filter(F.col(id_col) < n_centroids)
      .select(F.col(id_col).alias("cid"), as_double(vec_col).alias("cv"))
      .write.mode("overwrite").parquet(f"{path}/centroids"))
