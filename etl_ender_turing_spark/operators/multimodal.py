@@ -84,12 +84,18 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p if isinstance(p, (bytes, bytearray)) else bytes(p),
-                                 m["media_type"])
+            # null payloads (failed fetch, pruned column) degrade to
+            # empty-payload features, never crash the batch
+            feats = [decode_stub(b"" if p is None else
+                                 (p if isinstance(p, (bytes, bytearray))
+                                  else bytes(p)),
+                                 (m or {}).get("media_type", "unknown"))
                      for p, m in zip(pdf[payload_col], pdf[mt_col])]
+            media_types = [(m or {}).get("media_type", "unknown")
+                           for m in pdf[mt_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "media_type": [m["media_type"] for m in pdf[mt_col]],
+                "media_type": media_types,
                 "n_bytes": [f["n_bytes"] for f in feats],
                 "byte_mean": [f["byte_mean"] for f in feats],
                 "byte_entropy_q": [f["byte_entropy_q"] for f in feats],

@@ -144,7 +144,7 @@ def token_budget_head(df: DataFrame, budget: int, quality_col: str,
     acc = 0
     for p in sorted(totals):
         offsets[p] = acc
-        acc += totals[p]
+        acc += totals[p] or 0      # an all-NULL partition sums to None
     off = F.lit(0)
     for p, o in sorted(offsets.items()):
         off = F.when(F.col("_pid") == p, F.lit(o)).otherwise(off)

@@ -216,6 +216,8 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
     (mean 1−cos to the assigned centroid) whose monotone decrease the
     tests pin.
     """
+    emb = emb.filter(F.col(vec_col).isNotNull())   # null vectors carry no
+    # geometry; dropping them keeps every downstream explode/mean sane
     head = emb.select(F.size(as_double(vec_col)).alias("d")).head(1)
     if not head:       # empty corpus: no centroids, empty trace — callers
         # get a well-typed empty frame instead of a crash (empty input

@@ -36,3 +36,36 @@ def test_all_batch_queries_survive_empty_tables(spark, empty_sf):
         except Exception as exc:  # noqa: BLE001 — collected and asserted
             failures[name] = repr(exc)[:200]
     assert not failures, failures
+
+
+@pytest.fixture(scope="module")
+def null_sf(spark, tmp_path_factory):
+    """Keys intact, every nullable value column all-NULL — the shape a
+    schema-drifted upstream or a pruned fetch produces."""
+    from pyspark.sql import functions as F
+
+    keys = {"doc_id", "vec_id", "event_id", "o_orderkey", "l_orderkey",
+            "l_linenumber", "c_custkey", "s_suppkey", "p_partkey",
+            "n_nationkey", "r_regionkey", "user_id"}
+    d = str(tmp_path_factory.mktemp("null_sf"))
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        cols = [F.col(c) if c in keys
+                else F.lit(None).cast(df.schema[c].dataType).alias(c)
+                for c in df.columns]
+        df.select(cols).write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    return d
+
+
+def test_all_batch_queries_survive_all_null_values(spark, null_sf):
+    """Found 3 real bugs on first run: token-budget prefix sums += None,
+    multimodal bytes(None), kmeans size(NULL) dimension probe."""
+    failures = {}
+    for name, spec in CATALOG.items():
+        if name.startswith("q_stream"):
+            continue
+        try:
+            spec.builder(spark, null_sf).count()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = repr(exc)[:200]
+    assert not failures, failures
