@@ -69,3 +69,31 @@ def test_all_batch_queries_survive_all_null_values(spark, null_sf):
         except Exception as exc:  # noqa: BLE001
             failures[name] = repr(exc)[:200]
     assert not failures, failures
+
+
+def test_text_queries_survive_adversarial_documents(spark, tmp_path):
+    """Empty strings, whitespace-only, a 50 KB single token, mixed
+    unicode/emoji/quotes/escapes, control chars, punct-only, heavy
+    repetition — the text-operator battery must process all of them."""
+    adv = ["", " ", "   ", "x" * 50_000,
+           "ü míx 中文 🙂 'quote' \"dq\" \\back",
+           "a\tb\nc", ".,;!?", "same same same same"]
+    d = str(tmp_path / "adv_sf")
+    for t in TESTDATA_TABLES:
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        if t == "documents":
+            rows = [(i, adv[i % len(adv)], "en", f"src{i % 3}",
+                     len(adv[i % len(adv)])) for i in range(64)]
+            df = spark.createDataFrame(rows, df.schema)
+        df.write.mode("overwrite").parquet(f"{d}/{t}.parquet")
+    text_queries = [n for n, s in CATALOG.items()
+                    if not n.startswith("q_stream")
+                    and ("documents" in (s.oracle or "") or "dedup" in n
+                         or "bm25" in n or "quality" in n)]
+    failures = {}
+    for name in text_queries:
+        try:
+            CATALOG[name].builder(spark, d).count()
+        except Exception as exc:  # noqa: BLE001
+            failures[name] = repr(exc)[:200]
+    assert not failures, failures
