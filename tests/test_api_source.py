@@ -267,3 +267,36 @@ def test_count_reconciliation_completes_the_reference_todo(spark):
                    for r in api.requests)
     finally:
         api.close()
+
+
+def test_streaming_session_source_matches_batch_and_resumes(spark, tmp_path):
+    """The cron-loop-as-a-stream: readStream over the session API drains
+    every half-day interval with durable offsets; the availableNow result
+    equals the batch scan, and a SECOND run over the same checkpoint is a
+    no-op (offset log remembers the ingested intervals)."""
+    from etl_ender_turing_spark.sources.api_source import register
+
+    register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (spark.readStream.format("session_api")
+             .option("start", "2024-06-01").option("stop", "2024-06-02")
+             .load()
+             .writeStream.format("parquet")
+             .outputMode("append")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    got = run_once()
+    want = read_sessions_api(spark, "2024-06-01", "2024-06-02")
+    assert sorted(r.id for r in got.collect()) == \
+        sorted(r.id for r in want.collect())
+    n1 = got.count()
+    assert n1 > 0
+    got2 = run_once()       # same checkpoint: offsets say all ingested
+    assert got2.count() == n1       # no re-fetch, no duplicates
