@@ -416,3 +416,44 @@ def run_watermarked_dedup_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("wm_dedup_result")
+
+
+def run_api_stream_sync(spark: SparkSession, warehouse: str,
+                        checkpoint_dir: str, start: str, stop: str,
+                        endpoint: str | None = None,
+                        token: str | None = None) -> DataFrame:
+    """End-to-end STREAMING session sync: the custom session-API stream
+    source (durable interval offsets) MERGE-upserted into the warehouse
+    per micro-batch — the reference's whole cron lifecycle
+    (extract -> load, README.MD:60-65) as one Structured Streaming query.
+
+    foreachBatch + key-upsert is idempotent per epoch, and the source's
+    offset log skips already-ingested intervals on restart: re-running
+    after a crash neither re-fetches nor duplicates — the exactly-once
+    behavior the reference approximates with last_synced.json + per-row
+    MERGE.
+    """
+    import os
+
+    from ..operators.upsert import upsert_parquet
+    from ..sources.api_source import register
+
+    register(spark)
+    stream = (spark.readStream.format("session_api")
+              .option("start", start).option("stop", stop))
+    if endpoint:
+        stream = stream.option("endpoint", endpoint)
+    if token:
+        stream = stream.option("token", token)
+    target = os.path.join(warehouse, "sessions_stream")
+
+    def merge(batch_df: DataFrame, _epoch: int) -> None:
+        upsert_parquet(spark, batch_df, target, key=["id"])
+
+    q = (stream.load()
+         .writeStream.foreachBatch(merge)
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.read.parquet(target)

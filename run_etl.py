@@ -49,6 +49,12 @@ def parse_args(argv=None):
                    help="extra filter-DSL terms for the period sync")
     p.add_argument("--test-mode", action="store_true")
     p.add_argument("--test-mode-limit-sessions", type=int, default=200)
+    p.add_argument("--stream", action="store_true",
+                   help="run the session sync as a Structured Streaming "
+                        "query (custom session_api stream source, durable "
+                        "interval offsets, foreachBatch MERGE) instead of "
+                        "the batch period sync; writes "
+                        "OUT/sessions_stream")
     p.add_argument("--audit", action="store_true",
                    help="after a db sync, run the constraint audit "
                         "(unique keys, not-null, FK integrity from the "
@@ -109,6 +115,16 @@ def main(argv=None) -> dict:
     stop = args.stop_dt or (FIXTURE_YESTERDAY if daily else start)
 
     spark = get_spark("run-etl")
+
+    if args.stream:
+        from etl_ender_turing_spark.streaming.stream import (
+            run_api_stream_sync,
+        )
+        # checkpoint lives IN the warehouse so a restart resumes offsets
+        ckpt = os.path.join(args.out, "_stream_ckpt")
+        os.makedirs(args.out, exist_ok=True)
+        got = run_api_stream_sync(spark, args.out, ckpt, start, stop)
+        return {"sessions_stream": got.count()}
 
     if args.curate is not None:
         from etl_ender_turing_spark.operators.curation import (

@@ -76,3 +76,14 @@ def test_audit_mode_reports_zero_violations(spark, tmp_path):
     # registry-driven battery: unique + not-null per synced keyed table
     assert any(c.startswith("sessions.unique:") for c in audit)
     assert all(v == 0 for v in audit.values()), audit
+
+
+def test_stream_mode_syncs_and_resumes_idempotently(spark, tmp_path):
+    import run_etl
+    wh = str(tmp_path / "wh")
+    args = ["--load-to", "db", "--start-dt", "2024-06-01",
+            "--stop-dt", "2024-06-02", "--out", wh, "--stream"]
+    c1 = run_etl.main(args)
+    assert c1["sessions_stream"] > 0
+    c2 = run_etl.main(args)      # restart: offsets skip ingested intervals
+    assert c2 == c1
