@@ -95,6 +95,37 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_lsh_recall_check",
+    f"""
+    WITH exact_pairs AS ({dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6)}),
+    lsh_pairs AS ({dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6)})
+    SELECT (SELECT COUNT(*) FROM exact_pairs) AS n_exact,
+           (SELECT COUNT(*) FROM lsh_pairs) AS n_lsh,
+           (SELECT COUNT(*) FROM lsh_pairs l
+            WHERE EXISTS (SELECT 1 FROM exact_pairs e
+                          WHERE e.doc_a = l.doc_a
+                            AND e.doc_b = l.doc_b)) AS n_overlap
+    FROM (SELECT 1)
+    """,
+    doc="certified LSH recall: the exhaustive shingle-sharing Jaccard "
+        "pair set vs the LSH-pruned one, counted side by side — the "
+        "'candidate pruning loses nothing at this threshold' claim as a "
+        "hash-checked NUMBER (n_exact = n_lsh = n_overlap at j>=0.6 with "
+        "4x2 banding), not a docstring assertion")
+def q_lsh_recall_check(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    exact = dd.jaccard_pairs(sh, threshold=0.6).select("doc_a", "doc_b")
+    lsh = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
+        threshold=0.6).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    n_overlap = (lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
+                 .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return n_exact.crossJoin(n_lsh).crossJoin(n_overlap)
+
+
+@register(
     "q_dedup_containment",
     dd.containment_sql(_SHINGLE_CTE, threshold=0.8),
     doc="asymmetric shingle containment |A∩B|/|A|: catches subset "
