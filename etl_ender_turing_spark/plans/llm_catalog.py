@@ -262,6 +262,32 @@ def q_embed_ivf_topk(spark, sf_dir):
 
 
 @register(
+    "q_ann_recall_check",
+    f"""
+    WITH brute AS ({sim.brute_force_topk_sql("embeddings", query_id=0, k=10)}),
+    ivf AS ({sim.ivf_topk_sql("embeddings", query_id=0, k=10)})
+    SELECT (SELECT COUNT(*) FROM brute) AS n_brute,
+           (SELECT COUNT(*) FROM ivf) AS n_ivf,
+           (SELECT COUNT(*) FROM ivf i
+            WHERE EXISTS (SELECT 1 FROM brute b
+                          WHERE b.vec_id = i.vec_id)) AS n_overlap
+    FROM (SELECT 1)
+    """,
+    doc="certified ANN recall@10: exact top-k vs IVF(nprobe) top-k "
+        "overlap as a hash-checked count — the measured twin of "
+        "tools/recall_probe.py, pinned per round by the driver")
+def q_ann_recall_check(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    brute = sim.brute_force_topk(emb, query_id=0, k=10).select("vec_id")
+    ivf = sim.ivf_topk(emb, query_id=0, k=10).select("vec_id")
+    n_b = brute.agg(F.count(F.lit(1)).alias("n_brute"))
+    n_i = ivf.agg(F.count(F.lit(1)).alias("n_ivf"))
+    n_o = (ivf.join(brute, "vec_id", "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return n_b.crossJoin(n_i).crossJoin(n_o)
+
+
+@register(
     "q_embed_matryoshka_topk",
     sim.matryoshka_topk_sql("embeddings", query_id=3, k=10),
     doc="Matryoshka two-stage serving (MRL): coarse cosine over the "
