@@ -151,15 +151,20 @@ def run_windowed_counts_batch(spark: SparkSession, source_dir: str,
 
 
 def stateful_dedup_stream(spark: SparkSession, source_dir: str,
-                          key_col: str = "event_id") -> DataFrame:
+                          key_col: str = "event_id",
+                          state_ttl: str | None = None) -> DataFrame:
     """Cross-micro-batch exactly-first dedup via ``applyInPandasWithState``
     — the custom stateful-operator shape (SURVEY §2.9; the batch
     equivalent is dedup-by-key upsert, operators/upsert.py).
 
     Keyed boolean state marks ids already emitted; later arrivals of the
-    same key (any micro-batch) produce nothing. State lives in the state
-    store (checkpointed, partitioned by key hash) — at scale add a state
-    TTL (GroupStateTimeout) so the store doesn't grow unboundedly.
+    same key (any micro-batch) produce nothing.
+
+    ``state_ttl`` (e.g. ``"30 days"``) bounds the state store for a
+    continuous deployment: expiry rides the EVENT-TIME watermark — each
+    key's state times out ``state_ttl`` after its event time passes the
+    watermark, after which a re-delivered key is treated as new. None
+    keeps forever-uniqueness (the batch-parity form the oracle certifies).
     """
     import pandas as pd
 
@@ -168,9 +173,26 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
     events = read_event_stream(spark, source_dir)
     out_schema = ("event_id long, ts timestamp, user_id long,"
                   " event_type string, value double")
+    ttl_ms = None
+    if state_ttl is not None:
+        import re as _re
+        n, unit = _re.match(r"(\d+)\s*(\w+)", state_ttl).groups()
+        per = {"day": 86_400_000, "days": 86_400_000,
+               "hour": 3_600_000, "hours": 3_600_000,
+               "minute": 60_000, "minutes": 60_000,
+               "second": 1_000, "seconds": 1_000}[unit]
+        ttl_ms = int(n) * per
+        events = events.withWatermark("ts", state_ttl)
 
     def first_only(key, pdf_iter, state: GroupState):
         batches = [pdf for pdf in pdf_iter]
+        if state.hasTimedOut:        # TTL passed: forget the key
+            state.remove()
+            return iter(())
+        if ttl_ms is not None and batches:
+            ts_ms = int(max(pdf["ts"].max() for pdf in batches)
+                        .timestamp() * 1000)
+            state.setTimeoutTimestamp(ts_ms + ttl_ms)
         if state.exists:
             return iter(())
         state.update((True,))
@@ -179,9 +201,11 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
                  .head(1))
         return iter([first])
 
+    timeout = (GroupStateTimeout.EventTimeTimeout if ttl_ms is not None
+               else GroupStateTimeout.NoTimeout)
     return (events.groupBy(key_col)
             .applyInPandasWithState(first_only, out_schema, "seen boolean",
-                                    "append", GroupStateTimeout.NoTimeout))
+                                    "append", timeout))
 
 
 def sessionized_counts_stream(spark: SparkSession, source_dir: str,

@@ -191,3 +191,47 @@ def test_watermarked_dedup_drops_redelivered_keys(spark, tmp_path):
         spark, str(src / "events.parquet"), str(tmp_path / "ckpt"))
     ids = [r.event_id for r in got.select("event_id").collect()]
     assert sorted(ids) == list(range(10))     # each key exactly once
+
+
+def test_stateful_dedup_ttl_expires_old_keys(spark, tmp_path):
+    """Event-time-TTL lifecycle across checkpointed runs: (1) key emitted,
+    (2) watermark advances past its expiry, (3) timeout callback removes
+    the state, (4) a re-delivery of the SAME key is treated as new —
+    bounded state store, the no-TTL form keeps forever-uniqueness."""
+    import datetime as dt
+
+    from etl_ender_turing_spark.streaming.stream import stateful_dedup_stream
+
+    src = str(tmp_path / "ttl_src")
+    out = str(tmp_path / "ttl_out")
+    ckpt = str(tmp_path / "ttl_ckpt")
+    sch = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def append(rows, mode="append"):
+        spark.createDataFrame(rows, sch).coalesce(1) \
+             .write.mode(mode).parquet(src)
+
+    def drain():
+        q = (stateful_dedup_stream(spark, src, state_ttl="1 hour")
+             .writeStream.format("parquet").outputMode("append")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {(r.event_id, r.value)
+                for r in spark.read.parquet(out).collect()}
+
+    append([(1, t0, 7, "click", 1.0, "{}")], mode="overwrite")
+    assert drain() == {(1, 1.0)}
+    # advance the watermark far past key 1's expiry (t0 + 1 h)
+    append([(2, t0 + dt.timedelta(days=10), 8, "view", 3.0, "{}")])
+    assert drain() == {(1, 1.0), (2, 3.0)}
+    # one more batch: watermark (day10 - 1h) now exceeds key 1's timeout,
+    # the timeout callback removes its state
+    append([(3, t0 + dt.timedelta(days=20), 9, "click", 4.0, "{}")])
+    assert drain() == {(1, 1.0), (2, 3.0), (3, 4.0)}
+    # re-delivery of key 1 AFTER expiry: state is gone -> emitted as new
+    append([(1, t0 + dt.timedelta(days=20, hours=1), 7, "click", 9.0, "{}")])
+    got = drain()
+    assert (1, 9.0) in got, got
