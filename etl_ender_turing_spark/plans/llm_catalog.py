@@ -288,6 +288,44 @@ def q_ann_recall_check(spark, sf_dir):
 
 
 @register(
+    "q_compressed_ann_recall",
+    f"""
+    WITH brute AS ({sim.brute_force_topk_sql("embeddings", query_id=3, k=10)}),
+    mrl AS ({sim.matryoshka_topk_sql("embeddings", query_id=3, k=10,
+                                     rerank=20)}),
+    bin AS ({sim.binary_hamming_topk_sql("embeddings", query_id=3, k=10)})
+    SELECT 'matryoshka_r20' AS method,
+           (SELECT COUNT(*) FROM mrl m
+            WHERE EXISTS (SELECT 1 FROM brute b
+                          WHERE b.vec_id = m.vec_id)) AS n_overlap10
+    UNION ALL
+    SELECT 'binary_sign',
+           (SELECT COUNT(*) FROM bin s
+            WHERE EXISTS (SELECT 1 FROM brute b
+                          WHERE b.vec_id = s.vec_id))
+    """,
+    doc="certified recall of the COMPRESSED serving paths vs exact "
+        "top-10: Matryoshka (16-dim prefix, rerank 20) and 1-bit sign "
+        "signatures, each as a hash-checked overlap count — the "
+        "compression-vs-recall trade measured, pinned, and re-verified "
+        "per round (synthetic i.i.d. vectors are ANN's adversarial case, "
+        "so these are floor numbers)")
+def q_compressed_ann_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    brute = sim.brute_force_topk(emb, query_id=3, k=10).select("vec_id")
+    mrl = sim.matryoshka_topk(emb, query_id=3, k=10, rerank=20) \
+             .select("vec_id")
+    binm = sim.binary_hamming_topk(emb, query_id=3, k=10).select("vec_id")
+    row_m = (mrl.join(brute, "vec_id", "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_overlap10"))
+             .select(F.lit("matryoshka_r20").alias("method"), "n_overlap10"))
+    row_b = (binm.join(brute, "vec_id", "left_semi")
+             .agg(F.count(F.lit(1)).alias("n_overlap10"))
+             .select(F.lit("binary_sign").alias("method"), "n_overlap10"))
+    return row_m.unionByName(row_b)
+
+
+@register(
     "q_embed_matryoshka_topk",
     sim.matryoshka_topk_sql("embeddings", query_id=3, k=10),
     doc="Matryoshka two-stage serving (MRL): coarse cosine over the "
