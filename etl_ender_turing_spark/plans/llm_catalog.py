@@ -95,6 +95,52 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
 
 
 @register(
+    "q_minhash_estimate_error",
+    f"""
+    WITH exact_pairs AS ({dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6)}),
+    sh AS ({_SHINGLE_CTE}),
+    sigs AS (
+      SELECT doc_id,
+             {", ".join(f"MIN(substr(md5(shingle), {4 * i + 1}, 4)) AS h{i}"
+                        for i in range(8))}
+      FROM sh GROUP BY doc_id
+    ),
+    est AS (
+      SELECT e.doc_a, e.doc_b, e.jaccard,
+             ({" + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END"
+                          for i in range(8))}) / 8.0 AS j_est
+      FROM exact_pairs e
+      JOIN sigs a ON a.doc_id = e.doc_a
+      JOIN sigs b ON b.doc_id = e.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard, j_est,
+           ABS(j_est - jaccard) <= 0.35 AS within_tol
+    FROM est
+    """,
+    doc="MinHash as an ESTIMATOR, error-bounded: for every true near-dup "
+        "pair, the 8-sample signature-agreement estimate vs exact Jaccard "
+        "with a |err|<=0.35 bound (~sqrt(j(1-j)/8) two-sigma) — the "
+        "q_approx_sketches discipline applied to minhash: estimator "
+        "drift past its budget hash-mismatches")
+def q_minhash_estimate_error(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    exact = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
+    sigs = dd.minhash_signatures(sh)
+    a = sigs.select(F.col("doc_id").alias("doc_a"),
+                    *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])
+    b = sigs.select(F.col("doc_id").alias("doc_b"),
+                    *[F.col(f"h{i}").alias(f"b{i}") for i in range(8)])
+    agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+                for i in range(8))
+    return (exact.join(a, "doc_a").join(b, "doc_b")
+            .select("doc_a", "doc_b", "jaccard",
+                    (agree / F.lit(8.0)).alias("j_est"))
+            .withColumn("within_tol",
+                        F.abs(F.col("j_est") - F.col("jaccard")) <= 0.35))
+
+
+@register(
     "q_lsh_recall_check",
     f"""
     WITH exact_pairs AS ({dd.jaccard_sql(_SHINGLE_CTE, threshold=0.6)}),
