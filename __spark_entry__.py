@@ -49,7 +49,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_unpivot_metrics", "q_sliding_window_counts",
     "q_bm25_from_index", "q_embed_ivf_from_index", "q_dedup_containment", "q_bigram_coherence", "q_equidepth_histogram", "q_hourly_anomalies", "q_stream_sliding_counts", "q_constraint_audit", "q_dedup_keep_best", "q_table_reconcile", "q_temperature_mixture", "q_embed_matryoshka_topk",
     "q_embed_binary_topk", "q_k_anonymity", "q_train_val_test_split", "q_funnel_windowed",
-    "q_chi_square_lang_source", "q_lsh_recall_check", "q_ann_recall_check", "q_compressed_ann_recall", "q_minhash_estimate_error",
+    "q_chi_square_lang_source", "q_lsh_recall_check", "q_ann_recall_check", "q_compressed_ann_recall", "q_minhash_estimate_error", "q_dup_cluster_stats",
     # driver-red in r3, fixed this round (BIGINT cast / array->csv), plus
     # q_date_spine_orders whose output type changed (date -> timestamp)
     "q_sessionize_events", "q_embed_quantize", "q_date_spine_orders",

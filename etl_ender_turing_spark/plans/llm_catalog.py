@@ -199,6 +199,39 @@ def q_dup_clusters(spark, sf_dir):
 
 
 @register(
+    "q_dup_cluster_stats",
+    f"""
+    WITH cl AS ({dd.duplicate_clusters_sql(
+        dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6))}),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS sz FROM cl GROUP BY cluster_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_clustered_docs,
+           CAST(MAX(sz) AS BIGINT) AS max_cluster,
+           CAST(SUM(CAST(sz AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+             AS mean_cluster
+    FROM sizes
+    """,
+    doc="duplicate-cluster shape report: cluster count, clustered-doc "
+        "total, largest cluster, exact-decimal mean size — the dedup "
+        "outcome a curation run logs before deciding keep policies; one "
+        "agg over the cluster assignment")
+def q_dup_cluster_stats(spark, sf_dir):
+    sh = dd.shingle_select(_docs(spark, sf_dir))
+    cl = dd.duplicate_clusters(dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
+        threshold=0.6))
+    sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_clustered_docs"),
+        F.max("sz").cast("long").alias("max_cluster"),
+        F.expr("CAST(SUM(CAST(sz AS DECIMAL(28,6))) AS DOUBLE)"
+               " / COUNT(*)").alias("mean_cluster"))
+
+
+@register(
     "q_dedup_keep_canonical",
     f"""
     WITH cl AS ({dd.duplicate_clusters_sql(
