@@ -167,8 +167,13 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    # customer scales with SF — NEVER hint-broadcast it (an explicit hint
+    # overrides AQE and forces an executor-OOM broadcast at 100x). AQE
+    # still picks broadcast at small SF from the OBSERVED size; at scale
+    # it degrades gracefully to a shuffle join. nation/region are
+    # fixed-cardinality (25/5 rows at every SF) so their hints are safe.
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("n_name")
@@ -231,9 +236,17 @@ def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # Two-phase top-k, engine-native: c_mktsegment has 5 distinct values,
+    # so a naive window would shuffle ALL orders into 5 partitions.
+    # Catalyst's WindowGroupLimit rewrite (rank-filter pattern) inserts a
+    # PARTIAL group-limit BELOW the exchange — every map task keeps only
+    # its local top-5 per segment, so the 5-partition final window sees
+    # <= 5*k*n_map_partitions rows, not the fact table. Pinned by
+    # test_topk_per_group_window_consumes_pruned_input; customer is never
+    # hint-broadcast (SF-scaling — AQE decides from observed size).
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (o.join(c, o.o_custkey == c.c_custkey)
             .select("c_mktsegment", "o_orderkey", "o_totalprice")
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= 5))

@@ -157,6 +157,62 @@ def test_keep_canonical_drop_set_not_force_broadcast(spark):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
 
+def _simple_plan(df) -> str:
+    """Physical plan with join conditions inline (explain() default mode)."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def test_no_hint_broadcast_of_sf_scaling_tables(spark):
+    # customer/orders/lineitem grow with SF: an explicit F.broadcast hint
+    # on any of them overrides AQE and forces an executor-OOM broadcast at
+    # 100x. With the auto-broadcast threshold disabled, ONLY hinted
+    # broadcasts survive planning — so any join keyed on an SF-scaling
+    # table's key that still plans as Broadcast* must be a hint. nation/
+    # region (fixed 25/5 rows at every SF) are the sanctioned hints.
+    scaling_keys = ("c_custkey", "o_orderkey", "l_orderkey", "o_custkey",
+                    "p_partkey", "s_suppkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("q5_revenue_by_nation", "q_topk_orders_per_segment",
+                  "q_semi_join_reviewed", "q_anti_join_no_orders"):
+            p = _simple_plan(CATALOG[q].builder(spark, SF))
+            bad = [ln for ln in p.splitlines()
+                   if "Broadcast" in ln and "Join" in ln
+                   and any(k in ln for k in scaling_keys)]
+            assert not bad, f"{q}: hint-broadcast of SF-scaling table\n{bad}"
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        else:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_topk_per_group_window_consumes_pruned_input(spark):
+    # q_topk_orders_per_segment: c_mktsegment has 5 distinct values, so
+    # the final window runs in 5 partitions — it must consume a PRUNED
+    # relation, never the whole fact table. Catalyst's WindowGroupLimit
+    # rewrite provides exactly that: a Partial group-limit BELOW the
+    # exchange (map-side top-k prune, parallel across input partitions)
+    # and a Final one above it, so the 5-partition sort sees
+    # <= 5*k*n_map_partitions rows. Gate the executed plan on that shape
+    # so a refactor that breaks the rank-filter pattern (and silently
+    # reverts to a full 5-partition sort) fails CI.
+    df = CATALOG["q_topk_orders_per_segment"].builder(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==", 1)[0]
+    assert "Exchange" in final, final[:1200]
+    above, below = final.split("Exchange", 1)
+    assert "WindowGroupLimit" in above and "Final" in above.split(
+        "WindowGroupLimit", 1)[1].splitlines()[0], above[-600:]
+    assert "WindowGroupLimit" in below and "Partial" in below.split(
+        "WindowGroupLimit", 1)[1].splitlines()[0], below[:600]
+
+
 def test_driver_canon_contract(spark):
     """Every oracled query must survive the driver's pandas canonicalizer:
     (1) Spark output schema has no bare array/map/struct columns (pandas
