@@ -198,6 +198,11 @@ def compile_filter_sql(dsl: str, column_map: dict[str, str] | None = None) -> st
             if all(re.fullmatch(r"-?\d+", v) for v in vals):
                 inlist = ", ".join(vals)
             else:
-                inlist = ", ".join(f"'{v}'" for v in vals)
+                # DSL values are user input: double quotes so a value
+                # containing ' cannot break (or inject into) the SQL —
+                # the Column path (compile_filter) uses isin and needs
+                # no escaping
+                inlist = ", ".join("'" + v.replace("'", "''") + "'"
+                                   for v in vals)
             clauses.append(f"{col} IN ({inlist})")
     return " AND ".join(clauses) if clauses else "TRUE"

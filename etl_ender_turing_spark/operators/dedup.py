@@ -413,12 +413,15 @@ def jaccard_on_pairs(sh: DataFrame, pairs: DataFrame, threshold: float = 0.6,
                      id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard restricted to given candidate pairs — the 100 TB
     composition: LSH prunes n² to a near-linear candidate set, exact
-    verification touches only those. ``pairs`` is small by construction,
-    so both probe joins broadcast it; the only large shuffle is the
-    per-pair intersection count keyed on (doc_a, doc_b)."""
+    verification touches only those. ``pairs`` is NOT hint-broadcast:
+    the candidate set is near-linear in the corpus (and the capped
+    generators emit O(n·max_df) rows), so a forced broadcast OOMs at
+    exactly the scale the pruning exists for — AQE broadcasts the probe
+    joins when the observed size is genuinely small and shuffles
+    otherwise; the large shuffle keys on (doc_a, doc_b)."""
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (a.join(F.broadcast(pairs), "doc_a")
+    inter = (a.join(pairs, "doc_a")
              .join(b, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("inter")))
@@ -957,7 +960,9 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
     side. Emits one row per (contained, container) DIRECTION above the
     threshold, so a pair can appear twice (mutual containment = exact
     near-dup). Same scale shape as :func:`jaccard_on_pairs`: candidates
-    come pre-pruned (broadcast), the only large shuffle keys on the pair.
+    come pre-pruned but are NOT hint-broadcast (the max_df-capped
+    generator emits O(n·max_df) rows — AQE sizes the probe joins from
+    observed size); the only large shuffle keys on the pair.
 
     Candidate choice matters for RECALL: a containment-0.8 pair can have
     Jaccard ~|A|/|B| (arbitrarily low), which MinHash-LSH banding will
@@ -968,7 +973,7 @@ def containment_on_pairs(sh: DataFrame, pairs: DataFrame,
     """
     a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
     b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (a.join(F.broadcast(pairs), "doc_a")
+    inter = (a.join(pairs, "doc_a")
              .join(b, ["doc_b", "shingle"])
              .groupBy("doc_a", "doc_b")
              .agg(F.count(F.lit(1)).alias("i")))

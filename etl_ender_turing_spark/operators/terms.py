@@ -25,6 +25,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _sql_term_list(query_terms: tuple[str, ...]) -> str:
+    """Single-quoted SQL literal list with quotes doubled — oracle-SQL
+    builders interpolate user-supplied terms, so a term containing ``'``
+    must not break the statement (or inject into it)."""
+    return ", ".join("'" + t.replace("'", "''") + "'" for t in query_terms)
+
+
 def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Top-``k`` terms per document by TF-IDF.
@@ -106,7 +113,6 @@ def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 5,
     by doc id. Parity caveat as tfidf: a last-ulp libm divergence would
     need a raw score within 5e-7 of a rounding boundary to surface.
     """
-    terms_list = ", ".join(f"'{t}'" for t in query_terms)
     base = df.select(
         F.col(id_col),
         F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_arr"))
@@ -119,7 +125,9 @@ def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 5,
         F.expr("CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)"
                " / COUNT(dl)").alias("avgdl"))
     tok = (base.select(id_col, "dl", F.explode("_arr").alias("term"))
-           .filter(F.expr(f"term IN ({terms_list})")))
+           # Column API, not F.expr string-building: terms are user input
+           # and must never be interpolated into an expression
+           .filter(F.col("term").isin(*query_terms)))
     tf = tok.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
@@ -139,7 +147,7 @@ def bm25_topk(df: DataFrame, query_terms: tuple[str, ...], k: int = 5,
 def bm25_topk_sql(table: str, query_terms: tuple[str, ...], k: int = 5,
                   k1: float = 1.2, b: float = 0.75, text_col: str = "text",
                   id_col: str = "doc_id") -> str:
-    terms_list = ", ".join(f"'{t}'" for t in query_terms)
+    terms_list = _sql_term_list(query_terms)
     return f"""
 WITH base AS (
   SELECT {id_col},
@@ -297,9 +305,10 @@ def bm25_from_index(spark, table: str, query_terms: tuple[str, ...],
     aggregation of the already-filtered postings. Result matches
     :func:`bm25_topk` exactly (parity-tested).
     """
-    terms_list = ", ".join(f"'{t}'" for t in query_terms)
     tf = (spark.table(f"{table}_postings")
-          .filter(F.expr(f"term IN ({terms_list})")))
+          # isin prunes postings buckets exactly like the expr form did,
+          # without interpolating user terms into an expression string
+          .filter(F.col("term").isin(*query_terms)))
     stats = spark.table(f"{table}_stats")
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
     scored = (tf.join(F.broadcast(dfreq), "term")

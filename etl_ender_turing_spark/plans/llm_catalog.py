@@ -124,8 +124,11 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
         "drift past its budget hash-mismatches")
 def q_minhash_estimate_error(spark, sf_dir):
     sh = dd.shingle_select(_docs(spark, sf_dir))
-    exact = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
+    # EXHAUSTIVE pair set (jaccard_pairs), matching the oracle's CTE
+    # exactly — not the LSH-pruned candidates, whose recall at this
+    # SF/threshold happens to be 100% but is a data-dependent property;
+    # the recall dependence stays isolated in q_lsh_recall_check
+    exact = dd.jaccard_pairs(sh, threshold=0.6)
     sigs = dd.minhash_signatures(sh)
     a = sigs.select(F.col("doc_id").alias("doc_a"),
                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(8)])

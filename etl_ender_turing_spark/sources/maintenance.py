@@ -7,8 +7,17 @@ compaction rewrites a table (or one partition of it) into
 ~``target_mb``-sized files.
 
 Atomicity: the rewrite lands in a sibling temp directory and swaps in via
-two renames — readers either see the old file set or the new one, never a
-half-written mix (same discipline as upsert_parquet's staged rewrite).
+two renames. Readers never see a half-written MIX of old and new files,
+but the swap is NOT atomic as a whole: between the two renames the table
+path briefly does not exist, so a concurrent reader can fail with
+path-not-found. A failure during the second rename restores the original
+directory (see compact_parquet), so the table is never lost — but run
+compaction only when no query is mid-scan (e.g. between streaming
+micro-batches, as run_api_stream_sync does, where the foreachBatch hook
+is the only reader/writer). On object stores (S3/GCS) directory rename
+is not atomic AT ALL — copy+delete per object — so this local-FS swap
+does not transfer; use a transactional table format (Delta/Iceberg,
+upsert_delta) or a manifest-pointer swap there instead.
 """
 
 from __future__ import annotations
@@ -47,7 +56,16 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> dict:
     df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
     old = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
     os.rename(path, old)
-    os.rename(tmp, path)
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        # second rename failed: put the original back so the table is
+        # never stranded at the __old_ path (crash between the renames
+        # still loses only the COMPACTION, not the data — recovery is
+        # "rename __old_* back"; see the module docstring for the
+        # concurrent-reader and object-store caveats)
+        os.rename(old, path)
+        raise
     shutil.rmtree(old)
     n_after, bytes_after = table_file_stats(path)
     return {"files_before": n_before, "files_after": n_after,

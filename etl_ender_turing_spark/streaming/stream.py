@@ -183,6 +183,11 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
                "second": 1_000, "seconds": 1_000}[unit]
         ttl_ms = int(n) * per
         events = events.withWatermark("ts", state_ttl)
+    # event times arrive in pandas tz-NAIVE but rendered in the SESSION
+    # timezone; bare .timestamp() would read them as UTC and offset the
+    # timeout by the zone delta on any non-UTC session — localize
+    # explicitly (captured here, not inside the UDF, so executors see it)
+    session_tz = spark.conf.get("spark.sql.session.timeZone")
 
     def first_only(key, pdf_iter, state: GroupState):
         batches = [pdf for pdf in pdf_iter]
@@ -191,8 +196,14 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
             return iter(())
         if ttl_ms is not None and batches:
             ts_ms = int(max(pdf["ts"].max() for pdf in batches)
-                        .timestamp() * 1000)
-            state.setTimeoutTimestamp(ts_ms + ttl_ms)
+                        .tz_localize(session_tz).timestamp() * 1000)
+            # admitted-late rows can carry ts + ttl <= current watermark,
+            # for which setTimeoutTimestamp throws — clamp the timeout
+            # just past the watermark (the key then expires at the next
+            # state round, the semantics the TTL intends for a key whose
+            # whole window is already late)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(ts_ms + ttl_ms, wm + 1))
         if state.exists:
             return iter(())
         state.update((True,))
