@@ -157,6 +157,29 @@ def lsh_buckets_sql(sf_table: str, n_planes: int = 8, id_col: str = "vec_id",
 
 N_CENTROIDS = 16
 N_PROBE = 2
+TARGET_CELL_SIZE = 512
+
+
+def auto_n_centroids(n_rows: int,
+                     target_cell_size: int = TARGET_CELL_SIZE) -> int:
+    """Corpus-derived centroid count: ``max(16, ceil(n / target_cell_size))``.
+
+    The within-cell quadratic cost of SemDeDup / outlier scoring is
+    bounded only if k grows with the corpus — a fixed k=16 at 100 TB
+    means cells of n/16 rows and O((n/16)²) in-cell pairs. Deriving k
+    from a cheap count keeps cells near ``target_cell_size`` rows, so
+    per-cell work is constant and total work ~linear in n (the
+    scale-probe replication cliff flattens).
+
+    Two caveats the caller owns past ~10⁸ rows: (a) assignment cost is
+    n·k (crossJoin against the broadcast centroid set) — balance with
+    the FAISS rule k ≈ √n, or assign hierarchically (coarse-quantize to
+    √k super-cells first); (b) a k·d centroid literal past a few hundred
+    MB stops being broadcastable — persist it (ivf_build_index) and let
+    the assignment be a join instead.
+    """
+    import math
+    return max(N_CENTROIDS, math.ceil(max(int(n_rows), 1) / target_cell_size))
 
 
 def ivf_assignments(emb: DataFrame, n_centroids: int = N_CENTROIDS,
@@ -488,7 +511,18 @@ def quantize_int8_sql(sf_table: str, id_col: str = "vec_id",
 # k-NN graph + semantic dedup (SemDeDup) — the embedding-side corpus ops
 # --------------------------------------------------------------------------
 
-def knn_graph(emb: DataFrame, k: int = 3, n_planes: int = 8,
+def auto_n_planes(n_rows: int,
+                  target_bucket_size: int = TARGET_CELL_SIZE) -> int:
+    """Hyperplane count so 2^p buckets keep ~``target_bucket_size`` rows
+    each — the LSH analogue of :func:`auto_n_centroids` (the in-bucket
+    self-join is the quadratic piece, bounded only if buckets multiply
+    with the corpus). Floor of 8 planes preserves recall on small data."""
+    import math
+    n_rows = max(int(n_rows), 1)
+    return max(8, math.ceil(math.log2(max(n_rows / target_bucket_size, 1))))
+
+
+def knn_graph(emb: DataFrame, k: int = 3, n_planes: int | None = None,
               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Per-vector k nearest neighbors WITHIN the vector's LSH bucket —
     the distributed k-NN-graph primitive (inputs to SemDeDup, graph-based
@@ -499,7 +533,12 @@ def knn_graph(emb: DataFrame, k: int = 3, n_planes: int = 8,
     only in-bucket candidates (bounded by bucket size, never n). The
     O(n²) alternative — a global cross join + per-id window — is exactly
     what this avoids; recall is the LSH trade, tunable via n_planes.
+    ``n_planes`` defaults to the corpus-derived :func:`auto_n_planes`
+    (bounded buckets at any n); certified queries pass a fixed count for
+    oracle determinism.
     """
+    if n_planes is None:
+        n_planes = auto_n_planes(emb.count())
     planes = hyperplane_weights(n_planes)
     # norms precomputed ONCE per row (bit-identical to per-pair norm():
     # the same double either way), so each pair costs one dot, not 3 folds
@@ -544,7 +583,7 @@ def knn_graph_sql(sf_table: str, k: int = 3, n_planes: int = 8,
 
 
 def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
-                        n_centroids: int = N_CENTROIDS,
+                        n_centroids: int | None = None,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding") -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
@@ -558,6 +597,11 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
     within-cell join is the only quadratic piece, bounded by cell size —
     exactly how the paper shards the problem (k scales with corpus size).
     """
+    # k defaults to CORPUS-DERIVED (auto_n_centroids): the in-cell
+    # quadratic is bounded only if k grows with n. Certified queries pass
+    # a fixed k so the unrolled oracle SQL stays deterministic.
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
     # cell ids stay a SKINNY (id, cell) frame and re-join the vectors:
     # measured faster than carrying the 64-dim arrays through the argmax
     # shuffle (AQE broadcasts the skinny side of the re-join)
@@ -609,7 +653,7 @@ def semantic_dedup_sql(sf_table: str, threshold: float = 0.3,
 
 
 def embed_outliers(emb: DataFrame, per_cell: int = 3,
-                   n_centroids: int = N_CENTROIDS,
+                   n_centroids: int | None = None,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """The ``per_cell`` vectors FARTHEST from their IVF cell centroid —
@@ -619,8 +663,12 @@ def embed_outliers(emb: DataFrame, per_cell: int = 3,
     The ranking window is per cell (bounded), never global; the centroid
     re-join is the same broadcast as assignment. Exact-rank selection
     (row_number), not percentile interpolation, so the oracle matches
-    bit-for-bit.
+    bit-for-bit. ``n_centroids`` defaults to the corpus-derived
+    :func:`auto_n_centroids` (bounded cells at any n); certified queries
+    pass a fixed k for oracle determinism.
     """
+    if n_centroids is None:
+        n_centroids = auto_n_centroids(emb.count())
     cents = (emb.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cid"),
                      as_double(vec_col).alias("cv")))

@@ -849,7 +849,10 @@ from ..operators import curation as cu   # noqa: E402
         "cross-cluster comparison (the quadratic piece is bounded by "
         "cell size)")
 def q_semdedup_keep(spark, sf_dir):
-    return sim.semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.3)
+    # fixed k (the library default is corpus-derived auto_n_centroids):
+    # the unrolled oracle SQL embeds the same 16 seed centroids
+    return sim.semantic_dedup_keep(_emb(spark, sf_dir), threshold=0.3,
+                                   n_centroids=sim.N_CENTROIDS)
 
 
 @register(
@@ -860,7 +863,8 @@ def q_semdedup_keep(spark, sf_dir):
         "distributed primitive under SemDeDup/graph curation; never the "
         "O(n^2) global cross join")
 def q_knn_graph(spark, sf_dir):
-    return sim.knn_graph(_emb(spark, sf_dir), k=3)
+    # fixed plane count (library default is corpus-derived auto_n_planes)
+    return sim.knn_graph(_emb(spark, sf_dir), k=3, n_planes=8)
 
 
 @register(
@@ -988,7 +992,9 @@ def q_token_rarity(spark, sf_dir):
         "cell centroid, per cell — exact-rank selection via a per-cell "
         "(bounded) window, never a global sort or percentile interpolation")
 def q_embed_outliers(spark, sf_dir):
-    return sim.embed_outliers(_emb(spark, sf_dir), per_cell=3)
+    # fixed k for oracle determinism (library default is auto_n_centroids)
+    return sim.embed_outliers(_emb(spark, sf_dir), per_cell=3,
+                              n_centroids=sim.N_CENTROIDS)
 
 
 @register(

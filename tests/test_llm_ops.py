@@ -888,3 +888,19 @@ def test_binary_hamming_identical_vector_is_nearest(spark):
     out = sim.binary_hamming_topk(emb, query_id=0, k=3).collect()
     assert out[0].vec_id == 1 and out[0].hamming == 0
     assert out[-1].vec_id == 2 and out[-1].hamming == 4   # all bits flip
+
+
+def test_auto_scaling_cell_and_bucket_counts():
+    # corpus-derived defaults: k = max(16, ceil(n / 512)) and
+    # p = max(8, ceil(log2(n / 512))) — the levers that keep the
+    # within-cell/within-bucket quadratic bounded as the corpus grows
+    assert sim.auto_n_centroids(0) == 16
+    assert sim.auto_n_centroids(500) == 16
+    assert sim.auto_n_centroids(8192) == 16
+    assert sim.auto_n_centroids(8193) == 17
+    assert sim.auto_n_centroids(40_000) == 79
+    assert sim.auto_n_centroids(1_000_000) == 1954
+    assert sim.auto_n_planes(500) == 8
+    assert sim.auto_n_planes(131_072) == 8
+    assert sim.auto_n_planes(1_000_000) == 11
+    assert sim.auto_n_planes(1_000_000_000) == 21

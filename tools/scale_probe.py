@@ -78,6 +78,9 @@ def main() -> None:
         "cross_src_dups": lambda d, e: dd.cross_source_dup_matrix(d).count(),
     }
 
+    only = set(sys.argv[2:])   # optional op names: probe just those
+    if only:
+        ops = {n: f for n, f in ops.items() if n in only}
     print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
           + "   ratios (per doubling)")
     for name, fn in ops.items():
