@@ -13,20 +13,27 @@ Design (the part that matters at 100 TB):
   spark.sql.execution.arrow.maxRecordsPerBatch small (media rows ≫
   normal rows).
 
-The actual codec work (PIL/librosa/ffmpeg) is STUBBED: this container has
-no media libraries. ``decode_stub`` raises NotImplementedError when asked
-for a real decode and provides a deterministic fake (content-hash-derived
-pseudo-features) so the Spark-side plumbing — schema, batching, UDF
-signature — is fully real and testable.
+Decode honesty split:
+- HEADER METADATA (image width/height/bit-depth, audio sample-rate/
+  channels/bits-per-sample) is decoded FOR REAL with stdlib ``struct``
+  alone — PNG IHDR and WAV fmt-chunk parsing need no media library
+  (:func:`parse_media_header`, :func:`extract_media_meta`).
+- PIXEL/SAMPLE content work (resize, spectrogram, frame decode) is
+  STUBBED: this container has no PIL/librosa/ffmpeg. ``decode_stub``
+  raises NotImplementedError for content decode of unrecognized bytes
+  and provides a deterministic fake (content-hash-derived
+  pseudo-features) so the Spark-side plumbing — schema, batching, UDF
+  signature — is fully real and testable.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 MEDIA_META = T.StructType([
     T.StructField("media_type", T.StringType()),     # image | audio | video
@@ -46,12 +53,58 @@ FEATURE_SCHEMA = T.StructType([
 ])
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_media_header(payload: bytes) -> dict | None:
+    """REAL header-metadata decode with stdlib ``struct`` only.
+
+    - PNG: the IHDR chunk is mandatory and first (PNG spec §11.2.1):
+      width/height as big-endian u32 at bytes 16..24, bit depth at 24.
+      CRC is not verified — this extracts metadata, it does not validate
+      archives.
+    - WAV: RIFF container scan for the ``fmt `` chunk (not assumed to be
+      first — LIST/INFO chunks legally precede it): little-endian
+      channels (u16), sample rate (u32), bits-per-sample (u16), honoring
+      RIFF's odd-size pad byte.
+
+    Returns None for unrecognized bytes (caller falls back to the
+    deterministic fake path / 'unknown' metadata).
+    """
+    b = payload
+    if len(b) >= 26 and b[:8] == PNG_SIG and b[12:16] == b"IHDR":
+        width, height = struct.unpack(">II", b[16:24])
+        return {"media_type": "image", "codec": "png",
+                "width": width, "height": height,
+                "sample_rate": None, "channels": None, "bit_depth": b[24]}
+    if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        off = 12
+        while off + 8 <= len(b):
+            chunk_id = b[off:off + 4]
+            (size,) = struct.unpack("<I", b[off + 4:off + 8])
+            if chunk_id == b"fmt " and size >= 16 and off + 24 <= len(b):
+                channels, sample_rate = struct.unpack(
+                    "<HI", b[off + 10:off + 16])
+                (bits,) = struct.unpack("<H", b[off + 22:off + 24])
+                return {"media_type": "audio", "codec": "wav",
+                        "width": None, "height": None,
+                        "sample_rate": sample_rate, "channels": channels,
+                        "bit_depth": bits}
+            off += 8 + size + (size & 1)   # chunks are word-aligned
+    return None
+
+
 def decode_stub(payload: bytes, media_type: str, real: bool = False) -> dict:
-    """Deterministic fake decode. ``real=True`` marks where PIL/librosa
-    would be called — not available in this environment."""
+    """Deterministic fake CONTENT decode. ``real=True`` first tries the
+    stdlib header parse (:func:`parse_media_header`); pixel/sample work
+    on unrecognized bytes still needs PIL/librosa/ffmpeg and raises."""
     if real:
+        meta = parse_media_header(payload)
+        if meta is not None:
+            return {**meta, "n_bytes": len(payload)}
         raise NotImplementedError(
-            "media decode requires PIL/librosa/ffmpeg; not in this container")
+            "content decode of unrecognized media requires "
+            "PIL/librosa/ffmpeg; not in this container")
     n = len(payload)
     s = sum(payload[:256])
     return {
@@ -102,6 +155,89 @@ def extract_features(df: DataFrame, payload_col: str = "payload",
             })
 
     return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+MEDIA_HEADER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("media_type", T.StringType()),
+    T.StructField("codec", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("bit_depth", T.IntegerType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+_UNKNOWN_META = {"media_type": "unknown", "codec": None, "width": None,
+                 "height": None, "sample_rate": None, "channels": None,
+                 "bit_depth": None}
+
+
+def extract_media_meta(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL header-metadata extraction over binary payloads — the same
+    Arrow-batched ``mapInPandas`` shape as :func:`extract_features`, but
+    the decode is :func:`parse_media_header` (stdlib struct), not a fake.
+    Unrecognized bytes degrade to media_type='unknown', never crash."""
+    cols = [f.name for f in MEDIA_HEADER_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                meta = parse_media_header(b) or _UNKNOWN_META
+                rows.append({"doc_id": int(did), **meta, "n_bytes": len(b)})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, MEDIA_HEADER_SCHEMA)
+
+
+def _hex_be(col: Column, n_bytes: int) -> Column:
+    """Fixed-width big-endian hex of a non-negative integral column."""
+    return F.lpad(F.lower(F.hex(col.cast("bigint"))), 2 * n_bytes, "0")
+
+
+def _hex_le(col: Column, n_bytes: int) -> Column:
+    """Little-endian byte order: the big-endian hex with bytes reversed."""
+    h = _hex_be(col, n_bytes)
+    return F.concat(*[F.substring(h, 2 * i + 1, 2)
+                      for i in reversed(range(n_bytes))])
+
+
+def synthesize_planted_media(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Deterministic VALID media headers planted from doc_id — the
+    oracle-checkable fixture for :func:`extract_media_meta`.
+
+    Even ids become a PNG signature + IHDR chunk (width = id%512+16,
+    height = id%256+16, 8-bit RGB); odd ids a RIFF/WAVE header with a
+    16-byte PCM fmt chunk (sample_rate = 8000 + (id%5)*8000, channels =
+    1 + (id/2)%2, 16-bit). All byte-assembly is JVM-side hex/unhex —
+    the Python side only ever PARSES, so a struct-unpack bug cannot
+    cancel itself out against the builder.
+    """
+    did = F.col(id_col)
+    w, h = did % 512 + 16, did % 256 + 16
+    png = F.concat(
+        F.lit("89504e470d0a1a0a"),            # PNG signature
+        F.lit("0000000d49484452"),            # IHDR length 13 + type
+        _hex_be(w, 4), _hex_be(h, 4),
+        F.lit("0802000000"),                  # bit depth 8, RGB, no interlace
+        F.lit("00000000"))                    # CRC (not verified)
+    sr = F.lit(8000) + (did % 5) * 8000
+    ch = F.lit(1) + (did / F.lit(2)).cast("bigint") % 2
+    wav = F.concat(
+        F.lit("52494646"), _hex_le(F.lit(36), 4), F.lit("57415645"),  # RIFF
+        F.lit("666d7420"), _hex_le(F.lit(16), 4),                     # fmt
+        _hex_le(F.lit(1), 2), _hex_le(ch, 2),                # PCM, channels
+        _hex_le(sr, 4), _hex_le(sr * ch * 2, 4),             # rate, byterate
+        _hex_le(ch * 2, 2), _hex_le(F.lit(16), 2))           # align, bits
+    return docs.select(
+        id_col,
+        F.unhex(F.when(did % 2 == 0, png).otherwise(wav)).alias("payload"))
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:

@@ -685,6 +685,40 @@ def q_multimodal_features(spark, sf_dir):
 
 
 @register(
+    "q_media_meta",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+             AS media_type,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 512 + 16 AS INTEGER) END AS width,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(doc_id % 256 + 16 AS INTEGER) END AS height,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(8000 + (doc_id % 5) * 8000 AS INTEGER) END
+             AS sample_rate,
+           CASE WHEN doc_id % 2 = 1
+                THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
+           CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 36 END AS BIGINT)
+             AS n_bytes
+    FROM documents
+    """,
+    doc="REAL media header decode, certified: JVM-side hex/unhex plants "
+        "valid PNG IHDR / RIFF-WAVE fmt headers with doc_id-derived "
+        "dimensions; the Arrow mapInPandas stage parses them back with "
+        "stdlib struct (big-endian PNG u32s, little-endian WAV u16/u32, "
+        "chunk scan with pad bytes); the oracle recomputes the planted "
+        "values arithmetically — a byte-order or offset bug in the "
+        "parser hash-mismatches (builder and parser never share code)")
+def q_media_meta(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.extract_media_meta(mm.synthesize_planted_media(docs))
+
+
+@register(
     "q_fingerprint",
     r"""
     SELECT doc_id,

@@ -108,8 +108,70 @@ def test_multimodal_feature_extraction_roundtrip(docs):
 
 
 def test_multimodal_real_decode_is_stubbed():
+    # content decode of UNRECOGNIZED bytes still needs media libs
     with pytest.raises(NotImplementedError):
         mm.decode_stub(b"xx", "image", real=True)
+
+
+def _png_bytes(width: int, height: int, bit_depth: int = 8) -> bytes:
+    import struct as st
+    ihdr = st.pack(">II", width, height) + bytes([bit_depth, 2, 0, 0, 0])
+    return (b"\x89PNG\r\n\x1a\n" + st.pack(">I", len(ihdr)) + b"IHDR"
+            + ihdr + b"\x00\x00\x00\x00")
+
+
+def _wav_bytes(sample_rate: int, channels: int, bits: int = 16,
+               leading_chunks: bytes = b"") -> bytes:
+    import struct as st
+    fmt = st.pack("<HHIIHH", 1, channels, sample_rate,
+                  sample_rate * channels * bits // 8,
+                  channels * bits // 8, bits)
+    body = leading_chunks + b"fmt " + st.pack("<I", len(fmt)) + fmt
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_parse_media_header_png_and_wav():
+    m = mm.parse_media_header(_png_bytes(640, 480))
+    assert (m["media_type"], m["codec"], m["width"], m["height"],
+            m["bit_depth"]) == ("image", "png", 640, 480, 8)
+    m = mm.parse_media_header(_wav_bytes(44100, 2))
+    assert (m["media_type"], m["codec"], m["sample_rate"], m["channels"],
+            m["bit_depth"]) == ("audio", "wav", 44100, 2, 16)
+    # fmt is NOT assumed first: a LIST chunk (odd size -> pad byte) before
+    # it must be skipped by the chunk scan
+    lst = b"LIST" + (5).to_bytes(4, "little") + b"INFOx" + b"\x00"
+    m = mm.parse_media_header(_wav_bytes(8000, 1, leading_chunks=lst))
+    assert (m["sample_rate"], m["channels"]) == (8000, 1)
+    # real=True decode_stub returns the REAL header metadata now
+    d = mm.decode_stub(_png_bytes(32, 16), "image", real=True)
+    assert (d["width"], d["height"]) == (32, 16)
+
+
+def test_parse_media_header_rejects_garbage():
+    assert mm.parse_media_header(b"") is None
+    assert mm.parse_media_header(b"not media at all") is None
+    assert mm.parse_media_header(_png_bytes(1, 1)[:20]) is None  # truncated
+    # RIFF/WAVE with no fmt chunk anywhere
+    assert mm.parse_media_header(
+        b"RIFF" + (4).to_bytes(4, "little") + b"WAVE") is None
+
+
+def test_extract_media_meta_roundtrips_planted_headers(spark):
+    docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: r for r in mm.extract_media_meta(
+        mm.synthesize_planted_media(docs)).collect()}
+    assert out[4].media_type == "image"
+    assert (out[4].width, out[4].height) == (4 % 512 + 16, 4 % 256 + 16)
+    assert out[4].n_bytes == 33
+    assert out[7].media_type == "audio"
+    assert out[7].sample_rate == 8000 + (7 % 5) * 8000
+    assert out[7].channels == 1 + (7 // 2) % 2
+    assert out[7].n_bytes == 36
+    # a payload parse failure degrades to 'unknown', never a crash
+    bad = spark.createDataFrame([(99, bytearray(b"junk"))],
+                                "doc_id long, payload binary")
+    row = mm.extract_media_meta(bad).collect()[0]
+    assert row.media_type == "unknown" and row.width is None
 
 
 def test_frame_sample_shapes(spark, docs):
