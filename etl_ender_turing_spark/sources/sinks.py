@@ -61,7 +61,12 @@ def write_file(df: DataFrame, path: str, fmt: str) -> None:
         if n > XLSX_ROW_CAP:
             raise ValueError(f"refusing driver-side excel write of >{XLSX_ROW_CAP} rows")
         try:
-            df.toPandas().to_excel(path, index=False)
+            # engine pinned: pandas infers xlwt from a .xls extension, but
+            # xlwt (legacy BIFF) was removed from pandas years ago — the
+            # reference's xls branch didn't write BIFF either (it wrote
+            # csv, Load.py:218). We write OOXML content under the
+            # requested name; Excel sniffs content, not extension.
+            df.toPandas().to_excel(path, index=False, engine="openpyxl")
         except ImportError as e:  # openpyxl not present
             raise NotImplementedError("excel sink requires openpyxl") from e
     elif fmt in ("pkl", "pickle"):

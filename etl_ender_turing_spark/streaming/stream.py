@@ -453,10 +453,14 @@ def run_watermarked_dedup_batch(spark: SparkSession, source_dir: str,
     return spark.table("wm_dedup_result")
 
 
+COMPACT_EVERY_N_BATCHES = 8
+
+
 def run_api_stream_sync(spark: SparkSession, warehouse: str,
                         checkpoint_dir: str, start: str, stop: str,
                         endpoint: str | None = None,
-                        token: str | None = None) -> DataFrame:
+                        token: str | None = None,
+                        compact_every: int = COMPACT_EVERY_N_BATCHES) -> DataFrame:
     """End-to-end STREAMING session sync: the custom session-API stream
     source (durable interval offsets) MERGE-upserted into the warehouse
     per micro-batch — the reference's whole cron lifecycle
@@ -467,11 +471,21 @@ def run_api_stream_sync(spark: SparkSession, warehouse: str,
     after a crash neither re-fetches nor duplicates — the exactly-once
     behavior the reference approximates with last_synced.json + per-row
     MERGE.
+
+    Small-file maintenance rides the SAME foreachBatch hook: every
+    ``compact_every`` micro-batches the target is rewritten into
+    ~target_mb files (sources/maintenance.compact_parquet). Inside
+    foreachBatch no other reader/writer touches the table between
+    batches, which is exactly the no-concurrent-reader window the
+    two-rename swap requires; a long run's file count stays bounded at
+    O(compact_every + keys/target-file-size) instead of growing with
+    every epoch. ``compact_every=0`` disables.
     """
     import os
 
     from ..operators.upsert import upsert_parquet
     from ..sources.api_source import register
+    from ..sources.maintenance import compact_parquet
 
     register(spark)
     stream = (spark.readStream.format("session_api")
@@ -481,9 +495,16 @@ def run_api_stream_sync(spark: SparkSession, warehouse: str,
     if token:
         stream = stream.option("token", token)
     target = os.path.join(warehouse, "sessions_stream")
+    # epoch ids are monotone but not dense across restarts — count batches
+    # seen by THIS run locally; compaction cadence is maintenance policy,
+    # not state, so it doesn't need to survive restarts
+    seen = {"n": 0}
 
     def merge(batch_df: DataFrame, _epoch: int) -> None:
         upsert_parquet(spark, batch_df, target, key=["id"])
+        seen["n"] += 1
+        if compact_every and seen["n"] % compact_every == 0:
+            compact_parquet(spark, target)
 
     q = (stream.load()
          .writeStream.foreachBatch(merge)

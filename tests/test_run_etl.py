@@ -87,3 +87,26 @@ def test_stream_mode_syncs_and_resumes_idempotently(spark, tmp_path):
     assert c1["sessions_stream"] > 0
     c2 = run_etl.main(args)      # restart: offsets skip ingested intervals
     assert c2 == c1
+
+
+def test_stream_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
+    from etl_ender_turing_spark.sources.maintenance import table_file_stats
+    from etl_ender_turing_spark.streaming.stream import run_api_stream_sync
+
+    plain = str(tmp_path / "wh_plain")
+    compacted = str(tmp_path / "wh_compact")
+    kw = dict(start="2024-06-01", stop="2024-06-03")
+    a = run_api_stream_sync(spark, plain, str(tmp_path / "ck1"),
+                            compact_every=0, **kw)
+    b = run_api_stream_sync(spark, compacted, str(tmp_path / "ck2"),
+                            compact_every=1, **kw)
+    # identical rows (compaction is pure maintenance)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    import os
+    n_plain, _ = table_file_stats(os.path.join(plain, "sessions_stream"))
+    n_comp, bytes_comp = table_file_stats(
+        os.path.join(compacted, "sessions_stream"))
+    # the accreted table ends at the compaction target (~128 MB/file -> 1
+    # file at fixture scale), bounded regardless of epoch count
+    assert n_comp <= max(1, -(-bytes_comp // (128 * 1024 * 1024)))
+    assert n_comp <= n_plain
