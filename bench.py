@@ -62,6 +62,26 @@ BENCH_QUERIES = [
 ]
 
 
+def _best_prior() -> dict[str, float]:
+    """Per-query best-of across all recorded BENCH_r*.json rounds —
+    the drift baseline. r3→r4 showed uniform 1.15–1.4× contention drift;
+    comparing each query to its best prior round (alongside noise_ratio)
+    separates a real plan regression from a loud machine."""
+    import glob
+    best: dict[str, float] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_r*.json"))):
+        try:
+            with open(p) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for q, t in (d.get("queries") or {}).items():
+            if isinstance(t, (int, float)) and t > 0:
+                best[q] = min(best.get(q, float(t)), float(t))
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -91,13 +111,24 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     worst = sum(max(s) for s in all_runs.values())
+    noise = round(worst / total, 3) if total else 1.0
+    prior = _best_prior()
+    # flag same-query drift >1.5x over its best prior round; interpret
+    # against noise_ratio (a contended host inflates everything at once)
+    regressions = sorted(
+        ({"query": q, "now": t, "best_prior": prior[q],
+          "ratio": round(t / prior[q], 2)}
+         for q, t in timings.items()
+         if q in prior and t > 1.5 * prior[q]),
+        key=lambda r: -r["ratio"])
     print(json.dumps({
         "metric": "catalog_headline_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "runs": all_runs,
-        "noise_ratio": round(worst / total, 3) if total else 1.0,
+        "noise_ratio": noise,
+        "regressions": regressions,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
