@@ -24,6 +24,40 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_table(spark, sf_dir, "embeddings")
 
 
+# The driver's correctness gate runs ~50 catalog queries serially against
+# one SparkSession; the dedup family re-derives the IDENTICAL
+# shingle/signature/verified-pair subtrees each time. Persist those once
+# per (session, sf_dir) so the pass's budget buys more queries instead of
+# re-shingling the same 500 docs ten times. Fixture-scale only — a
+# production corpus persists its SIGNATURE table, not raw shingles
+# (SCALE.md incremental section); the operators themselves stay pure.
+_FIXTURE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached(key: tuple, build) -> DataFrame:
+    df = _FIXTURE_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _FIXTURE_CACHE[key] = df
+    return df
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached(("shingles", id(spark.sparkContext), sf_dir),
+                   lambda: dd.shingle_select(_docs(spark, sf_dir)))
+
+
+def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding -> exact-Jaccard verification at threshold 0.6 — the
+    shared subtree of the seven cluster/keep/multi-signal queries."""
+    sh = _shingles(spark, sf_dir)
+    return _cached(
+        ("jacc06", id(spark.sparkContext), sf_dir),
+        lambda: dd.jaccard_on_pairs(
+            sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
+            threshold=0.6))
+
+
 # =========================================================================
 # Deduplication
 # =========================================================================
@@ -79,8 +113,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
         "pair); the production scale form is q_dedup_lsh_jaccard, which "
         "must find the identical pair set")
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
-    return dd.jaccard_pairs(sh, threshold=0.6)
+    return dd.jaccard_pairs(_shingles(spark, sf_dir), threshold=0.6)
 
 
 @register(
@@ -89,9 +122,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     doc="the composed 100 TB dedup pipeline: MinHash-LSH candidate pruning "
         "-> exact Jaccard verification on candidates only")
 def q_dedup_lsh_jaccard(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))  # distinct: exact sets
-    pairs = dd.minhash_band_pairs(dd.minhash_signatures(sh))
-    return dd.jaccard_on_pairs(sh, pairs, threshold=0.6)
+    return _verified_pairs(spark, sf_dir)
 
 
 @register(
@@ -123,7 +154,7 @@ def q_dedup_lsh_jaccard(spark, sf_dir):
         "q_approx_sketches discipline applied to minhash: estimator "
         "drift past its budget hash-mismatches")
 def q_minhash_estimate_error(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     # EXHAUSTIVE pair set (jaccard_pairs), matching the oracle's CTE
     # exactly — not the LSH-pruned candidates, whose recall at this
     # SF/threshold happens to be 100% but is a data-dependent property;
@@ -162,11 +193,9 @@ def q_minhash_estimate_error(spark, sf_dir):
         "hash-checked NUMBER (n_exact = n_lsh = n_overlap at j>=0.6 with "
         "4x2 banding), not a docstring assertion")
 def q_lsh_recall_check(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
+    sh = _shingles(spark, sf_dir)
     exact = dd.jaccard_pairs(sh, threshold=0.6).select("doc_a", "doc_b")
-    lsh = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
-        threshold=0.6).select("doc_a", "doc_b")
+    lsh = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
     n_overlap = (lsh.join(exact, ["doc_a", "doc_b"], "left_semi")
@@ -183,8 +212,7 @@ def q_lsh_recall_check(spark, sf_dir):
         "(LSH would miss low-Jaccard containment by design); directional "
         "rows")
 def q_dedup_containment(spark, sf_dir):
-    return dd.containment_pairs(dd.shingle_select(_docs(spark, sf_dir)),
-                                threshold=0.8)
+    return dd.containment_pairs(_shingles(spark, sf_dir), threshold=0.8)
 
 
 @register(
@@ -195,10 +223,7 @@ def q_dedup_containment(spark, sf_dir):
         "(O(diameter) rounds); canonical doc = min id per cluster. Oracle "
         "computes the same closure with a recursive CTE")
 def q_dup_clusters(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
-    pairs = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
-    return dd.duplicate_clusters(pairs)
+    return dd.duplicate_clusters(_verified_pairs(spark, sf_dir))
 
 
 @register(
@@ -221,10 +246,7 @@ def q_dup_clusters(spark, sf_dir):
         "outcome a curation run logs before deciding keep policies; one "
         "agg over the cluster assignment")
 def q_dup_cluster_stats(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
-    cl = dd.duplicate_clusters(dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
-        threshold=0.6))
+    cl = dd.duplicate_clusters(_verified_pairs(spark, sf_dir))
     sizes = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return sizes.agg(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
@@ -247,10 +269,7 @@ def q_dup_cluster_stats(spark, sf_dir):
         "member (anti-join); what actually ships to training")
 def q_dedup_keep_canonical(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    sh = dd.shingle_select(docs)
-    pairs = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
-    drop = (dd.duplicate_clusters(pairs)
+    drop = (dd.duplicate_clusters(_verified_pairs(spark, sf_dir))
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id"))
     # No broadcast hint: at real duplicate rates (30%+ of a 100 TB corpus)
@@ -281,10 +300,7 @@ def q_dedup_keep_canonical(spark, sf_dir):
         "the corpus)")
 def q_dedup_keep_best(spark, sf_dir):
     docs = _docs(spark, sf_dir)
-    sh = dd.shingle_select(docs)
-    pairs = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)), threshold=0.6)
-    cl = dd.duplicate_clusters(pairs)
+    cl = dd.duplicate_clusters(_verified_pairs(spark, sf_dir))
     members = cl.join(docs.select("doc_id", "n_chars"), "doc_id")
     best = (members.groupBy("cluster_id")
             .agg(F.expr("max_by(doc_id, struct(n_chars, -doc_id))")
@@ -591,10 +607,7 @@ _MULTI_PAIRS_SQL = f"""
         "catches paraphrases text shingles miss and template docs "
         "embeddings miss; both candidate generators stay pruned")
 def q_dedup_multi_signal(spark, sf_dir):
-    sh = dd.shingle_select(_docs(spark, sf_dir))
-    text_pairs = dd.jaccard_on_pairs(
-        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
-        threshold=0.6).select("doc_a", "doc_b")
+    text_pairs = _verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
     embed_pairs = (sim.neardup_pairs(_emb(spark, sf_dir), threshold=0.3)
                    .select(F.col("id_a").alias("doc_a"),
                            F.col("id_b").alias("doc_b")))
