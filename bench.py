@@ -27,7 +27,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from etl_ender_turing_spark.plans import CATALOG
+from etl_ender_turing_spark.plans import CATALOG, llm_catalog
 from etl_ender_turing_spark.session import get_spark
 
 # Headline set: the queries whose shape dominates 100 TB cost —
@@ -62,11 +62,12 @@ BENCH_QUERIES = [
 ]
 
 
-def _best_prior() -> dict[str, float]:
-    """Per-query best-of across all recorded BENCH_r*.json rounds —
-    the drift baseline. r3→r4 showed uniform 1.15–1.4× contention drift;
-    comparing each query to its best prior round (alongside noise_ratio)
-    separates a real plan regression from a loud machine."""
+def _best_prior(sf) -> dict[str, float]:
+    """Per-query best-of across recorded BENCH_r*.json rounds AT THE SAME
+    scale factor — the drift baseline. r3→r4 showed uniform 1.15–1.4×
+    contention drift; comparing each query to its best prior round
+    (alongside noise_ratio) separates a real plan regression from a loud
+    machine."""
     import glob
     best: dict[str, float] = {}
     here = os.path.dirname(os.path.abspath(__file__))
@@ -75,6 +76,8 @@ def _best_prior() -> dict[str, float]:
             with open(p) as f:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
+            continue
+        if d.get("sf") != sf:
             continue
         for q, t in (d.get("queries") or {}).items():
             if isinstance(t, (int, float)) and t > 0:
@@ -102,6 +105,10 @@ def main() -> None:
             continue
         samples = []
         for _ in range(n_runs):
+            # timings measure the FULL plan, never a warm shared-fixture
+            # cache (llm_catalog persists dedup subtrees for the serial
+            # correctness pass — that's a different workload)
+            llm_catalog.clear_fixture_cache()
             t0 = time.perf_counter()
             # count() forces full execution of every operator in the plan
             spec.builder(spark, sf_dir).count()
@@ -112,7 +119,7 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     worst = sum(max(s) for s in all_runs.values())
     noise = round(worst / total, 3) if total else 1.0
-    prior = _best_prior()
+    prior = _best_prior(float(sf) if sf.replace(".", "").isdigit() else sf)
     # flag same-query drift >1.5x over its best prior round; interpret
     # against noise_ratio (a contended host inflates everything at once)
     regressions = sorted(

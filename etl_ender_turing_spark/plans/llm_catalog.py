@@ -42,6 +42,18 @@ def _cached(key: tuple, build) -> DataFrame:
     return df
 
 
+def clear_fixture_cache() -> None:
+    """Unpersist and drop the shared fixtures — bench.py calls this per
+    timing sample so a headline query that rides the cache would still be
+    timed computing its full plan, never reading a warm cache."""
+    for df in _FIXTURE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:   # session already stopped — nothing cached
+            pass
+    _FIXTURE_CACHE.clear()
+
+
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(("shingles", id(spark.sparkContext), sf_dir),
                    lambda: dd.shingle_select(_docs(spark, sf_dir)))
