@@ -322,3 +322,83 @@ def bm25_from_index(spark, table: str, query_terms: tuple[str, ...],
     return (scored.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select("term", id_col, "tf", "dl", "bm25"))
+
+
+def zipf_slope(df: DataFrame, top_v: int = 200, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Zipf rank-frequency slope of the corpus: OLS fit of ln(freq) on
+    ln(rank) over the ``top_v`` most frequent tokens — natural text sits
+    near -1; template/boilerplate-heavy corpora flatten, random-token
+    junk steepens. A one-row corpus-health diagnostic for curation runs.
+
+    Scale shape: token counts are one partial+final agg (vocabulary-
+    sized output); the top-v selection is an ordered limit
+    (TakeOrderedAndProject: per-partition heap + driver merge of top_v
+    rows) — the only window runs over exactly top_v rows AFTER the take,
+    never over the vocabulary. Float parity: per-term ln products are
+    6dp-floored and decimal-summed (order-independent); ties at the
+    boundary break on the term string in both engines. round6u's FLOOR
+    arithmetic is sign-agnostic cross-engine, so the (negative) slope
+    stays bit-stable.
+    """
+    from ..functions.rounding import round6u
+
+    tok = df.select(F.explode(F.expr(
+        f"filter(split(lower(trim({text_col})), ' '), t -> t <> '')"))
+        .alias("term"))
+    vocab = tok.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = vocab.orderBy(F.desc("freq"), F.asc("term")).limit(top_v)
+    w = Window.orderBy(F.desc("freq"), F.asc("term"))
+    ranked = top.withColumn("rank", F.row_number().over(w))
+
+    def dsum6(expr: str) -> F.Column:
+        return F.expr(f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5)"
+                      f" / 1000000 AS DECIMAL(28,6))) AS DOUBLE)")
+
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.max("freq").cast("long").alias("top_freq"),
+        dsum6("ln(rank)").alias("sx"),
+        dsum6("ln(freq)").alias("sy"),
+        dsum6("ln(rank) * ln(freq)").alias("sxy"),
+        dsum6("ln(rank) * ln(rank)").alias("sxx"))
+    slope = ((F.col("n_terms") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n_terms") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return sums.select("n_terms", "top_freq",
+                       round6u(slope).alias("zipf_slope"))
+
+
+def zipf_slope_sql(table: str, top_v: int = 200, text_col: str = "text",
+                   id_col: str = "doc_id") -> str:
+    from ..functions.rounding import round6u_sql
+
+    def dsum6(expr: str) -> str:
+        return (f"CAST(SUM(CAST(FLOOR(({expr}) * 1000000 + 0.5)"
+                f" / 1000000 AS DECIMAL(28,6))) AS DOUBLE)")
+
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(lower(trim({text_col})), ' '),
+                                t -> t <> '')) AS term
+      FROM {table}
+    ),
+    vocab AS (SELECT term, COUNT(*) AS freq FROM tok GROUP BY 1),
+    top AS (
+      SELECT term, freq,
+             row_number() OVER (ORDER BY freq DESC, term) AS rank
+      FROM vocab ORDER BY freq DESC, term LIMIT {top_v}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(MAX(freq) AS BIGINT) AS top_freq,
+             {dsum6("ln(rank)")} AS sx,
+             {dsum6("ln(freq)")} AS sy,
+             {dsum6("ln(rank) * ln(freq)")} AS sxy,
+             {dsum6("ln(rank) * ln(rank)")} AS sxx
+      FROM top
+    )
+    SELECT n_terms, top_freq,
+           {round6u_sql("(n_terms * sxy - sx * sy)"
+                        " / (n_terms * sxx - sx * sx)")} AS zipf_slope
+    FROM s
+    """

@@ -524,3 +524,55 @@ def bigram_coherence_sql(table: str = "documents", text_col: str = "text",
     FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
     GROUP BY {id_col}
     """
+
+
+def char_entropy(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Shannon character entropy (bits) per document — the curation
+    signal that catches binary junk, base64 blobs and mojibake (near-max
+    entropy) and degenerate filler (near-zero) that token-level quality
+    ratios miss.
+
+    H = log2(n) - (1/n)·Σ cnt·log2(cnt) over per-character counts, so the
+    whole thing is two uniform hash aggregations ((doc, char) then doc) —
+    no windows, no joins; at 100 TB both shuffles key on high-cardinality
+    uniform keys. Float parity: each cnt·ln(cnt) term is 6dp-floored and
+    decimal-summed (order-independent, the bigram-coherence discipline);
+    one final round6u. Documents with no non-empty characters produce no
+    row (both engines).
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"filter(split(lower({text_col}), ''), c -> c <> '')"))
+        .alias("c"))
+    counts = chars.groupBy(id_col, "c").agg(F.count(F.lit(1)).alias("cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_chars_used"),
+        F.expr("CAST(SUM(CAST(FLOOR(cnt * ln(cnt) * 1000000 + 0.5)"
+               " / 1000000 AS DECIMAL(28,6))) AS DOUBLE)").alias("_s"))
+    h_bits = ((F.expr("ln(n_chars_used)")
+               - F.col("_s") / F.col("n_chars_used"))
+              / F.expr("ln(2.0)"))
+    return agg.select(id_col, "n_chars_used",
+                      round6u(h_bits).alias("char_entropy_bits"))
+
+
+def char_entropy_sql(table: str, text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    return f"""
+    WITH ch AS (
+      SELECT {id_col},
+             unnest(list_filter(string_split(lower({text_col}), ''),
+                                c -> c <> '')) AS c
+      FROM {table}
+    ),
+    cc AS (SELECT {id_col}, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2)
+    SELECT {id_col},
+           CAST(SUM(cnt) AS BIGINT) AS n_chars_used,
+           {round6u_sql(
+               "(ln(SUM(cnt)) - CAST(SUM(CAST(FLOOR(cnt * ln(cnt) * 1000000"
+               " + 0.5) / 1000000 AS DECIMAL(28,6))) AS DOUBLE) / SUM(cnt))"
+               " / ln(2.0)")} AS char_entropy_bits
+    FROM cc GROUP BY {id_col}
+    """

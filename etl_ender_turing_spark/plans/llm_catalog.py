@@ -1210,3 +1210,28 @@ def q_quality_classifier(spark, sf_dir):
     cols = ts.quality_classifier_columns("text")
     return _docs(spark, sf_dir).select(
         "doc_id", *[c.alias(n) for n, c in cols.items()])
+
+
+@register(
+    "q_char_entropy",
+    ts.char_entropy_sql("documents"),
+    doc="Shannon character entropy (bits) per document: two uniform hash "
+        "aggregations, no windows/joins — the curation signal that "
+        "catches binary junk / base64 blobs (near-max entropy) and "
+        "degenerate filler (near-zero) that token-level ratios miss; "
+        "6dp-floored decimal-summed ln terms certify bit-exactly")
+def q_char_entropy(spark, sf_dir):
+    return ts.char_entropy(_docs(spark, sf_dir))
+
+
+@register(
+    "q_zipf_slope",
+    tm.zipf_slope_sql("documents", top_v=200),
+    doc="Zipf rank-frequency slope over the top-200 corpus tokens (OLS "
+        "of ln freq on ln rank; natural text ~ -1): vocabulary agg -> "
+        "TakeOrderedAndProject top-v -> window over exactly top_v rows "
+        "-> one-row decimal-summed regression — a corpus-health "
+        "diagnostic that flattens under boilerplate and steepens on "
+        "random-token junk")
+def q_zipf_slope(spark, sf_dir):
+    return tm.zipf_slope(_docs(spark, sf_dir), top_v=200)

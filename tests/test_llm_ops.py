@@ -966,3 +966,33 @@ def test_auto_scaling_cell_and_bucket_counts():
     assert sim.auto_n_planes(131_072) == 8
     assert sim.auto_n_planes(1_000_000) == 11
     assert sim.auto_n_planes(1_000_000_000) == 21
+
+
+def test_char_entropy_known_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in ts.char_entropy(docs).collect()}
+    assert out[1].char_entropy_bits == 0.0          # one symbol -> 0 bits
+    assert out[2].char_entropy_bits == 1.0          # two equiprobable -> 1
+    assert out[3].char_entropy_bits == 2.0          # four equiprobable -> 2
+    assert out[3].n_chars_used == 4
+    assert 4 not in out                             # empty text: no row
+
+
+def test_zipf_slope_on_synthetic_zipfian(spark):
+    # freq(rank) = C / rank exactly -> ln freq = ln C - 1 * ln rank:
+    # the OLS slope must come out -1 (up to the 6dp parity rounding)
+    from etl_ender_turing_spark.operators import terms as tm
+    rows = []
+    vocab = 30
+    for rank in range(1, vocab + 1):
+        rows.extend([(rank, f"w{rank:02d}")] * (600 // rank))
+    docs = spark.createDataFrame(
+        [(i, " ".join(w for _, w in rows))
+         for i in range(1)], "doc_id long, text string")
+    got = tm.zipf_slope(docs, top_v=vocab).collect()[0]
+    assert got.n_terms == vocab
+    assert got.top_freq == 600
+    # 600//rank quantization bends the tail slightly; slope ~ -1
+    assert -1.1 < got.zipf_slope < -0.9
