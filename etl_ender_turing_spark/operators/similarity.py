@@ -261,10 +261,16 @@ def kmeans_fit(spark, emb: DataFrame, k: int = N_CENTROIDS, iters: int = 3,
         scored = (v.crossJoin(F.broadcast(cents))
                   .select(id_col, "cid",
                           F.round(cosine("v", "cv"), 6).alias("sim"), "v"))
-        w = Window.partitionBy(id_col).orderBy(F.col("sim").desc(),
-                                               F.col("cid"))
-        assigned = (scored.withColumn("_rn", F.row_number().over(w))
-                    .filter(F.col("_rn") == 1))
+        # argmax via max_by partial+final agg (the ivf_assignments shape),
+        # NOT a per-id window: the window form shuffles all n*k scored
+        # rows each iteration, the agg combines map-side to one row per
+        # id first. Tie-break struct(sim, -cid) == ORDER BY sim DESC, cid
+        # — values identical, so the unrolled-CTE oracle is unchanged.
+        # v is constant per id (any_value is deterministic here).
+        assigned = (scored.groupBy(id_col)
+                    .agg(F.expr("max_by(cid, struct(sim, -cid))").alias("cid"),
+                         F.max("sim").alias("sim"),
+                         F.expr("any_value(v)").alias("v")))
         if compute_inertia:   # one extra job per round — skippable when
             inertia.append(assigned.select(   # only centroids are needed
                 F.avg(1 - F.col("sim")).alias("j")).first()["j"])
