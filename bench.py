@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q_cross_source_dups",
     "q_funnel_conversion",
     "q_cohort_retention",
+    # round-5 additions: zero-shuffle char entropy, the Zipf corpus
+    # diagnostic, and the Arrow-batched real media-header decode
+    "q_char_entropy",
+    "q_zipf_slope",
+    "q_media_meta",
 ]
 
 

@@ -130,6 +130,30 @@ def test_topk_has_no_global_window_sort(spark):
     assert "Window" not in below, below[:800]
 
 
+def test_zipf_topv_is_ordered_limit_not_global_sort(spark):
+    # zipf_slope's top-v selection must be TakeOrderedAndProject over the
+    # vocabulary aggregate (per-partition heap + driver merge of top_v
+    # rows); its only Window runs over exactly top_v rows ABOVE the take
+    df = CATALOG["q_zipf_slope"].builder(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==", 1)[0]
+    assert "TakeOrderedAndProject" in final, final[:800]
+    above, below = final.split("TakeOrderedAndProject", 1)
+    assert "Window" in above
+    assert "Window" not in below, below[:800]
+
+
+def test_char_entropy_is_zero_shuffle(spark):
+    # the entropy computation is per-row HOFs — a document never leaves
+    # its partition; any Exchange here is a regression to the explode form
+    df = CATALOG["q_char_entropy"].builder(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==", 1)[0]
+    assert "Exchange" not in final, final[:800]
+
+
 def test_no_python_row_udfs_in_batch_catalog(plans):
     # BatchEvalPython = row-at-a-time Python UDF (the slow path).
     # ArrowEvalPython/mapInPandas (multimodal) is the sanctioned exception.
