@@ -93,6 +93,9 @@ def test_new_round3_queries_survive_vanilla_session(spark):
 
     qs = entry.queries()
     for name in ("q_training_set", "q_stream_session_windows",
-                 "q_embed_outliers"):
+                 "q_embed_outliers",
+                 # round 5: HOF entropy fold, ordered-limit zipf, Arrow
+                 # media decode — none may depend on engine-tuning confs
+                 "q_char_entropy", "q_zipf_slope", "q_media_meta"):
         _simulate_vanilla(spark)
         assert qs[name](spark, SF_SMOKE).count() >= 0, name
