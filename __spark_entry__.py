@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _VERIFY_FIRST: tuple[str, ...] = (
     # --- never driver-certified: new in round 5 ---
     "q_media_meta", "q_char_entropy", "q_zipf_slope",
+    "q_snapshot_diff", "q_dedup_consecutive",
     # --- newest green row is ROUND 2 (24 queries, oldest proofs first;
     # all re-verified green locally in r4/r5 — this refreshes the
     # driver's own record) ---

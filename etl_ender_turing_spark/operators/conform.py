@@ -83,3 +83,40 @@ def reconcile(a: DataFrame, b: DataFrame, key_cols: list[str],
         F.count(F.when(F.col("_in_a").isNotNull()
                        & F.col("_in_b").isNotNull() & ~same, 1))
         .alias("n_changed"))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Row-level change-data-capture between two snapshots of a keyed
+    table: one row per key that was ``added``, ``removed`` or ``changed``
+    (unchanged keys emit nothing) — the row-level complement of
+    :func:`reconcile`'s one-row summary, and the input a downstream
+    incremental consumer (MERGE, cache invalidation, re-embedding queue)
+    actually needs.
+
+    Scale shape: one shuffle per side on the key for the full outer
+    join; comparison is a null-safe equality conjunction in the joined
+    projection — no collect, output is bounded by the churn, not the
+    table. At 100 TB, bucket both snapshots by the key (readers.py
+    bucketing note) and the join plans with zero exchanges.
+    """
+    from pyspark.sql import functions as F
+
+    cmp_cols = compare_cols or [c for c in old.columns if c not in key_cols]
+    av = old.select(*key_cols,
+                    *[F.col(c).alias(f"_a_{c}") for c in cmp_cols],
+                    F.lit(1).alias("_in_a"))
+    bv = new.select(*key_cols,
+                    *[F.col(c).alias(f"_b_{c}") for c in cmp_cols],
+                    F.lit(1).alias("_in_b"))
+    j = av.join(bv, key_cols, "full_outer")
+    same = None
+    for c in cmp_cols:
+        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
+        same = eq if same is None else (same & eq)
+    change = (F.when(F.col("_in_a").isNull(), "added")
+              .when(F.col("_in_b").isNull(), "removed")
+              .when(~same, "changed"))
+    return (j.withColumn("change_type", change)
+            .filter(F.col("change_type").isNotNull())
+            .select(*key_cols, "change_type"))

@@ -1064,3 +1064,37 @@ def containment_sql(shingle_cte: str, threshold: float = 0.8,
     )
     SELECT contained, container, containment
     FROM both_dirs WHERE containment >= {threshold}"""
+
+
+def consecutive_dedup(df, key_col: str = "user_id",
+                      order_cols: tuple[str, ...] = ("ts", "event_id"),
+                      value_col: str = "event_type"):
+    """Drop CONSECUTIVE repeats of ``value_col`` within each key's ordered
+    stream — the transcript/segment-cleaning op (repeated ASR hypotheses,
+    duplicated chat turns, double-fired events): only runs collapse, a
+    value may legitimately recur later.
+
+    One per-key window (millions of small partitions at scale, never a
+    global sort); null-safe compare so NULL runs collapse too. The batch
+    twin of the streaming exactly-first dedup — that one keys on identity
+    forever, this one on adjacency.
+    """
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    return (df.withColumn("_prev", F.lag(value_col).over(w))
+            .filter(~F.col(value_col).eqNullSafe(F.col("_prev")))
+            .drop("_prev"))
+
+
+def consecutive_dedup_sql(table: str, key_col: str = "user_id",
+                          order_cols: tuple[str, ...] = ("ts", "event_id"),
+                          value_col: str = "event_type") -> str:
+    order = ", ".join(order_cols)
+    return f"""
+    SELECT * EXCLUDE (_prev) FROM (
+      SELECT *, LAG({value_col}) OVER (PARTITION BY {key_col}
+                                       ORDER BY {order}) AS _prev
+      FROM {table}
+    ) WHERE NOT ({value_col} IS NOT DISTINCT FROM _prev)
+    """

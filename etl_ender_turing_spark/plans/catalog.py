@@ -1576,3 +1576,69 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
                          * (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n"))),
                 6).alias("corr_qty_price"))
+
+
+# =========================================================================
+# Round-5 additions: row-level snapshot CDC + consecutive-run dedup
+# =========================================================================
+
+@register(
+    "q_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 89 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+    )
+    SELECT o_orderkey, change_type FROM (
+      SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                            AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                    THEN 'changed' END AS change_type
+      FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    ) WHERE change_type IS NOT NULL
+    """,
+    doc="row-level snapshot CDC (operators/conform.snapshot_diff): one row "
+        "per added/removed/changed key between two table versions — the "
+        "incremental-consumer complement of q_table_reconcile's summary; "
+        "full outer join on the key, output bounded by churn, not table "
+        "size (fixture: %97 keys deleted, %89 keys repriced)")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.conform import snapshot_diff
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    old = o.filter(F.col("o_orderkey") % 97 != 0)
+    new = o.withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 89 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice")))
+    return snapshot_diff(old, new, ["o_orderkey"],
+                         ["o_orderstatus", "o_totalprice"])
+
+
+@register(
+    "q_dedup_consecutive",
+    """
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS _prev
+      FROM events
+    ) WHERE NOT (event_type IS NOT DISTINCT FROM _prev)
+    """,
+    doc="consecutive-run dedup (operators/dedup.consecutive_dedup): drop "
+        "immediate repeats of event_type within each user's ordered "
+        "stream — transcript/segment cleaning (repeated ASR hypotheses, "
+        "double-fired events); only RUNS collapse, recurrence survives; "
+        "per-user windows, never a global sort; null-safe compare")
+def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import consecutive_dedup
+    ev = _t(spark, sf_dir, "events")
+    return consecutive_dedup(ev).select("event_id", "user_id", "event_type")

@@ -996,3 +996,30 @@ def test_zipf_slope_on_synthetic_zipfian(spark):
     assert got.top_freq == 600
     # 600//rank quantization bends the tail slightly; slope ~ -1
     assert -1.1 < got.zipf_slope < -0.9
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from etl_ender_turing_spark.operators.conform import snapshot_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", None)],
+        "k long, s string, v double")
+    new = spark.createDataFrame(
+        [(2, "b", 21.0), (3, "c", None), (4, "d", 40.0)],
+        "k long, s string, v double")
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 removed, 2 changed, 3 unchanged (null-safe: None == None), 4 added
+    assert got == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_consecutive_dedup_collapses_runs_only(spark):
+    from etl_ender_turing_spark.operators.dedup import consecutive_dedup
+    rows = [(1, 1, i, t) for i, t in enumerate(
+        ["a", "a", "b", "b", "b", "a", None, None, "c"])]
+    ev = spark.createDataFrame(
+        [(u, k, i, t) for (u, k, i, t) in rows],
+        "user_id long, _k long, ts long, event_type string")
+    kept = [r.event_type for r in consecutive_dedup(
+        ev, order_cols=("ts",)).orderBy("ts").collect()]
+    # runs collapse, later recurrence of 'a' survives, null run collapses
+    assert kept == ["a", "b", "a", None, "c"]
