@@ -235,3 +235,55 @@ def test_stateful_dedup_ttl_expires_old_keys(spark, tmp_path):
     append([(1, t0 + dt.timedelta(days=20, hours=1), 7, "click", 9.0, "{}")])
     got = drain()
     assert (1, 9.0) in got, got
+
+
+def test_stateful_dedup_ttl_on_non_utc_session(spark, tmp_path):
+    """The TTL epoch math must localize event times to the SESSION
+    timezone: pandas reads the tz-naive values Spark renders in session
+    tz, and a bare .timestamp() would treat them as UTC — on a +09:00
+    session that offsets every timeout 9 h early (and can make
+    setTimeoutTimestamp throw for admitted-late rows; the clamp covers
+    that). Run the dedup+expiry lifecycle under Asia/Tokyo to pin it."""
+    import datetime as dt
+
+    from etl_ender_turing_spark.streaming.stream import stateful_dedup_stream
+
+    src = str(tmp_path / "tz_src")
+    out = str(tmp_path / "tz_out")
+    ckpt = str(tmp_path / "tz_ckpt")
+    sch = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    t0 = dt.datetime(2024, 1, 1)
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        def append(rows, mode="append"):
+            spark.createDataFrame(rows, sch).coalesce(1) \
+                 .write.mode(mode).parquet(src)
+
+        def drain():
+            q = (stateful_dedup_stream(spark, src, state_ttl="1 hour")
+                 .writeStream.format("parquet").outputMode("append")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return {(r.event_id, r.value)
+                    for r in spark.read.parquet(out).collect()}
+
+        append([(1, t0, 7, "click", 1.0, "{}")], mode="overwrite")
+        assert drain() == {(1, 1.0)}
+        # duplicate within TTL: suppressed (state alive in session tz too)
+        append([(1, t0 + dt.timedelta(minutes=5), 7, "click", 2.0, "{}")])
+        assert drain() == {(1, 1.0)}
+        # expiry + re-delivery after the watermark passes ts+ttl; drain
+        # between appends — the watermark only advances (and the timeout
+        # callback only fires) across micro-batch boundaries
+        append([(2, t0 + dt.timedelta(days=10), 8, "view", 3.0, "{}")])
+        drain()
+        append([(3, t0 + dt.timedelta(days=20), 9, "click", 4.0, "{}")])
+        drain()
+        append([(1, t0 + dt.timedelta(days=20, hours=1), 7, "click", 9.0,
+                 "{}")])
+        assert (1, 9.0) in drain()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
