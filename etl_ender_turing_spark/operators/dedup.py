@@ -538,27 +538,39 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     SimHash/cosine) and actually dropping duplicates: keep one canonical
     doc per cluster, drop the rest.
 
-    Iterative min-label propagation (each node repeatedly adopts the
-    smallest label among itself and its neighbors) until fixpoint — the
-    simple form of distributed connected components. Per iteration: one
-    join of the (node,label) frame against the symmetric edge list + a
-    min-aggregation, lineage cut with localCheckpoint. Converges in
-    O(component diameter) rounds; near-dup components are shallow
-    (pair-generation is similarity-thresholded), so diameter stays small
-    at any corpus size. At extreme diameters switch to the large-star/
-    small-star variant (alternating conditional stars halve the diameter
-    per round); the per-round dataflow below is unchanged.
+    Iterative min-label propagation ACCELERATED BY POINTER JUMPING: each
+    round every node adopts the smallest label among itself, its
+    neighbors, AND its current label's own label (path halving — the
+    hash-to-min trick). Labels only decrease and are bounded below by the
+    component minimum, and the fixpoint condition (label ≤ every
+    neighbor's label) forces label = component min — identical output to
+    plain propagation, but label chains collapse geometrically, so
+    convergence is O(log diameter) rounds instead of O(diameter): a
+    10 000-node path labels in ~14 rounds, not 10 000. Near-dup
+    components are usually shallow, but one pathological chain (serially
+    quoted documents) would otherwise stall the whole corpus job. Per
+    round: two joins (neighbor min + pointer jump) and a fixpoint probe,
+    lineage cut with localCheckpoint.
 
     Input: (doc_a, doc_b) pairs (any extra columns ignored). Output:
     (doc_id, cluster_id) for every doc appearing in at least one pair.
     """
+    labels, _ = _min_label_fixpoint(pairs, max_iters)
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
+def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
+    """(labels, rounds_used) — see :func:`duplicate_clusters`."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint(eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node")))
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         neighbor_min = (edges.join(labels, edges.dst == labels.node)
                         .groupBy("src").agg(F.min("lbl").alias("nlbl")))
         new_labels = (labels.join(neighbor_min,
@@ -566,6 +578,15 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                       .select("node",
                               F.least("lbl", F.coalesce("nlbl", "lbl"))
                               .alias("lbl")))
+        # pointer jump: lbl(u) <- min(lbl(u), lbl(lbl(u))). The label
+        # table self-join is label-cardinality-sized (shrinks as
+        # components resolve), not edge-sized.
+        jump = new_labels.select(F.col("node").alias("jnode"),
+                                 F.col("lbl").alias("jlbl"))
+        new_labels = (new_labels.join(
+            jump, new_labels.lbl == jump.jnode, "left")
+            .select("node",
+                    F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")))
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "node")
@@ -573,8 +594,7 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         labels = new_labels
         if not changed:
             break
-    return labels.select(F.col("node").alias("doc_id"),
-                         F.col("lbl").alias("cluster_id"))
+    return labels, rounds
 
 
 def duplicate_clusters_sql(pairs_cte: str) -> str:

@@ -1023,3 +1023,21 @@ def test_consecutive_dedup_collapses_runs_only(spark):
         ev, order_cols=("ts",)).orderBy("ts").collect()]
     # runs collapse, later recurrence of 'a' survives, null run collapses
     assert kept == ["a", "b", "a", None, "c"]
+
+
+def test_cluster_pointer_jumping_converges_logarithmically(spark):
+    # a 64-node PATH graph is the propagation worst case: plain min-label
+    # needs ~63 rounds (O(diameter)); pointer jumping must collapse it in
+    # O(log n) — and still label every node with the component min (0)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "doc_a long, doc_b long")
+    labels, rounds = dd._min_label_fixpoint(pairs, max_iters=20)
+    got = {r.node: r.lbl for r in labels.collect()}
+    assert got == {i: 0 for i in range(64)}
+    assert rounds <= 8, rounds          # ~log2(63) + fixpoint probe
+    # two disjoint components stay disjoint
+    pairs2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long")
+    cl = {r.doc_id: r.cluster_id
+          for r in dd.duplicate_clusters(pairs2).collect()}
+    assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
