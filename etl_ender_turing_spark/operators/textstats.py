@@ -544,31 +544,35 @@ def char_entropy(df: DataFrame, text_col: str = "text",
     no non-empty characters produce no row (both engines; also dodges
     Spark's descending sequence(1, 0) vs DuckDB's empty generate_series).
     """
-    cs = f"array_sort(filter(split(lower({text_col}), ''), c -> c <> ''))"
+    # The sorted array MUST be materialized as a real column first:
+    # textually inlining it into every element_at of the bounds filter
+    # would re-run split+filter+sort per element (no common-subexpression
+    # elimination inside lambdas) — O(n²·log n) per row, measured MINUTES
+    # per 5000 docs at sf0.1 vs ~1 s with the column bound once.
+    sorted_chars = F.expr(
+        f"array_sort(filter(split(lower({text_col}), ''), c -> c <> ''))")
     # bounds = cumulative END positions of equal-char runs in the sorted
     # array; the fold turns consecutive bounds into run lengths and sums
     # the 6dp-floored run·ln(run) terms in list order
-    expr = f"""
-      CASE WHEN size({cs}) > 0 THEN
+    s = F.expr("""
         aggregate(
-          filter(sequence(1, size({cs})),
-                 i -> i = size({cs})
-                      OR element_at({cs}, i) <> element_at({cs}, i + 1)),
+          filter(sequence(1, size(_cs)),
+                 i -> i = size(_cs)
+                      OR element_at(_cs, i) <> element_at(_cs, i + 1)),
           named_struct('prev', 0, 'acc', CAST(0.0 AS DOUBLE)),
           (st, e) -> named_struct(
             'prev', e,
             'acc', st.acc + FLOOR((e - st.prev) * ln(e - st.prev)
                                   * 1000000 + 0.5) / 1000000),
           st -> st.acc)
-      END
-    """
-    n = F.expr(f"size({cs})")
-    s = F.expr(expr)
-    h_bits = ((F.expr(f"ln(size({cs}))") - s / n) / F.expr("ln(2.0)"))
-    return (df.select(F.col(id_col),
-                      n.cast("long").alias("n_chars_used"),
-                      round6u(h_bits).alias("char_entropy_bits"))
-            .filter(F.col("n_chars_used") > 0))
+    """)
+    n = F.expr("size(_cs)")
+    h_bits = ((F.expr("ln(size(_cs))") - s / n) / F.expr("ln(2.0)"))
+    return (df.select(F.col(id_col), sorted_chars.alias("_cs"))
+            .filter(F.expr("size(_cs) > 0"))
+            .select(id_col,
+                    n.cast("long").alias("n_chars_used"),
+                    round6u(h_bits).alias("char_entropy_bits")))
 
 
 def char_entropy_sql(table: str, text_col: str = "text",
