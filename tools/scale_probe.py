@@ -29,6 +29,13 @@ from etl_ender_turing_spark.session import get_spark
 from etl_ender_turing_spark.sources.readers import read_table
 
 
+def force(df):
+    """Evaluate the FULL rows via the noop sink — count() would let
+    Catalyst prune compute-only projection columns (a pure-projection op
+    like repetition_signals would time as a bare scan)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def replicate(df, k: int, id_col: str):
     """k copies with disjoint id ranges (content identical per copy —
     a worst case for dedup ops: every doc gains k-1 exact near-dups)."""
@@ -49,33 +56,33 @@ def main() -> None:
     docs0.count(), emb0.count()  # warm
 
     ops = {
-        "exact_dedup": lambda d, e: dd.exact_dedup_groups(d).count(),
-        "minhash_lsh": lambda d, e: dd.minhash_band_pairs(
-            dd.minhash_signatures_inline(d)).count(),
-        "simhash_pairs": lambda d, e: dd.simhash_pairs(
-            dd.simhash_inline(d)).count(),
-        "embed_neardup": lambda d, e: sim.neardup_pairs(e).count(),
-        "embed_lsh_ann": lambda d, e: sim.ann_bucketed_topk(
-            e, query_id=0, k=10).count(),
-        "repetition": lambda d, e: ts.repetition_signals(d).count(),
-        "decontaminate": lambda d, e: dd.contaminated_docs(
+        "exact_dedup": lambda d, e: force(dd.exact_dedup_groups(d)),
+        "minhash_lsh": lambda d, e: force(dd.minhash_band_pairs(
+            dd.minhash_signatures_inline(d))),
+        "simhash_pairs": lambda d, e: force(dd.simhash_pairs(
+            dd.simhash_inline(d))),
+        "embed_neardup": lambda d, e: force(sim.neardup_pairs(e)),
+        "embed_lsh_ann": lambda d, e: force(sim.ann_bucketed_topk(
+            e, query_id=0, k=10)),
+        "repetition": lambda d, e: force(ts.repetition_signals(d)),
+        "decontaminate": lambda d, e: force(dd.contaminated_docs(
             d.filter(F.col("doc_id") % 10_000_000 >= 20),
-            d.filter(F.col("doc_id") % 10_000_000 < 20), n=5).count(),
+            d.filter(F.col("doc_id") % 10_000_000 < 20), n=5)),
         # round-3 ops: replication is the worst case for all three (every
         # copy is an exact semantic/content dup of its source row)
-        "semdedup": lambda d, e: sim.semantic_dedup_keep(e).count(),
-        "knn_graph": lambda d, e: sim.knn_graph(e, k=3).count(),
-        "incr_dedup": lambda d, e: dd.incremental_dedup_pairs(
+        "semdedup": lambda d, e: force(sim.semantic_dedup_keep(e)),
+        "knn_graph": lambda d, e: force(sim.knn_graph(e, k=3)),
+        "incr_dedup": lambda d, e: force(dd.incremental_dedup_pairs(
             dd.minhash_signatures_inline(
                 d.filter(F.col("doc_id") % 10_000_000 < 400)),
             dd.minhash_signatures_inline(
-                d.filter(F.col("doc_id") % 10_000_000 >= 400))).count(),
+                d.filter(F.col("doc_id") % 10_000_000 >= 400)))),
         # round-4 ops: bm25's tf shuffle is query-term-sparse, so growth
         # should track the scan, not the token stream; the cross-source
         # matrix rides the minhash pair generator
-        "bm25": lambda d, e: tm.bm25_topk(
-            d, ("vector", "stream", "join", "window"), k=5).count(),
-        "cross_src_dups": lambda d, e: dd.cross_source_dup_matrix(d).count(),
+        "bm25": lambda d, e: force(tm.bm25_topk(
+            d, ("vector", "stream", "join", "window"), k=5)),
+        "cross_src_dups": lambda d, e: force(dd.cross_source_dup_matrix(d)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
