@@ -164,12 +164,22 @@ def ngram_array_expr(tok_col: str, n: int) -> str:
 
 
 def _top_frac_expr(arr: str) -> str:
-    """max element multiplicity / total — HOF nested loop, O(n·d) per row
-    JVM-side, no shuffle. ``arr`` must be a COLUMN name (evaluated once),
-    not an inline expression."""
+    """max element multiplicity / total, via the LONGEST RUN of the
+    sorted array (max multiplicity == longest equal-element run) —
+    O(n log n) per row instead of the O(n·d) distinct×filter nested loop
+    (measured ~4× on sf0.1 docs; identical integer counts, so the
+    oracle's nested-loop form needs no change). ``arr`` must be a COLUMN
+    name holding the PRE-SORTED array (evaluated once, not an inline
+    expression — no CSE inside lambdas)."""
     return (f"CASE WHEN size({arr}) > 0 THEN floor("
-            f" array_max(transform(array_distinct({arr}),"
-            f"   x -> size(filter({arr}, y -> y = x))))"
+            f" aggregate("
+            f"   filter(sequence(1, size({arr})),"
+            f"     i -> i = size({arr})"
+            f"          OR element_at({arr}, i) <> element_at({arr}, i + 1)),"
+            f"   named_struct('prev', 0, 'mx', 0),"
+            f"   (st, e) -> named_struct('prev', e,"
+            f"                           'mx', greatest(st.mx, e - st.prev)),"
+            f"   st -> st.mx)"
             f" * CAST(1.0 AS DOUBLE) / size({arr})"
             f" * 1000000 + 0.5) / 1000000 ELSE 0.0 END")
 
@@ -199,9 +209,13 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                     F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_t"))
             .withColumn("_bg", F.expr(ngram_array_expr("_t", 2)))
             .withColumn("_tg", F.expr(ngram_array_expr("_t", 3)))
+            # sorted copies bound as columns: the run-length max needs
+            # element_at over a materialized array (sort once per row)
+            .withColumn("_ts", F.expr("array_sort(_t)"))
+            .withColumn("_bgs", F.expr("array_sort(_bg)"))
             .select(id_col,
-                    F.expr(_top_frac_expr("_t")).alias("top1_frac"),
-                    F.expr(_top_frac_expr("_bg")).alias("top_bigram_frac"),
+                    F.expr(_top_frac_expr("_ts")).alias("top1_frac"),
+                    F.expr(_top_frac_expr("_bgs")).alias("top_bigram_frac"),
                     F.expr(_dup_frac_expr("_tg")).alias("dup_trigram_frac")))
 
 
