@@ -42,3 +42,48 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TESTDATA_TABLES) -> dict[str, DataFrame]:
     return {n: read_table(spark, sf_dir, n) for n in names}
+
+
+# Ingestion formats for landing EXTERNAL data (the warehouse's own tables
+# stay parquet). tsv/jsonl are spellings of csv/json; text reads one line
+# per row (raw-corpus ingestion).
+_EXT_FMT = {".parquet": "parquet", ".orc": "orc", ".json": "json",
+            ".jsonl": "json", ".csv": "csv", ".tsv": "tsv", ".txt": "text"}
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None,
+             schema: T.StructType | str | None = None,
+             **options) -> DataFrame:
+    """Land external data in any supported batch format — parquet, ORC,
+    json/jsonl, csv/tsv, raw text — with the format inferred from the
+    file extension when not given.
+
+    Scale contract: pass an explicit ``schema`` for csv/json at any real
+    size — schema inference is a SECOND full pass over the data before
+    the real scan (inferSchema is only defaulted on when no schema is
+    supplied, as a small-file convenience). Predicate pushdown and column
+    pruning reach parquet and ORC scans; csv/json prune columns but
+    filter post-parse.
+    """
+    import os
+
+    if fmt is None:
+        ext = os.path.splitext(path.rstrip("/"))[1].lower()
+        if ext not in _EXT_FMT:
+            raise ValueError(
+                f"cannot infer format from {path!r}; pass fmt= explicitly")
+        fmt = _EXT_FMT[ext]
+    fmt = fmt.lower()
+    if fmt == "jsonl":
+        fmt = "json"
+    if fmt == "tsv":
+        fmt = "csv"
+        options.setdefault("sep", "\t")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.options(**options).format(fmt).load(path)

@@ -56,6 +56,10 @@ def write_file(df: DataFrame, path: str, fmt: str) -> None:
         df.write.mode("overwrite").option("header", True).option("sep", "\t").csv(path)
     elif fmt == "parquet":
         df.write.mode("overwrite").parquet(path)
+    elif fmt == "orc":
+        # beyond the reference's 7 formats: the other columnar container
+        # Spark writes natively (predicate pushdown + pruning on read)
+        df.write.mode("overwrite").orc(path)
     elif fmt in ("xlsx", "xls"):
         n = df.limit(XLSX_ROW_CAP + 1).count()
         if n > XLSX_ROW_CAP:

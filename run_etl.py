@@ -30,9 +30,10 @@ import os
 FIXTURE_START, FIXTURE_STOP = "2024-06-01", "2024-06-03"
 FIXTURE_YESTERDAY = "2024-06-02"
 
-# all 7 reference formats (run-et-etl.py:133-135 + Load.py:186-224); xls
-# writes OOXML content under the legacy name — see sinks.write_file
-FILE_FORMATS = ("json", "csv", "tsv", "parquet", "xlsx", "xls", "pickle")
+# all 7 reference formats (run-et-etl.py:133-135 + Load.py:186-224) plus
+# orc (the other native columnar container); xls writes OOXML content
+# under the legacy name — see sinks.write_file
+FILE_FORMATS = ("json", "csv", "tsv", "parquet", "orc", "xlsx", "xls", "pickle")
 
 
 def parse_args(argv=None):

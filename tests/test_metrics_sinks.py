@@ -188,3 +188,27 @@ def test_pickle_sink_roundtrip(spark, tmp_path):
     write_file(df, path, "pkl")
     back = pd.read_pickle(path)
     assert sorted(map(tuple, back.values.tolist())) == [(1, "a"), (2, "b")]
+
+
+def test_read_any_roundtrips_every_ingestion_format(spark, tmp_path):
+    from etl_ender_turing_spark.sources.readers import read_any
+    from etl_ender_turing_spark.sources.sinks import write_file
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 1.5), (2, "beta", None), (3, "gam,ma", -2.0)],
+        "id long, name string, score double")
+    want = sorted(map(tuple, df.collect()))
+    schema = "id long, name string, score double"
+    for fmt in ("parquet", "orc", "json", "csv", "tsv"):
+        path = str(tmp_path / f"t_{fmt}.{fmt}")
+        write_file(df, path, fmt)
+        # csv/tsv need the explicit schema (no silent inference surprises);
+        # columnar/json carry their own types
+        back = read_any(spark, path,
+                        schema=schema if fmt in ("csv", "tsv") else None)
+        assert sorted(map(tuple, back.select("id", "name", "score")
+                          .collect())) == want, fmt
+    # format inference failure is a clear error, not a guess
+    import pytest
+    with pytest.raises(ValueError, match="cannot infer"):
+        read_any(spark, str(tmp_path / "mystery.dat"))
