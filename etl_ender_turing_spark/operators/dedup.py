@@ -1095,7 +1095,11 @@ def consecutive_dedup(df, key_col: str = "user_id",
     value may legitimately recur later.
 
     One per-key window (millions of small partitions at scale, never a
-    global sort); null-safe compare so NULL runs collapse too. The batch
+    global sort); null-safe compare so NULL runs collapse too. A key's
+    FIRST row is always kept — lag() returns NULL there, which a bare
+    null-safe compare would conflate with "previous value was NULL" and
+    silently drop a leading-NULL row (found by the hypothesis reference
+    test), so first-row-ness is detected via a lagged literal. The batch
     twin of the streaming exactly-first dedup — that one keys on identity
     forever, this one on adjacency.
     """
@@ -1103,8 +1107,10 @@ def consecutive_dedup(df, key_col: str = "user_id",
 
     w = Window.partitionBy(key_col).orderBy(*order_cols)
     return (df.withColumn("_prev", F.lag(value_col).over(w))
-            .filter(~F.col(value_col).eqNullSafe(F.col("_prev")))
-            .drop("_prev"))
+            .withColumn("_has_prev", F.lag(F.lit(1)).over(w))
+            .filter(F.col("_has_prev").isNull()
+                    | ~F.col(value_col).eqNullSafe(F.col("_prev")))
+            .drop("_prev", "_has_prev"))
 
 
 def consecutive_dedup_sql(table: str, key_col: str = "user_id",
@@ -1112,9 +1118,13 @@ def consecutive_dedup_sql(table: str, key_col: str = "user_id",
                           value_col: str = "event_type") -> str:
     order = ", ".join(order_cols)
     return f"""
-    SELECT * EXCLUDE (_prev) FROM (
-      SELECT *, LAG({value_col}) OVER (PARTITION BY {key_col}
-                                       ORDER BY {order}) AS _prev
+    SELECT * EXCLUDE (_prev, _has_prev) FROM (
+      SELECT *,
+             LAG({value_col}) OVER (PARTITION BY {key_col}
+                                    ORDER BY {order}) AS _prev,
+             LAG(1) OVER (PARTITION BY {key_col}
+                          ORDER BY {order}) AS _has_prev
       FROM {table}
-    ) WHERE NOT ({value_col} IS NOT DISTINCT FROM _prev)
+    ) WHERE _has_prev IS NULL
+       OR NOT ({value_col} IS NOT DISTINCT FROM _prev)
     """

@@ -1629,9 +1629,12 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id, event_type FROM (
       SELECT event_id, user_id, event_type,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS _prev
+                                   ORDER BY ts, event_id) AS _prev,
+             LAG(1) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS _has_prev
       FROM events
-    ) WHERE NOT (event_type IS NOT DISTINCT FROM _prev)
+    ) WHERE _has_prev IS NULL
+       OR NOT (event_type IS NOT DISTINCT FROM _prev)
     """,
     doc="consecutive-run dedup (operators/dedup.consecutive_dedup): drop "
         "immediate repeats of event_type within each user's ordered "

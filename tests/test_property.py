@@ -252,3 +252,50 @@ def test_scd2_intervals_partition_events(spark, events):
         assert sum(iv.valid_to is None for iv in ivs) == 1
         for a, b in zip(ivs, ivs[1:]):
             assert a.valid_to == b.valid_from
+
+
+# -- round-5 operators vs plain-Python references --------------------------
+
+_seq = st.lists(st.sampled_from(["a", "b", "c", None]), min_size=0,
+                max_size=12)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(vals=_seq)
+def test_consecutive_dedup_matches_python_reference(spark, vals):
+    from etl_ender_turing_spark.operators.dedup import consecutive_dedup
+
+    rows = [(1, i, v) for i, v in enumerate(vals)]
+    ref = [v for i, v in enumerate(vals) if i == 0 or v != vals[i - 1]]
+    if not rows:
+        ref = []
+    df = spark.createDataFrame(
+        rows, "user_id long, ts long, event_type string") if rows else \
+        spark.createDataFrame([], "user_id long, ts long, event_type string")
+    got = [r.event_type for r in consecutive_dedup(
+        df, order_cols=("ts",)).orderBy("ts").collect()]
+    assert got == ref
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(old=st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8),
+       new=st.dictionaries(st.integers(0, 9), st.integers(0, 3), max_size=8))
+def test_snapshot_diff_matches_python_reference(spark, old, new):
+    from etl_ender_turing_spark.operators.conform import snapshot_diff
+
+    ref = {}
+    for k in set(old) | set(new):
+        if k not in new:
+            ref[k] = "removed"
+        elif k not in old:
+            ref[k] = "added"
+        elif old[k] != new[k]:
+            ref[k] = "changed"
+    sch = "k long, v long"
+    odf = spark.createDataFrame(list(old.items()) or [], sch)
+    ndf = spark.createDataFrame(list(new.items()) or [], sch)
+    got = {r.k: r.change_type
+           for r in snapshot_diff(odf, ndf, ["k"]).collect()}
+    assert got == ref
