@@ -1235,3 +1235,79 @@ def q_char_entropy(spark, sf_dir):
         "random-token junk")
 def q_zipf_slope(spark, sf_dir):
     return tm.zipf_slope(_docs(spark, sf_dir), top_v=200)
+
+
+from ..operators import web as wb   # noqa: E402
+
+
+@register(
+    "q_url_parse",
+    """
+    SELECT doc_id,
+           'w' || CAST(doc_id % 97 AS VARCHAR) || '.example-'
+               || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS reg_domain,
+           '/path/' || CAST(doc_id AS VARCHAR) AS path,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'q=' || CAST(doc_id % 5 AS VARCHAR) END AS query
+    FROM documents
+    """,
+    doc="URL component extraction (operators/web.parse_urls): JVM "
+        "parse_url + substring_index over arithmetically-planted urls; "
+        "the oracle recomputes host/reg_domain/path/query directly from "
+        "doc_id, so a parsing-semantics bug hash-mismatches (parser and "
+        "builder share no code) — the key extraction under domain "
+        "filters, per-domain caps and URL dedup in web-corpus curation")
+def q_url_parse(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wb.parse_urls(wb.synthesize_planted_urls(docs))
+
+
+@register(
+    "q_domain_stats",
+    """
+    WITH parsed AS (
+      SELECT doc_id,
+             'w' || CAST(doc_id % 97 AS VARCHAR) || '.example-'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               AS reg_domain
+      FROM documents
+    )
+    SELECT reg_domain, COUNT(*) AS n_docs,
+           COUNT(DISTINCT host) AS n_hosts
+    FROM parsed GROUP BY reg_domain
+    """,
+    doc="per-registered-domain corpus composition (docs + distinct "
+        "subdomains): one partial+final agg, domain-cardinality output — "
+        "what a crawl curation run reads before setting per-domain caps")
+def q_domain_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wb.domain_stats(wb.parse_urls(wb.synthesize_planted_urls(docs)))
+
+
+@register(
+    "q_domain_blocklist",
+    """
+    WITH parsed AS (
+      SELECT doc_id,
+             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+               AS reg_domain
+      FROM documents
+    )
+    SELECT reg_domain, COUNT(*) AS n_kept
+    FROM parsed
+    WHERE reg_domain NOT IN ('example-1.com', 'example-3.com')
+    GROUP BY reg_domain
+    """,
+    doc="domain blocklist filter (broadcast anti-join; blocklists are "
+        "domain-cardinality, AQE broadcasts from observed size) — the "
+        "spam/SEO-farm drop every web-corpus pipeline runs first")
+def q_domain_blocklist(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    blocked = spark.createDataFrame(
+        [("example-1.com",), ("example-3.com",)], "reg_domain string")
+    return (wb.domain_blocklist_filter(parsed, blocked)
+            .groupBy("reg_domain")
+            .agg(F.count(F.lit(1)).alias("n_kept")))

@@ -1041,3 +1041,23 @@ def test_cluster_pointer_jumping_converges_logarithmically(spark):
     cl = {r.doc_id: r.cluster_id
           for r in dd.duplicate_clusters(pairs2).collect()}
     assert cl == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_url_parse_and_domain_ops(spark):
+    from etl_ender_turing_spark.operators import web as wb
+    docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    row = {r.doc_id: r for r in parsed.collect()}
+    assert row[12].host == "w12.example-5.com"
+    assert row[12].reg_domain == "example-5.com"
+    assert row[12].path == "/path/12"
+    assert row[12].query == "q=2"          # 12 % 3 == 0 -> has query
+    assert row[13].query is None           # parse_url: absent -> NULL
+    stats = {r.reg_domain: (r.n_docs, r.n_hosts)
+             for r in wb.domain_stats(parsed).collect()}
+    assert stats["example-0.com"][0] == 5  # ids 0,7,14,21,28
+    blocked = spark.createDataFrame([("example-0.com",)],
+                                    "reg_domain string")
+    kept = wb.domain_blocklist_filter(parsed, blocked)
+    assert kept.filter("reg_domain = 'example-0.com'").count() == 0
+    assert kept.count() == 25
