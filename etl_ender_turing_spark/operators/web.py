@@ -67,3 +67,55 @@ def domain_blocklist_filter(parsed: DataFrame, blocked: DataFrame,
     anti-join (blocklists are domain-cardinality, tiny next to the
     corpus; AQE broadcasts from observed size, no hint needed)."""
     return parsed.join(blocked, "reg_domain", "left_anti")
+
+
+def synthesize_noisy_url_variants(docs: DataFrame,
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Planted fixture for URL dedup: every group of 4 consecutive ids
+    points at the SAME logical page, dressed four different ways —
+    bare, ?utm_source= tracking param, UPPERCASE host, trailing slash —
+    the noise profile crawl frontiers actually emit."""
+    did = F.col(id_col)
+    page = (did / F.lit(4)).cast("bigint")
+    host = F.concat(F.lit("site.example-"), (page % 7).cast("string"),
+                    F.lit(".com"))
+    base = F.concat(F.lit("https://"), host,
+                    F.lit("/page/"), page.cast("string"))
+    url = (F.when(did % 4 == 1, F.concat(base, F.lit("?utm_source=feed")))
+           .when(did % 4 == 2, F.concat(
+               F.lit("https://"), F.upper(host),
+               F.lit("/page/"), page.cast("string")))
+           .when(did % 4 == 3, F.concat(base, F.lit("/")))
+           .otherwise(base))
+    return docs.select(id_col, url.alias("url"))
+
+
+def canonical_url(url_col: str = "url"):
+    """Canonical form: lowercase host, tracking params dropped, trailing
+    slash stripped — all JVM built-ins (parse_url + regexp), one narrow
+    projection. Query params other than the tracking family survive."""
+    u = F.col(url_col)
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(u, F.lit("PATH")), "/$", "")
+    q = F.parse_url(u, F.lit("QUERY"))
+    # drop utm_*/fbclid/gclid params; then drop the '?' if nothing is left
+    q_clean = F.regexp_replace(
+        F.coalesce(q, F.lit("")),
+        "(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*", "")
+    q_clean = F.regexp_replace(q_clean, "^&", "")
+    return F.concat(
+        F.lit("https://"), host, path,
+        F.when(q_clean != "", F.concat(F.lit("?"), q_clean))
+        .otherwise(F.lit("")))
+
+
+def url_dedup_groups(df: DataFrame, url_col: str = "url",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on the CANONICAL url — the same one-shuffle
+    hash-groupBy shape as content exact-dedup, keyed on the canonical
+    string (uniform keys at corpus scale): keeper id + copy count per
+    logical page."""
+    return (df.select(F.col(id_col), canonical_url(url_col).alias("canon"))
+            .groupBy("canon")
+            .agg(F.min(id_col).alias("keep_id"),
+                 F.count(F.lit(1)).alias("n_copies")))

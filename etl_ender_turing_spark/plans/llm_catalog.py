@@ -1311,3 +1311,29 @@ def q_domain_blocklist(spark, sf_dir):
     return (wb.domain_blocklist_filter(parsed, blocked)
             .groupBy("reg_domain")
             .agg(F.count(F.lit(1)).alias("n_kept")))
+
+
+@register(
+    "q_url_dedup",
+    """
+    WITH canon AS (
+      SELECT doc_id,
+             'https://site.example-'
+               || CAST((doc_id // 4) % 7 AS VARCHAR) || '.com/page/'
+               || CAST(doc_id // 4 AS VARCHAR) AS canon
+      FROM documents
+    )
+    SELECT canon, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM canon GROUP BY canon
+    """,
+    doc="URL-canonicalization dedup (operators/web.url_dedup_groups): "
+        "lowercase host, strip tracking params (utm_*/fbclid/gclid) and "
+        "trailing slash with JVM parse_url+regexp, then the one-shuffle "
+        "exact-dedup groupBy on the canonical string. Fixture plants 4 "
+        "noisy variants per logical page (bare / utm param / UPPERCASE "
+        "host / trailing slash); the oracle recomputes the canonical "
+        "form arithmetically, so every variant must collapse to exactly "
+        "its group of 4 or the hash mismatches")
+def q_url_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wb.url_dedup_groups(wb.synthesize_noisy_url_variants(docs))

@@ -1061,3 +1061,20 @@ def test_url_parse_and_domain_ops(spark):
     kept = wb.domain_blocklist_filter(parsed, blocked)
     assert kept.filter("reg_domain = 'example-0.com'").count() == 0
     assert kept.count() == 25
+
+
+def test_url_canonicalization_dedup(spark):
+    from etl_ender_turing_spark.operators import web as wb
+    docs = spark.range(0, 16).select(F.col("id").alias("doc_id"))
+    out = {r.canon: (r.keep_id, r.n_copies) for r in wb.url_dedup_groups(
+        wb.synthesize_noisy_url_variants(docs)).collect()}
+    # 16 noisy urls -> 4 logical pages, keeper = first variant's id
+    assert len(out) == 4
+    assert out["https://site.example-0.com/page/0"] == (0, 4)
+    assert out["https://site.example-2.com/page/2"] == (8, 4)
+    # a REAL query param survives canonicalization; tracking ones don't
+    mixed = spark.createDataFrame(
+        [(1, "https://A.com/x/?utm_campaign=z&page=2&gclid=abc")],
+        "doc_id long, url string")
+    canon = mixed.select(wb.canonical_url().alias("c")).collect()[0].c
+    assert canon == "https://a.com/x?page=2"
