@@ -37,6 +37,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_media_meta", "q_char_entropy", "q_zipf_slope",
     "q_snapshot_diff", "q_dedup_consecutive",
     "q_url_parse", "q_domain_stats", "q_domain_blocklist", "q_url_dedup",
+    "q_ccnet_buckets",
     # --- newest green row is ROUND 2 (24 queries, oldest proofs first;
     # all re-verified green locally in r4/r5 — this refreshes the
     # driver's own record) ---

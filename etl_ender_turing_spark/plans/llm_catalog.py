@@ -1337,3 +1337,71 @@ def q_domain_blocklist(spark, sf_dir):
 def q_url_dedup(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     return wb.url_dedup_groups(wb.synthesize_noisy_url_variants(docs))
+
+
+@register(
+    "q_ccnet_buckets",
+    f"""
+    WITH scored AS ({ts.bigram_coherence_sql("documents")}),
+    langs AS (
+      SELECT doc_id, {ts.lang_guess_sql('text')} AS lang FROM documents
+    ),
+    sl AS (SELECT s.doc_id, l.lang, s.mean_transition_p
+           FROM scored s JOIN langs l USING (doc_id)),
+    th AS (
+      SELECT lang,
+             quantile_disc(mean_transition_p, 1.0/3) AS t1,
+             quantile_disc(mean_transition_p, 2.0/3) AS t2
+      FROM sl GROUP BY lang
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(FLOOR(mean_transition_p * 1000000 + 0.5)
+                         / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS mean_score
+    FROM (
+      SELECT sl.lang, sl.mean_transition_p,
+             CASE WHEN sl.mean_transition_p > th.t2 THEN 'head'
+                  WHEN sl.mean_transition_p > th.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN th USING (lang)
+    ) GROUP BY lang, bucket
+    """,
+    doc="CCNet-style per-language quality bucketing (head/middle/tail by "
+        "LM-proxy score percentiles): thresholds come from ONE exact "
+        "per-language percentile aggregate and bucket assignment is a "
+        "broadcast threshold join + comparison — NO per-language window "
+        "(5 languages would mean 5-partition sorts of the corpus; the "
+        "threshold-join form is how CCNet itself buckets at scale, from "
+        "sampled percentiles)")
+def q_ccnet_buckets(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scored = ts.bigram_coherence(docs)
+    langs = docs.select("doc_id", ts.lang_guess_expr("text").alias("lang"))
+    sl = scored.join(langs, "doc_id")
+    # DISCRETE percentiles, not interpolated: percentile_cont's
+    # interpolation arithmetic diverges across engines at ~1e-10 (the
+    # sf0.1 sweep caught boundary docs flipping buckets), while a
+    # discrete quantile IS one of the data values — bit-identical in
+    # both engines, so the threshold comparisons are exact with no
+    # rounding step at all
+    th = (sl.groupBy("lang").agg(
+        F.expr("percentile_disc(1.0/3) WITHIN GROUP"
+               " (ORDER BY mean_transition_p)").alias("t1"),
+        F.expr("percentile_disc(2.0/3) WITHIN GROUP"
+               " (ORDER BY mean_transition_p)").alias("t2")))
+    b = (sl.join(F.broadcast(th), "lang")
+         .withColumn("bucket",
+                     F.when(F.col("mean_transition_p") > F.col("t2"), "head")
+                     .when(F.col("mean_transition_p") > F.col("t1"),
+                           "middle")
+                     .otherwise("tail")))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 # FLOOR-6dp before the decimal cast: a bare
+                 # CAST(double AS DECIMAL(28,6)) rounds halfway values
+                 # half-up in Spark but half-even in DuckDB (two sf0.1
+                 # docs landed exactly on x.xxxxxx5) — the round6u
+                 # contract applies to decimal casts too
+                 F.expr("CAST(SUM(CAST(FLOOR(mean_transition_p * 1000000"
+                        " + 0.5) / 1000000 AS DECIMAL(28,6)))"
+                        " AS DOUBLE) / COUNT(*)").alias("mean_score")))

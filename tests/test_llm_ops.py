@@ -1078,3 +1078,22 @@ def test_url_canonicalization_dedup(spark):
         "doc_id long, url string")
     canon = mixed.select(wb.canonical_url().alias("c")).collect()[0].c
     assert canon == "https://a.com/x?page=2"
+
+
+def test_ccnet_buckets_are_percentile_thirds(spark):
+    from etl_ender_turing_spark.plans import CATALOG
+    rows = CATALOG["q_ccnet_buckets"].builder(
+        spark, "/root/testdata/sf0.001").collect()
+    by = {(r.lang, r.bucket): r.n_docs for r in rows}
+    total = sum(by.values())
+    assert total > 0
+    # discrete thirds: each bucket holds ~n/3 of its language (ties at
+    # the threshold can shift a few docs, never an order of magnitude)
+    for (lang, bucket), n in by.items():
+        lang_total = sum(v for (lg, _), v in by.items() if lg == lang)
+        assert n >= lang_total // 6, (lang, bucket, n, lang_total)
+    # head scores strictly above tail scores per language
+    means = {(r.lang, r.bucket): r.mean_score for r in rows}
+    for lang in {lg for lg, _ in by}:
+        if (lang, "head") in means and (lang, "tail") in means:
+            assert means[(lang, "head")] > means[(lang, "tail")]
