@@ -70,10 +70,11 @@ def reconcile(a: DataFrame, b: DataFrame, key_cols: list[str],
                   *[F.col(c).alias(f"_b_{c}") for c in cmp_cols],
                   F.lit(1).alias("_in_b"))
     j = av.join(bv, key_cols, "full_outer")
-    same = None
+    # key-only tables (cmp_cols == []) still classify presence; "same"
+    # defaults True so no key is ever marked changed
+    same = F.lit(True)
     for c in cmp_cols:
-        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
     return j.agg(
         F.count(F.when(F.col("_in_b").isNull(), 1)).alias("n_only_a"),
         F.count(F.when(F.col("_in_a").isNull(), 1)).alias("n_only_b"),
@@ -110,10 +111,11 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
                     *[F.col(c).alias(f"_b_{c}") for c in cmp_cols],
                     F.lit(1).alias("_in_b"))
     j = av.join(bv, key_cols, "full_outer")
-    same = None
+    # key-only tables (cmp_cols == []) still classify presence; "same"
+    # defaults True so no key is ever marked changed
+    same = F.lit(True)
     for c in cmp_cols:
-        eq = F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
-        same = eq if same is None else (same & eq)
+        same = same & F.col(f"_a_{c}").eqNullSafe(F.col(f"_b_{c}"))
     change = (F.when(F.col("_in_a").isNull(), "added")
               .when(F.col("_in_b").isNull(), "removed")
               .when(~same, "changed"))

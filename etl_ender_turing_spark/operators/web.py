@@ -15,18 +15,123 @@ parser and builder share no code path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
+
+# --------------------------------------------------------------------------
+# eTLD+1 via a trimmed static snapshot of the Public Suffix List
+# (publicsuffix.org — public data). A naive "last two host labels" breaks
+# every multi-label registry: bbc.co.uk would collapse to co.uk and ALL of
+# .co.uk would look like one registered domain to per-domain caps, domain
+# stats and blocklists. The snapshot below covers the common ccTLD
+# registries plus the big hosted-platform (private-section) suffixes; the
+# full list drops in as data, not code.
+#
+# Evaluation is a literal IN over the last-2/last-3 host labels — Catalyst
+# compiles a large IN to an InSet hash probe inside codegen: zero joins,
+# zero shuffles, scale-free (the full ~9k-entry PSL would still be an
+# InSet; a broadcast join only becomes preferable if the list must be
+# swapped without redeploy).
+# --------------------------------------------------------------------------
+
+_PSL_2LABEL: tuple[str, ...] = (
+    # ICANN section — common 2-label public suffixes
+    "co.uk", "org.uk", "me.uk", "ac.uk", "gov.uk", "net.uk", "ltd.uk",
+    "plc.uk", "sch.uk", "nhs.uk", "police.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp", "gr.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au", "asn.au",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "art.br", "blog.br",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz", "geek.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in", "ac.in",
+    "edu.in", "gov.in", "res.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw", "idv.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my", "name.my",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar", "int.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co", "nom.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.cl", "com.ec", "com.uy", "com.py", "com.bo", "com.ve",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr", "web.tr",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa", "med.sa",
+    "com.eg", "com.ng", "edu.ng", "gov.ng", "com.gh",
+    "co.ke", "or.ke", "ne.ke", "go.ke", "ac.ke", "info.ke",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "co.th", "in.th", "ac.th", "go.th", "or.th", "net.th",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id", "sch.id",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "co.il", "net.il", "org.il", "ac.il", "gov.il", "muni.il",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "waw.pl", "gda.pl",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "co.at", "or.at", "ac.at", "gv.at",
+    "com.es", "nom.es", "org.es", "gob.es", "edu.es",
+    "com.pt", "edu.pt", "gov.pt", "org.pt", "net.pt",
+    "co.ir", "net.ir", "org.ir", "ac.ir", "gov.ir",
+    "com.kw", "com.qa", "com.om", "com.bh", "com.jo", "com.lb",
+    # private section — hosted platforms whose subdomains are
+    # independently registered sites
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+    "appspot.com", "azurewebsites.net", "cloudfront.net",
+    "amazonaws.com", "firebaseapp.com", "netlify.app", "vercel.app",
+    "web.app", "pages.dev", "workers.dev", "wordpress.com", "weebly.com",
+    "wixsite.com", "fastly.net", "ngrok.io", "onrender.com",
+)
+
+_PSL_3LABEL: tuple[str, ...] = (
+    # US K-12 / community-college / library registries (k12.<state>.us …)
+    "k12.ak.us", "k12.al.us", "k12.ca.us", "k12.co.us", "k12.fl.us",
+    "k12.ga.us", "k12.il.us", "k12.ma.us", "k12.mi.us", "k12.ny.us",
+    "k12.oh.us", "k12.pa.us", "k12.tx.us", "k12.va.us", "k12.wa.us",
+    "cc.ca.us", "cc.ny.us", "lib.ca.us", "lib.ny.us", "lib.tx.us",
+    # Australian state education registries
+    "act.edu.au", "nsw.edu.au", "nt.edu.au", "qld.edu.au", "sa.edu.au",
+    "tas.edu.au", "vic.edu.au", "wa.edu.au",
+    # Japanese prefecture-city domains (sampled)
+    "city.sapporo.jp", "city.sendai.jp", "city.yokohama.jp",
+    "city.nagoya.jp", "city.kyoto.jp", "city.osaka.jp", "city.kobe.jp",
+    # private section
+    "s3.amazonaws.com", "compute.amazonaws.com", "elb.amazonaws.com",
+)
+
+
+def reg_domain_expr(host: Column) -> Column:
+    """eTLD+1 of a host: longest matching public suffix + one label.
+
+    Two InSet probes on the last-3 / last-2 label strings (longest match
+    wins), falling back to last-2 for ordinary gTLDs — a pure narrow
+    projection, no UDF, no join. A host that IS a bare suffix, or has
+    fewer labels than the suffix, degrades to itself (substring_index
+    returns the whole string when there are fewer separators).
+    """
+    last2 = F.substring_index(host, ".", -2)
+    last3 = F.substring_index(host, ".", -3)
+    return (F.when(last3.isin(*_PSL_3LABEL), F.substring_index(host, ".", -4))
+            .when(last2.isin(*_PSL_2LABEL), F.substring_index(host, ".", -3))
+            .otherwise(last2))
 
 
 def synthesize_planted_urls(docs: DataFrame,
                             id_col: str = "doc_id") -> DataFrame:
-    """Deterministic URL per doc: subdomain/registered-domain/path/query
-    all derived from doc_id (every third doc carries a query string)."""
+    """Deterministic URL per doc: subdomain/registered-domain/TLD/path/
+    query all derived from doc_id (every third doc carries a query
+    string; the TLD cycles through com / co.uk / com.au / k12.ak.us so
+    single-, two- and three-label public suffixes are all planted)."""
     did = F.col(id_col)
+    tld = (F.when(did % 4 == 1, "co.uk")
+           .when(did % 4 == 2, "com.au")
+           .when(did % 4 == 3, "k12.ak.us")
+           .otherwise("com"))
     url = F.concat(
         F.lit("https://w"), (did % 97).cast("string"),
         F.lit(".example-"), (did % 7).cast("string"),
-        F.lit(".com/path/"), did.cast("string"),
+        F.lit("."), tld,
+        F.lit("/path/"), did.cast("string"),
         F.when(did % 3 == 0,
                F.concat(F.lit("?q="), (did % 5).cast("string")))
         .otherwise(F.lit("")))
@@ -37,17 +142,15 @@ def parse_urls(df: DataFrame, url_col: str = "url",
                id_col: str = "doc_id") -> DataFrame:
     """(id, host, reg_domain, path, query) — JVM `parse_url` projection.
 
-    ``reg_domain`` is the last two host labels (the eTLD+1 approximation
-    that works for .com-style registries; a production system swaps in
-    the public-suffix list as a broadcast lookup — the dataflow is the
-    same narrow projection + broadcast join).
+    ``reg_domain`` is the true eTLD+1 via the embedded public-suffix
+    snapshot (:func:`reg_domain_expr`): bbc.co.uk → bbc.co.uk, not
+    co.uk — the granularity per-domain caps and blocklists key on.
     """
     u = F.col(url_col)
     return df.select(
         F.col(id_col),
         F.parse_url(u, F.lit("HOST")).alias("host"),
-        F.substring_index(F.parse_url(u, F.lit("HOST")), ".", -2)
-        .alias("reg_domain"),
+        reg_domain_expr(F.parse_url(u, F.lit("HOST"))).alias("reg_domain"),
         F.parse_url(u, F.lit("PATH")).alias("path"),
         F.parse_url(u, F.lit("QUERY")).alias("query"))
 
@@ -103,10 +206,15 @@ def canonical_url(url_col: str = "url"):
         F.coalesce(q, F.lit("")),
         "(^|&)(utm_[a-z]+|fbclid|gclid)=[^&]*", "")
     q_clean = F.regexp_replace(q_clean, "^&", "")
-    return F.concat(
+    canon = F.concat(
         F.lit("https://"), host, path,
         F.when(q_clean != "", F.concat(F.lit("?"), q_clean))
         .otherwise(F.lit("")))
+    # a malformed/relative URL makes HOST or PATH NULL and concat
+    # propagates it — without a fallback every unparseable URL would
+    # collapse into ONE all-NULL dedup group (silent doc loss on real
+    # crawls); degrade to the raw string so each stays its own key
+    return F.coalesce(canon, u)
 
 
 def url_dedup_groups(df: DataFrame, url_col: str = "url",
@@ -119,3 +227,272 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url",
             .groupBy("canon")
             .agg(F.min(id_col).alias("keep_id"),
                  F.count(F.lit(1)).alias("n_copies")))
+
+
+# --------------------------------------------------------------------------
+# HTML main-content extraction
+# --------------------------------------------------------------------------
+
+# block-level elements whose CLOSE marks a line boundary; everything else
+# (<a>, <b>, <span>…) is inline and strips to nothing
+_BLOCK_CLOSE = (r"(?i)</(p|div|h[1-6]|li|tr|td|th|title|nav|footer|header|"
+                r"article|section|ul|ol|table|blockquote|pre)>|<br\s*/?>")
+
+# decode order matters: &amp; LAST, so planted "&amp;lt;" does not
+# double-decode into "<"
+_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", "\""),
+             ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"))
+
+
+def main_content_expr(html: Column, min_words: int = 4) -> Column:
+    """Readable text out of raw HTML — JVM regexp/array built-ins only.
+
+    jusText/CCNet-shaped heuristic: (1) drop script/style/comment
+    subtrees wholesale, (2) turn block-element closes into line breaks,
+    (3) strip remaining tags, decode the common entities, (4) keep only
+    lines with >= ``min_words`` words (short lines are nav/footer/button
+    chrome on real pages). One narrow projection per row: no shuffle, no
+    Python — at 100 TB this runs inside the scan stage.
+    """
+    s = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
+    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
+    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    s = F.regexp_replace(s, _BLOCK_CLOSE, "\n")
+    s = F.regexp_replace(s, r"<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        s = F.regexp_replace(s, ent, rep)
+    lines = F.transform(
+        F.split(s, "\n"),
+        lambda x: F.trim(F.regexp_replace(x, r"\s+", " ")))
+    kept = F.filter(
+        lines,
+        lambda x: (x != "") & (F.size(F.split(x, " ")) >= min_words))
+    return F.array_join(kept, "\n")
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html",
+                         id_col: str = "doc_id",
+                         min_words: int = 4) -> DataFrame:
+    """(id, main_text) via :func:`main_content_expr`."""
+    return df.select(F.col(id_col),
+                     main_content_expr(F.col(html_col), min_words)
+                     .alias("main_text"))
+
+
+def _page_html(did: Column, content: Column, sect: Column) -> Column:
+    """Full page skeleton around ``content``: head with title/style/
+    script, a comment, nav chrome, an h1, the content paragraph, a
+    second paragraph (with an &amp; entity), a short tag-cloud div and
+    a footer — the boilerplate profile extraction must strip."""
+    return F.concat(
+        F.lit("<html><head><title>d "), did.cast("string"),
+        F.lit("</title><style>p{margin:0}</style>"
+              "<script>var x=1;</script></head><body><!-- build "),
+        (did % 13).cast("string"),
+        F.lit(' --><nav><a href="/">home</a> <a href="/x">about</a></nav>'
+              "<h1>doc "), did.cast("string"),
+        F.lit("</h1><p>"), content,
+        F.lit("</p><p>section "), sect,
+        F.lit(" alpha &amp; beta gamma</p><div>tags "),
+        (did % 3).cast("string"),
+        F.lit(" pages</div><footer>footer text</footer></body></html>"))
+
+
+def synthesize_planted_html(docs: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Planted-markup fixture for :func:`extract_main_content`: each
+    doc's REAL text wrapped in the page skeleton. The oracle recomputes
+    the expected extraction directly from ``text`` and doc_id —
+    extractor and builder share no code, so a stripping/entity/
+    line-filter bug hash-mismatches."""
+    did = F.col(id_col)
+    html = _page_html(did, F.col(text_col), (did % 7).cast("string"))
+    return docs.select(id_col, html.alias("html"))
+
+
+# --------------------------------------------------------------------------
+# composed web-curation pipeline
+# --------------------------------------------------------------------------
+
+# planted duplicate content: 10% of pages share this text verbatim, so
+# the MinHash stage of the composed pipeline provably drops rows
+_DUP_TEXT = ("key value table row scan fast merge batch part hash "
+             "window sort")
+
+
+def synthesize_web_fixture(docs: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Unified crawl fixture (doc_id, lang, url, html) for the composed
+    pipeline — every stage's input is planted arithmetically:
+
+    - ``page = doc_id // 2``: two URL variants per logical page (bare /
+      ?utm_source= tracking), so canonical-URL dedup keeps the even id;
+    - TLD cycles com / co.uk / com.au / k12.ak.us by page, exercising
+      1-, 2- and 3-label public suffixes in ``reg_domain``;
+    - pages with ``page % 10 == 3`` carry identical content (and a
+      pinned section number), so MinHash dedup finds real duplicates;
+    - html wraps the content in the :func:`_page_html` skeleton.
+    """
+    did = F.col(id_col)
+    page = (did / F.lit(2)).cast("bigint")
+    dup = (page % 10) == 3
+    content = F.when(dup, F.lit(_DUP_TEXT)).otherwise(F.col(text_col))
+    sect = F.when(dup, F.lit("9")).otherwise((did % 7).cast("string"))
+    tld = (F.when(page % 4 == 1, "co.uk")
+           .when(page % 4 == 2, "com.au")
+           .when(page % 4 == 3, "k12.ak.us")
+           .otherwise("com"))
+    host = F.concat(F.lit("w"), (page % 13).cast("string"),
+                    F.lit(".example-"), (page % 7).cast("string"),
+                    F.lit("."), tld)
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/page/"), page.cast("string"),
+        F.when(did % 2 == 1, F.lit("?utm_source=feed")).otherwise(F.lit("")))
+    return docs.select(id_col, "lang", url.alias("url"),
+                       _page_html(did, content, sect).alias("html"))
+
+
+def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
+                      threshold: float = 0.6,
+                      min_words: int = 4) -> DataFrame:
+    """The composed web-curation pipeline — what a crawl-to-corpus run
+    actually executes, built from the engine's certified stages:
+
+    URL parse (PSL eTLD+1) → domain blocklist (broadcast anti-join) →
+    canonical-URL dedup (one hash shuffle) → HTML main-content
+    extraction (narrow projection) → CCNet-style per-language quality
+    buckets (exact discrete percentiles, broadcast threshold join) →
+    MinHash-LSH + exact-Jaccard content dedup (banded candidates, keep
+    the lower id of each verified pair) → per-(lang, bucket) corpus
+    composition stats.
+
+    No stage adds a shuffle beyond its certified single-op shape; the
+    bucket label is kept through dedup so the output certifies every
+    stage's values (dropping the 'tail' bucket is a one-line filter of
+    this result — policy, not plumbing).
+    """
+    from . import dedup as dd
+    from .textstats import bigram_coherence
+
+    fx = synthesize_web_fixture(docs)
+    parsed = parse_urls(fx)
+    allowed = domain_blocklist_filter(parsed, blocked).select("doc_id")
+    fx = fx.join(allowed, "doc_id")
+    keepers = (fx.select("doc_id", canonical_url("url").alias("canon"))
+               .groupBy("canon")
+               .agg(F.min("doc_id").alias("doc_id"))
+               .select("doc_id"))
+    kept = fx.join(keepers, "doc_id")
+    ext = kept.select(
+        "doc_id", "lang",
+        main_content_expr(F.col("html"), min_words).alias("main_text"))
+    scored = bigram_coherence(ext, text_col="main_text")
+    sl = ext.join(scored, "doc_id")
+    # discrete tercile thresholds by EXPLICIT integer-index selection
+    # (sorted 1-based index ceil(p*n), computed with integer div): both
+    # engines' builtin discrete percentiles pick float-arithmetic-
+    # dependent indexes that disagree for some group sizes — spelling
+    # the rule out makes the threshold bit-identical cross-engine.
+    # Memory class equals exact percentile_disc (per-group buffer);
+    # approx_percentile swaps in at 100 TB unchanged.
+    th = (sl.groupBy("lang")
+          .agg(F.sort_array(F.collect_list("mean_transition_p"))
+               .alias("l"))
+          .select("lang",
+                  F.expr("element_at(l, CAST((size(l) + 2) div 3 AS INT))")
+                  .alias("t1"),
+                  F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
+                         " AS INT))").alias("t2")))
+    b = (sl.join(F.broadcast(th), "lang")
+         .withColumn(
+             "bucket",
+             F.when(F.col("mean_transition_p") > F.col("t2"), "head")
+             .when(F.col("mean_transition_p") > F.col("t1"), "middle")
+             .otherwise("tail")))
+    sh = dd.shingle_select(b.select("doc_id",
+                                    F.col("main_text").alias("text")))
+    ver = dd.jaccard_on_pairs(
+        sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
+        threshold=threshold)
+    drop = ver.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = b.join(drop, "doc_id", "left_anti")
+    n_tokens = F.size(F.split(
+        F.regexp_replace("main_text", "\n", " "), " "))
+    return (final.withColumn("n_tokens", n_tokens)
+            .groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
+def curate_web_corpus_sql(table: str = "documents",
+                          threshold: float = 0.6,
+                          min_words: int = 4) -> str:
+    """DuckDB oracle for :func:`curate_web_corpus`.
+
+    Stages 1-3 (parse → blocklist → canonical dedup) are recomputed
+    ARITHMETICALLY from the planted fixture (the oracle never parses a
+    URL — a parse_url/PSL/canonicalization bug on the Spark side
+    hash-mismatches); extraction is the planted-line truth; scoring,
+    bucketing and MinHash dedup compose the same SQL builders the
+    single-op oracles certify."""
+    from . import dedup as dd
+    from .textstats import bigram_coherence_sql
+
+    dup = "((doc_id // 2) % 10 = 3)"
+    tld = ("CASE WHEN (doc_id // 2) % 4 = 1 THEN 'co.uk' "
+           "WHEN (doc_id // 2) % 4 = 2 THEN 'com.au' "
+           "WHEN (doc_id // 2) % 4 = 3 THEN 'k12.ak.us' ELSE 'com' END")
+    reg = (f"('example-' || CAST((doc_id // 2) % 7 AS VARCHAR)"
+           f" || '.' || {tld})")
+    return rf"""
+    WITH kept AS (
+      SELECT doc_id, lang,
+             regexp_replace(trim(CASE WHEN {dup} THEN '{_DUP_TEXT}'
+                                 ELSE text END), '\s+', ' ', 'g') AS cc,
+             CASE WHEN {dup} THEN '9'
+                  ELSE CAST(doc_id % 7 AS VARCHAR) END AS sect
+      FROM {table}
+      WHERE doc_id % 2 = 0
+        AND {reg} NOT IN ('example-1.com', 'example-2.co.uk')
+    ),
+    ext AS (
+      SELECT doc_id, lang,
+             CASE WHEN len(string_split(cc, ' ')) >= {min_words}
+                  THEN cc || chr(10) ELSE '' END
+               || 'section ' || sect || ' alpha & beta gamma' AS main_text
+      FROM kept
+    ),
+    scored AS (SELECT * FROM ({bigram_coherence_sql("ext", "main_text")})),
+    sl AS (
+      SELECT e.doc_id, e.lang, e.main_text, s.mean_transition_p
+      FROM ext e JOIN scored s USING (doc_id)
+    ),
+    th AS (
+      -- same explicit integer-index tercile rule as the Spark side
+      -- (sorted 1-based index ceil(p*n) via integer div): builtin
+      -- discrete percentiles disagree across engines for some sizes
+      SELECT lang,
+             l[(len(l) + 2) // 3] AS t1,
+             l[(2 * len(l) + 2) // 3] AS t2
+      FROM (SELECT lang, list_sort(list(mean_transition_p)) AS l
+            FROM sl GROUP BY lang)
+    ),
+    b AS (
+      SELECT sl.doc_id, sl.lang, sl.main_text,
+             CASE WHEN sl.mean_transition_p > th.t2 THEN 'head'
+                  WHEN sl.mean_transition_p > th.t1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN th USING (lang)
+    ),
+    ver AS (SELECT * FROM (
+      {dd.lsh_jaccard_sql(dd.shingle_sql("b", "main_text"), threshold)}
+    )),
+    fin AS (
+      SELECT * FROM b WHERE doc_id NOT IN (SELECT doc_b FROM ver)
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(
+                 regexp_replace(main_text, chr(10), ' ', 'g'), ' ')))
+             AS BIGINT) AS n_tokens
+    FROM fin GROUP BY lang, bucket
+    """

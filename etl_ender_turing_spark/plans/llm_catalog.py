@@ -34,6 +34,13 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIXTURE_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _session_key(spark: SparkSession) -> str:
+    """applicationId is unique per app — id(sparkContext) can be REUSED
+    by CPython after a stopped context is garbage-collected, which would
+    hand back a stale DataFrame bound to a dead session."""
+    return spark.sparkContext.applicationId
+
+
 def _cached(key: tuple, build) -> DataFrame:
     df = _FIXTURE_CACHE.get(key)
     if df is None:
@@ -55,7 +62,7 @@ def clear_fixture_cache() -> None:
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cached(("shingles", id(spark.sparkContext), sf_dir),
+    return _cached(("shingles", _session_key(spark), sf_dir),
                    lambda: dd.shingle_select(_docs(spark, sf_dir)))
 
 
@@ -64,7 +71,7 @@ def _verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared subtree of the seven cluster/keep/multi-signal queries."""
     sh = _shingles(spark, sf_dir)
     return _cached(
-        ("jacc06", id(spark.sparkContext), sf_dir),
+        ("jacc06", _session_key(spark), sf_dir),
         lambda: dd.jaccard_on_pairs(
             sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
             threshold=0.6))
@@ -1240,22 +1247,33 @@ def q_zipf_slope(spark, sf_dir):
 from ..operators import web as wb   # noqa: E402
 
 
+# planted-TLD arithmetic shared by the URL-family oracles: the fixture
+# cycles 1-/2-/3-label public suffixes so the PSL eTLD+1 path is what
+# gets certified, not just the .com fallback
+_TLD_SQL = ("CASE WHEN doc_id % 4 = 1 THEN 'co.uk' "
+            "WHEN doc_id % 4 = 2 THEN 'com.au' "
+            "WHEN doc_id % 4 = 3 THEN 'k12.ak.us' ELSE 'com' END")
+
+
 @register(
     "q_url_parse",
-    """
+    f"""
     SELECT doc_id,
            'w' || CAST(doc_id % 97 AS VARCHAR) || '.example-'
-               || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
-           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS reg_domain,
+               || CAST(doc_id % 7 AS VARCHAR) || '.' || {_TLD_SQL} AS host,
+           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.' || {_TLD_SQL}
+             AS reg_domain,
            '/path/' || CAST(doc_id AS VARCHAR) AS path,
            CASE WHEN doc_id % 3 = 0
                 THEN 'q=' || CAST(doc_id % 5 AS VARCHAR) END AS query
     FROM documents
     """,
     doc="URL component extraction (operators/web.parse_urls): JVM "
-        "parse_url + substring_index over arithmetically-planted urls; "
-        "the oracle recomputes host/reg_domain/path/query directly from "
-        "doc_id, so a parsing-semantics bug hash-mismatches (parser and "
+        "parse_url + public-suffix eTLD+1 (embedded PSL snapshot, InSet "
+        "probes — web.reg_domain_expr) over arithmetically-planted urls "
+        "whose TLD cycles com / co.uk / com.au / k12.ak.us; the oracle "
+        "recomputes host/reg_domain/path/query directly from doc_id, so "
+        "a parsing- or suffix-table bug hash-mismatches (parser and "
         "builder share no code) — the key extraction under domain "
         "filters, per-domain caps and URL dedup in web-corpus curation")
 def q_url_parse(spark, sf_dir):
@@ -1265,12 +1283,13 @@ def q_url_parse(spark, sf_dir):
 
 @register(
     "q_domain_stats",
-    """
+    f"""
     WITH parsed AS (
       SELECT doc_id,
              'w' || CAST(doc_id % 97 AS VARCHAR) || '.example-'
-                 || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
-             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+                 || CAST(doc_id % 7 AS VARCHAR) || '.' || {_TLD_SQL}
+               AS host,
+             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.' || {_TLD_SQL}
                AS reg_domain
       FROM documents
     )
@@ -1288,26 +1307,28 @@ def q_domain_stats(spark, sf_dir):
 
 @register(
     "q_domain_blocklist",
-    """
+    f"""
     WITH parsed AS (
       SELECT doc_id,
-             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+             'example-' || CAST(doc_id % 7 AS VARCHAR) || '.' || {_TLD_SQL}
                AS reg_domain
       FROM documents
     )
     SELECT reg_domain, COUNT(*) AS n_kept
     FROM parsed
-    WHERE reg_domain NOT IN ('example-1.com', 'example-3.com')
+    WHERE reg_domain NOT IN ('example-1.com', 'example-3.co.uk')
     GROUP BY reg_domain
     """,
     doc="domain blocklist filter (broadcast anti-join; blocklists are "
-        "domain-cardinality, AQE broadcasts from observed size) — the "
-        "spam/SEO-farm drop every web-corpus pipeline runs first")
+        "domain-cardinality, AQE broadcasts from observed size; entries "
+        "include a multi-label-suffix domain so blocking matches at the "
+        "true eTLD+1 granularity) — the spam/SEO-farm drop every "
+        "web-corpus pipeline runs first")
 def q_domain_blocklist(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
     blocked = spark.createDataFrame(
-        [("example-1.com",), ("example-3.com",)], "reg_domain string")
+        [("example-1.com",), ("example-3.co.uk",)], "reg_domain string")
     return (wb.domain_blocklist_filter(parsed, blocked)
             .groupBy("reg_domain")
             .agg(F.count(F.lit(1)).alias("n_kept")))
@@ -1349,10 +1370,15 @@ def q_url_dedup(spark, sf_dir):
     sl AS (SELECT s.doc_id, l.lang, s.mean_transition_p
            FROM scored s JOIN langs l USING (doc_id)),
     th AS (
+      -- explicit integer-index tercile rule (sorted 1-based index
+      -- ceil(p*n) via integer div), mirrored exactly on the Spark
+      -- side: both engines' builtin discrete percentiles pick float-
+      -- arithmetic-dependent indexes that disagree for some group sizes
       SELECT lang,
-             quantile_disc(mean_transition_p, 1.0/3) AS t1,
-             quantile_disc(mean_transition_p, 2.0/3) AS t2
-      FROM sl GROUP BY lang
+             l[(len(l) + 2) // 3] AS t1,
+             l[(2 * len(l) + 2) // 3] AS t2
+      FROM (SELECT lang, list_sort(list(mean_transition_p)) AS l
+            FROM sl GROUP BY lang)
     )
     SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CAST(FLOOR(mean_transition_p * 1000000 + 0.5)
@@ -1378,17 +1404,22 @@ def q_ccnet_buckets(spark, sf_dir):
     scored = ts.bigram_coherence(docs)
     langs = docs.select("doc_id", ts.lang_guess_expr("text").alias("lang"))
     sl = scored.join(langs, "doc_id")
-    # DISCRETE percentiles, not interpolated: percentile_cont's
-    # interpolation arithmetic diverges across engines at ~1e-10 (the
-    # sf0.1 sweep caught boundary docs flipping buckets), while a
-    # discrete quantile IS one of the data values — bit-identical in
-    # both engines, so the threshold comparisons are exact with no
-    # rounding step at all
-    th = (sl.groupBy("lang").agg(
-        F.expr("percentile_disc(1.0/3) WITHIN GROUP"
-               " (ORDER BY mean_transition_p)").alias("t1"),
-        F.expr("percentile_disc(2.0/3) WITHIN GROUP"
-               " (ORDER BY mean_transition_p)").alias("t2")))
+    # DISCRETE thresholds (a data value, never interpolated), selected
+    # by an EXPLICIT integer-index rule — sorted 1-based index
+    # ceil(p*n), computed with integer div. Built-in percentile_disc /
+    # quantile_disc pick float-arithmetic-dependent indexes that
+    # disagree between Spark and DuckDB for some group sizes (found by
+    # the r6 web-pipeline de-group, n=39), so the rule is spelled out
+    # identically on both sides. Same memory class as percentile_disc
+    # (per-group buffer); approx_percentile swaps in at 100 TB.
+    th = (sl.groupBy("lang")
+          .agg(F.sort_array(F.collect_list("mean_transition_p"))
+               .alias("l"))
+          .select("lang",
+                  F.expr("element_at(l, CAST((size(l) + 2) div 3 AS INT))")
+                  .alias("t1"),
+                  F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
+                         " AS INT))").alias("t2")))
     b = (sl.join(F.broadcast(th), "lang")
          .withColumn("bucket",
                      F.when(F.col("mean_transition_p") > F.col("t2"), "head")
@@ -1405,3 +1436,50 @@ def q_ccnet_buckets(spark, sf_dir):
                  F.expr("CAST(SUM(CAST(FLOOR(mean_transition_p * 1000000"
                         " + 0.5) / 1000000 AS DECIMAL(28,6)))"
                         " AS DOUBLE) / COUNT(*)").alias("mean_score")))
+
+
+@register(
+    "q_html_extract",
+    r"""
+    SELECT doc_id,
+           CASE WHEN len(string_split(
+                      regexp_replace(trim(text), '\s+', ' ', 'g'), ' ')) >= 4
+                THEN regexp_replace(trim(text), '\s+', ' ', 'g') || chr(10)
+                ELSE '' END
+             || 'section ' || CAST(doc_id % 7 AS VARCHAR)
+             || ' alpha & beta gamma' AS main_text
+    FROM documents
+    """,
+    doc="HTML main-content extraction (operators/web."
+        "extract_main_content): JVM-only regexp pipeline — drop script/"
+        "style/comment subtrees, block-close tags to line breaks, strip "
+        "remaining tags, decode entities (&amp; last), keep lines with "
+        ">= 4 words (jusText/CCNet short-line boilerplate drop). The "
+        "fixture wraps each doc's REAL text in a planted page skeleton "
+        "(title/nav/h1/tag-cloud/footer chrome + an &amp; entity); the "
+        "oracle recomputes the expected text from the raw column, so a "
+        "stripping, entity or line-filter bug hash-mismatches — one "
+        "narrow projection, runs inside the scan stage at 100 TB")
+def q_html_extract(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return wb.extract_main_content(wb.synthesize_planted_html(docs))
+
+
+@register(
+    "q_web_curation_pipeline",
+    wb.curate_web_corpus_sql("documents", threshold=0.6),
+    doc="the composed end-to-end WEB-curation pipeline (crawl-to-corpus "
+        "counterpart of q_training_set): URL parse with PSL eTLD+1 -> "
+        "domain blocklist anti-join -> canonical-URL dedup -> HTML "
+        "main-content extraction -> CCNet per-language percentile "
+        "buckets -> MinHash-LSH + exact-Jaccard content dedup -> "
+        "per-(lang, bucket) composition stats. Fixture plants 2 URL "
+        "variants per page, cycling multi-label TLDs, and identical "
+        "content on 10% of pages so every stage provably drops rows; "
+        "stages 1-3 are oracle-checked arithmetically (the oracle never "
+        "parses a URL), the rest compose the certified SQL builders")
+def q_web_curation_pipeline(spark, sf_dir):
+    blocked = spark.createDataFrame(
+        [("example-1.com",), ("example-2.co.uk",)], "reg_domain string")
+    return wb.curate_web_corpus(_docs(spark, sf_dir), blocked,
+                                threshold=0.6)

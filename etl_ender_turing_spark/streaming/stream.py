@@ -195,8 +195,14 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
             state.remove()
             return iter(())
         if ttl_ms is not None and batches:
+            # DST-observing session zones have ambiguous (fall-back) and
+            # nonexistent (spring-forward) wall times; a bare localize
+            # raises and kills the micro-batch for events landing in the
+            # transition hour — resolve deterministically instead
             ts_ms = int(max(pdf["ts"].max() for pdf in batches)
-                        .tz_localize(session_tz).timestamp() * 1000)
+                        .tz_localize(session_tz, ambiguous=True,
+                                     nonexistent="shift_forward")
+                        .timestamp() * 1000)
             # admitted-late rows can carry ts + ttl <= current watermark,
             # for which setTimeoutTimestamp throws — clamp the timeout
             # just past the watermark (the key then expires at the next

@@ -1048,19 +1048,82 @@ def test_url_parse_and_domain_ops(spark):
     docs = spark.range(0, 30).select(F.col("id").alias("doc_id"))
     parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
     row = {r.doc_id: r for r in parsed.collect()}
-    assert row[12].host == "w12.example-5.com"
+    assert row[12].host == "w12.example-5.com"   # 12 % 4 == 0 -> .com
     assert row[12].reg_domain == "example-5.com"
     assert row[12].path == "/path/12"
     assert row[12].query == "q=2"          # 12 % 3 == 0 -> has query
     assert row[13].query is None           # parse_url: absent -> NULL
+    # PSL eTLD+1: 2-label and 3-label public suffixes keep the
+    # registrable label, never collapse to the bare suffix
+    assert row[13].reg_domain == "example-6.co.uk"       # 13 % 4 == 1
+    assert row[14].reg_domain == "example-0.com.au"      # 14 % 4 == 2
+    assert row[15].reg_domain == "example-1.k12.ak.us"   # 15 % 4 == 3
+    # ids with id%7==0 AND id%4==0 in 0..29: 0, 28
     stats = {r.reg_domain: (r.n_docs, r.n_hosts)
              for r in wb.domain_stats(parsed).collect()}
-    assert stats["example-0.com"][0] == 5  # ids 0,7,14,21,28
+    assert stats["example-0.com"][0] == 2
     blocked = spark.createDataFrame([("example-0.com",)],
                                     "reg_domain string")
     kept = wb.domain_blocklist_filter(parsed, blocked)
     assert kept.filter("reg_domain = 'example-0.com'").count() == 0
-    assert kept.count() == 25
+    assert kept.count() == 28
+
+
+def test_reg_domain_psl_cases(spark):
+    from etl_ender_turing_spark.operators import web as wb
+    hosts = ["news.bbc.co.uk", "bbc.co.uk", "www.example.com",
+             "example.com", "user.github.io", "school.k12.ca.us",
+             "deep.sub.school.k12.ca.us", "co.uk", "localhost"]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    got = {r.host: r.rd for r in df.select(
+        "host", wb.reg_domain_expr(F.col("host")).alias("rd")).collect()}
+    assert got["news.bbc.co.uk"] == "bbc.co.uk"
+    assert got["bbc.co.uk"] == "bbc.co.uk"
+    assert got["www.example.com"] == "example.com"
+    assert got["example.com"] == "example.com"
+    assert got["user.github.io"] == "user.github.io"   # private section
+    assert got["school.k12.ca.us"] == "school.k12.ca.us"
+    assert got["deep.sub.school.k12.ca.us"] == "school.k12.ca.us"
+    assert got["co.uk"] == "co.uk"        # bare suffix degrades to itself
+    assert got["localhost"] == "localhost"
+
+
+def test_canonical_url_malformed_degrades_to_raw(spark):
+    # a NULL canonical form (unparseable URL) must NOT merge all
+    # malformed rows into one dedup group — each keeps its raw string
+    from etl_ender_turing_spark.operators import web as wb
+    df = spark.createDataFrame(
+        [(1, "not a url at all"), (2, "also::junk"),
+         (3, "https://ok.com/x")], "doc_id long, url string")
+    out = {r.canon: (r.keep_id, r.n_copies)
+           for r in wb.url_dedup_groups(df).collect()}
+    assert len(out) == 3
+    assert out["https://ok.com/x"] == (3, 1)
+    assert out["not a url at all"] == (1, 1)
+
+
+def test_html_extract_strips_chrome_keeps_content(spark):
+    from etl_ender_turing_spark.operators import web as wb
+    docs = spark.createDataFrame(
+        [(10, "alpha bravo charlie delta echo"), (11, "tiny one")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.main_text for r in wb.extract_main_content(
+        wb.synthesize_planted_html(docs)).collect()}
+    # >= 4 words: content line kept, entity decoded, chrome dropped
+    assert got[10] == ("alpha bravo charlie delta echo\n"
+                       "section 3 alpha & beta gamma")
+    # < 4 words: content line itself is dropped as boilerplate
+    assert got[11] == "section 4 alpha & beta gamma"
+
+
+def test_snapshot_diff_key_only_table(spark):
+    # empty compare-column list: only added/removed, never a crash
+    from etl_ender_turing_spark.operators.conform import snapshot_diff
+    old = spark.createDataFrame([(1,), (2,)], "k long")
+    new = spark.createDataFrame([(2,), (3,)], "k long")
+    got = {r.k: r.change_type
+           for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "removed", 3: "added"}
 
 
 def test_url_canonicalization_dedup(spark):
