@@ -67,6 +67,12 @@ def parse_media_header(payload: bytes) -> dict | None:
       first — LIST/INFO chunks legally precede it): little-endian
       channels (u16), sample rate (u32), bits-per-sample (u16), honoring
       RIFF's odd-size pad byte.
+    - JPEG: marker-segment scan from SOI to the first SOF frame header
+      (baseline 0xC0 … lossless 0xC3, progressive 0xC2; APPn/DQT/DHT
+      segments are skipped by their big-endian lengths, scan stops at
+      SOS/EOI): precision (u8), height then width as big-endian u16s
+      (JPEG stores HEIGHT first — the classic transposition bug the
+      planted fixture would catch).
 
     Returns None for unrecognized bytes (caller falls back to the
     deterministic fake path / 'unknown' metadata).
@@ -77,6 +83,24 @@ def parse_media_header(payload: bytes) -> dict | None:
         return {"media_type": "image", "codec": "png",
                 "width": width, "height": height,
                 "sample_rate": None, "channels": None, "bit_depth": b[24]}
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        off = 2
+        while off + 4 <= len(b) and b[off] == 0xFF:
+            marker = b[off + 1]
+            if marker in (0xD9, 0xDA):       # EOI / SOS: no SOF seen
+                break
+            (size,) = struct.unpack(">H", b[off + 2:off + 4])
+            if 0xC0 <= marker <= 0xC3 and off + 9 <= len(b):
+                precision = b[off + 4]
+                height, width = struct.unpack(">HH", b[off + 5:off + 9])
+                codec = {0xC0: "jpeg-baseline",
+                         0xC2: "jpeg-progressive"}.get(marker, "jpeg")
+                return {"media_type": "image", "codec": codec,
+                        "width": width, "height": height,
+                        "sample_rate": None, "channels": None,
+                        "bit_depth": precision}
+            off += 2 + size                  # length includes its 2 bytes
+        return None
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         off = 12
         while off + 8 <= len(b):
@@ -212,12 +236,15 @@ def synthesize_planted_media(docs: DataFrame,
     """Deterministic VALID media headers planted from doc_id — the
     oracle-checkable fixture for :func:`extract_media_meta`.
 
-    Even ids become a PNG signature + IHDR chunk (width = id%512+16,
-    height = id%256+16, 8-bit RGB); odd ids a RIFF/WAVE header with a
-    16-byte PCM fmt chunk (sample_rate = 8000 + (id%5)*8000, channels =
-    1 + (id/2)%2, 16-bit). All byte-assembly is JVM-side hex/unhex —
-    the Python side only ever PARSES, so a struct-unpack bug cannot
-    cancel itself out against the builder.
+    Even ids are images (width = id%512+16, height = id%256+16, 8-bit):
+    id%4==2 a PNG signature + IHDR chunk; id%4==0 a JPEG — SOI, a real
+    JFIF APP0 segment (so the parser must SKIP a segment to reach the
+    frame header), then SOF0 (or SOF2 when id%8==0 → progressive) with
+    height-before-width per the JPEG spec, then EOI. Odd ids a
+    RIFF/WAVE header with a 16-byte PCM fmt chunk (sample_rate = 8000 +
+    (id%5)*8000, channels = 1 + (id/2)%2, 16-bit). All byte-assembly is
+    JVM-side hex/unhex — the Python side only ever PARSES, so a
+    struct-unpack bug cannot cancel itself out against the builder.
     """
     did = F.col(id_col)
     w, h = did % 512 + 16, did % 256 + 16
@@ -227,6 +254,14 @@ def synthesize_planted_media(docs: DataFrame,
         _hex_be(w, 4), _hex_be(h, 4),
         F.lit("0802000000"),                  # bit depth 8, RGB, no interlace
         F.lit("00000000"))                    # CRC (not verified)
+    jpg = F.concat(
+        F.lit("ffd8"),                                   # SOI
+        F.lit("ffe000104a46494600010100000100010000"),   # APP0/JFIF, len 16
+        F.when(did % 8 == 0, F.lit("ffc2")).otherwise(F.lit("ffc0")),
+        F.lit("001108"),                      # SOF length 17, precision 8
+        _hex_be(h, 2), _hex_be(w, 2),         # HEIGHT first (JPEG spec)
+        F.lit("03011100021101031101"),        # 3 YCbCr component specs
+        F.lit("ffd9"))                        # EOI
     sr = F.lit(8000) + (did % 5) * 8000
     ch = F.lit(1) + (did / F.lit(2)).cast("bigint") % 2
     wav = F.concat(
@@ -237,7 +272,9 @@ def synthesize_planted_media(docs: DataFrame,
         _hex_le(ch * 2, 2), _hex_le(F.lit(16), 2))           # align, bits
     return docs.select(
         id_col,
-        F.unhex(F.when(did % 2 == 0, png).otherwise(wav)).alias("payload"))
+        F.unhex(F.when(did % 4 == 2, png)
+                 .when(did % 2 == 0, jpg)
+                 .otherwise(wav)).alias("payload"))
 
 
 def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:

@@ -722,7 +722,10 @@ def q_multimodal_features(spark, sf_dir):
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
              AS media_type,
-           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS codec,
+           CASE WHEN doc_id % 2 = 1 THEN 'wav'
+                WHEN doc_id % 4 = 2 THEN 'png'
+                WHEN doc_id % 8 = 0 THEN 'jpeg-progressive'
+                ELSE 'jpeg-baseline' END AS codec,
            CASE WHEN doc_id % 2 = 0
                 THEN CAST(doc_id % 512 + 16 AS INTEGER) END AS width,
            CASE WHEN doc_id % 2 = 0
@@ -733,17 +736,20 @@ def q_multimodal_features(spark, sf_dir):
            CASE WHEN doc_id % 2 = 1
                 THEN CAST(1 + (doc_id // 2) % 2 AS INTEGER) END AS channels,
            CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
-           CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 36 END AS BIGINT)
-             AS n_bytes
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 36
+                     WHEN doc_id % 4 = 2 THEN 33
+                     ELSE 41 END AS BIGINT) AS n_bytes
     FROM documents
     """,
     doc="REAL media header decode, certified: JVM-side hex/unhex plants "
-        "valid PNG IHDR / RIFF-WAVE fmt headers with doc_id-derived "
-        "dimensions; the Arrow mapInPandas stage parses them back with "
-        "stdlib struct (big-endian PNG u32s, little-endian WAV u16/u32, "
-        "chunk scan with pad bytes); the oracle recomputes the planted "
-        "values arithmetically — a byte-order or offset bug in the "
-        "parser hash-mismatches (builder and parser never share code)")
+        "valid PNG IHDR / JPEG SOI+APP0+SOF0/SOF2 / RIFF-WAVE fmt headers "
+        "with doc_id-derived dimensions; the Arrow mapInPandas stage "
+        "parses them back with stdlib struct (big-endian PNG u32s, JPEG "
+        "marker-segment scan with height-before-width u16s, little-endian "
+        "WAV u16/u32, chunk scan with pad bytes); the oracle recomputes "
+        "the planted values arithmetically — a byte-order, offset, or "
+        "segment-skip bug in the parser hash-mismatches (builder and "
+        "parser never share code)")
 def q_media_meta(spark, sf_dir):
     from ..operators import multimodal as mm
     docs = _docs(spark, sf_dir).select("doc_id")

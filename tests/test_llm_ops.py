@@ -147,6 +147,31 @@ def test_parse_media_header_png_and_wav():
     assert (d["width"], d["height"]) == (32, 16)
 
 
+def _jpeg_bytes(width: int, height: int, marker: int = 0xC0,
+                precision: int = 8, extra_segments: bytes = b"") -> bytes:
+    import struct as st
+    sof = st.pack(">BHH", precision, height, width) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])
+    return (b"\xff\xd8" + extra_segments
+            + bytes([0xFF, marker]) + st.pack(">H", 2 + len(sof)) + sof
+            + b"\xff\xd9")
+
+
+def test_parse_media_header_jpeg():
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    m = mm.parse_media_header(_jpeg_bytes(640, 480, extra_segments=app0))
+    assert (m["media_type"], m["codec"], m["width"], m["height"],
+            m["bit_depth"]) == ("image", "jpeg-baseline", 640, 480, 8)
+    m = mm.parse_media_header(_jpeg_bytes(100, 50, marker=0xC2))
+    assert (m["codec"], m["width"], m["height"]) == (
+        "jpeg-progressive", 100, 50)
+    # SOS before any SOF (malformed): no dimensions, not a crash
+    sos = b"\xff\xda" + (2).to_bytes(2, "big")
+    assert mm.parse_media_header(b"\xff\xd8" + sos + b"data") is None
+    # truncated mid-segment
+    assert mm.parse_media_header(_jpeg_bytes(9, 9)[:6]) is None
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None
@@ -160,9 +185,16 @@ def test_extract_media_meta_roundtrips_planted_headers(spark):
     docs = spark.range(0, 20).select(F.col("id").alias("doc_id"))
     out = {r.doc_id: r for r in mm.extract_media_meta(
         mm.synthesize_planted_media(docs)).collect()}
-    assert out[4].media_type == "image"
+    assert (out[2].media_type, out[2].codec) == ("image", "png")
+    assert (out[2].width, out[2].height) == (2 % 512 + 16, 2 % 256 + 16)
+    assert out[2].n_bytes == 33
+    # id%4==0 -> JPEG (marker scan must skip the APP0 segment; SOF stores
+    # height BEFORE width); id%8==0 -> progressive SOF2
+    assert (out[4].media_type, out[4].codec) == ("image", "jpeg-baseline")
     assert (out[4].width, out[4].height) == (4 % 512 + 16, 4 % 256 + 16)
-    assert out[4].n_bytes == 33
+    assert (out[4].bit_depth, out[4].n_bytes) == (8, 41)
+    assert out[8].codec == "jpeg-progressive"
+    assert (out[8].width, out[8].height) == (8 % 512 + 16, 8 % 256 + 16)
     assert out[7].media_type == "audio"
     assert out[7].sample_rate == 8000 + (7 % 5) * 8000
     assert out[7].channels == 1 + (7 // 2) % 2
