@@ -33,34 +33,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- never driver-certified: new in round 5 ---
-    "q_media_meta", "q_char_entropy", "q_zipf_slope",
-    "q_snapshot_diff", "q_dedup_consecutive",
+    # --- never driver-certified (new in round 6) or code changed in
+    # round 6 (PSL eTLD+1 + canonical-URL NULL fix → url family; tercile
+    # index rule → ccnet; key-only-table fix → snapshot_diff/reconcile;
+    # JPEG plant → media_meta) ---
+    "q_html_extract", "q_web_curation_pipeline", "q_media_meta",
     "q_url_parse", "q_domain_stats", "q_domain_blocklist", "q_url_dedup",
-    "q_ccnet_buckets",
-    # --- newest green row is ROUND 2 (24 queries, oldest proofs first;
-    # all re-verified green locally in r4/r5 — this refreshes the
-    # driver's own record) ---
-    "q_scalar_functions", "q_pivot_event_types", "q_set_intersect_except",
-    "q_count_pushdown", "q_explode_part_tokens", "q_dedup_exact",
-    "q_dedup_minhash_lsh", "q_dedup_simhash", "q_dedup_simhash_pairs",
-    "q_dedup_ngram_jaccard", "q_dedup_lsh_jaccard", "q_dup_clusters",
-    "q_dedup_keep_canonical", "q_dedup_embed_cosine", "q_embed_cosine_topk",
-    "q_embed_lsh_buckets", "q_embed_ivf_cells", "q_embed_ivf_topk",
-    "q_embed_ann_lsh_topk", "q_text_quality", "q_lang_id", "q_token_count",
-    "q_repetition_signals", "q_decontaminate",
-    # --- newest green row is ROUND 3: queries whose code changed in
-    # round 5 lead (broadcast-hint drop, two-phase top-k pin, pinned
-    # fixed-k args, shared verified-pair fixture) ---
-    "q5_revenue_by_nation", "q_topk_orders_per_segment", "q_semdedup_keep",
-    "q_knn_graph", "q_embed_outliers", "q_dedup_multi_signal",
-    "q_incremental_dedup", "q_multimodal_features",
-    # --- remaining round-3 rows, cheapest first; a budget cutoff lands
-    # here and leaves nothing older than r3 ---
-    "q1_pricing_summary", "q2_filter_projection", "q_semi_join_reviewed",
-    "q_anti_join_no_orders", "q_rolling_30d_window", "q_rank_battery",
-    "q_dedup_latest_event", "q_event_lag_chain", "q_asof_prev_purchase",
-    "q_hourly_event_rollup", "q_rollup_order_status",
+    "q_ccnet_buckets", "q_snapshot_diff", "q_table_reconcile",
+    # --- newest green row is ROUND 3 (31 queries): rotate these through
+    # the driver's budget so nothing is left with a proof older than r4;
+    # cheapest first ---
+    "q_asof_prev_purchase", "q_hourly_event_rollup", "q_rollup_order_status",
     "q_skew_salted_distinct", "q_grouping_sets_mixed",
     "q_cube_distinct_callers", "q_conform_drift", "q_approx_sketches",
     "q_percentile_prices", "q_union_default_region", "q_dsl_filter_events",
@@ -74,6 +57,26 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # availableNow stream — the most expensive rows per proof)
     "q_stream_hourly_counts", "q_stream_session_windows",
     "q_stream_quality_gate",
+    # --- newest green row is ROUND 4 (50 queries): a budget cutoff lands
+    # in here; whatever it reaches gets refreshed, the rest stay r4 ---
+    "q_sessionize_events", "q_scd2_intervals", "q_unpivot_metrics",
+    "q_sliding_window_counts", "q_date_spine_orders", "q_json_extract_props",
+    "q_hourly_anomalies", "q_equidepth_histogram", "q_funnel_conversion",
+    "q_cohort_retention", "q_funnel_windowed", "q_chi_square_lang_source",
+    "q_k_anonymity", "q_constraint_audit", "q_stats_moments",
+    "q_minhash_estimate_error", "q_lsh_recall_check", "q_dedup_containment",
+    "q_dup_cluster_stats", "q_dedup_keep_best", "q_ann_recall_check",
+    "q_compressed_ann_recall", "q_embed_matryoshka_topk",
+    "q_embed_binary_topk", "q_embed_ivf_kmeans", "q_embed_quantize",
+    "q_train_val_test_split", "q_temperature_mixture", "q_bigram_coherence",
+    "q_bm25_topk", "q_hybrid_rrf", "q_bm25_from_index",
+    "q_embed_ivf_from_index", "q_cross_source_dups", "q_embed_pq_codes",
+    "q_embed_pq_topk", "q_embed_ann_multiprobe", "q_kmeans_one_step",
+    "q_group_token_budget", "q_dedup_prefix_jaccard",
+    "q_incremental_dedup_verified", "q_gopher_rules", "q_source_head_cap",
+    "q_weighted_sample", "q_span_dedup_stats", "q_quality_classifier",
+    "q_stream_sliding_counts", "q_stream_enriched_segments",
+    "q_stream_click_attribution",
 )
 
 
