@@ -1128,3 +1128,87 @@ def consecutive_dedup_sql(table: str, key_col: str = "user_id",
     ) WHERE _has_prev IS NULL
        OR NOT ({value_col} IS NOT DISTINCT FROM _prev)
     """
+
+
+# --------------------------------------------------------------------------
+# paragraph-level dedup (RefinedWeb granularity)
+# --------------------------------------------------------------------------
+
+PARA_SPLIT_RE = r"\n[ \t]*\n"
+
+
+def paragraph_dedup(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-wide PARAGRAPH dedup (RefinedWeb §3 granularity): split each
+    document on blank lines, keep only the globally-FIRST occurrence of
+    each (whitespace-normalized) paragraph, reassemble the survivors in
+    original order. Catches templated boilerplate (nav bars, footers,
+    license headers) that document-level dedup can never remove because
+    the surrounding content differs.
+
+    Scale shape — two uniform shuffles, zero joins:
+    1. narrow posexplode (rows grow ~paras/doc, no shuffle);
+    2. one hash-partitioned window (row_number over md5(paragraph)
+       ordered by (doc, position)) marks the canonical copy — paragraph
+       hashes are near-unique so partitions stay balanced at any corpus
+       size (the pathological key is empty text, filtered before the
+       shuffle);
+    3. one groupBy(doc) reassembly — collect_list skips the NULL
+       non-keepers, array_sort restores original paragraph order, so
+       kept text, kept count and dropped count come out of a single
+       aggregation.
+
+    Documents whose every paragraph was seen earlier come back with
+    clean_text NULL (matching SQL string_agg-over-nothing), n_kept 0.
+    """
+    para = F.trim(F.col("_para"))
+    paras = (df.select(id_col,
+                       F.posexplode(F.split(text_col, PARA_SPLIT_RE))
+                        .alias("_idx", "_para"))
+             .select(id_col, "_idx", para.alias("_para"))
+             .filter(F.col("_para") != ""))
+    h = F.md5(F.regexp_replace(F.lower(F.col("_para")), r"\s+", " "))
+    w = Window.partitionBy(h).orderBy(id_col, "_idx")
+    flagged = paras.withColumn("_keep", F.row_number().over(w) == 1)
+    kept_struct = F.when(F.col("_keep"),
+                         F.struct(F.col("_idx"), F.col("_para")))
+    return (flagged.groupBy(id_col)
+            .agg(F.nullif(
+                     F.array_join(
+                         F.transform(
+                             F.array_sort(F.collect_list(kept_struct)),
+                             lambda s: s.getField("_para")),
+                         "\n\n"),
+                     F.lit("")).alias("clean_text"),
+                 F.sum(F.col("_keep").cast("int")).alias("n_kept"),
+                 F.sum((~F.col("_keep")).cast("int")).alias("n_dropped")))
+
+
+def paragraph_dedup_sql(table: str = "documents", text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`paragraph_dedup` — same keep rule spelled
+    with LATERAL generate_series (positional unnest) + a window."""
+    return f"""
+    WITH paras AS (
+      SELECT {id_col}, g.i AS idx, trim(ps[g.i]) AS para
+      FROM (SELECT {id_col},
+                   regexp_split_to_array({text_col}, '\\n[ \\t]*\\n') AS ps
+            FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(ps))) AS i) g
+    ),
+    flagged AS (
+      SELECT {id_col}, idx, para,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(regexp_replace(lower(para), '\\s+', ' ', 'g'))
+               ORDER BY {id_col}, idx) = 1 AS keep
+      FROM paras WHERE para <> ''
+    )
+    SELECT {id_col},
+           string_agg(CASE WHEN keep THEN para END,
+                      chr(10) || chr(10) ORDER BY idx) AS clean_text,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(CASE WHEN keep THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS n_dropped
+    FROM flagged GROUP BY {id_col}
+    """

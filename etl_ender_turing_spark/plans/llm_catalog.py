@@ -1489,3 +1489,39 @@ def q_web_curation_pipeline(spark, sf_dir):
         [("example-1.com",), ("example-2.co.uk",)], "reg_domain string")
     return wb.curate_web_corpus(_docs(spark, sf_dir), blocked,
                                 threshold=0.6)
+
+
+_PARA_PLANTED_SQL = """(SELECT doc_id,
+       text || chr(10) || chr(10)
+            || 'footer variant ' || CAST(doc_id % 3 AS VARCHAR)
+            || ' subscribe to our newsletter' || chr(10) || chr(10)
+            || 'copyright 2024 example corp all rights reserved'
+         AS text
+    FROM documents) planted"""
+
+
+@register(
+    "q_paragraph_dedup",
+    dd.paragraph_dedup_sql(_PARA_PLANTED_SQL),
+    doc="corpus-wide PARAGRAPH dedup (RefinedWeb granularity, operators/"
+        "dedup.paragraph_dedup): split on blank lines, keep only the "
+        "globally-first copy of each normalized paragraph, reassemble in "
+        "order — catches templated boilerplate document-level dedup "
+        "can't. Fixture appends a 3-variant rotating footer plus one "
+        "universal copyright line to every doc, so exactly 4 planted "
+        "paragraphs survive corpus-wide and every other doc records "
+        "drops. Two uniform shuffles (paragraph-hash window + doc-key "
+        "reassembly), zero joins — the partition key is a paragraph "
+        "hash, near-unique at 100 TB")
+def q_paragraph_dedup(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n", F.col("text"),
+            F.concat(F.lit("footer variant "),
+                     (F.col("doc_id") % 3).cast("string"),
+                     F.lit(" subscribe to our newsletter")),
+            F.lit("copyright 2024 example corp all rights reserved"),
+        ).alias("text"))
+    return dd.paragraph_dedup(planted)

@@ -92,6 +92,27 @@ def test_lang_guess_and_quality(spark):
     assert abs(out[2].stopword_ratio - 1.0) < 1e-9
 
 
+def test_paragraph_dedup_drops_repeated_boilerplate(spark):
+    rows = [
+        (1, "unique one\n\nSHARED FOOTER"),
+        (2, "unique two\n\nshared   footer"),  # case/ws-normalized dup
+        (3, "SHARED FOOTER"),                  # every paragraph a dup
+        (4, "unique four\n \nafter spaced blank line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dd.paragraph_dedup(df).collect()}
+    # first occurrence (doc 1) keeps the footer verbatim
+    assert out[1].clean_text == "unique one\n\nSHARED FOOTER"
+    assert (out[1].n_kept, out[1].n_dropped) == (2, 0)
+    # later normalized copies are dropped, surviving paras keep order
+    assert out[2].clean_text == "unique two"
+    assert (out[2].n_kept, out[2].n_dropped) == (1, 1)
+    # a doc made entirely of earlier-seen paragraphs comes back NULL
+    assert out[3].clean_text is None and out[3].n_kept == 0
+    # a blank line containing spaces still splits paragraphs
+    assert out[4].clean_text == "unique four\n\nafter spaced blank line"
+
+
 def test_fingerprint_normalizes_whitespace(spark):
     df = spark.createDataFrame(
         [(1, "Hello  world"), (2, "  hello world ")], "id long, text string")
