@@ -21,10 +21,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
+# the package re-exports a conform() FUNCTION that shadows the conform
+# SUBMODULE on every import-as spelling — import the function directly
+from etl_ender_turing_spark.operators.conform import snapshot_diff
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import similarity as sim
 from etl_ender_turing_spark.operators import terms as tm
 from etl_ender_turing_spark.operators import textstats as ts
+from etl_ender_turing_spark.operators import web as wb
 from etl_ender_turing_spark.session import get_spark
 from etl_ender_turing_spark.sources.readers import read_table
 
@@ -53,26 +57,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs0 = read_table(spark, sf_dir, "documents")
     emb0 = read_table(spark, sf_dir, "embeddings")
-    docs0.count(), emb0.count()  # warm
+    ev0 = read_table(spark, sf_dir, "events")
+    docs0.count(), emb0.count(), ev0.count()  # warm
 
     ops = {
-        "exact_dedup": lambda d, e: force(dd.exact_dedup_groups(d)),
-        "minhash_lsh": lambda d, e: force(dd.minhash_band_pairs(
+        "exact_dedup": lambda d, e, ev: force(dd.exact_dedup_groups(d)),
+        "minhash_lsh": lambda d, e, ev: force(dd.minhash_band_pairs(
             dd.minhash_signatures_inline(d))),
-        "simhash_pairs": lambda d, e: force(dd.simhash_pairs(
+        "simhash_pairs": lambda d, e, ev: force(dd.simhash_pairs(
             dd.simhash_inline(d))),
-        "embed_neardup": lambda d, e: force(sim.neardup_pairs(e)),
-        "embed_lsh_ann": lambda d, e: force(sim.ann_bucketed_topk(
+        "embed_neardup": lambda d, e, ev: force(sim.neardup_pairs(e)),
+        "embed_lsh_ann": lambda d, e, ev: force(sim.ann_bucketed_topk(
             e, query_id=0, k=10)),
-        "repetition": lambda d, e: force(ts.repetition_signals(d)),
-        "decontaminate": lambda d, e: force(dd.contaminated_docs(
+        "repetition": lambda d, e, ev: force(ts.repetition_signals(d)),
+        "decontaminate": lambda d, e, ev: force(dd.contaminated_docs(
             d.filter(F.col("doc_id") % 10_000_000 >= 20),
             d.filter(F.col("doc_id") % 10_000_000 < 20), n=5)),
         # round-3 ops: replication is the worst case for all three (every
         # copy is an exact semantic/content dup of its source row)
-        "semdedup": lambda d, e: force(sim.semantic_dedup_keep(e)),
-        "knn_graph": lambda d, e: force(sim.knn_graph(e, k=3)),
-        "incr_dedup": lambda d, e: force(dd.incremental_dedup_pairs(
+        "semdedup": lambda d, e, ev: force(sim.semantic_dedup_keep(e)),
+        "knn_graph": lambda d, e, ev: force(sim.knn_graph(e, k=3)),
+        "incr_dedup": lambda d, e, ev: force(dd.incremental_dedup_pairs(
             dd.minhash_signatures_inline(
                 d.filter(F.col("doc_id") % 10_000_000 < 400)),
             dd.minhash_signatures_inline(
@@ -80,9 +85,31 @@ def main() -> None:
         # round-4 ops: bm25's tf shuffle is query-term-sparse, so growth
         # should track the scan, not the token stream; the cross-source
         # matrix rides the minhash pair generator
-        "bm25": lambda d, e: force(tm.bm25_topk(
+        "bm25": lambda d, e, ev: force(tm.bm25_topk(
             d, ("vector", "stream", "join", "window"), k=5)),
-        "cross_src_dups": lambda d, e: force(dd.cross_source_dup_matrix(d)),
+        "cross_src_dups": lambda d, e, ev: force(dd.cross_source_dup_matrix(d)),
+        # round-5/6 ops: url dedup is one hash shuffle (2 URL variants per
+        # doc, every replica an exact canonical dup); the composed web
+        # pipeline stacks every curation stage, so its ratio is the
+        # whole-family scale answer; paragraph dedup's replication worst
+        # case makes every paragraph k-ways duplicated; snapshot_diff
+        # full-outer-joins two same-size snapshots with 10% churn
+        "url_dedup": lambda d, e, ev: force(wb.url_dedup_groups(
+            wb.synthesize_noisy_url_variants(d.select("doc_id")))),
+        "web_curation": lambda d, e, ev: force(wb.curate_web_corpus(
+            d, d.sparkSession.createDataFrame(
+                [("example-1.com",), ("example-2.co.uk",)],
+                "reg_domain string"))),
+        "paragraph_dedup": lambda d, e, ev: force(dd.paragraph_dedup(d)),
+        "snapshot_diff": lambda d, e, ev: force(snapshot_diff(
+            d, d.withColumn("n_chars",
+                            F.when(F.col("doc_id") % 10 == 0,
+                                   F.col("n_chars") + 1)
+                            .otherwise(F.col("n_chars"))),
+            ["doc_id"])),
+        # replication offsets user_id -> k disjoint key spaces: the
+        # per-key windows multiply in count, never in size
+        "consec_dedup": lambda d, e, ev: force(dd.consecutive_dedup(ev)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
@@ -95,8 +122,9 @@ def main() -> None:
         for k in (1, 2, 4, 8):
             d = replicate(docs0, k, "doc_id")
             e = replicate(emb0, k, "vec_id")
+            ev = replicate(ev0, k, "user_id")
             t0 = time.perf_counter()
-            fn(d, e)
+            fn(d, e, ev)
             times.append(time.perf_counter() - t0)
         ratios = [times[i + 1] / times[i] for i in range(3)]
         print(f"{name:<15} " + " ".join(f"{t:8.2f}" for t in times)
