@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "q_char_entropy",
     "q_zipf_slope",
     "q_media_meta",
+    # round-6 additions: corpus-wide paragraph dedup and the composed
+    # crawl-to-corpus web pipeline (every curation stage stacked)
+    "q_paragraph_dedup",
+    "q_web_curation_pipeline",
 ]
 
 

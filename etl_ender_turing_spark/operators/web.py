@@ -15,7 +15,7 @@ parser and builder share no code path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # --------------------------------------------------------------------------
 # eTLD+1 via a trimmed static snapshot of the Public Suffix List
@@ -254,16 +254,19 @@ def main_content_expr(html: Column, min_words: int = 4) -> Column:
     chrome on real pages). One narrow projection per row: no shuffle, no
     Python — at 100 TB this runs inside the scan stage.
     """
-    s = F.regexp_replace(html, r"(?is)<script\b[^>]*>.*?</script>", " ")
-    s = F.regexp_replace(s, r"(?is)<style\b[^>]*>.*?</style>", " ")
-    s = F.regexp_replace(s, r"(?s)<!--.*?-->", " ")
+    # regexp passes are the cost here (measured ~1 ms/doc with one pass
+    # per pattern): fold script/style/comment subtrees into ONE
+    # alternation (backreference closes the right tag), decode entities
+    # with LITERAL replace (no regex engine), and collapse intra-line
+    # whitespace in one whole-string pass instead of per line
+    s = F.regexp_replace(
+        html, r"(?is)<(script|style)\b[^>]*>.*?</\1>|<!--.*?-->", " ")
     s = F.regexp_replace(s, _BLOCK_CLOSE, "\n")
     s = F.regexp_replace(s, r"<[^>]*>", " ")
     for ent, rep in _ENTITIES:
-        s = F.regexp_replace(s, ent, rep)
-    lines = F.transform(
-        F.split(s, "\n"),
-        lambda x: F.trim(F.regexp_replace(x, r"\s+", " ")))
+        s = F.replace(s, F.lit(ent), F.lit(rep))
+    s = F.regexp_replace(s, r"[^\S\n]+", " ")
+    lines = F.transform(F.split(s, "\n"), lambda x: F.trim(x))
     kept = F.filter(
         lines,
         lambda x: (x != "") & (F.size(F.split(x, " ")) >= min_words))
@@ -375,18 +378,39 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
     from .textstats import bigram_coherence
 
     fx = synthesize_web_fixture(docs)
-    parsed = parse_urls(fx)
-    allowed = domain_blocklist_filter(parsed, blocked).select("doc_id")
-    fx = fx.join(allowed, "doc_id")
-    keepers = (fx.select("doc_id", canonical_url("url").alias("canon"))
-               .groupBy("canon")
-               .agg(F.min("doc_id").alias("doc_id"))
-               .select("doc_id"))
-    kept = fx.join(keepers, "doc_id")
+    # blocklist + canonical dedup FUSED into one linear chain: reg_domain
+    # is a derived column on the crawl frame (no separate parsed frame +
+    # join-back, which would evaluate the fixture subtree twice), and the
+    # keep-min-doc_id-per-canonical rule is ONE window instead of a
+    # groupBy + self-join (same semantics as url_dedup_groups, one fewer
+    # pass over the crawl). The single-op builders stay as the certified
+    # per-stage forms.
+    fx2 = (fx.withColumn(
+               "reg_domain",
+               reg_domain_expr(F.parse_url(F.col("url"), F.lit("HOST"))))
+           .join(blocked, "reg_domain", "left_anti")
+           .drop("reg_domain"))
+    w = Window.partitionBy(canonical_url("url")).orderBy("doc_id")
+    kept = (fx2.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+    # Materialize the post-extraction corpus ONCE: every downstream
+    # branch (bigram stats ×3 internal passes, threshold agg, bucket
+    # join, shingles, final anti-join) re-reads this frame, and without
+    # a barrier Spark recomputes the regexp-heavy extraction chain per
+    # branch (measured 12 s -> ~5 s at sf0.1). At 100 TB this persist
+    # is the standard pipeline break: write the extracted corpus to
+    # parquet and fan the curation stages out from storage.
+    from pyspark import StorageLevel
+
     ext = kept.select(
         "doc_id", "lang",
-        main_content_expr(F.col("html"), min_words).alias("main_text"))
+        main_content_expr(F.col("html"), min_words).alias("main_text")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     scored = bigram_coherence(ext, text_col="main_text")
+    # scored is itself a corpus aggregation consumed by two branches
+    # (threshold agg + bucket join): persist the skinny (doc_id, score)
+    # frame so the bigram join tree runs once
+    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
     sl = ext.join(scored, "doc_id")
     # discrete tercile thresholds by EXPLICIT integer-index selection
     # (sorted 1-based index ceil(p*n), computed with integer div): both
@@ -409,8 +433,12 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
              F.when(F.col("mean_transition_p") > F.col("t2"), "head")
              .when(F.col("mean_transition_p") > F.col("t1"), "middle")
              .otherwise("tail")))
+    # the shingle frame feeds FOUR subtrees (minhash signatures, both
+    # sides of the intersection join, the size agg) — persist it so the
+    # explode runs once
     sh = dd.shingle_select(b.select("doc_id",
-                                    F.col("main_text").alias("text")))
+                                    F.col("main_text").alias("text"))
+                           ).persist(StorageLevel.MEMORY_AND_DISK)
     ver = dd.jaccard_on_pairs(
         sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
         threshold=threshold)
