@@ -64,10 +64,12 @@ BENCH_QUERIES = [
     "q_char_entropy",
     "q_zipf_slope",
     "q_media_meta",
-    # round-6 additions: corpus-wide paragraph dedup and the composed
-    # crawl-to-corpus web pipeline (every curation stage stacked)
+    # round-6 additions: corpus-wide paragraph dedup, the composed
+    # crawl-to-corpus web pipeline (every curation stage stacked), and
+    # the stupid-backoff trigram LM scorer (train + 5-way join scoring)
     "q_paragraph_dedup",
     "q_web_curation_pipeline",
+    "q_lm_scores",
 ]
 
 

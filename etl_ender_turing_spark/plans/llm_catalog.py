@@ -1525,3 +1525,42 @@ def q_paragraph_dedup(spark, sf_dir):
             F.lit("copyright 2024 example corp all rights reserved"),
         ).alias("text"))
     return dd.paragraph_dedup(planted)
+
+
+# =========================================================================
+# N-gram language model (the executable CCNet perplexity filter)
+# =========================================================================
+
+from ..operators import lm  # noqa: E402
+
+
+@register(
+    "q_ngram_lm_counts",
+    lm.top_ngrams_sql("documents", k=10),
+    doc="n-gram LM TRAINING (operators/lm.train_ngram_counts): trigram/"
+        "bigram/unigram count tables from the trusted partition "
+        "(doc_id%5==0 stands in for CCNet's Wikipedia split) — three "
+        "partial+final counts over a narrow explode, vocab-scale output; "
+        "certified through the top-10-per-order projection (row_number "
+        "<= k triggers the WindowGroupLimit two-phase rewrite, so the "
+        "per-order sort prunes map-side)")
+def q_ngram_lm_counts(spark, sf_dir):
+    return lm.top_ngrams(lm.train_ngram_counts(_docs(spark, sf_dir)), k=10)
+
+
+@register(
+    "q_lm_scores",
+    lm.stupid_backoff_scores_sql("documents"),
+    doc="stupid-backoff trigram scoring (operators/lm."
+        "stupid_backoff_scores, Brants et al. 2007): per-doc mean "
+        "surprisal in nats/token under the counts trained by "
+        "q_ngram_lm_counts — the quality gate CCNet runs as KenLM "
+        "perplexity, join-shaped for scale: unigrams+total broadcast, "
+        "bigram/trigram lookups AQE-sized, every backoff branch spelled "
+        "in ONE dual-dialect CASE snippet and every -ln term 6dp-floored "
+        "+ decimal-summed so a last-ulp ln divergence cannot reach the "
+        "hash; the 80% held-out partition exercises the backoff paths "
+        "for real")
+def q_lm_scores(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return lm.stupid_backoff_scores(docs, lm.train_ngram_counts(docs))

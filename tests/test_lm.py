@@ -1,0 +1,109 @@
+"""Stupid-backoff n-gram LM: hand-computed branch arithmetic.
+
+The oracle queries certify Spark==DuckDB; these tests pin Spark==MATH —
+a tiny corpus where every backoff branch's score is computable on paper,
+so a join-wiring bug that both engines shared would still be caught.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.operators import lm
+
+
+def _scores(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    counts = lm.train_ngram_counts(df, train_mod=5)
+    out = lm.stupid_backoff_scores(df, counts)
+    return {r.doc_id: r for r in out.collect()}
+
+
+def _term(p: float) -> float:
+    # the 6dp-floored surprisal the operator sums
+    return math.floor(-math.log(p) * 1_000_000 + 0.5) / 1_000_000
+
+
+def test_every_backoff_branch_matches_hand_math(spark):
+    # train doc (id 0): tokens a b c a b d  -> trigrams {abc, bca, cab,
+    # abd}, bigrams {ab:2, bc, ca, bd}, unigrams {a:2, b:2, c:1, d:1},
+    # total 6
+    rows = [
+        (0, "a b c a b d"),
+        # id 1: 'a b c' -> one position, trigram 'a b c' SEEN:
+        #   p = c3(abc)/c2(ab) = 1/2
+        (1, "a b c"),
+        # id 2: 'c a b' -> trigram 'c a b' seen: p = 1/2? c3(cab)=1,
+        #   c2(ca)=1 -> p = 1/1 = 1
+        (2, "c a b"),
+        # id 3: 'b c d' -> trigram 'b c d' UNSEEN, bigram 'c d' unseen,
+        #   unigram 'd' seen: p = 0.4*(0.4*(1/6))
+        (3, "b c d"),
+        # id 4: 'a b d' -> trigram seen: p = c3(abd)/c2(ab) = 1/2
+        (4, "a b d"),
+        # id 6: 'a a b' -> tri 'a a b' unseen, bigram 'a b' seen:
+        #   p = 0.4*(c2(ab)/c1(a)) = 0.4*(2/2)
+        (6, "a a b"),
+        # id 7: OOV tail -> tri/bi/uni all unseen: p = 0.4*(0.4*(1/6))
+        (7, "a b zzz"),
+        # id 8: too short -> no scored position, row absent
+        (8, "a b"),
+    ]
+    got = _scores(spark, rows)
+
+    assert 8 not in got
+    assert got[1].n_scored == 1
+    assert got[1].mean_nll == pytest.approx(_term(1 / 2), abs=1e-9)
+    assert got[2].mean_nll == pytest.approx(_term(1.0), abs=1e-9)
+    assert got[3].mean_nll == pytest.approx(
+        _term(0.4 * (0.4 * (1 / 6))), abs=1e-9)
+    assert got[4].mean_nll == pytest.approx(_term(1 / 2), abs=1e-9)
+    assert got[6].mean_nll == pytest.approx(
+        _term(0.4 * (2 / 2)), abs=1e-9)
+    assert got[7].mean_nll == pytest.approx(
+        _term(0.4 * (0.4 * (1 / 6))), abs=1e-9)
+    # the train doc itself scores over 4 positions
+    assert got[0].n_scored == 4
+
+
+def test_counts_table_matches_hand_counts(spark):
+    df = spark.createDataFrame([(0, "a b a b c")],
+                               "doc_id long, text string")
+    counts = {(r.ord, r.gram): r.cnt
+              for r in lm.train_ngram_counts(df, train_mod=5).collect()}
+    assert counts[(1, "a")] == 2 and counts[(1, "b")] == 2
+    assert counts[(2, "a b")] == 2 and counts[(2, "b a")] == 1
+    assert counts[(3, "a b a")] == 1 and counts[(3, "b a b")] == 1
+    assert sum(c for (o, _), c in counts.items() if o == 1) == 5
+
+
+def test_top_ngrams_is_deterministic_total_order(spark):
+    df = spark.createDataFrame(
+        [(0, "b a b a c")], "doc_id long, text string")
+    top = lm.top_ngrams(lm.train_ngram_counts(df, train_mod=5), k=2)
+    rows = [(r.ord, r.rn, r.gram) for r in top.collect()]
+    # unigrams: a:2, b:2, c:1 -> ties broken gram-asc: a then b
+    assert (1, 1, "a") in rows and (1, 2, "b") in rows
+    assert all(rn <= 2 for _, rn, _ in rows)
+
+
+def test_scoring_uses_windowgrouplimit_for_topk(spark):
+    df = spark.createDataFrame([(0, "a b c d e")],
+                               "doc_id long, text string")
+    plan = lm.top_ngrams(lm.train_ngram_counts(df, train_mod=5),
+                         k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_multispace_and_short_docs_are_safe(spark):
+    df = spark.createDataFrame(
+        [(0, "a  b   c a b d"), (5, "  x  "), (10, "")],
+        "doc_id long, text string")
+    counts = lm.train_ngram_counts(df, train_mod=5)
+    grams = {r.gram for r in counts.filter("ord = 2").collect()}
+    assert "" not in {g for gr in grams for g in gr.split(" ")}
+    out = lm.stupid_backoff_scores(df, counts)
+    assert {r.doc_id for r in out.collect()} == {0}
