@@ -529,7 +529,8 @@ def auto_n_planes(n_rows: int,
 
 
 def knn_graph(emb: DataFrame, k: int = 3, n_planes: int | None = None,
-              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              n_rows: int | None = None) -> DataFrame:
     """Per-vector k nearest neighbors WITHIN the vector's LSH bucket —
     the distributed k-NN-graph primitive (inputs to SemDeDup, graph-based
     curation, label propagation).
@@ -541,10 +542,14 @@ def knn_graph(emb: DataFrame, k: int = 3, n_planes: int | None = None,
     what this avoids; recall is the LSH trade, tunable via n_planes.
     ``n_planes`` defaults to the corpus-derived :func:`auto_n_planes`
     (bounded buckets at any n); certified queries pass a fixed count for
-    oracle determinism.
+    oracle determinism. Pass ``n_rows`` (an exact or approximate corpus
+    size the caller already knows — catalog stats, a prior stage's
+    count) to avoid the sizing pass entirely: at 100 TB an extra full
+    count() action just to pick a parameter is a real cost, and any
+    estimate within ~2x lands the same bucket-size ballpark.
     """
     if n_planes is None:
-        n_planes = auto_n_planes(emb.count())
+        n_planes = auto_n_planes(emb.count() if n_rows is None else n_rows)
     planes = hyperplane_weights(n_planes)
     # norms precomputed ONCE per row (bit-identical to per-pair norm():
     # the same double either way), so each pair costs one dot, not 3 folds
@@ -591,7 +596,8 @@ def knn_graph_sql(sf_table: str, k: int = 3, n_planes: int = 8,
 def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
                         n_centroids: int | None = None,
                         id_col: str = "vec_id",
-                        vec_col: str = "embedding") -> DataFrame:
+                        vec_col: str = "embedding",
+                        n_rows: int | None = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings,
     then inside each cluster drop every vector that has an above-threshold
     cosine neighbor with a smaller id (the kept one) — semantic duplicates
@@ -605,9 +611,13 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
     """
     # k defaults to CORPUS-DERIVED (auto_n_centroids): the in-cell
     # quadratic is bounded only if k grows with n. Certified queries pass
-    # a fixed k so the unrolled oracle SQL stays deterministic.
+    # a fixed k so the unrolled oracle SQL stays deterministic. Callers
+    # that already know the corpus size (exactly or within ~2x) pass
+    # n_rows and skip the sizing count() action — at 100 TB that extra
+    # full pass is a real cost for a parameter an estimate serves.
     if n_centroids is None:
-        n_centroids = auto_n_centroids(emb.count())
+        n_centroids = auto_n_centroids(emb.count() if n_rows is None
+                                       else n_rows)
     # cell ids stay a SKINNY (id, cell) frame and re-join the vectors:
     # measured faster than carrying the 64-dim arrays through the argmax
     # shuffle (AQE broadcasts the skinny side of the re-join)
@@ -661,7 +671,8 @@ def semantic_dedup_sql(sf_table: str, threshold: float = 0.3,
 def embed_outliers(emb: DataFrame, per_cell: int = 3,
                    n_centroids: int | None = None,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
+                   vec_col: str = "embedding",
+                   n_rows: int | None = None) -> DataFrame:
     """The ``per_cell`` vectors FARTHEST from their IVF cell centroid —
     embedding-space outlier detection (mislabeled/garbage rows cluster
     badly; curation drops or reviews them).
@@ -671,10 +682,13 @@ def embed_outliers(emb: DataFrame, per_cell: int = 3,
     (row_number), not percentile interpolation, so the oracle matches
     bit-for-bit. ``n_centroids`` defaults to the corpus-derived
     :func:`auto_n_centroids` (bounded cells at any n); certified queries
-    pass a fixed k for oracle determinism.
+    pass a fixed k for oracle determinism. ``n_rows`` (exact or ~2x
+    estimate) skips the sizing count() action — see
+    :func:`semantic_dedup_keep`.
     """
     if n_centroids is None:
-        n_centroids = auto_n_centroids(emb.count())
+        n_centroids = auto_n_centroids(emb.count() if n_rows is None
+                                       else n_rows)
     cents = (emb.filter(F.col(id_col) < n_centroids)
              .select(F.col(id_col).alias("cid"),
                      as_double(vec_col).alias("cv")))

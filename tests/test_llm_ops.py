@@ -1018,6 +1018,28 @@ def test_auto_scaling_cell_and_bucket_counts():
     assert sim.auto_n_planes(500) == 8
     assert sim.auto_n_planes(131_072) == 8
     assert sim.auto_n_planes(1_000_000) == 11
+
+
+def test_caller_supplied_n_rows_skips_sizing_count(spark):
+    # auto-sizing normally runs emb.count() — a full extra corpus action
+    # at 100 TB. A caller-supplied n_rows (exact or ~2x estimate) must
+    # bypass it entirely: poison .count() and make sure nothing calls it.
+    import math
+    rows = [(i, [math.cos(i), math.sin(i)] + [0.0] * 62) for i in range(24)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def _poisoned():
+        raise AssertionError("sizing count() ran despite n_rows")
+
+    emb.count = _poisoned
+    kept = sim.semantic_dedup_keep(emb, threshold=0.999, n_rows=24)
+    graph = sim.knn_graph(emb, k=1, n_rows=24)
+    outl = sim.embed_outliers(emb, per_cell=1, n_rows=24)
+    # plans still build and execute; derived sizes match the exact-count
+    # path (auto_n_centroids(24) == 16 == the explicit-k default)
+    assert len(kept.collect()) > 0
+    assert len(graph.collect()) > 0
+    assert len(outl.collect()) > 0
     assert sim.auto_n_planes(1_000_000_000) == 21
 
 
