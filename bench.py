@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "q_paragraph_dedup",
     "q_web_curation_pipeline",
     "q_lm_scores",
+    "q_dsir_weights",
 ]
 
 

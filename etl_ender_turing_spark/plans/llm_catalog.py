@@ -1564,3 +1564,36 @@ def q_ngram_lm_counts(spark, sf_dir):
 def q_lm_scores(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return lm.stupid_backoff_scores(docs, lm.train_ngram_counts(docs))
+
+
+# =========================================================================
+# DSIR importance resampling (Xie et al. 2023)
+# =========================================================================
+
+from ..operators import dsir  # noqa: E402
+
+
+@register(
+    "q_dsir_weights",
+    dsir.dsir_weights_sql("documents", n_buckets=256),
+    doc="DSIR log importance weights (operators/dsir.dsir_weights, Xie "
+        "et al. 2023): hashed unigram+bigram features (md5-prefix "
+        "buckets, B=256 so collisions are exercised at sf0.01), one "
+        "conditional-count pass trains target-vs-raw bucket models, "
+        "and every raw doc reduces a broadcast B-row lambda join — "
+        "ONE wide stage; lambda is 6dp-floored in the model table and "
+        "weights are decimal sums, the LM exactness contract")
+def q_dsir_weights(spark, sf_dir):
+    return dsir.dsir_weights(_docs(spark, sf_dir), n_buckets=256)
+
+
+@register(
+    "q_dsir_topk",
+    dsir.dsir_topk_sql("documents", k=100, n_buckets=256),
+    doc="DSIR resampling, deterministic variant (operators/dsir."
+        "dsir_topk): keep the 100 highest-weight raw docs — weight "
+        "desc, doc_id asc is a total order, and ORDER BY+LIMIT "
+        "compiles to TakeOrderedAndProject (per-partition heaps, no "
+        "global sort shuffle)")
+def q_dsir_topk(spark, sf_dir):
+    return dsir.dsir_topk(_docs(spark, sf_dir), k=100, n_buckets=256)
