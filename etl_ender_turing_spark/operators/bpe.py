@@ -1,0 +1,174 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016,
+arXiv:1508.07909): word-frequency compression, weighted pair counts,
+and plan-unrolled greedy merge rounds.
+
+Classic BPE trains on the DISTINCT-WORD frequency table, not the raw
+token stream — the only corpus-scale stage is therefore the one
+``word_freqs`` aggregation (a single partial+final count whose output
+is vocabulary-scale, Zipf-bounded far below the corpus). Every merge
+round after that is vocab-scale work:
+
+- pair statistics: one aggregation over the current symbolizations,
+  weighted by word frequency;
+- the argmax pair: ORDER BY cnt DESC LIMIT 1 → TakeOrderedAndProject
+  (per-partition heads, no global sort), broadcast as a 1-row frame;
+- merge application: a greedy left-to-right fold over each word's
+  symbol array. String ``replace`` is NOT correct here — it rescans the
+  original string, so a run like ``a a a a`` merges to ``aa a a``
+  instead of BPE's ``aa aa``; the fold carries the merged prefix and
+  gets runs right (pinned by test + both engines' fold agree).
+
+At 100 TB the honest production recipe is: run ``word_freqs``
+distributed (the corpus pass), then COLLECT the vocab table — it is
+metadata-sized, like the IVF centroids this repo already collects — and
+iterate the 30k merge rounds driver-side. The plan-unrolled distributed
+rounds here exist so the whole learn loop is certifiable against the
+DuckDB oracle; both shapes share the same per-round SQL.
+
+Cross-engine exactness: all-integer arithmetic (counts and string
+surgery only — no floats anywhere), so the driver hash needs no
+rounding contract at all.
+
+Reference parity note: the reference engine has no tokenizer operator —
+this family belongs to the training-data-pipeline mandate (SURVEY.md
+§6), alongside the n-gram LM and DSIR.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# --- shared dialect snippets ------------------------------------------------
+
+# word -> sentinel-spaced initial symbolization " h e l l o "
+_INIT_SPARK = ("concat(' ', array_join(filter(split(word, ''),"
+               " c -> c <> ''), ' '), ' ')")
+_INIT_DUCK = ("' ' || array_to_string(list_filter(string_split(word, ''),"
+              " c -> c <> ''), ' ') || ' '")
+
+# adjacent symbol pairs of the current symbolization w (single-spaced)
+_PAIRS_SPARK = ("CASE WHEN size(_s) >= 2 THEN"
+                " transform(sequence(1, size(_s) - 1),"
+                " i -> concat(element_at(_s, i), ' ',"
+                " element_at(_s, i + 1))) ELSE array() END")
+_PAIRS_DUCK = ("list_transform(generate_series(2, len(_s)),"
+               " i -> _s[i - 1] || ' ' || _s[i])")
+
+# greedy left-to-right merge of (p1, p2) over the symbol array: the
+# accumulator is the sentinel-spaced merged prefix; a symbol merges iff
+# the prefix currently ends with " p1 " — the merged token p1p2 differs
+# from p1, so runs merge in non-overlapping left-to-right order, exactly
+# the BPE application rule.
+_FOLD_BODY = """CASE
+      WHEN length(acc) >= length(p1) + 2
+           AND substr(acc, length(acc) - length(p1) - 1)
+               = ' ' || p1 || ' '
+           AND x = p2
+      THEN substr(acc, 1, length(acc) - length(p1) - 1)
+           || p1 || p2 || ' '
+      ELSE acc || x || ' ' END"""
+_MERGE_SPARK = (f"aggregate(_s, CAST(' ' AS STRING),"
+                f" (acc, x) -> {_FOLD_BODY})")
+_MERGE_DUCK = (f"list_reduce(list_prepend(' ', _s),"
+               f" (acc, x) -> {_FOLD_BODY})")
+
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq): the corpus-scale pass — one partial+final count,
+    vocabulary-scale output. Everything downstream trains on this."""
+    return (df.select(F.explode(F.expr(
+                f"filter(split(lower(trim({text_col})), ' '),"
+                f" x -> x <> '')")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("freq")))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Frequency-weighted adjacent character-pair counts over the
+    initial symbolizations — the statistic the first merge maximizes."""
+    words = word_freqs(df, text_col)
+    w0 = words.select(F.expr(_INIT_SPARK).alias("w"), "freq")
+    return _pair_counts(w0)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    return (words
+            .select("freq", F.expr("split(trim(w), ' ')").alias("_s"))
+            .select("freq", F.explode(F.expr(_PAIRS_SPARK)).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("long").alias("cnt")))
+
+
+def bpe_learn(df: DataFrame, rounds: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """Learn the first ``rounds`` BPE merges, fully in-plan: per round,
+    aggregate pair stats, take the argmax pair (cnt desc, pair asc — a
+    total order), broadcast it, and fold it into every word. Returns the
+    merge table (round, pair, cnt) — the tokenizer-training artifact."""
+    words = (word_freqs(df, text_col)
+             .select(F.expr(_INIT_SPARK).alias("w"), "freq"))
+    merges = None
+    for r in range(1, rounds + 1):
+        best = (_pair_counts(words)
+                .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+                .select(F.lit(r).cast("int").alias("round"), "pair", "cnt"))
+        step = (best.select("round", "pair", "cnt",
+                            F.expr("split_part(pair, ' ', 1)").alias("p1"),
+                            F.expr("split_part(pair, ' ', 2)").alias("p2")))
+        merges = best if merges is None else merges.unionByName(best)
+        words = (words.crossJoin(F.broadcast(step.select("p1", "p2")))
+                 .select(F.expr("split(trim(w), ' ')").alias("_s"),
+                         "freq", "p1", "p2")
+                 .select(F.expr(_MERGE_SPARK).alias("w"), "freq"))
+    return merges
+
+
+# --- DuckDB oracles ----------------------------------------------------------
+
+def _word_freqs_sql(table: str, text_col: str) -> str:
+    return f"""
+    WITH wf AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+                     string_split(lower(trim({text_col})), ' '),
+                     x -> x <> '')) AS word FROM {table})
+      GROUP BY word
+    ),
+    w0 AS (SELECT {_INIT_DUCK} AS w, freq FROM wf)
+    """
+
+
+def _pair_counts_sql(src: str) -> str:
+    """SELECT body: (pair, cnt) over symbolization CTE ``src``."""
+    return f"""
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, unnest({_PAIRS_DUCK}) AS pair
+            FROM (SELECT freq, string_split(trim(w), ' ') AS _s
+                  FROM {src}))
+      GROUP BY pair"""
+
+
+def bpe_pair_counts_sql(table: str, text_col: str = "text") -> str:
+    return (_word_freqs_sql(table, text_col)
+            + _pair_counts_sql("w0"))
+
+
+def bpe_learn_sql(table: str, rounds: int = 3,
+                  text_col: str = "text") -> str:
+    parts = [_word_freqs_sql(table, text_col)]
+    for r in range(1, rounds + 1):
+        prev = f"w{r - 1}"
+        parts.append(f""",
+    pc{r} AS ({_pair_counts_sql(prev)}),
+    b{r} AS (SELECT {r} AS round, pair, cnt,
+                    split_part(pair, ' ', 1) AS p1,
+                    split_part(pair, ' ', 2) AS p2
+             FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
+    w{r} AS (SELECT {_MERGE_DUCK} AS w, freq
+             FROM (SELECT string_split(trim(w), ' ') AS _s, freq, p1, p2
+                   FROM {prev} CROSS JOIN b{r}))""")
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST(round AS INT) AS round, pair, cnt FROM b{r}"
+        for r in range(1, rounds + 1))
+    parts.append(f"\n    {union}")
+    return "".join(parts)

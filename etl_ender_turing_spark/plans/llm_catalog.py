@@ -1597,3 +1597,39 @@ def q_dsir_weights(spark, sf_dir):
         "global sort shuffle)")
 def q_dsir_topk(spark, sf_dir):
     return dsir.dsir_topk(_docs(spark, sf_dir), k=100, n_buckets=256)
+
+
+# =========================================================================
+# BPE tokenizer training (Sennrich et al. 2016)
+# =========================================================================
+
+from ..operators import bpe  # noqa: E402
+
+
+@register(
+    "q_bpe_pair_counts",
+    bpe.bpe_pair_counts_sql("documents"),
+    doc="BPE pair statistics (operators/bpe.bpe_pair_counts): frequency-"
+        "weighted adjacent character-pair counts over the distinct-word "
+        "table — the corpus-scale stage of tokenizer training is the ONE "
+        "word_freqs aggregation (vocab-scale, Zipf-bounded output); the "
+        "pair stats are a second vocab-scale agg on top. All-integer "
+        "arithmetic, no rounding contract needed")
+def q_bpe_pair_counts(spark, sf_dir):
+    return bpe.bpe_pair_counts(_docs(spark, sf_dir))
+
+
+@register(
+    "q_bpe_merges",
+    bpe.bpe_learn_sql("documents", rounds=4),
+    doc="BPE merge learning, 4 plan-unrolled rounds (operators/bpe."
+        "bpe_learn): per round an argmax pair (ORDER BY+LIMIT 1 -> "
+        "TakeOrderedAndProject, broadcast 1-row) folds into every "
+        "word via a greedy left-to-right symbol fold — string replace "
+        "would merge runs wrong (aa a a, not BPE's aa aa); the fold is "
+        "pinned by test and certified identical in both engines. At "
+        "100 TB the vocab table is collected after the single corpus "
+        "pass and rounds run driver-side — the unrolled plan exists so "
+        "the loop itself is oracle-certifiable")
+def q_bpe_merges(spark, sf_dir):
+    return bpe.bpe_learn(_docs(spark, sf_dir), rounds=4)

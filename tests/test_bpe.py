@@ -1,0 +1,60 @@
+"""BPE tokenizer training: the merge rule, pinned against hand-traced
+BPE. The oracle queries certify Spark==DuckDB; these pin Spark==BPE —
+in particular the greedy left-to-right run semantics that a string
+``replace`` implementation gets wrong in BOTH engines at once.
+"""
+
+from __future__ import annotations
+
+from etl_ender_turing_spark.operators import bpe
+
+
+def _learn(spark, texts, rounds):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    return [(r.round, r.pair, r.cnt)
+            for r in bpe.bpe_learn(df, rounds=rounds).collect()]
+
+
+def test_runs_merge_left_to_right_nonoverlapping(spark):
+    # word "aaaa": pair (a,a) occurs 3 times; after merging it the BPE
+    # symbolization is [aa, aa] — round 2's best pair must be "aa aa".
+    # A replace()-based merge yields [aa, a, a] (it rescans the original
+    # string) and round 2 would pick "a a" instead — this test is the
+    # tripwire for that bug.
+    got = _learn(spark, ["aaaa"], rounds=2)
+    assert got == [(1, "a a", 3), (2, "aa aa", 1)]
+
+
+def test_odd_run_keeps_the_tail_symbol(spark):
+    # "aaa" -> [aa, a] (greedy from the left), so round 2 sees "aa a",
+    # never "a aa"
+    got = _learn(spark, ["aaa"], rounds=2)
+    assert got == [(1, "a a", 2), (2, "aa a", 1)]
+
+
+def test_pair_counts_are_word_frequency_weighted(spark):
+    df = spark.createDataFrame([(0, "ab ab ab"), (1, "Ab  cd")],
+                               "doc_id long, text string")
+    counts = {r.pair: r.cnt for r in bpe.bpe_pair_counts(df).collect()}
+    # 'ab' appears 4 times total (case-folded, multi-space safe)
+    assert counts["a b"] == 4
+    assert counts["c d"] == 1
+
+
+def test_learn_matches_hand_traced_bpe(spark):
+    # the Sennrich worked example: low×5 lower×2 newest×6 widest×3.
+    # Pair counts: 'e s' = newest(6)+widest(3) = 9, 's t' = 9,
+    # 'w e' = lower(2)+newest(6) = 8, 'l o' = 'o w' = 7.
+    # Round 1: 9-9 tie between 'e s' and 's t' breaks pair-asc -> 'e s';
+    # round 2: 'es t' now counts 9 (newest+widest) and wins over 'w e' 8.
+    got = _learn(spark, ["low " * 5 + "lower " * 2
+                         + "newest " * 6 + "widest " * 3], rounds=2)
+    assert got == [(1, "e s", 9), (2, "es t", 9)]
+
+
+def test_argmax_is_heap_shaped_and_merges_broadcast(spark):
+    df = spark.createDataFrame([(0, "abc abd")], "doc_id long, text string")
+    plan = (bpe.bpe_learn(df, rounds=1)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
