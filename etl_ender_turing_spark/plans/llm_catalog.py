@@ -1633,3 +1633,61 @@ def q_bpe_pair_counts(spark, sf_dir):
         "the loop itself is oracle-certifiable")
 def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_learn(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "q_lm_ccnet_gate",
+    f"""
+    WITH scores AS ({lm.stupid_backoff_scores_sql("documents")}),
+    sl AS (SELECT s.doc_id, d.lang, s.mean_nll
+           FROM scores s JOIN documents d USING (doc_id)),
+    th AS (
+      -- the proven explicit integer-index tercile rule (see
+      -- q_ccnet_buckets); ascending nll, so LOW surprisal = head
+      SELECT lang,
+             l[(len(l) + 2) // 3] AS t1,
+             l[(2 * len(l) + 2) // 3] AS t2
+      FROM (SELECT lang, list_sort(list(mean_nll)) AS l
+            FROM sl GROUP BY lang)
+    )
+    SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(FLOOR(mean_nll * 1000000 + 0.5)
+                         / 1000000 AS DECIMAL(28,6))) AS DOUBLE)
+             / COUNT(*) AS mean_nll
+    FROM (
+      SELECT sl.lang, sl.mean_nll,
+             CASE WHEN sl.mean_nll < th.t1 THEN 'head'
+                  WHEN sl.mean_nll < th.t2 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM sl JOIN th USING (lang)
+    ) GROUP BY lang, bucket
+    """,
+    doc="CCNet's ACTUAL gate, end-to-end executable: per-language "
+        "head/middle/tail terciles over REAL trigram-LM surprisal "
+        "(q_lm_scores) instead of the bigram-coherence proxy — train "
+        "counts on the trusted split, score every doc, threshold-join "
+        "the 5-row tercile table (no per-language window over the "
+        "corpus). Low nats/token = fluent = head; same explicit "
+        "integer-index tercile rule and FLOOR-6dp decimal-mean "
+        "contract as q_ccnet_buckets")
+def q_lm_ccnet_gate(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    scores = lm.stupid_backoff_scores(docs, lm.train_ngram_counts(docs))
+    sl = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    th = (sl.groupBy("lang")
+          .agg(F.sort_array(F.collect_list("mean_nll")).alias("l"))
+          .select("lang",
+                  F.expr("element_at(l, CAST((size(l) + 2) div 3 AS INT))")
+                  .alias("t1"),
+                  F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
+                         " AS INT))").alias("t2")))
+    b = (sl.join(F.broadcast(th), "lang")
+         .withColumn("bucket",
+                     F.when(F.col("mean_nll") < F.col("t1"), "head")
+                     .when(F.col("mean_nll") < F.col("t2"), "middle")
+                     .otherwise("tail")))
+    return (b.groupBy("lang", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.expr("CAST(SUM(CAST(FLOOR(mean_nll * 1000000"
+                        " + 0.5) / 1000000 AS DECIMAL(28,6)))"
+                        " AS DOUBLE) / COUNT(*)").alias("mean_nll")))
