@@ -24,7 +24,10 @@ from pyspark.sql import functions as F
 # the package re-exports a conform() FUNCTION that shadows the conform
 # SUBMODULE on every import-as spelling — import the function directly
 from etl_ender_turing_spark.operators.conform import snapshot_diff
+from etl_ender_turing_spark.operators import bpe
 from etl_ender_turing_spark.operators import dedup as dd
+from etl_ender_turing_spark.operators import dsir as dsr
+from etl_ender_turing_spark.operators import lm
 from etl_ender_turing_spark.operators import similarity as sim
 from etl_ender_turing_spark.operators import terms as tm
 from etl_ender_turing_spark.operators import textstats as ts
@@ -110,6 +113,16 @@ def main() -> None:
         # replication offsets user_id -> k disjoint key spaces: the
         # per-key windows multiply in count, never in size
         "consec_dedup": lambda d, e, ev: force(dd.consecutive_dedup(ev)),
+        # round-6 ops: LM scoring joins a vocab-scale (replication-
+        # invariant) count table against a linearly-growing position
+        # stream; DSIR reduces a broadcast B-row model; BPE rounds work
+        # on the distinct-word table, which replication does NOT grow —
+        # its times should stay near-flat after the word_freqs scan
+        "lm_scores": lambda d, e, ev: force(lm.stupid_backoff_scores(
+            d, lm.train_ngram_counts(d))),
+        "dsir_weights": lambda d, e, ev: force(dsr.dsir_weights(
+            d, n_buckets=1024)),
+        "bpe_learn": lambda d, e, ev: force(bpe.bpe_learn(d, rounds=2)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
