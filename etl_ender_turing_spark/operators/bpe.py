@@ -99,28 +99,60 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             .agg(F.sum("freq").cast("long").alias("cnt")))
 
 
-def bpe_learn(df: DataFrame, rounds: int = 3,
-              text_col: str = "text") -> DataFrame:
-    """Learn the first ``rounds`` BPE merges, fully in-plan: per round,
-    aggregate pair stats, take the argmax pair (cnt desc, pair asc — a
-    total order), broadcast it, and fold it into every word. Returns the
-    merge table (round, pair, cnt) — the tokenizer-training artifact."""
+def _merge_rounds(df: DataFrame, rounds: int, text_col: str):
+    """Shared learn/apply loop: per round aggregate pair stats, argmax
+    the pair, broadcast it, fold it into every word. Returns the merge
+    table (round, pair, cnt) and the final (word, w, freq)
+    symbolizations — both lazy plans over the same round chain."""
     words = (word_freqs(df, text_col)
-             .select(F.expr(_INIT_SPARK).alias("w"), "freq"))
+             .select("word", F.expr(_INIT_SPARK).alias("w"), "freq"))
     merges = None
     for r in range(1, rounds + 1):
         best = (_pair_counts(words)
                 .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
                 .select(F.lit(r).cast("int").alias("round"), "pair", "cnt"))
-        step = (best.select("round", "pair", "cnt",
-                            F.expr("split_part(pair, ' ', 1)").alias("p1"),
+        step = (best.select(F.expr("split_part(pair, ' ', 1)").alias("p1"),
                             F.expr("split_part(pair, ' ', 2)").alias("p2")))
         merges = best if merges is None else merges.unionByName(best)
-        words = (words.crossJoin(F.broadcast(step.select("p1", "p2")))
-                 .select(F.expr("split(trim(w), ' ')").alias("_s"),
+        words = (words.crossJoin(F.broadcast(step))
+                 .select("word", F.expr("split(trim(w), ' ')").alias("_s"),
                          "freq", "p1", "p2")
-                 .select(F.expr(_MERGE_SPARK).alias("w"), "freq"))
+                 .select("word", F.expr(_MERGE_SPARK).alias("w"), "freq"))
+    return merges, words
+
+
+def bpe_learn(df: DataFrame, rounds: int = 3,
+              text_col: str = "text") -> DataFrame:
+    """Learn the first ``rounds`` BPE merges, fully in-plan. Returns the
+    merge table (round, pair, cnt) — the tokenizer-training artifact."""
+    merges, _ = _merge_rounds(df, rounds, text_col)
     return merges
+
+
+def bpe_encode_counts(df: DataFrame, rounds: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Apply the learned merges corpus-wide: per-document token counts
+    under the trained BPE vocabulary — the number every budget/packing
+    operator actually needs (whitespace counts over-estimate it).
+
+    The fold work happens ONCE PER DISTINCT WORD (vocab-scale), then the
+    per-word token counts join back onto the document word stream (AQE
+    broadcasts the vocab side while it fits) and reduce per doc — the
+    same skinny-frame re-join shape as SemDeDup's cell assignment.
+    Documents with no tokens drop out (both engines agree).
+
+    Returns (id, n_words, n_tokens)."""
+    _, words = _merge_rounds(df, rounds, text_col)
+    vt = words.select("word", F.expr("size(split(trim(w), ' '))")
+                      .cast("long").alias("n_tok"))
+    stream = (df.select(F.col(id_col), F.explode(F.expr(
+                  f"filter(split(lower(trim({text_col})), ' '),"
+                  f" x -> x <> '')")).alias("word")))
+    return (stream.join(vt, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_tok").cast("long").alias("n_tokens")))
 
 
 # --- DuckDB oracles ----------------------------------------------------------
@@ -134,7 +166,7 @@ def _word_freqs_sql(table: str, text_col: str) -> str:
                      x -> x <> '')) AS word FROM {table})
       GROUP BY word
     ),
-    w0 AS (SELECT {_INIT_DUCK} AS w, freq FROM wf)
+    w0 AS (SELECT word, {_INIT_DUCK} AS w, freq FROM wf)
     """
 
 
@@ -153,8 +185,9 @@ def bpe_pair_counts_sql(table: str, text_col: str = "text") -> str:
             + _pair_counts_sql("w0"))
 
 
-def bpe_learn_sql(table: str, rounds: int = 3,
-                  text_col: str = "text") -> str:
+def _rounds_sql(table: str, rounds: int, text_col: str) -> str:
+    """WITH chain: wf/w0 plus per-round pair stats pc{r}, argmax b{r}
+    and merged symbolizations w{r}."""
     parts = [_word_freqs_sql(table, text_col)]
     for r in range(1, rounds + 1):
         prev = f"w{r - 1}"
@@ -164,11 +197,32 @@ def bpe_learn_sql(table: str, rounds: int = 3,
                     split_part(pair, ' ', 1) AS p1,
                     split_part(pair, ' ', 2) AS p2
              FROM pc{r} ORDER BY cnt DESC, pair ASC LIMIT 1),
-    w{r} AS (SELECT {_MERGE_DUCK} AS w, freq
-             FROM (SELECT string_split(trim(w), ' ') AS _s, freq, p1, p2
+    w{r} AS (SELECT word, {_MERGE_DUCK} AS w, freq
+             FROM (SELECT word, string_split(trim(w), ' ') AS _s, freq,
+                          p1, p2
                    FROM {prev} CROSS JOIN b{r}))""")
+    return "".join(parts)
+
+
+def bpe_learn_sql(table: str, rounds: int = 3,
+                  text_col: str = "text") -> str:
     union = "\n      UNION ALL ".join(
         f"SELECT CAST(round AS INT) AS round, pair, cnt FROM b{r}"
         for r in range(1, rounds + 1))
-    parts.append(f"\n    {union}")
-    return "".join(parts)
+    return _rounds_sql(table, rounds, text_col) + f"\n    {union}"
+
+
+def bpe_encode_counts_sql(table: str, rounds: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> str:
+    tok = (f"list_filter(string_split(lower(trim({text_col})), ' '),"
+           f" x -> x <> '')")
+    return _rounds_sql(table, rounds, text_col) + f""",
+    vt AS (SELECT word,
+                  CAST(len(string_split(trim(w), ' ')) AS BIGINT) AS n_tok
+           FROM w{rounds}),
+    stream AS (SELECT {id_col}, unnest({tok}) AS word FROM {table})
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM stream JOIN vt USING (word)
+    GROUP BY {id_col}"""

@@ -1691,3 +1691,16 @@ def q_lm_ccnet_gate(spark, sf_dir):
                  F.expr("CAST(SUM(CAST(FLOOR(mean_nll * 1000000"
                         " + 0.5) / 1000000 AS DECIMAL(28,6)))"
                         " AS DOUBLE) / COUNT(*)").alias("mean_nll")))
+
+
+@register(
+    "q_bpe_encode",
+    bpe.bpe_encode_counts_sql("documents", rounds=4),
+    doc="BPE tokenization applied corpus-wide (operators/bpe."
+        "bpe_encode_counts): per-doc token counts under the learned "
+        "4-merge vocabulary — the number budget/packing operators "
+        "actually need (whitespace counts over-estimate it). The fold "
+        "runs once per DISTINCT word; per-word counts re-join the doc "
+        "word stream (skinny side AQE-broadcast) and reduce per doc")
+def q_bpe_encode(spark, sf_dir):
+    return bpe.bpe_encode_counts(_docs(spark, sf_dir), rounds=4)

@@ -58,3 +58,25 @@ def test_argmax_is_heap_shaped_and_merges_broadcast(spark):
     plan = (bpe.bpe_learn(df, rounds=1)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
+
+
+def test_encode_counts_match_hand_trace(spark):
+    # corpus "aaaa": merges r1 = (a,a), r2 = (aa,aa); encoding "aaaa"
+    # under 1 round -> [aa, aa] = 2 tokens, under 2 rounds -> 1 token
+    df = spark.createDataFrame([(0, "aaaa")], "doc_id long, text string")
+    one = bpe.bpe_encode_counts(df, rounds=1).collect()[0]
+    two = bpe.bpe_encode_counts(df, rounds=2).collect()[0]
+    assert (one.n_words, one.n_tokens) == (1, 2)
+    assert (two.n_words, two.n_tokens) == (1, 1)
+
+
+def test_encode_folds_once_per_distinct_word(spark):
+    # same word repeated across docs: counts multiply, never diverge
+    df = spark.createDataFrame([(0, "abab abab"), (1, "abab")],
+                               "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in bpe.bpe_encode_counts(df, rounds=1).collect()}
+    # round 1 best pair: 'a b' (3) vs 'b a' (3) -> 'a b' wins pair-asc;
+    # abab -> [ab, ab] after merging -> 2 tokens per occurrence
+    assert got[0] == (2, 4)
+    assert got[1] == (1, 2)
