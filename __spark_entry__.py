@@ -38,7 +38,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # index rule → ccnet; key-only-table fix → snapshot_diff/reconcile;
     # JPEG plant → media_meta) ---
     "q_dsir_weights", "q_dsir_topk", "q_bpe_pair_counts", "q_bpe_merges",
-    "q_lm_ccnet_gate", "q_bpe_encode",
+    "q_lm_ccnet_gate", "q_bpe_encode", "q_unimax_allocation",
     "q_ngram_lm_counts", "q_lm_scores", "q_paragraph_dedup",
     "q_html_extract", "q_web_curation_pipeline", "q_media_meta",
     "q_url_parse", "q_domain_stats", "q_domain_blocklist", "q_url_dedup",

@@ -429,3 +429,100 @@ def train_val_test_split_sql(table: str = "documents",
            COUNT(*) AS n_docs
     FROM {table} GROUP BY 1, 2
     """
+
+
+def unimax_allocation(df: DataFrame, budget: int, epochs: int = 4,
+                      lang_col: str = "lang",
+                      token_col: str = "n_chars") -> DataFrame:
+    """UniMax language-balanced budget allocation (Chung et al. 2023,
+    arXiv:2304.09151): split a token budget across languages as evenly
+    as possible, but never take more than ``epochs`` passes over any
+    language's data — the sampling recipe behind mT5/uMT5 that replaces
+    temperature mixing.
+
+    Closed form of the paper's waterfilling loop: sort languages by
+    their cap ``c_l = avail_l · epochs`` ascending; a language is
+    cap-bound iff its cap fits under an equal split of what remains
+    AFTER every smaller language took its cap — the condition
+    ``c_i · (L − i + 1) ≤ budget − prefix(i−1)`` is monotone, so the
+    bound set is a prefix. Everyone else gets the equal share of the
+    leftover. All of it runs on the L-row per-language aggregate
+    (language cardinality is bounded ~hundreds — metadata-scale, so the
+    single-partition window is free; the corpus-scale work is the one
+    partial+final sum per language).
+
+    Returns (lang, avail_tokens, cap_tokens, alloc_tokens, epochs_used),
+    alloc/epochs 6dp via the shared contract.
+    """
+    agg = (df.groupBy(F.col(lang_col).alias("lang"))
+           .agg(F.sum(token_col).cast("long").alias("avail")))
+    w = Window.orderBy(F.asc("cap"), F.asc("lang"))
+    ranked = (agg
+              .withColumn("cap", (F.col("avail") * epochs).cast("long"))
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("pfx", F.sum("cap").over(w))
+              .withColumn("n_langs", F.count(F.lit(1)).over(
+                  Window.orderBy(F.lit(1)).rowsBetween(
+                      Window.unboundedPreceding,
+                      Window.unboundedFollowing))))
+    bound = ranked.withColumn(
+        "is_bound",
+        F.expr(f"cap * (n_langs - i + 1) <= {budget} - (pfx - cap)"))
+    stats = bound.groupBy().agg(
+        F.sum(F.when(F.col("is_bound"), 1).otherwise(0)).alias("k"),
+        F.sum(F.when(F.col("is_bound"), F.col("cap"))
+              .otherwise(0)).cast("long").alias("bound_sum"))
+    out = (bound.crossJoin(F.broadcast(stats))
+           .withColumn("alloc_raw", F.expr(f"""
+               CASE WHEN is_bound THEN CAST(cap AS DOUBLE)
+                    WHEN n_langs = k THEN CAST(0.0 AS DOUBLE)
+                    ELSE CAST({budget} - bound_sum AS DOUBLE)
+                         / CAST(n_langs - k AS DOUBLE) END""")))
+    return (out.select(
+        "lang", F.col("avail").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        round6u(F.col("alloc_raw")).alias("alloc_tokens"),
+        round6u(F.col("alloc_raw") / F.col("avail")).alias("epochs_used")))
+
+
+def unimax_allocation_sql(table: str, budget: int, epochs: int = 4,
+                          lang_col: str = "lang",
+                          token_col: str = "n_chars") -> str:
+    from ..functions.rounding import round6u_sql
+    return f"""
+    WITH agg AS (
+      SELECT {lang_col} AS lang, CAST(SUM({token_col}) AS BIGINT) AS avail
+      FROM {table} GROUP BY 1
+    ),
+    ranked AS (
+      SELECT lang, avail, CAST(avail * {epochs} AS BIGINT) AS cap,
+             ROW_NUMBER() OVER (ORDER BY avail * {epochs}, lang) AS i,
+             SUM(avail * {epochs})
+               OVER (ORDER BY avail * {epochs}, lang) AS pfx,
+             COUNT(*) OVER () AS n_langs
+      FROM agg
+    ),
+    bound AS (
+      SELECT *, cap * (n_langs - i + 1) <= {budget} - (pfx - cap)
+               AS is_bound
+      FROM ranked
+    ),
+    stats AS (
+      SELECT SUM(CASE WHEN is_bound THEN 1 ELSE 0 END) AS k,
+             CAST(SUM(CASE WHEN is_bound THEN cap ELSE 0 END)
+                  AS BIGINT) AS bound_sum
+      FROM bound
+    ),
+    alloc AS (
+      SELECT lang, avail, cap,
+             CASE WHEN is_bound THEN CAST(cap AS DOUBLE)
+                  WHEN n_langs = k THEN CAST(0.0 AS DOUBLE)
+                  ELSE CAST({budget} - bound_sum AS DOUBLE)
+                       / CAST(n_langs - k AS DOUBLE) END AS alloc_raw
+      FROM bound CROSS JOIN stats
+    )
+    SELECT lang, avail AS avail_tokens, cap AS cap_tokens,
+           {round6u_sql("alloc_raw")} AS alloc_tokens,
+           {round6u_sql("alloc_raw / avail")} AS epochs_used
+    FROM alloc
+    """

@@ -1704,3 +1704,18 @@ def q_lm_ccnet_gate(spark, sf_dir):
         "word stream (skinny side AQE-broadcast) and reduce per doc")
 def q_bpe_encode(spark, sf_dir):
     return bpe.bpe_encode_counts(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "q_unimax_allocation",
+    sp.unimax_allocation_sql("documents", budget=3_000_000, epochs=2),
+    doc="UniMax language-balanced budget allocation (operators/sampling."
+        "unimax_allocation, Chung et al. 2023): the mT5/uMT5 sampling "
+        "recipe — equal split with a per-language epoch cap, the "
+        "paper's waterfilling loop in closed form (monotone bound "
+        "condition over the cap-sorted prefix). Corpus-scale work is "
+        "one partial+final sum per language; everything after runs on "
+        "the L-row aggregate (metadata-scale single-partition window)")
+def q_unimax_allocation(spark, sf_dir):
+    return sp.unimax_allocation(_docs(spark, sf_dir),
+                                budget=3_000_000, epochs=2)

@@ -1235,3 +1235,24 @@ def test_ccnet_buckets_are_percentile_thirds(spark):
     for lang in {lg for lg, _ in by}:
         if (lang, "head") in means and (lang, "tail") in means:
             assert means[(lang, "head")] > means[(lang, "tail")]
+
+
+def test_unimax_waterfilling_hand_math(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    rows = ([(i, "a", 1) for i in range(10)]
+            + [(100 + i, "b", 1) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+    # caps at 2 epochs: a=20, b=200; budget 60 -> a is cap-bound
+    # (20*2 <= 60), b takes the leftover 40 = 0.4 epochs
+    got = {r.lang: r for r in
+           sp.unimax_allocation(df, budget=60, epochs=2).collect()}
+    assert got["a"].alloc_tokens == 20.0 and got["a"].epochs_used == 2.0
+    assert got["b"].alloc_tokens == 40.0 and got["b"].epochs_used == 0.4
+    # budget >= total supply: everyone is cap-bound
+    got2 = {r.lang: r.alloc_tokens for r in
+            sp.unimax_allocation(df, budget=10_000, epochs=2).collect()}
+    assert got2 == {"a": 20.0, "b": 200.0}
+    # budget so small nobody's cap binds: exact equal split
+    got3 = {r.lang: r.alloc_tokens for r in
+            sp.unimax_allocation(df, budget=30, epochs=2).collect()}
+    assert got3 == {"a": 15.0, "b": 15.0}
