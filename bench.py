@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "q_web_curation_pipeline",
     "q_lm_scores",
     "q_dsir_weights",
+    "q_llm_training_set",
 ]
 
 

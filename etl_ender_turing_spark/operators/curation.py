@@ -110,6 +110,107 @@ def prepare_training_set_sql(table: str = "documents",
     """
 
 
+def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
+                             bpe_rounds: int = 2, train_mod: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The round-6 capstone composition — every stage a certified
+    operator, chained the way a real LM-pretraining data pipeline runs:
+
+    1. **LM perplexity gate** (`operators/lm.py`): train trigram counts
+       on the trusted split, score every doc, drop each language's
+       worst tercile (the CCNet recipe with a real LM, not a proxy);
+    2. **DSIR selection** (`operators/dsir.py`): trusted survivors pass
+       through; raw survivors keep only the ``k_raw`` most target-like
+       by hashed-n-gram importance weight (disjoint sets by
+       construction — DSIR scores only the raw pool);
+    3. **exact dedup**: min-id per content hash, one uniform shuffle;
+    4. **BPE token manifest** (`operators/bpe.py`): train ``bpe_rounds``
+       merges on the final corpus and emit true token counts — the
+       numbers a trainer budgets with.
+
+    No stage adds a shuffle beyond its own certified shape. Returns
+    (id, lang, source, n_words, n_tokens).
+    """
+    from . import bpe
+    from . import dsir
+    from . import lm
+
+    scores = lm.stupid_backoff_scores(
+        docs, lm.train_ngram_counts(docs, train_mod, text_col, id_col),
+        text_col, id_col)
+    sl = scores.join(docs.select(id_col, "lang"), id_col)
+    # upper-tercile threshold per language, the proven explicit
+    # integer-index rule (see q_ccnet_buckets)
+    th = (sl.groupBy("lang")
+          .agg(F.sort_array(F.collect_list("mean_nll")).alias("l"))
+          .select("lang",
+                  F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
+                         " AS INT))").alias("t2")))
+    kept_ids = (sl.join(F.broadcast(th), "lang")
+                .filter(F.col("mean_nll") < F.col("t2")).select(id_col))
+    kept = docs.join(kept_ids, id_col)
+
+    sel_ids = (kept.filter((F.col(id_col) % train_mod) == 0)
+               .select(id_col)
+               .unionByName(
+                   dsir.dsir_topk(kept, k=k_raw, train_mod=train_mod,
+                                  text_col=text_col, id_col=id_col)
+                   .select(id_col)))
+    selected = kept.join(sel_ids, id_col)
+
+    w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))) \
+              .orderBy(F.col(id_col))
+    deduped = (selected.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn"))
+
+    enc = bpe.bpe_encode_counts(deduped, rounds=bpe_rounds,
+                                text_col=text_col, id_col=id_col)
+    return deduped.select(id_col, "lang", "source").join(enc, id_col)
+
+
+def prepare_llm_training_set_sql(table: str = "documents",
+                                 k_raw: int = 200, bpe_rounds: int = 2,
+                                 train_mod: int = 5,
+                                 text_col: str = "text",
+                                 id_col: str = "doc_id") -> str:
+    """Composed DuckDB oracle: each stage's own generator, nested as an
+    isolated WITH block, so the hash match certifies the chain."""
+    from . import bpe
+    from . import dsir
+    from . import lm
+
+    lm_sql = lm.stupid_backoff_scores_sql(table, train_mod, text_col,
+                                          id_col)
+    dsir_sql = dsir.dsir_topk_sql("kept", k=k_raw, train_mod=train_mod,
+                                  text_col=text_col, id_col=id_col)
+    enc_sql = bpe.bpe_encode_counts_sql("dedup2", rounds=bpe_rounds,
+                                        text_col=text_col, id_col=id_col)
+    return f"""
+    WITH lmscores AS ({lm_sql}),
+    sl AS (SELECT s.{id_col}, d.lang, s.mean_nll
+           FROM lmscores s JOIN {table} d USING ({id_col})),
+    th AS (SELECT lang, l[(2 * len(l) + 2) // 3] AS t2
+           FROM (SELECT lang, list_sort(list(mean_nll)) AS l
+                 FROM sl GROUP BY lang)),
+    kept_ids AS (SELECT {id_col} FROM sl JOIN th USING (lang)
+                 WHERE mean_nll < t2),
+    kept AS (SELECT d.* FROM {table} d JOIN kept_ids USING ({id_col})),
+    sel_raw AS ({dsir_sql}),
+    sel_ids AS (SELECT {id_col} FROM kept WHERE {id_col} % {train_mod} = 0
+                UNION ALL SELECT {id_col} FROM sel_raw),
+    selected AS (SELECT k.* FROM kept k JOIN sel_ids USING ({id_col})),
+    dedup2 AS (
+      SELECT * FROM selected
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(lower({text_col}))
+                                 ORDER BY {id_col}) = 1
+    ),
+    enc AS ({enc_sql})
+    SELECT {id_col}, lang, source, n_words, n_tokens
+    FROM dedup2 JOIN enc USING ({id_col})
+    """
+
+
 def write_training_shards(df: DataFrame, path: str, n_shards: int = 16,
                           id_col: str = "doc_id") -> dict[int, int]:
     """Export the curated set as ``n_shards`` deterministic shards — the

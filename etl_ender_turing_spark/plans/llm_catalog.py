@@ -1719,3 +1719,18 @@ def q_bpe_encode(spark, sf_dir):
 def q_unimax_allocation(spark, sf_dir):
     return sp.unimax_allocation(_docs(spark, sf_dir),
                                 budget=3_000_000, epochs=2)
+
+
+@register(
+    "q_llm_training_set",
+    cu.prepare_llm_training_set_sql("documents", k_raw=200),
+    doc="The round-6 capstone composition (operators/curation."
+        "prepare_llm_training_set): trigram-LM perplexity gate (drop "
+        "each language's worst tercile) -> DSIR importance selection "
+        "of the top raw docs -> exact dedup -> BPE-token manifest. "
+        "Every stage is an individually-certified operator; the "
+        "composed oracle nests each stage's own SQL generator, so the "
+        "hash match certifies the chain end to end. No stage adds a "
+        "shuffle beyond its own certified shape")
+def q_llm_training_set(spark, sf_dir):
+    return cu.prepare_llm_training_set(_docs(spark, sf_dir), k_raw=200)

@@ -1256,3 +1256,23 @@ def test_unimax_waterfilling_hand_math(spark):
     got3 = {r.lang: r.alloc_tokens for r in
             sp.unimax_allocation(df, budget=30, epochs=2).collect()}
     assert got3 == {"a": 15.0, "b": 15.0}
+
+
+def test_llm_training_set_stage_composition(spark):
+    from etl_ender_turing_spark.operators import curation as cu
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = cu.prepare_llm_training_set(docs, k_raw=50)
+    rows = out.collect()
+    ids = {r.doc_id for r in rows}
+    # DSIR keeps at most k_raw raw docs; trusted docs pass the LM gate
+    # only (no cap)
+    raw = [i for i in ids if i % 5]
+    assert len(raw) <= 50
+    assert len(ids) > len(raw)          # some trusted docs survive
+    # token manifest is the BPE count, bounded by the whitespace count
+    for r in rows[:20]:
+        assert 0 < r.n_words <= r.n_tokens
+    # deterministic: a second build selects the identical set
+    again = {r.doc_id for r in
+             cu.prepare_llm_training_set(docs, k_raw=50).collect()}
+    assert again == ids
