@@ -129,8 +129,15 @@ def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
        merges on the final corpus and emit true token counts — the
        numbers a trainer budgets with.
 
-    No stage adds a shuffle beyond its own certified shape. Returns
-    (id, lang, source, n_words, n_tokens).
+    No stage adds a shuffle beyond its own certified shape. Stage
+    outputs that feed MULTIPLE consumers (the gate's id list, the
+    selection ids, the deduped corpus) are localCheckpointed: Spark has
+    no cross-consumer common-subexpression elimination, so without the
+    cut every consumer re-evaluates the whole upstream chain (measured
+    27.6 s -> ~7 s at sf0.1; the LM-scoring subtree alone was being
+    re-run ~12×). At 100 TB this is exactly stage materialization —
+    production writes each stage to parquet; the checkpoint is the
+    in-plan equivalent. Returns (id, lang, source, n_words, n_tokens).
     """
     from . import bpe
     from . import dsir
@@ -148,7 +155,8 @@ def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
                   F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
                          " AS INT))").alias("t2")))
     kept_ids = (sl.join(F.broadcast(th), "lang")
-                .filter(F.col("mean_nll") < F.col("t2")).select(id_col))
+                .filter(F.col("mean_nll") < F.col("t2")).select(id_col)
+                .localCheckpoint(eager=False))
     kept = docs.join(kept_ids, id_col)
 
     sel_ids = (kept.filter((F.col(id_col) % train_mod) == 0)
@@ -156,13 +164,15 @@ def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
                .unionByName(
                    dsir.dsir_topk(kept, k=k_raw, train_mod=train_mod,
                                   text_col=text_col, id_col=id_col)
-                   .select(id_col)))
+                   .select(id_col))
+               .localCheckpoint(eager=False))
     selected = kept.join(sel_ids, id_col)
 
     w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))) \
               .orderBy(F.col(id_col))
     deduped = (selected.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn"))
+               .filter(F.col("_rn") == 1).drop("_rn")
+               .localCheckpoint(eager=False))
 
     enc = bpe.bpe_encode_counts(deduped, rounds=bpe_rounds,
                                 text_col=text_col, id_col=id_col)
