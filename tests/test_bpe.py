@@ -80,3 +80,49 @@ def test_encode_folds_once_per_distinct_word(spark):
     # abab -> [ab, ab] after merging -> 2 tokens per occurrence
     assert got[0] == (2, 4)
     assert got[1] == (1, 2)
+
+
+# -- property tests: the fold invariants that must hold on ANY corpus -----
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abc", min_size=1, max_size=8)
+_corpus = st.lists(st.lists(_word, min_size=1, max_size=12), min_size=1,
+                   max_size=4)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_property_merges_never_change_word_content(spark, corpus):
+    # folding merges into a word regroups its characters; it must NEVER
+    # create, drop or reorder them — joining the final symbols of each
+    # word must reproduce the word exactly
+    from pyspark.sql import functions as F
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    _, words = bpe._merge_rounds(df, rounds=3, text_col="text")
+    bad = (words.select("word", F.expr("replace(trim(w), ' ', '')")
+                        .alias("joined"))
+           .filter(F.col("word") != F.col("joined"))).collect()
+    assert bad == []
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(_corpus)
+def test_property_token_counts_decrease_monotonically(spark, corpus):
+    # each merge round can only shrink (or hold) every doc's token count
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prev = None
+    for r in (0, 1, 2):
+        cur = {x.doc_id: x.n_tokens
+               for x in bpe.bpe_encode_counts(df, rounds=r).collect()} \
+            if r else {x.doc_id: sum(len(w) for w in ws)
+                       for x, ws in zip(
+                           df.orderBy("doc_id").collect(), corpus)}
+        if prev is not None:
+            assert all(cur[k] <= prev[k] for k in cur)
+        prev = cur
