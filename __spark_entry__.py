@@ -39,6 +39,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # JPEG plant → media_meta) ---
     "q_dsir_weights", "q_dsir_topk", "q_bpe_pair_counts", "q_bpe_merges",
     "q_lm_ccnet_gate", "q_bpe_encode", "q_unimax_allocation",
+    "q_stream_lm_scores",
     "q_llm_training_set",
     "q_ngram_lm_counts", "q_lm_scores", "q_paragraph_dedup",
     "q_html_extract", "q_web_curation_pipeline", "q_media_meta",
@@ -58,7 +59,13 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_boilerplate_ngrams", "q_training_set", "q_quality_gate_percentile",
     "q_corpus_stats", "q_token_rarity",
     # streaming r3 rows last in the stale block (each runs a full
-    # availableNow stream — the most expensive rows per proof)
+    # availableNow stream — the most expensive rows per proof).
+    # NOTE: with the round-6 additions this block ends at position 51 —
+    # one past the driver's 50-certification budget — so
+    # q_stream_quality_gate may stay r3-stale one more round. Chosen
+    # deliberately: a brand-new query with NO driver proof outranks a
+    # refresh of a row that is r3-green AND was independently
+    # re-verified against the oracle in round 5 (VERDICT.md).
     "q_stream_hourly_counts", "q_stream_session_windows",
     "q_stream_quality_gate",
     # r5-certified but touched by the round-6 conform.py key-only-table

@@ -1734,3 +1734,25 @@ def q_unimax_allocation(spark, sf_dir):
         "shuffle beyond its own certified shape")
 def q_llm_training_set(spark, sf_dir):
     return cu.prepare_llm_training_set(_docs(spark, sf_dir), k_raw=200)
+
+
+@register(
+    "q_stream_lm_scores",
+    lm.stupid_backoff_scores_sql("documents"),
+    doc="streaming ingest-time LM scoring run to completion "
+        "(availableNow): counts trained in BATCH on the trusted split "
+        "(the persisted-model pattern), the doc stream scored "
+        "STATELESSLY — the count tables collapse to three vocab maps + "
+        "total in one broadcast static row and each doc folds its own "
+        "surprisal (identical backoff CASE and decimal arithmetic as "
+        "q_lm_scores, so the ORACLE IS THE BATCH SQL: the stream must "
+        "hash-match DuckDB exactly). No watermark, no state store")
+def q_stream_lm_scores(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_lm_gate_batch
+    docs = _docs(spark, sf_dir)
+    counts = lm.train_ngram_counts(docs)
+    ckpt = tempfile.mkdtemp(prefix="q_stream_lm_ckpt_")
+    return run_lm_gate_batch(spark, sf_dir, ckpt, counts,
+                             glob_filter="documents.parquet")

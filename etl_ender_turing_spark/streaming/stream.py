@@ -277,6 +277,95 @@ def quality_gated_doc_stream(spark: SparkSession, source_dir: str,
         .filter(F.col("n_tokens") >= min_tokens))
 
 
+def lm_scored_doc_stream(spark: SparkSession, source_dir: str,
+                         counts: DataFrame,
+                         glob_filter: str | None = None) -> DataFrame:
+    """Streaming ingest-time LM scoring — CCNet's perplexity gate in the
+    shape it actually runs in production: the count model is trained in
+    BATCH (`operators/lm.train_ngram_counts`, persisted like any index)
+    and every arriving document is scored as it lands.
+
+    The batch scorer's five left joins would make the stream stateful;
+    instead the count tables collapse to THREE vocab maps + the total in
+    ONE static row, equi-joined (broadcast) into the stream, and each
+    doc computes its surprisal in a per-row fold — the identical
+    backoff CASE and 6dp-floor/decimal-sum arithmetic as the batch
+    operator (decimal addition is exact, so the fold's in-order sum
+    equals the batch groupBy's any-order sum). Fully STATELESS: no
+    watermark, no state store; the certifying oracle is the SAME SQL as
+    q_lm_scores. Vocab maps are vocabulary-bounded — the broadcast-dim
+    class, not the corpus class.
+    """
+    import re as _re
+
+    from ..operators.lm import _P_CASE, _TOK_SPARK
+
+    def _m(ordn: int) -> F.Column:
+        return F.expr(f"map_from_entries(collect_list("
+                      f"CASE WHEN ord = {ordn} THEN struct(gram, cnt)"
+                      f" END))")
+
+    model = (counts.groupBy()
+             .agg(_m(1).alias("m1"), _m(2).alias("m2"), _m(3).alias("m3"),
+                  F.sum(F.when(F.col("ord") == 1, F.col("cnt")))
+                  .cast("long").alias("total"),
+                  F.lit(1).alias("_k")))
+
+    # the batch CASE verbatim, its count columns rebound to the struct
+    # fields looked up from the maps ('\b' so cb does not eat cbx)
+    case = _re.sub(r"\b(c3|cbx|cb|cux|cu)\b", r"s.\1", _P_CASE)
+    # the step re-cast keeps the accumulator at DECIMAL(28,6) (decimal
+    # addition widens to (29,6), which aggregate() rejects); lossless —
+    # per-term magnitude is bounded by -ln(alpha²/total) ≈ tens of nats
+    fold = f"""
+        CAST(aggregate(_pos, CAST(0 AS DECIMAL(28,6)),
+          (acc, s) -> CAST(acc + CAST(FLOOR(-ln({case}) * 1000000 + 0.5)
+                                      / 1000000 AS DECIMAL(28,6))
+                           AS DECIMAL(28,6))) AS DOUBLE)
+    """
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir)
+    toks = (docs.join(F.broadcast(model), F.lit(1) == F.col("_k"))
+            .select("doc_id", "m1", "m2", "m3", "total",
+                    F.expr(_TOK_SPARK.format(col="text")).alias("t"))
+            .filter(F.expr("size(t) >= 3")))
+    # positions bound as a real column before the fold (no CSE inside
+    # HOF lambdas — see the char-entropy precedent)
+    pos = toks.select("doc_id", "total", F.expr("""
+        transform(sequence(3, size(t)), i -> struct(
+          element_at(m3, concat_ws(' ', element_at(t, i - 2),
+              element_at(t, i - 1), element_at(t, i))) AS c3,
+          element_at(m2, concat_ws(' ', element_at(t, i - 2),
+              element_at(t, i - 1))) AS cbx,
+          element_at(m2, concat_ws(' ', element_at(t, i - 1),
+              element_at(t, i))) AS cb,
+          element_at(m1, element_at(t, i - 1)) AS cux,
+          element_at(m1, element_at(t, i)) AS cu))""").alias("_pos"))
+    return pos.select(
+        "doc_id",
+        F.expr("size(_pos)").cast("long").alias("n_scored"),
+        (F.expr(fold) / F.expr("CAST(size(_pos) AS DOUBLE)"))
+        .alias("mean_nll"))
+
+
+def run_lm_gate_batch(spark: SparkSession, source_dir: str,
+                      checkpoint_dir: str, counts: DataFrame,
+                      glob_filter: str | None = None) -> DataFrame:
+    """Drive the LM-scoring stream to completion (availableNow) and
+    return the materialized result for parity/oracle checks."""
+    scored = lm_scored_doc_stream(spark, source_dir, counts, glob_filter)
+    q = (scored.writeStream.format("memory").queryName("lm_gate_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("lm_gate_result")
+
+
 def run_quality_gate_batch(spark: SparkSession, source_dir: str,
                            checkpoint_dir: str, min_tokens: int = 40,
                            glob_filter: str | None = None) -> DataFrame:

@@ -107,3 +107,20 @@ def test_multispace_and_short_docs_are_safe(spark):
     assert "" not in {g for gr in grams for g in gr.split(" ")}
     out = lm.stupid_backoff_scores(df, counts)
     assert {r.doc_id for r in out.collect()} == {0}
+
+
+def test_stream_scoring_equals_batch(spark, tmp_path):
+    # the streaming map-fold scorer must reproduce the batch five-way
+    # join scorer bit for bit (decimal addition is exact, so fold order
+    # vs groupBy order cannot diverge)
+    from etl_ender_turing_spark.streaming.stream import run_lm_gate_batch
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    counts = lm.train_ngram_counts(docs)
+    batch = {r.doc_id: (r.n_scored, r.mean_nll)
+             for r in lm.stupid_backoff_scores(docs, counts).collect()}
+    got = {r.doc_id: (r.n_scored, r.mean_nll)
+           for r in run_lm_gate_batch(
+               spark, sf, str(tmp_path / "ckpt"), counts,
+               glob_filter="documents.parquet").collect()}
+    assert got == batch
