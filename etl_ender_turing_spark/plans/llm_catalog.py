@@ -1756,3 +1756,15 @@ def q_stream_lm_scores(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="q_stream_lm_ckpt_")
     return run_lm_gate_batch(spark, sf_dir, ckpt, counts,
                              glob_filter="documents.parquet")
+
+
+@register(
+    "q_dsir_model",
+    dsir.dsir_bucket_model_sql("documents", n_buckets=256),
+    doc="the persistable DSIR artifact itself (operators/dsir."
+        "dsir_bucket_model): per-bucket target/raw counts + the "
+        "quantized log importance ratio — B rows whatever the corpus "
+        "size; a production run writes this once and scores many "
+        "pools against it (dsir_weights accepts model=)")
+def q_dsir_model(spark, sf_dir):
+    return dsir.dsir_bucket_model(_docs(spark, sf_dir), n_buckets=256)
