@@ -74,9 +74,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # re-certify right after the r3 block rather than spending two of
     # the 50 budget slots ahead of three-round-stale streaming rows)
     "q_snapshot_diff", "q_table_reconcile",
-    # new but TRANSITIVELY certified (q_dsir_weights shares the whole
-    # model subtree): below the stale refreshes, above the r4 block
-    "q_dsir_model",
+    # new but TRANSITIVELY certified (same oracle / shared subtree as an
+    # inline form already in the head): below the stale refreshes,
+    # above the r4 block
+    "q_dsir_model", "q_lm_from_counts", "q_dsir_from_model",
     # --- newest green row is ROUND 4 (50 queries): a budget cutoff lands
     # in here; whatever it reaches gets refreshed, the rest stay r4 ---
     "q_sessionize_events", "q_scd2_intervals", "q_unpivot_metrics",

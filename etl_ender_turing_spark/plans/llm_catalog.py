@@ -1768,3 +1768,40 @@ def q_stream_lm_scores(spark, sf_dir):
         "pools against it (dsir_weights accepts model=)")
 def q_dsir_model(spark, sf_dir):
     return dsir.dsir_bucket_model(_docs(spark, sf_dir), n_buckets=256)
+
+
+@register(
+    "q_lm_from_counts",
+    lm.stupid_backoff_scores_sql("documents"),
+    doc="LM scoring served from the PERSISTED count tables: train once, "
+        "write (ord, gram, cnt) to parquet, score many batches from the "
+        "artifact — the lifecycle a 100 TB deployment runs (the counts "
+        "are vocab-scale; re-deriving them per scoring batch would "
+        "re-scan the trusted corpus every time). Certified against the "
+        "same oracle as the inline q_lm_scores")
+def q_lm_from_counts(spark, sf_dir):
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_lm_counts_")
+    lm.train_ngram_counts(docs).write.mode("overwrite").parquet(path)
+    return lm.stupid_backoff_scores(docs, spark.read.parquet(path))
+
+
+@register(
+    "q_dsir_from_model",
+    dsir.dsir_weights_sql("documents", n_buckets=256),
+    doc="DSIR scoring served from the PERSISTED B-row bucket model "
+        "(dsir_weights(model=...)): the artifact q_dsir_model certifies, "
+        "written to parquet and read back — scoring a new pool never "
+        "re-trains. Certified against the same oracle as the inline "
+        "q_dsir_weights")
+def q_dsir_from_model(spark, sf_dir):
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_dsir_model_")
+    (dsir.dsir_bucket_model(docs, n_buckets=256)
+     .write.mode("overwrite").parquet(path))
+    return dsir.dsir_weights(docs, n_buckets=256,
+                             model=spark.read.parquet(path))

@@ -124,3 +124,16 @@ def test_stream_scoring_equals_batch(spark, tmp_path):
                spark, sf, str(tmp_path / "ckpt"), counts,
                glob_filter="documents.parquet").collect()}
     assert got == batch
+
+
+def test_degenerate_repeated_token_doc_scores_low(spark):
+    # a 5000-token "the the the ..." doc trained on itself: every
+    # position scores p = c3/cbx = 4998/4999 (the final context bigram
+    # has no successor, so the trigram count is one short of its
+    # context count) -> near-zero surprisal, no blowup, no overflow
+    df = spark.createDataFrame([(0, "the " * 5000)],
+                               "doc_id long, text string")
+    counts = lm.train_ngram_counts(df)
+    r = lm.stupid_backoff_scores(df, counts).collect()[0]
+    assert r.n_scored == 4998
+    assert r.mean_nll == pytest.approx(_term(4998 / 4999), abs=1e-9)
