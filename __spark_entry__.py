@@ -39,7 +39,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # JPEG plant → media_meta) ---
     "q_dsir_weights", "q_dsir_topk", "q_bpe_pair_counts", "q_bpe_merges",
     "q_lm_ccnet_gate", "q_bpe_encode", "q_unimax_allocation",
-    "q_stream_lm_scores",
+    "q_unimax_sample", "q_stream_lm_scores",
     "q_llm_training_set",
     "q_ngram_lm_counts", "q_lm_scores", "q_paragraph_dedup",
     "q_html_extract", "q_web_curation_pipeline", "q_media_meta",

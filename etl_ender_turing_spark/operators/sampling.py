@@ -526,3 +526,64 @@ def unimax_allocation_sql(table: str, budget: int, epochs: int = 4,
            {round6u_sql("alloc_raw / avail")} AS epochs_used
     FROM alloc
     """
+
+
+def unimax_sample(df: DataFrame, budget: int, epochs: int = 4,
+                  lang_col: str = "lang", token_col: str = "n_chars",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Materialize the UniMax allocation as an actual epoch-replicated
+    corpus: each language's ``epochs_used`` (a DATA-derived rate, unlike
+    :func:`epoch_mixture`'s caller-supplied dict) joins back onto its
+    documents as a broadcast L-row table; every doc emits
+    ``floor(epochs_used)`` full replicas plus a deterministic
+    md5-coin fractional tail, epoch-salted so different epochs stay
+    decorrelated. One narrow broadcast join + one explode — replication
+    happens ON THE EXECUTORS, never via driver-side unrolling, because
+    the rates are not known until the allocation aggregate runs.
+
+    Returns (id, lang, epoch).
+    """
+    alloc = unimax_allocation(df, budget, epochs, lang_col, token_col)
+    rates = alloc.select(F.col("lang").alias(lang_col),
+                         F.col("epochs_used").alias("_eu"))
+    coin = (f"conv(substring(md5(concat(CAST({id_col} AS STRING), 'ep',"
+            f" CAST(_fw AS STRING))), 1, 8), 16, 10) / {HASH_SPACE}")
+    return (df.select(id_col, lang_col)
+            .join(F.broadcast(rates), lang_col)
+            .withColumn("_fw", F.expr("CAST(FLOOR(_eu) AS INT)"))
+            .withColumn("_frac", F.expr("_eu - FLOOR(_eu)"))
+            .select(id_col, lang_col, F.explode(F.expr(f"""
+                concat(
+                  CASE WHEN _fw >= 1 THEN sequence(0, _fw - 1)
+                       ELSE CAST(array() AS ARRAY<INT>) END,
+                  CASE WHEN {coin} < _frac THEN array(_fw)
+                       ELSE CAST(array() AS ARRAY<INT>) END)"""))
+            .alias("epoch")))
+
+
+def unimax_sample_sql(table: str, budget: int, epochs: int = 4,
+                      lang_col: str = "lang", token_col: str = "n_chars",
+                      id_col: str = "doc_id") -> str:
+    coin = (f"(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || 'ep' ||"
+            f" CAST(_fw AS VARCHAR)), 1, 8))::UBIGINT / {HASH_SPACE})")
+    return f"""
+    WITH rates AS (
+      SELECT lang, epochs_used AS _eu
+      FROM ({unimax_allocation_sql(table, budget, epochs, lang_col,
+                                   token_col)})
+    ),
+    j AS (
+      SELECT d.{id_col}, d.{lang_col}, r._eu,
+             CAST(FLOOR(r._eu) AS INT) AS _fw,
+             r._eu - FLOOR(r._eu) AS _frac
+      FROM {table} d JOIN rates r ON d.{lang_col} = r.lang
+    )
+    SELECT {id_col}, {lang_col}, CAST(unnest(list_concat(
+             CASE WHEN _fw >= 1
+                  THEN list_transform(generate_series(0, _fw - 1),
+                                      x -> CAST(x AS INT))
+                  ELSE CAST([] AS INT[]) END,
+             CASE WHEN {coin} < _frac THEN [_fw]
+                  ELSE CAST([] AS INT[]) END)) AS INT) AS epoch
+    FROM j
+    """

@@ -1805,3 +1805,19 @@ def q_dsir_from_model(spark, sf_dir):
      .write.mode("overwrite").parquet(path))
     return dsir.dsir_weights(docs, n_buckets=256,
                              model=spark.read.parquet(path))
+
+
+@register(
+    "q_unimax_sample",
+    sp.unimax_sample_sql("documents", budget=2_000_000, epochs=2),
+    doc="the UniMax allocation MATERIALIZED as an epoch-replicated "
+        "corpus (operators/sampling.unimax_sample): the data-derived "
+        "per-language epochs_used broadcast-joins back onto the docs; "
+        "floor(epochs) full replicas + an epoch-salted md5-coin "
+        "fractional tail explode ON THE EXECUTORS (rates are unknown "
+        "until the allocation aggregate runs, so driver-side unrolling "
+        "a la epoch_mixture is impossible). sf0.01 exercises the "
+        "cap-bound regime, sf0.1 the equal-split regime, one query")
+def q_unimax_sample(spark, sf_dir):
+    return sp.unimax_sample(_docs(spark, sf_dir),
+                            budget=2_000_000, epochs=2)

@@ -1276,3 +1276,22 @@ def test_llm_training_set_stage_composition(spark):
     again = {r.doc_id for r in
              cu.prepare_llm_training_set(docs, k_raw=50).collect()}
     assert again == ids
+
+
+def test_unimax_sample_replication_matches_allocation(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    rows = ([(i, "a", 1) for i in range(10)]
+            + [(100 + i, "b", 1) for i in range(100)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_chars int")
+    # budget 60, epochs 2: a -> 2.0 epochs (two full replicas each),
+    # b -> 0.4 epochs (fractional only, epoch column = 0)
+    out = sp.unimax_sample(df, budget=60, epochs=2).collect()
+    a = [r for r in out if r.lang == "a"]
+    b = [r for r in out if r.lang == "b"]
+    assert len(a) == 20 and {r.epoch for r in a} == {0, 1}
+    assert {r.epoch for r in b} == {0}
+    # the fractional tail is the md5-coin ~40% of b's 100 docs, and is
+    # reproducible run to run
+    assert 20 <= len(b) <= 60
+    again = sp.unimax_sample(df, budget=60, epochs=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
