@@ -1,0 +1,135 @@
+"""Domain-graph operators: fixed-iteration PageRank over a weighted
+domain→domain link graph.
+
+Web-corpus curation ranks registered domains before it ranks pages:
+CommonCrawl publishes harmonic/PageRank centrality per domain, and
+crawl frontiers + quality priors key on it (a domain nobody links to is
+usually spam; a high-centrality domain earns a deeper crawl budget and a
+quality prior in the curation mix). The graph here is DOMAIN-cardinality
+— built by one aggregation over the corpus-scale link stream (see
+``web.extract_links`` / ``web.domain_edges``), after which every
+PageRank iteration runs on frames ~6 orders of magnitude smaller than
+the corpus. That split (corpus-scale extraction once, tiny iterative
+core) is what makes an iterative algorithm viable inside a 100 TB batch
+plan.
+
+Iterative-plan discipline: each iteration ends in ``localCheckpoint`` —
+without the lineage cut, iteration N's plan contains N copies of the
+whole chain and Catalyst re-analyzes (and on re-evaluation re-RUNS) all
+of it; same pattern as the pointer-jumping cluster resolver
+(``dedup.duplicate_clusters``).
+
+Cross-engine exactness (the repo's decimal-quantization discipline,
+``functions/rounding.py``): per-edge contributions are computed in
+IEEE-double (bit-identical in Spark and DuckDB for identical inputs),
+FLOOR-quantized to 6 dp, and summed as DECIMAL — so the sum is
+order-independent — then each new rank is re-quantized. Ranks therefore
+hash-match the DuckDB oracle exactly after any number of iterations.
+
+Reference parity: the reference engine has no graph operator — this is
+part of the beyond-reference web-curation family (VERDICT r5 'north
+star' items), alongside ops/web.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Shared Spark/DuckDB SQL fragments — ONE text parsed by both engines so
+# the double arithmetic is literally the same expression tree (the
+# lm._P_CASE trick). `r` is DECIMAL(28,6); w/ow are BIGINT counts.
+_CONTRIB = ("CAST(FLOOR(CAST(r AS DOUBLE) * w / ow * 1000000 + 0.5) "
+            "/ 1000000 AS DECIMAL(28,6))")
+
+_INIT_RANK = ("CAST(FLOOR(CAST(1 AS DOUBLE) / n * 1000000 + 0.5) "
+              "/ 1000000 AS DECIMAL(28,6))")
+
+# base = (1-d) as a shortest-repr double literal (repr round-trips to the
+# identical double in both engines); inflow/dang are decimal sums of
+# quantized terms, exact at 6 dp and exactly representable as doubles.
+_NEW_RANK = ("CAST(FLOOR((({base}) / n + ({damp}) * "
+             "(COALESCE(CAST(inflow AS DOUBLE), CAST(0 AS DOUBLE)) "
+             "+ CAST(dang AS DOUBLE) / n)) * 1000000 + 0.5) "
+             "/ 1000000 AS DECIMAL(28,6))")
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             src: str = "src", dst: str = "dst",
+             weight: str = "w") -> DataFrame:
+    """(domain, rank) after ``iters`` weighted-PageRank iterations.
+
+    rank'(v) = (1-d)/N + d·(Σ_{u→v} rank(u)·w(u,v)/outw(u) + dangling/N)
+
+    with dangling mass (rank parked on nodes with no outlinks)
+    redistributed uniformly — the standard formulation, so total rank is
+    conserved up to quantization. Nodes are every endpoint of the edge
+    list; N / the dangling sum ride along as 1-row broadcast frames
+    (no driver-side collect — the whole computation is one plan per
+    iteration).
+    """
+    nodes = (edges.select(F.col(src).alias("d"))
+             .union(edges.select(F.col(dst).alias("d"))).distinct()
+             .localCheckpoint(eager=True))
+    nn = nodes.agg(F.count(F.lit(1)).alias("n"))
+    outw = (edges.groupBy(src).agg(F.sum(weight).alias("ow"))
+            .withColumnRenamed(src, "o_src")
+            .localCheckpoint(eager=True))
+    ew = (edges.join(outw, F.col(src) == F.col("o_src"))
+          .select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+                  F.col(weight).cast("bigint").alias("w"), "ow")
+          .localCheckpoint(eager=True))
+    ranks = nodes.crossJoin(nn).select("d", F.expr(_INIT_RANK).alias("r"))
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    new_rank = _NEW_RANK.format(base=base, damp=damp)
+    for _ in range(iters):
+        contrib = (ranks.join(ew, F.col("d") == F.col("e_src"))
+                   .select(F.col("e_dst").alias("d2"),
+                           F.expr(_CONTRIB).alias("c")))
+        inflow = contrib.groupBy("d2").agg(F.sum("c").alias("inflow"))
+        dang = (ranks.join(outw, F.col("d") == F.col("o_src"), "left_anti")
+                .agg(F.coalesce(F.sum("r"),
+                                F.lit(0).cast("decimal(28,6)"))
+                     .alias("dang")))
+        ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
+                 .crossJoin(dang).crossJoin(nn)
+                 .select("d", F.expr(new_rank).alias("r"))
+                 .localCheckpoint(eager=True))
+    # final cast to DOUBLE (exact for 6dp decimals) — the repo's driver-
+    # canon convention for decimal-quantized outputs
+    return ranks.select(F.col("d").alias("domain"),
+                        F.col("r").cast("double").alias("rank"))
+
+
+def pagerank_sql(edges_sql: str, iters: int = 3,
+                 damping: float = 0.85) -> str:
+    """DuckDB oracle for :func:`pagerank`: the iteration unrolled into
+    chained CTEs (one inflow/dangling/rank triple per round), sharing
+    the exact quantized-double fragments the Spark plan evaluates.
+    ``edges_sql`` must yield (src, dst, w)."""
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    new_rank = _NEW_RANK.format(base=base, damp=damp)
+    parts = [f"""
+    WITH edges AS ({edges_sql}),
+    nodes AS (SELECT src AS d FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outw AS (SELECT src AS o_src, SUM(w) AS ow FROM edges GROUP BY src),
+    ew AS (SELECT e.src AS e_src, e.dst AS e_dst,
+                  CAST(e.w AS BIGINT) AS w, o.ow
+           FROM edges e JOIN outw o ON e.src = o.o_src),
+    r0 AS (SELECT d, {_INIT_RANK} AS r FROM nodes, nn)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    inf{i} AS (SELECT ew.e_dst AS d2, SUM({_CONTRIB}) AS inflow
+               FROM r{i - 1} jr JOIN ew ON jr.d = ew.e_src
+               GROUP BY ew.e_dst),
+    dg{i} AS (SELECT COALESCE(SUM(r), CAST(0 AS DECIMAL(28,6))) AS dang
+              FROM r{i - 1}
+              WHERE d NOT IN (SELECT o_src FROM outw)),
+    r{i} AS (SELECT n.d, {new_rank} AS r
+             FROM nodes n CROSS JOIN nn CROSS JOIN dg{i}
+             LEFT JOIN inf{i} i ON i.d2 = n.d)""")
+    parts.append(f"""
+    SELECT d AS domain, CAST(r AS DOUBLE) AS rank FROM r{iters}""")
+    return "".join(parts)

@@ -1278,3 +1278,161 @@ def binary_hamming_topk_sql(sf_table: str, query_id: int, k: int = 10,
       FROM sigs s CROSS JOIN q WHERE s.{id_col} <> {query_id}
     ) WHERE rnk <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# Prototype-distance data pruning (Sorscher et al. 2022, arXiv:2206.14486)
+# --------------------------------------------------------------------------
+
+
+def prototype_prune(emb: DataFrame, k: int = N_CENTROIDS,
+                    per_cell: int = 5, keep: str = "hard",
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(id, cell, proto_sim, rnk): up to ``per_cell`` examples per IVF
+    cell, ranked by cosine to the cell PROTOTYPE (the exact-decimal
+    element-wise cell mean — one Lloyd update over the seed assignment).
+
+    'Beyond neural scaling laws' pruning: keep='hard' ranks
+    farthest-from-prototype first (the informative examples when data is
+    abundant — the 100 TB regime), keep='easy' ranks nearest first (the
+    low-data prescription). Per-cell quota balances cluster coverage —
+    the same diversity argument as cluster-balanced sampling.
+
+    Shape at scale: assignment + scoring are broadcast-cross-join narrow
+    passes (k×d centroid/prototype tables ride the broadcast); the melt
+    for the prototype means is one partial+final agg; the per-cell
+    window partitions by cell, whose count grows with the corpus under
+    ``auto_n_centroids`` — so window groups stay ~bounded (n/k) instead
+    of collapsing onto a constant key set.
+    """
+    cells = ivf_assignments(emb, k, id_col, vec_col)
+    v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
+         .join(cells, id_col))
+    protos = (v.select("cell", F.posexplode("v").alias("dim", "x"))
+              .groupBy("cell", "dim")
+              .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+                          " / COUNT(x)").alias("m"))
+              .groupBy("cell")
+              .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                   .alias("s"))
+              .select("cell", F.expr("transform(s, x -> x.m)")
+                      .alias("proto")))
+    scored = (v.join(F.broadcast(protos), "cell")
+              .select(id_col, "cell",
+                      F.round(cosine("v", "proto"), 6).alias("proto_sim")))
+    order = (F.col("proto_sim").asc() if keep == "hard"
+             else F.col("proto_sim").desc())
+    w = Window.partitionBy("cell").orderBy(order, F.col(id_col))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= per_cell))
+
+
+def prototype_prune_sql(sf_table: str, k: int = N_CENTROIDS,
+                        per_cell: int = 5, keep: str = "hard",
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> str:
+    direction = "ASC" if keep == "hard" else "DESC"
+    return f"""
+    WITH v AS (SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {sf_table}),
+    c AS (SELECT {id_col} AS cid, v AS cv FROM v WHERE {id_col} < {k}),
+    cells AS (
+      SELECT {id_col}, cid AS cell FROM (
+        SELECT v.{id_col}, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.{id_col}
+                 ORDER BY ROUND(list_cosine_similarity(v.v, c.cv), 6)
+                          DESC, cid) AS rn
+        FROM v CROSS JOIN c
+      ) WHERE rn = 1
+    ),
+    protos AS (
+      SELECT cell, list(m ORDER BY dim) AS proto FROM (
+        SELECT cells.cell, d.dim,
+               CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(v.v[d.dim]) AS m
+        FROM v JOIN cells USING ({id_col}),
+             (SELECT unnest(generate_series(1, {DIMS})) AS dim) d
+        GROUP BY cells.cell, d.dim
+      ) GROUP BY cell
+    ),
+    scored AS (
+      SELECT v.{id_col}, cells.cell,
+             ROUND(list_cosine_similarity(v.v, protos.proto), 6)
+               AS proto_sim
+      FROM v JOIN cells USING ({id_col})
+             JOIN protos ON protos.cell = cells.cell
+    )
+    SELECT {id_col}, cell, proto_sim, rnk FROM (
+      SELECT {id_col}, cell, proto_sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY cell
+               ORDER BY proto_sim {direction}, {id_col}) AS INTEGER) AS rnk
+      FROM scored
+    ) WHERE rnk <= {per_cell}
+    """
+
+
+# --------------------------------------------------------------------------
+# Margin-based candidate mining (Artetxe & Schwenk 2019, ACL — the
+# CCMatrix/LASER bitext selection rule)
+# --------------------------------------------------------------------------
+
+
+def margin_mine(emb: DataFrame, k: int = 4, threshold: float = 1.0,
+                n_planes: int = 8, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """(src, dst, cos_sim, margin): k-NN edges whose ratio margin
+
+        margin(x,y) = cos(x,y) / ((avgcos_k(x) + avgcos_k(y)) / 2)
+
+    exceeds ``threshold`` — absolute-cosine cuts are miscalibrated in
+    high dimensions (hubness: some vectors are near EVERYTHING), so
+    CCMatrix/LASER score each candidate against the two endpoints' own
+    neighborhood densities; margin > 1 means 'closer than these two
+    points' typical neighbors'. The same rule mines bitext pairs,
+    near-dup confirmations and retrieval-negative filters.
+
+    Scale shape: rides :func:`knn_graph` (bucketed, never all-pairs);
+    the per-id mean-neighbor-cosine table is id-cardinality and joins
+    back on uniform keys. The graph is lineage-cut once and feeds all
+    three consumers (edges + both endpoint means) instead of
+    re-evaluating the bucket self-join per consumer. Determinism: means
+    are decimal sums of 6dp cosines (order-independent), so the margin
+    double is bit-identical cross-engine — no further rounding needed.
+    """
+    g = knn_graph(emb, k=k, n_planes=n_planes, id_col=id_col,
+                  vec_col=vec_col).localCheckpoint(eager=False)
+    m = g.groupBy("src").agg(
+        F.expr("CAST(SUM(CAST(cos_sim AS DECIMAL(28,6))) AS DOUBLE)"
+               " / COUNT(*)").alias("mc"))
+    ma = m.select(F.col("src").alias("_a"), F.col("mc").alias("mc_a"))
+    mb = m.select(F.col("src").alias("_b"), F.col("mc").alias("mc_b"))
+    return (g.join(ma, F.col("src") == F.col("_a"))
+            .join(mb, F.col("dst") == F.col("_b"))
+            .filter(F.col("mc_a") + F.col("mc_b") != 0)
+            .withColumn("margin",
+                        F.col("cos_sim")
+                        / ((F.col("mc_a") + F.col("mc_b")) / 2))
+            .filter(F.col("margin") > threshold)
+            .select("src", "dst", "cos_sim", "margin"))
+
+
+def margin_mine_sql(sf_table: str, k: int = 4, threshold: float = 1.0,
+                    n_planes: int = 8, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> str:
+    knn = knn_graph_sql(sf_table, k=k, n_planes=n_planes,
+                        id_col=id_col, vec_col=vec_col)
+    return f"""
+    WITH g AS ({knn}),
+    m AS (SELECT src,
+                 CAST(SUM(CAST(cos_sim AS DECIMAL(28,6))) AS DOUBLE)
+                 / COUNT(*) AS mc
+          FROM g GROUP BY src)
+    SELECT g.src, g.dst, g.cos_sim,
+           g.cos_sim / ((ma.mc + mb.mc) / 2) AS margin
+    FROM g JOIN m ma ON ma.src = g.src
+           JOIN m mb ON mb.src = g.dst
+    WHERE ma.mc + mb.mc <> 0
+      AND g.cos_sim / ((ma.mc + mb.mc) / 2) > {threshold!r}
+    """

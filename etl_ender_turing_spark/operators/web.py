@@ -230,6 +230,78 @@ def url_dedup_groups(df: DataFrame, url_col: str = "url",
 
 
 # --------------------------------------------------------------------------
+# outbound-link extraction → domain link graph (feeds graph.pagerank)
+# --------------------------------------------------------------------------
+
+
+def _tld_cycle(k: Column) -> Column:
+    """The URL-family's planted TLD cycle (com / co.uk / com.au /
+    k12.ak.us by ``k % 4``) — 1-, 2- and 3-label public suffixes."""
+    return (F.when(k % 4 == 1, "co.uk")
+            .when(k % 4 == 2, "com.au")
+            .when(k % 4 == 3, "k12.ak.us")
+            .otherwise("com"))
+
+
+def synthesize_planted_links(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, html) link fixture: two ABSOLUTE hrefs whose target
+    domains derive arithmetically from doc_id (TLDs cycle through the
+    1/2/3-label suffixes), plus a relative href and a bare ``<a name>``
+    anchor that extraction must ignore — and one of the two real links
+    is spelled ``<A HREF=`` to pin case-insensitive matching."""
+    did = F.col(id_col)
+    u1 = F.concat(F.lit("https://w"), (did % 5).cast("string"),
+                  F.lit(".example-"), ((did + 1) % 7).cast("string"),
+                  F.lit("."), _tld_cycle(did + 1),
+                  F.lit("/p/"), did.cast("string"))
+    u2 = F.concat(F.lit("http://example-"), ((did * 3) % 7).cast("string"),
+                  F.lit("."), _tld_cycle(did + 2), F.lit("/q"))
+    html = F.concat(
+        F.lit('<p>see <a href="'), u1,
+        F.lit('">a</a> and <a href="/rel/'), did.cast("string"),
+        F.lit('">rel</a> or <a name="x">anchor</a> <A HREF="'), u2,
+        F.lit('">b</A></p>'))
+    return docs.select(id_col, html.alias("html"))
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, href, dst_domain): every absolute http(s) ``href`` in the
+    page, with the target's PSL eTLD+1.
+
+    `regexp_extract_all` + explode + `parse_url` — a narrow projection
+    with per-row fan-out (links per page), no shuffle: at 100 TB this
+    runs inside the scan stage and only the DOMAIN-aggregated edge list
+    (see :func:`domain_edges`) ever shuffles. Relative hrefs are
+    dropped, not resolved — base-URL resolution is a crawl-frontier
+    concern, and counting them as same-page links would self-inflate
+    every domain's rank."""
+    # either quote style; the backreference closes the one that opened
+    hrefs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit("(?i)href\\s*=\\s*([\"'])(https?://[^\"']+)\\1"), 2)
+    ex = df.select(F.col(id_col), F.explode(hrefs).alias("href"))
+    host = F.parse_url(F.col("href"), F.lit("HOST"))
+    return ex.select(id_col, "href", reg_domain_expr(host).alias("dst_domain"))
+
+
+def domain_edges(parsed: DataFrame, links: DataFrame,
+                 id_col: str = "doc_id") -> DataFrame:
+    """Weighted domain→domain edge list: each doc's registered domain
+    (``parsed``: id → reg_domain, from :func:`parse_urls`) linked to
+    every extracted target domain (``links``, from
+    :func:`extract_links`); self-loops dropped; one aggregation down to
+    domain²-bounded output. This is the single corpus-scale shuffle of
+    the whole PageRank family — everything after it is domain-sized."""
+    return (parsed.select(id_col, F.col("reg_domain").alias("src"))
+            .join(links.select(id_col, F.col("dst_domain").alias("dst")),
+                  id_col)
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w")))
+
+
+# --------------------------------------------------------------------------
 # HTML main-content extraction
 # --------------------------------------------------------------------------
 

@@ -1527,6 +1527,129 @@ def q_paragraph_dedup(spark, sf_dir):
     return dd.paragraph_dedup(planted)
 
 
+@register(
+    "q_margin_mining",
+    sim.margin_mine_sql("embeddings", k=4, threshold=1.0, n_planes=8),
+    doc="margin-based nearest-neighbor mining (Artetxe & Schwenk 2019 — "
+        "the CCMatrix/LASER bitext selection rule; operators/similarity."
+        "margin_mine): score every k-NN edge by cos(x,y) over the MEAN "
+        "of the two endpoints' own k-NN cosines and keep margin > 1 — "
+        "the hubness-robust alternative to absolute-cosine cuts, used "
+        "for bitext mining, near-dup confirmation and retrieval-negative "
+        "filtering. Rides the bucketed knn_graph (never all-pairs), "
+        "lineage-cut once for its three consumers; id-cardinality mean "
+        "table joins back on uniform keys. Margins are raw doubles over "
+        "decimal-summed 6dp cosines — bit-identical cross-engine, "
+        "hash-certified with no output rounding")
+def q_margin_mining(spark, sf_dir):
+    return sim.margin_mine(_emb(spark, sf_dir), k=4, threshold=1.0,
+                           n_planes=8)
+
+
+@register(
+    "q_prototype_prune",
+    sim.prototype_prune_sql("embeddings", k=16, per_cell=5, keep="hard"),
+    doc="prototype-distance data pruning (Sorscher et al. 2022, arXiv:"
+        "2206.14486 — operators/similarity.prototype_prune): assign "
+        "every vector to an IVF cell, compute the exact-decimal cell "
+        "MEAN prototype (one Lloyd update), rank each cell's members by "
+        "cosine-to-prototype and keep the per_cell FARTHEST (the "
+        "informative-example prescription in the abundant-data regime; "
+        "keep='easy' flips the direction) — cluster-balanced coverage "
+        "instead of a global score cut. Broadcast k*d prototype table, "
+        "narrow scoring pass, per-cell window whose groups stay ~n/k "
+        "bounded under auto_n_centroids; oracle recomputes assignment, "
+        "prototype means and ranking in chained CTEs — hash-exact via "
+        "the decimal-mean + 6dp-cosine discipline")
+def q_prototype_prune(spark, sf_dir):
+    return sim.prototype_prune(_emb(spark, sf_dir), k=16, per_cell=5,
+                               keep="hard")
+
+
+from ..operators import graph as gr  # noqa: E402
+
+
+def _tld_sql_of(e: str) -> str:
+    """Planted-TLD cycle of an arbitrary SQL expression (mirrors
+    web._tld_cycle, which cycles 1/2/3-label public suffixes)."""
+    return (f"CASE WHEN ({e}) % 4 = 1 THEN 'co.uk' "
+            f"WHEN ({e}) % 4 = 2 THEN 'com.au' "
+            f"WHEN ({e}) % 4 = 3 THEN 'k12.ak.us' ELSE 'com' END")
+
+
+@register(
+    "q_extract_links",
+    f"""
+    SELECT doc_id,
+           'https://w' || CAST(doc_id % 5 AS VARCHAR) || '.example-'
+             || CAST((doc_id + 1) % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 1")}
+             || '/p/' || CAST(doc_id AS VARCHAR) AS href,
+           'example-' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 1")} AS dst_domain
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'http://example-' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 2")} || '/q' AS href,
+           'example-' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 2")} AS dst_domain
+    FROM documents
+    """,
+    doc="outbound-link extraction (operators/web.extract_links): "
+        "regexp_extract_all over raw HTML -> explode -> parse_url + PSL "
+        "eTLD+1 per target — narrow projection with per-row fan-out, no "
+        "shuffle; the crawl-graph edge stream every domain-ranking / "
+        "frontier-prioritization pass starts from. Fixture plants two "
+        "absolute hrefs per page (one spelled '<A HREF=' pinning "
+        "case-insensitivity) plus a relative href and a bare anchor "
+        "that MUST be ignored; the oracle recomputes both urls and "
+        "their registered domains arithmetically — an extraction or "
+        "suffix bug (or wrongly keeping the relative link) "
+        "hash-mismatches")
+def q_extract_links(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wb.extract_links(wb.synthesize_planted_links(docs))
+
+
+_PAGERANK_EDGES_SQL = f"""
+    SELECT src, dst, COUNT(*) AS w FROM (
+      SELECT 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+               || {_tld_sql_of("doc_id")} AS src,
+             'example-' || CAST((doc_id + 1) % 7 AS VARCHAR) || '.'
+               || {_tld_sql_of("doc_id + 1")} AS dst
+      FROM documents
+      UNION ALL
+      SELECT 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+               || {_tld_sql_of("doc_id")} AS src,
+             'example-' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.'
+               || {_tld_sql_of("doc_id + 2")} AS dst
+      FROM documents
+    ) l WHERE src <> dst GROUP BY src, dst"""
+
+
+@register(
+    "q_domain_pagerank",
+    gr.pagerank_sql(_PAGERANK_EDGES_SQL, iters=3),
+    doc="domain-graph PageRank (operators/graph.pagerank over web."
+        "domain_edges): each doc's registered domain -> every extracted "
+        "link-target domain, self-loops dropped, ONE corpus-scale "
+        "aggregation down to a domain-cardinality weighted edge list — "
+        "then 3 weighted-PageRank iterations (damping 0.85, dangling "
+        "mass redistributed) on domain-sized frames with a "
+        "localCheckpoint lineage cut per round (the CommonCrawl-style "
+        "domain centrality that feeds crawl budgets and quality "
+        "priors). Cross-engine exact: per-edge contributions quantized "
+        "to 6dp decimals and decimal-summed (order-independent), ranks "
+        "re-quantized per iteration — the oracle unrolls the identical "
+        "arithmetic as chained CTEs and hash-matches bit-for-bit")
+def q_domain_pagerank(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    links = wb.extract_links(wb.synthesize_planted_links(docs))
+    return gr.pagerank(wb.domain_edges(parsed, links), iters=3)
+
+
 # =========================================================================
 # N-gram language model (the executable CCNet perplexity filter)
 # =========================================================================

@@ -1,0 +1,87 @@
+"""graph.pagerank — semantics pinned against an independent reference.
+
+The certified fixture graph (q_domain_pagerank) has no dangling nodes,
+so the dangling-redistribution branch is pinned HERE, on hand graphs,
+against a pure-Python reference that mirrors the engine's quantization
+exactly (ranks as integer micro-units: decimal sums == integer sums).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_ender_turing_spark.operators.graph import pagerank
+
+
+def _ref_pagerank(edges, iters, d=0.85):
+    """Integer-micros mirror of the engine arithmetic: contributions
+    quantized to 6dp (floor(x*1e6+0.5)), summed exactly as integers
+    (== the decimal SUM), rank re-quantized per iteration."""
+    nodes = sorted({s for s, _, _ in edges} | {t for _, t, _ in edges})
+    n = len(nodes)
+    outw: dict[str, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    r = {v: math.floor(1.0 / n * 1e6 + 0.5) for v in nodes}  # micro-units
+    for _ in range(iters):
+        inflow = dict.fromkeys(nodes, 0)
+        for s, t, w in edges:
+            inflow[t] += math.floor((r[s] / 1e6) * w / outw[s] * 1e6 + 0.5)
+        dang = sum(r[v] for v in nodes if v not in outw)
+        r = {v: math.floor(((1.0 - d) / n + d * (inflow[v] / 1e6
+                                                 + (dang / 1e6) / n))
+                           * 1e6 + 0.5)
+             for v in nodes}
+    return {v: r[v] / 1e6 for v in nodes}
+
+
+def _run(spark, edges, iters):
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    out = pagerank(df, iters=iters)
+    return {row["domain"]: row["rank"] for row in out.collect()}
+
+
+def test_pagerank_matches_reference_with_dangling_node(spark):
+    # c has NO outlinks: its rank must recirculate uniformly, not vanish
+    edges = [("a", "b", 1), ("b", "c", 1), ("a", "c", 3)]
+    for iters in (1, 3):
+        got = _run(spark, edges, iters)
+        want = _ref_pagerank(edges, iters)
+        assert got == want, (iters, got, want)
+
+
+def test_pagerank_conserves_total_mass(spark):
+    edges = [("a", "b", 2), ("b", "a", 1), ("b", "c", 1), ("c", "a", 5),
+             ("d", "a", 1)]   # d: no inlinks -> floor rank (1-d)/N + dang
+    got = _run(spark, edges, iters=4)
+    # total mass conserved up to N half-ulp quantization steps/iteration
+    assert abs(sum(got.values()) - 1.0) < 4 * 4e-6
+    # a is the most-linked node; d has no inlinks at all
+    assert max(got, key=got.get) == "a"
+    assert min(got, key=got.get) == "d"
+
+
+def test_pagerank_uniform_on_symmetric_cycle(spark):
+    # a->b->c->a with equal weights: ranks stay exactly uniform
+    edges = [("a", "b", 1), ("b", "c", 1), ("c", "a", 1)]
+    got = _run(spark, edges, iters=5)
+    assert len(set(got.values())) == 1
+
+
+def test_extract_links_ignores_relative_and_anchors(spark):
+    from etl_ender_turing_spark.operators import web as wb
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    html = ('<a href="/rel">r</a> <a name="x">n</a> '
+            '<A HREF="https://b.co.uk/y">u</A> '
+            "<a href='http://sq.example.com/'>single-quoted</a> "
+            '<a href="HTTPS://c.github.io/z">caps scheme</a>')
+    links = wb.extract_links(df.select("doc_id", F.lit(html).alias("html")))
+    got = {r["href"]: r["dst_domain"] for r in links.collect()}
+    # PSL: b.co.uk is already an eTLD+1; c.github.io is a private-section
+    # registered site
+    assert got == {"https://b.co.uk/y": "b.co.uk",
+                   "http://sq.example.com/": "example.com",
+                   "HTTPS://c.github.io/z": "c.github.io"}

@@ -1295,3 +1295,52 @@ def test_unimax_sample_replication_matches_allocation(spark):
     assert 20 <= len(b) <= 60
     again = sp.unimax_sample(df, budget=60, epochs=2).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_prototype_prune_hard_vs_easy(spark):
+    from etl_ender_turing_spark.operators import similarity as sim
+
+    # two obvious cells seeded by ids 0/1; id 4 is the odd member of
+    # cell 0 (farthest from its mean), id 5 of cell 1
+    rows = [(0, [1.0, 0.0]), (1, [0.0, 1.0]),
+            (2, [0.9, 0.05]), (3, [1.0, 0.1]), (4, [0.6, 0.4]),
+            (5, [0.35, 0.65]), (6, [0.05, 0.9]), (7, [0.1, 1.1])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    hard = sim.prototype_prune(df, k=2, per_cell=2, keep="hard").collect()
+    assert len(hard) == 4
+    assert all(r.rnk <= 2 for r in hard)
+    by_cell = {}
+    for r in hard:
+        by_cell.setdefault(r.cell, []).append(r)
+    assert set(by_cell) == {0, 1}
+    # the odd member ranks FIRST under keep='hard'
+    assert {r.vec_id for r in by_cell[0] if r.rnk == 1} == {4}
+    assert {r.vec_id for r in by_cell[1] if r.rnk == 1} == {5}
+    # keep='easy' flips the direction: rank-1 rows are nearest-to-mean,
+    # and the odd members fall OUT of a per_cell=2 quota entirely
+    easy = sim.prototype_prune(df, k=2, per_cell=2, keep="easy").collect()
+    assert not ({4, 5} & {r.vec_id for r in easy})
+    # quotas + ordering are deterministic across re-runs
+    again = sim.prototype_prune(df, k=2, per_cell=2, keep="hard").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, hard))
+
+
+def test_margin_mine_rewards_mutual_pairs_over_hub_edges(spark):
+    from etl_ender_turing_spark.operators import similarity as sim
+
+    # ids 0/1: a tight isolated pair; ids 2-5: a diffuse clique whose
+    # members are all moderately near each other (every neighborhood is
+    # dense, so no edge is much closer than its endpoints' average)
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.99, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.3]), (3, [0.0, 0.9, 0.45]),
+            (4, [0.0, 1.0, 0.6]), (5, [0.1, 0.8, 0.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sim.margin_mine(df, k=2, threshold=1.0, n_planes=2).collect()
+    pairs = {(r.src, r.dst): r.margin for r in out}
+    # the 0<->1 edges are each endpoint's ONLY close neighbor: margin
+    # strictly above every clique edge's margin
+    assert (0, 1) in pairs and (1, 0) in pairs
+    clique = [m for (s, d), m in pairs.items() if s >= 2 and d >= 2]
+    assert all(pairs[(0, 1)] > m for m in clique)
+    # every surviving edge respects the threshold
+    assert all(m > 1.0 for m in pairs.values())

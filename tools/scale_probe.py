@@ -27,6 +27,7 @@ from etl_ender_turing_spark.operators.conform import snapshot_diff
 from etl_ender_turing_spark.operators import bpe
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import dsir as dsr
+from etl_ender_turing_spark.operators import graph as gr
 from etl_ender_turing_spark.operators import lm
 from etl_ender_turing_spark.operators import similarity as sim
 from etl_ender_turing_spark.operators import terms as tm
@@ -118,6 +119,17 @@ def main() -> None:
         # stream; DSIR reduces a broadcast B-row model; BPE rounds work
         # on the distinct-word table, which replication does NOT grow —
         # its times should stay near-flat after the word_freqs scan
+        # domain graph: replication grows the link stream linearly but
+        # the node set stays domain-cardinality (28 planted domains), so
+        # the 3 PageRank iterations are volume-invariant — growth should
+        # track the extraction scan + one edge aggregation
+        "domain_pagerank": lambda d, e, ev: force(gr.pagerank(
+            wb.domain_edges(
+                wb.parse_urls(wb.synthesize_planted_urls(
+                    d.select("doc_id"))),
+                wb.extract_links(wb.synthesize_planted_links(
+                    d.select("doc_id")))),
+            iters=3)),
         "lm_scores": lambda d, e, ev: force(lm.stupid_backoff_scores(
             d, lm.train_ngram_counts(d))),
         "dsir_weights": lambda d, e, ev: force(dsr.dsir_weights(
