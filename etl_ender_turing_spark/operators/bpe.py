@@ -226,3 +226,55 @@ def bpe_encode_counts_sql(table: str, rounds: int = 3,
            CAST(SUM(n_tok) AS BIGINT) AS n_tokens
     FROM stream JOIN vt USING (word)
     GROUP BY {id_col}"""
+
+
+def tokenizer_fertility(df: DataFrame, rounds: int = 3,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        lang_col: str = "lang") -> DataFrame:
+    """Per-language tokenizer fertility: BPE tokens per whitespace word.
+
+    THE standard multilingual-tokenizer diagnostic (e.g. the XLM-R and
+    NLLB tokenizer analyses): a language whose fertility is far above
+    the corpus norm is under-served by the learned vocabulary — its
+    documents cost proportionally more sequence length per word, which
+    skews token budgets, packing efficiency and effective epoch counts
+    for that language. Run after ``bpe_learn``/before committing a
+    vocab.
+
+    Rides :func:`bpe_encode_counts` (fold once per DISTINCT word, then
+    the vocab-scale token-count table joins back onto the doc stream),
+    adds one language-cardinality aggregation; the ratio is
+    floor-6dp-quantized (``round6u`` — ratios of counts can land on
+    exact halfway points).
+    """
+    from ..functions.rounding import round6u
+
+    enc = bpe_encode_counts(df, rounds, text_col, id_col)
+    return (enc.join(df.select(id_col, lang_col), id_col)
+            .groupBy(lang_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens"),
+                 round6u(F.sum("n_tokens").cast("double")
+                         / F.sum("n_words")).alias("fertility")))
+
+
+def tokenizer_fertility_sql(table: str, rounds: int = 3,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            lang_col: str = "lang") -> str:
+    from ..functions.rounding import round6u_sql
+
+    ratio = "CAST(SUM(enc.n_tokens) AS DOUBLE) / SUM(enc.n_words)"
+    return f"""
+    WITH enc AS (SELECT * FROM (
+      {bpe_encode_counts_sql(table, rounds, text_col, id_col)}
+    ))
+    SELECT d.{lang_col},
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_tokens) AS BIGINT) AS n_tokens,
+           {round6u_sql(ratio)} AS fertility
+    FROM enc JOIN {table} d USING ({id_col})
+    GROUP BY d.{lang_col}
+    """

@@ -1829,6 +1829,45 @@ def q_bpe_encode(spark, sf_dir):
     return bpe.bpe_encode_counts(_docs(spark, sf_dir), rounds=4)
 
 
+from ..operators import doremi as drm  # noqa: E402
+
+
+@register(
+    "q_doremi_step",
+    drm.doremi_step_sql("documents", eta=0.1),
+    doc="DoReMi domain reweighting (Xie et al. 2023, arXiv:2305.10429 — "
+        "operators/doremi.doremi_step): one exponentiated-gradient "
+        "mixture update — per-SOURCE mean trigram-LM surprisal, excess "
+        "over the corpus mean clipped at 0, weight ∝ exp(eta·excess) "
+        "renormalized; domains the proxy LM serves worst get up-weighted "
+        "(the paper's loop re-trains the proxy between steps — the "
+        "per-step dataflow is what the engine executes, certified the "
+        "same way as kmeans_one_step). Corpus-scale work = the certified "
+        "LM scoring join; everything after is domain-cardinality with "
+        "1-row broadcast reductions. exp floor-quantized at 6dp like "
+        "lm's ln terms; doc totals re-quantized to decimals before the "
+        "domain sum (order-independent); final share round6u")
+def q_doremi_step(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return drm.doremi_step(docs, lm.train_ngram_counts(docs), eta=0.1)
+
+
+@register(
+    "q_tokenizer_fertility",
+    bpe.tokenizer_fertility_sql("documents", rounds=4),
+    doc="per-language tokenizer FERTILITY (operators/bpe."
+        "tokenizer_fertility): BPE tokens per whitespace word by "
+        "language under the learned 4-merge vocabulary — the standard "
+        "multilingual-tokenizer diagnostic (XLM-R/NLLB analyses): a "
+        "language with outlier fertility is under-served by the vocab "
+        "and silently over-pays sequence length in budgets/packing. "
+        "Rides bpe_encode_counts (per-distinct-word fold, vocab-scale "
+        "re-join) plus one language-cardinality agg; ratio floor-6dp "
+        "quantized (round6u — count ratios hit exact halfway points)")
+def q_tokenizer_fertility(spark, sf_dir):
+    return bpe.tokenizer_fertility(_docs(spark, sf_dir), rounds=4)
+
+
 @register(
     "q_unimax_allocation",
     sp.unimax_allocation_sql("documents", budget=3_000_000, epochs=2),

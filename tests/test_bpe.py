@@ -126,3 +126,27 @@ def test_property_token_counts_decrease_monotonically(spark, corpus):
         if prev is not None:
             assert all(cur[k] <= prev[k] for k in cur)
         prev = cur
+
+
+def test_tokenizer_fertility_aggregates_encode_counts_by_lang(spark):
+    from etl_ender_turing_spark.operators import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa bb", "x"), (2, "aa bb", "x"), (3, "cc cc cc", "y")],
+        "doc_id long, text string, lang string")
+    enc = {r.doc_id: r for r in
+           bpe.bpe_encode_counts(docs, rounds=1).collect()}
+    out = {r.lang: r for r in
+           bpe.tokenizer_fertility(docs, rounds=1).collect()}
+    assert set(out) == {"x", "y"}
+    for lang, ids in (("x", (1, 2)), ("y", (3,))):
+        n_words = sum(enc[i].n_words for i in ids)
+        n_tokens = sum(enc[i].n_tokens for i in ids)
+        assert out[lang].n_docs == len(ids)
+        assert out[lang].n_words == n_words
+        assert out[lang].n_tokens == n_tokens
+        import math
+        assert out[lang].fertility == math.floor(
+            n_tokens / n_words * 1e6 + 0.5) / 1e6
+    # single-char words can never merge below 1 token/word
+    assert out["y"].fertility >= 1.0

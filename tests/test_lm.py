@@ -137,3 +137,37 @@ def test_degenerate_repeated_token_doc_scores_low(spark):
     r = lm.stupid_backoff_scores(df, counts).collect()[0]
     assert r.n_scored == 4998
     assert r.mean_nll == pytest.approx(_term(4998 / 4999), abs=1e-9)
+
+
+def test_doremi_step_upweights_out_of_distribution_domain(spark):
+    from etl_ender_turing_spark.operators import doremi, lm
+
+    # domain A dominates the training split (fluent under the LM);
+    # domain B is shuffled/rare text -> higher surprisal -> upweighted.
+    # train_mod=5 trains on doc_id % 5 == 0.
+    rows = []
+    for i in range(40):
+        rows.append((i * 5, "the quick brown fox jumps over the lazy dog",
+                     "A"))
+    for i in range(20):
+        rows.append((i * 5 + 1,
+                     "the quick brown fox jumps over the lazy dog", "A"))
+    for i in range(20):
+        rows.append((i * 5 + 2, "zymurgy qoph vext jackdaws nymph quiz",
+                     "B"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string,"
+                                       " source string")
+    out = {r.source: r for r in
+           doremi.doremi_step(docs, lm.train_ngram_counts(docs),
+                              eta=0.1).collect()}
+    assert set(out) == {"A", "B"}
+    assert out["B"].mean_nll > out["A"].mean_nll
+    assert out["B"].excess_nll > 0.0
+    assert out["A"].excess_nll == 0.0          # at/below the corpus mean
+    assert out["B"].weight > out["A"].weight
+    assert abs(out["A"].weight + out["B"].weight - 1.0) < 1e-5
+    # eta=0 collapses to the uniform mixture
+    uni = {r.source: r.weight for r in
+           doremi.doremi_step(docs, lm.train_ngram_counts(docs),
+                              eta=0.0).collect()}
+    assert uni["A"] == uni["B"] == 0.5
