@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "q_lm_scores",
     "q_dsir_weights",
     "q_llm_training_set",
+    # round-6 late additions: iterative domain PageRank (link extraction
+    # + per-iteration lineage cuts) and margin-based k-NN mining (the
+    # knn_graph self-join consumed by three branches)
+    "q_domain_pagerank",
+    "q_margin_mining",
 ]
 
 

@@ -1830,6 +1830,26 @@ def q_bpe_encode(spark, sf_dir):
 
 
 from ..operators import doremi as drm  # noqa: E402
+from ..operators import ensemble as ens  # noqa: E402
+
+
+@register(
+    "q_quality_ensemble",
+    ens.quality_ensemble_sql("documents"),
+    doc="multi-signal quality ensembling (operators/ensemble."
+        "quality_ensemble — the Dolma/FineWeb practice of never trusting "
+        "one signal): corpus z-score standardization of trigram-LM "
+        "surprisal (negated), bigram coherence and token rarity, "
+        "averaged into one robust per-doc score. Rank fusion would need "
+        "a global sort; z-scores need only two 1-row corpus aggregates "
+        "per signal broadcast back onto a narrow combine. Signal values "
+        "floor-quantized to decimals before the corpus sums (squares at "
+        "12dp), each z and the final average floor-6dp — hash-exact; "
+        "the joined signal frame is lineage-cut once for its two "
+        "consumers")
+def q_quality_ensemble(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return ens.quality_ensemble(docs, lm.train_ngram_counts(docs))
 
 
 @register(

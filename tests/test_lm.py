@@ -171,3 +171,35 @@ def test_doremi_step_upweights_out_of_distribution_domain(spark):
            doremi.doremi_step(docs, lm.train_ngram_counts(docs),
                               eta=0.0).collect()}
     assert uni["A"] == uni["B"] == 0.5
+
+
+def test_quality_ensemble_ranks_garbled_text_lowest(spark):
+    from etl_ender_turing_spark.operators import ensemble, lm
+
+    fluent = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i * 5, fluent) for i in range(20)]           # training split
+    rows += [(i * 5 + 1, fluent) for i in range(10)]      # held-out fluent
+    rows += [(i * 5 + 2, "qoph zyx vext wub jilt nach prax") # garbled
+             for i in range(3)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ensemble.quality_ensemble(
+        docs, lm.train_ngram_counts(docs)).collect()
+    got = {r.doc_id: r for r in out}
+    garbled = [r for r in out if r.doc_id % 5 == 2]
+    fluent_rows = [r for r in out if r.doc_id % 5 != 2]
+    assert garbled and fluent_rows
+    # every garbled doc scores below every fluent doc on the ensemble
+    assert max(r.quality for r in garbled) < min(
+        r.quality for r in fluent_rows)
+    # garbled docs are high-surprisal (positive z) and rare-token
+    # (negative z) simultaneously — the two lenses agree
+    for r in garbled:
+        assert r.z_mean_nll > 0 and r.z_mean_token_freq < 0
+    # standardization: z-means are ~0 across the corpus
+    n = len(out)
+    for col in ("z_mean_nll", "z_mean_transition_p", "z_mean_token_freq"):
+        assert abs(sum(getattr(r, col) for r in out) / n) < 0.05
+    assert got  # determinism sanity below
+    again = ensemble.quality_ensemble(
+        docs, lm.train_ngram_counts(docs)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
