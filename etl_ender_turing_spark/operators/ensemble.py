@@ -48,19 +48,29 @@ def _z(col: str) -> str:
             f"ELSE ({col} - mu_{col}) / sd_{col} END")
     return f"FLOOR(({zraw}) * 1000000 + 0.5) / 1000000"
 
-_SIGNALS = ("mean_nll", "mean_transition_p", "mean_token_freq")
+# token frequency is standardized on the LOG scale: the raw mean is
+# heavy-tailed (z-scoring it is statistically wrong) AND its square
+# overflows the 12dp floor-quantization at real corpus frequencies —
+# Spark's FLOOR(double) returns LONG, so x²·1e12 past ~9.2e18 wraps
+# while DuckDB's stays double (caught by the sf0.1 sweep: freq ~5e4
+# diverged; ln keeps every signal O(10), squares ~1e3, safe at any n).
+# freq >= 1 always, so ln >= 0; quantized 6dp right after ln, the lm
+# discipline.
+_LOG_FREQ = ("FLOOR(LN(mean_token_freq) * 1000000 + 0.5) / 1000000")
+
+_SIGNALS = ("mean_nll", "mean_transition_p", "log_token_freq")
 # surprisal: lower is better -> negated in the combine
 _COMBINE = ("FLOOR(((-z_mean_nll) + z_mean_transition_p"
-            " + z_mean_token_freq) / 3 * 1000000 + 0.5) / 1000000")
+            " + z_log_token_freq) / 3 * 1000000 + 0.5) / 1000000")
 
 
 def quality_ensemble(df: DataFrame, counts: DataFrame,
                      text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
-    """(id, z_mean_nll, z_mean_transition_p, z_mean_token_freq, quality):
-    corpus-standardized LM surprisal, bigram coherence and token rarity,
-    averaged into one robust quality score (surprisal negated — higher
-    ``quality`` = more fluent under all three lenses).
+    """(id, z_mean_nll, z_mean_transition_p, z_log_token_freq, quality):
+    corpus-standardized LM surprisal, bigram coherence and log token
+    rarity, averaged into one robust quality score (surprisal negated —
+    higher ``quality`` = more fluent under all three lenses).
 
     Docs missing any signal (e.g. < 3 tokens for the trigram LM) drop —
     both engines agree. The joined signal frame is lineage-cut once: it
@@ -70,7 +80,8 @@ def quality_ensemble(df: DataFrame, counts: DataFrame,
     joined = (lm.stupid_backoff_scores(df, counts, text_col, id_col)
               .join(bigram_coherence(df, text_col, id_col), id_col)
               .join(token_rarity(df, text_col, id_col), id_col)
-              .select(id_col, *_SIGNALS)
+              .select(id_col, "mean_nll", "mean_transition_p",
+                      F.expr(_LOG_FREQ).alias("log_token_freq"))
               .localCheckpoint(eager=False))
     stats = joined.agg(*[F.expr(s) for c in _SIGNALS for s in _stats(c)])
     out = joined.crossJoin(F.broadcast(stats))
@@ -93,7 +104,7 @@ def quality_ensemble_sql(table: str, train_mod: int = 5,
     s3 AS (SELECT * FROM ({token_rarity_sql(table, text_col, id_col)})),
     joined AS (
       SELECT s1.{id_col}, s1.mean_nll, s2.mean_transition_p,
-             s3.mean_token_freq
+             {_LOG_FREQ} AS log_token_freq
       FROM s1 JOIN s2 USING ({id_col}) JOIN s3 USING ({id_col})
     ),
     st AS (
@@ -105,7 +116,7 @@ def quality_ensemble_sql(table: str, train_mod: int = 5,
            {zsel}
       FROM joined CROSS JOIN st
     )
-    SELECT {id_col}, z_mean_nll, z_mean_transition_p, z_mean_token_freq,
+    SELECT {id_col}, z_mean_nll, z_mean_transition_p, z_log_token_freq,
            {_COMBINE} AS quality
     FROM z
     """

@@ -194,10 +194,10 @@ def test_quality_ensemble_ranks_garbled_text_lowest(spark):
     # garbled docs are high-surprisal (positive z) and rare-token
     # (negative z) simultaneously — the two lenses agree
     for r in garbled:
-        assert r.z_mean_nll > 0 and r.z_mean_token_freq < 0
+        assert r.z_mean_nll > 0 and r.z_log_token_freq < 0
     # standardization: z-means are ~0 across the corpus
     n = len(out)
-    for col in ("z_mean_nll", "z_mean_transition_p", "z_mean_token_freq"):
+    for col in ("z_mean_nll", "z_mean_transition_p", "z_log_token_freq"):
         assert abs(sum(getattr(r, col) for r in out) / n) < 0.05
     assert got  # determinism sanity below
     again = ensemble.quality_ensemble(
