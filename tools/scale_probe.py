@@ -119,6 +119,14 @@ def main() -> None:
         # stream; DSIR reduces a broadcast B-row model; BPE rounds work
         # on the distinct-word table, which replication does NOT grow —
         # its times should stay near-flat after the word_freqs scan
+        # round-6 embedding additions: margin rides the bucketed knn
+        # self-join (replication densifies buckets — the capped-quadratic
+        # profile); prototype-prune is assignment + one melt agg + a
+        # per-cell window, all ~linear with cells fixed
+        "margin_mine": lambda d, e, ev: force(sim.margin_mine(
+            e, k=4, n_planes=8)),
+        "prototype_prune": lambda d, e, ev: force(sim.prototype_prune(
+            e, k=16, per_cell=5)),
         # domain graph: replication grows the link stream linearly but
         # the node set stays domain-cardinality (28 planted domains), so
         # the 3 PageRank iterations are volume-invariant — growth should
