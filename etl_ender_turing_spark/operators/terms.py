@@ -402,3 +402,71 @@ def zipf_slope_sql(table: str, top_v: int = 200, text_col: str = "text",
                         " / (n_terms * sxx - sx * sx)")} AS zipf_slope
     FROM s
     """
+
+
+def class_tfidf_keywords(df: DataFrame, k: int = 5,
+                         group_col: str = "source",
+                         text_col: str = "text") -> DataFrame:
+    """Top-``k`` characteristic terms per GROUP by class-based TF-IDF
+    (c-TF-IDF, the BERTopic representation): treat each group's
+    concatenated text as one document — wt = tf_in_group ·
+    ln((1+n_groups)/(1+group_df)) — the corpus-exploration report that
+    tells you WHAT each source/domain/cluster actually contains (and
+    the first thing to read when a mixture weight looks wrong).
+
+    Scale shape: one (group, term) aggregation over the token stream —
+    group·vocab-bounded, uniform keys — then a vocab-scale group-df agg
+    and a 1-row group count broadcast back; the per-group top-k window
+    runs over group-vocab rows and is WindowGroupLimit-pruned. The ln
+    is floor-quantized at 6dp (lm discipline) and multiplied by the
+    exact integer tf — a single IEEE product, bit-identical
+    cross-engine at ANY tf magnitude (no FLOOR on the product, which
+    would overflow Spark's LONG-typed floor for corpus-scale tf).
+    """
+    toks = (df.select(F.col(group_col).alias("grp"),
+                      F.explode(F.split(F.lower(F.trim(F.col(text_col))),
+                                        " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("grp", "term").agg(F.count("*").alias("tf"))
+    gdf = tf.groupBy("term").agg(F.count("*").alias("gdf"))
+    # countDistinct skips NULL groups — matching COUNT(DISTINCT ..)
+    # (a .distinct().count() would count the NULL row and diverge)
+    ng = df.agg(F.countDistinct(group_col).alias("ng"))
+    lnq = ("FLOOR(LN((1 + ng) * CAST(1 AS DOUBLE) / (1 + gdf))"
+           " * 1000000 + 0.5) / 1000000")
+    scored = (tf.join(gdf, "term").crossJoin(F.broadcast(ng))
+              .withColumn("wt", F.col("tf") * F.expr(lnq)))
+    w = Window.partitionBy("grp").orderBy(F.desc("wt"), F.asc("term"))
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select(F.col("grp").alias(group_col), "term", "tf", "wt",
+                    "rnk"))
+
+
+def class_tfidf_keywords_sql(table: str, k: int = 5,
+                             group_col: str = "source",
+                             text_col: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {group_col} AS grp,
+         unnest(string_split(lower(trim({text_col})), ' ')) AS term
+  FROM {table}
+),
+tf AS (
+  SELECT grp, term, count(*) AS tf FROM toks WHERE term <> ''
+  GROUP BY 1, 2
+),
+gdf AS (SELECT term, count(*) AS gdf FROM tf GROUP BY 1),
+ng AS (SELECT count(DISTINCT {group_col}) AS ng FROM {table}),
+scored AS (
+  SELECT grp, term, tf,
+         tf * (FLOOR(LN((1 + ng) * CAST(1 AS DOUBLE) / (1 + gdf))
+                     * 1000000 + 0.5) / 1000000) AS wt
+  FROM tf JOIN gdf USING (term) CROSS JOIN ng
+)
+SELECT grp AS {group_col}, term, tf, wt, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY wt DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""

@@ -1834,6 +1834,24 @@ from ..operators import ensemble as ens  # noqa: E402
 
 
 @register(
+    "q_class_tfidf",
+    tm.class_tfidf_keywords_sql("documents", k=5),
+    doc="class-based TF-IDF keywords per source (c-TF-IDF, the BERTopic "
+        "representation — operators/terms.class_tfidf_keywords): each "
+        "source's concatenated text as one pseudo-document, wt = "
+        "group-tf * ln((1+n_groups)/(1+group_df)) — the what-is-in-this-"
+        "source report behind every mixture/cap decision. One "
+        "group*vocab-bounded agg over the token stream, vocab-scale "
+        "group-df, 1-row group count broadcast; per-group top-k window "
+        "WindowGroupLimit-pruned. ln floor-quantized at 6dp then "
+        "multiplied by the exact integer tf — one IEEE product, exact "
+        "at any tf magnitude (no FLOOR on the product: Spark's "
+        "LONG-typed floor would wrap at corpus-scale tf)")
+def q_class_tfidf(spark, sf_dir):
+    return tm.class_tfidf_keywords(_docs(spark, sf_dir), k=5)
+
+
+@register(
     "q_quality_ensemble",
     ens.quality_ensemble_sql("documents"),
     doc="multi-signal quality ensembling (operators/ensemble."

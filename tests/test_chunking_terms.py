@@ -116,3 +116,23 @@ def test_bm25_index_parity_and_bucket_pruning(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_idx_postings")
         spark.sql("DROP TABLE IF EXISTS bm25_idx_stats")
+
+
+def test_class_tfidf_surfaces_group_exclusive_terms(spark):
+    from etl_ender_turing_spark.operators import terms as tm
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha shared", "s1"), (2, "alpha shared shared", "s1"),
+         (3, "beta beta shared", "s2"), (4, "beta gamma shared", "s2")],
+        "doc_id long, text string, source string")
+    out = tm.class_tfidf_keywords(docs, k=2).collect()
+    top = {r.source: [x.term for x in sorted(
+        [q for q in out if q.source == r.source], key=lambda q: q.rnk)]
+        for r in out}
+    # the group-exclusive term leads; 'shared' appears in both groups so
+    # its smoothed idf ln((1+2)/(1+2)) = 0 -> weight 0, never rank 1
+    assert top["s1"][0] == "alpha"
+    assert top["s2"][0] == "beta"
+    shared = [r for r in out if r.term == "shared"]
+    assert all(r.wt == 0.0 for r in shared)
+    assert all(r.rnk == 2 for r in shared)
