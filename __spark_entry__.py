@@ -39,7 +39,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # JPEG plant → media_meta) ---
     "q_extract_links", "q_domain_pagerank", "q_prototype_prune",
     "q_margin_mining", "q_doremi_step", "q_tokenizer_fertility",
-    "q_quality_ensemble", "q_class_tfidf",
+    "q_quality_ensemble", "q_class_tfidf", "q_stream_source_cap",
     "q_dsir_weights", "q_dsir_topk", "q_bpe_pair_counts", "q_bpe_merges",
     "q_lm_ccnet_gate", "q_bpe_encode", "q_unimax_allocation",
     "q_unimax_sample", "q_stream_lm_scores",

@@ -1959,6 +1959,30 @@ def q_stream_lm_scores(spark, sf_dir):
 
 
 @register(
+    "q_stream_source_cap",
+    sp.source_head_cap_sql("documents", cap=10, quality_col="n_chars"),
+    doc="streaming per-source head cap run to completion (availableNow): "
+        "the stateful-COUNTER operator (streaming/stream.capped_doc_"
+        "stream, applyInPandasWithState) — one admitted-count per "
+        "source, each state round admits its best (quality desc, id) "
+        "arrivals until the cap, rank stamped continuously across "
+        "rounds. State size = |sources|, never corpus-bound. In one "
+        "availableNow round the decision equals the batch window "
+        "exactly, so the ORACLE IS source_head_cap's OWN SQL; across "
+        "rounds it degrades to best-of-each-wave — the only semantics "
+        "a live frontier can honor (shipped docs cannot be retracted). "
+        "Completes the stateful family: exactly-first dedup (boolean "
+        "state), TTL dedup (timer state), counter cap (numeric state)")
+def q_stream_source_cap(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_capped_docs_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_cap_ckpt_")
+    return run_capped_docs_batch(spark, sf_dir, ckpt, cap=10,
+                                 glob_filter="documents.parquet")
+
+
+@register(
     "q_dsir_model",
     dsir.dsir_bucket_model_sql("documents", n_buckets=256),
     doc="the persistable DSIR artifact itself (operators/dsir."

@@ -608,3 +608,66 @@ def run_api_stream_sync(spark: SparkSession, warehouse: str,
          .start())
     q.awaitTermination()
     return spark.read.parquet(target)
+
+
+def capped_doc_stream(spark: SparkSession, source_dir: str, cap: int = 10,
+                      quality_col: str = "n_chars",
+                      glob_filter: str | None = None) -> DataFrame:
+    """Streaming per-source head cap — the stateful-COUNTER operator
+    (``applyInPandasWithState`` keeping an admitted-count per source),
+    the ingest-time twin of ``sampling.source_head_cap``: no single
+    site/source may ship more than ``cap`` documents into the corpus.
+
+    Each state round sorts its arrivals by (quality desc, id) and admits
+    until the counter hits the cap, stamping ``rank_in_source``
+    continuously across rounds. When the data lands in one availableNow
+    round the decision is EXACTLY the batch window's (the certified
+    parity — the oracle is source_head_cap's own SQL); across rounds it
+    degrades to best-of-each-arrival-wave, which is the semantics a live
+    frontier wants anyway — an already-shipped doc cannot be retracted
+    when a better one arrives later. Counter state is one long per
+    source: state size = |sources|, never corpus-bound.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir)
+    out_schema = (f"doc_id long, source string, {quality_col} long,"
+                  " rank_in_source long")
+
+    def admit(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter))
+        n = state.get[0] if state.exists else 0
+        if pdf.empty or n >= cap:
+            return iter(())
+        take = (pdf.sort_values([quality_col, "doc_id"],
+                                ascending=[False, True])
+                .head(cap - n).copy())
+        take["rank_in_source"] = range(n + 1, n + 1 + len(take))
+        state.update((n + len(take),))
+        return iter([take[["doc_id", "source", quality_col,
+                           "rank_in_source"]]])
+
+    return (docs.groupBy("source")
+            .applyInPandasWithState(admit, out_schema, "n long",
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+def run_capped_docs_batch(spark: SparkSession, source_dir: str,
+                          checkpoint_dir: str, cap: int = 10,
+                          quality_col: str = "n_chars",
+                          glob_filter: str | None = None) -> DataFrame:
+    """Drive the per-source cap stream to completion (availableNow)."""
+    capped = capped_doc_stream(spark, source_dir, cap, quality_col,
+                               glob_filter)
+    q = (capped.writeStream.format("memory").queryName("capped_docs_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("capped_docs_result")

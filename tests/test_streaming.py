@@ -287,3 +287,47 @@ def test_stateful_dedup_ttl_on_non_utc_session(spark, tmp_path):
         assert (1, 9.0) in drain()
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_capped_doc_stream_counter_spans_micro_batches(spark, tmp_path):
+    import pandas as pd
+
+    from etl_ender_turing_spark.streaming.stream import capped_doc_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    # wave 1: 6 docs for source s, quality = doc_id*10
+    pd.DataFrame({"doc_id": range(6), "text": ["x"] * 6,
+                  "lang": ["en"] * 6, "source": ["s"] * 6,
+                  "n_chars": [i * 10 for i in range(6)]}
+                 ).to_parquet(src / "wave1.parquet")
+    # wave 2: 6 more, strictly better quality than wave 1
+    pd.DataFrame({"doc_id": range(100, 106), "text": ["x"] * 6,
+                  "lang": ["en"] * 6, "source": ["s"] * 6,
+                  "n_chars": [1000 + i for i in range(6)]}
+                 ).to_parquet(src / "wave2.parquet")
+    capped = capped_doc_stream(spark, str(src), cap=8)
+    q = (capped.writeStream.format("memory").queryName("cap_span")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("maxFilesPerTrigger", 1)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("cap_span").collect()
+    # cap honored ACROSS batches: 8 total, ranks 1..8 with no repeats
+    assert len(rows) == 8
+    assert sorted(r.rank_in_source for r in rows) == list(range(1, 9))
+    by_rank = {r.rank_in_source: r for r in rows}
+    waves = [set(), set()]
+    for r in rows:
+        waves[0 if r.doc_id < 100 else 1].add(r.rank_in_source)
+    # one wave fully admitted (6 docs), the other contributes exactly 2:
+    # first-wave docs keep their ranks — no retraction when better docs
+    # arrive later (file trigger order is not guaranteed, so only the
+    # 6/2 split is pinned, not which wave came first)
+    assert sorted(map(len, waves)) == [2, 6]
+    # within each wave, better quality -> lower rank
+    for w in waves:
+        ranked = sorted(w)
+        qs = [by_rank[r].n_chars for r in ranked]
+        assert qs == sorted(qs, reverse=True)
