@@ -242,3 +242,125 @@ def write_training_shards(df: DataFrame, path: str, n_shards: int = 16,
     sharded.write.partitionBy("shard").mode("overwrite").parquet(path)
     out = sharded.groupBy("shard").count().collect()
     return {int(r["shard"]): r["count"] for r in out}
+
+
+def curation_attrition(docs: DataFrame, rates: dict[str, float],
+                       default_rate: float = 0.0,
+                       benchmark_max_id: int = 20,
+                       min_tokens: int = 40, min_ttr: float = 0.3,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-stage attrition report for the curation chain: one row per
+    stage — (stage_idx, stage, docs_out, tokens_out) — the funnel a data
+    team actually monitors in production (a dedup stage that suddenly
+    drops 40 % instead of 4 % is an incident, and the only way to SEE it
+    is stage-level counts on every run).
+
+    Builds the same stage frames as :func:`prepare_training_set` (same
+    gate/dedup/decontaminate/sample shapes, same helper builders) but
+    every stage now has TWO consumers — the next stage and its own
+    count — so each is ``localCheckpoint(eager=False)``-cut: Spark has
+    no cross-consumer CSE, and without the cut stage N's aggregate
+    re-evaluates the whole upstream chain (the measured 27.6 s → 8.6 s
+    capstone lesson). At 100 TB this is exactly the stage
+    materialization a production pipeline does anyway; the counts are
+    one extra partial+final aggregate per stage over already-computed
+    frames.
+    """
+    q = quality_columns(text_col)
+    base = (docs.select(id_col, "source", text_col,
+                        q["n_tokens"].alias("n_tokens"),
+                        q["ttr"].alias("ttr"))
+            .localCheckpoint(eager=False))
+    gated = (base.filter((F.col("n_tokens") >= min_tokens)
+                         & (F.col("ttr") >= min_ttr))
+             .localCheckpoint(eager=False))
+    w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))) \
+              .orderBy(F.col(id_col))
+    deduped = (gated.withColumn("_rn", F.row_number().over(w))
+               .filter(F.col("_rn") == 1).drop("_rn")
+               .localCheckpoint(eager=False))
+    bench = docs.filter(F.col(id_col) < benchmark_max_id)
+    contaminated = (dd.contaminated_docs(corpus=deduped, benchmark=bench,
+                                         n=5, text_col=text_col,
+                                         id_col=id_col)
+                    .select(id_col))
+    clean = (deduped.join(contaminated, id_col, "left_anti")
+             .localCheckpoint(eager=False))
+    sampled = sp.stratified_sample(clean, rates, "source", id_col=id_col,
+                                   default_rate=default_rate)
+
+    def stage_row(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("docs_out"),
+            F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("long")
+             .alias("tokens_out"))
+
+    out = stage_row(base, 0, "raw")
+    for i, (name, df) in enumerate(
+            (("quality_gate", gated), ("exact_dedup", deduped),
+             ("decontaminate", clean), ("stratified_sample", sampled)), 1):
+        out = out.unionByName(stage_row(df, i, name))
+    return out
+
+
+def curation_attrition_sql(table: str = "documents",
+                           rates: dict[str, float] | None = None,
+                           default_rate: float = 0.0,
+                           benchmark_max_id: int = 20,
+                           min_tokens: int = 40, min_ttr: float = 0.3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`curation_attrition`: the same stage CTEs
+    as :func:`prepare_training_set_sql` (same quality/shingle/hash-unit
+    fragment builders), certified through a UNION ALL of per-stage
+    count/token aggregates."""
+    qs = quality_sql_columns(text_col)
+    whens = " ".join(f"WHEN source = '{v}' THEN {r}"
+                     for v, r in sorted((rates or {}).items()))
+    rate_expr = (f"(CASE {whens} ELSE {default_rate} END)" if whens
+                 else f"({default_rate})")
+    bench_sh = dd.shingle_sql(
+        f"(SELECT * FROM {table} WHERE {id_col} < {benchmark_max_id})",
+        text_col, id_col, n=5)
+    corp_sh = dd.shingle_sql("deduped", text_col, id_col, n=5)
+    stage = ("SELECT {i} AS stage_idx, '{n}' AS stage, "
+             "CAST(COUNT(*) AS BIGINT) AS docs_out, "
+             "CAST(COALESCE(SUM(n_tokens), 0) AS BIGINT) AS tokens_out "
+             "FROM {f}")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, source, {text_col},
+             {qs['n_tokens']} AS n_tokens, {qs['ttr']} AS ttr
+      FROM {table}
+    ),
+    gated AS (
+      SELECT * FROM base
+      WHERE n_tokens >= {min_tokens} AND ttr >= {min_ttr}
+    ),
+    deduped AS (
+      SELECT * FROM gated
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(lower({text_col}))
+                                 ORDER BY {id_col}) = 1
+    ),
+    bench_sh AS (SELECT DISTINCT shingle FROM ({bench_sh})),
+    corp_sh AS ({corp_sh}),
+    contaminated AS (
+      SELECT DISTINCT corp_sh.{id_col}
+      FROM corp_sh JOIN bench_sh USING (shingle)
+    ),
+    clean AS (
+      SELECT * FROM deduped
+      WHERE {id_col} NOT IN (SELECT {id_col} FROM contaminated)
+    ),
+    sampled AS (
+      SELECT * FROM clean
+      WHERE {sp.hash_unit_sql(id_col)} < {rate_expr}
+    )
+    {stage.format(i=0, n='raw', f='base')}
+    UNION ALL {stage.format(i=1, n='quality_gate', f='gated')}
+    UNION ALL {stage.format(i=2, n='exact_dedup', f='deduped')}
+    UNION ALL {stage.format(i=3, n='decontaminate', f='clean')}
+    UNION ALL {stage.format(i=4, n='stratified_sample', f='sampled')}
+    """

@@ -587,3 +587,91 @@ def unimax_sample_sql(table: str, budget: int, epochs: int = 4,
                   ELSE CAST([] AS INT[]) END)) AS INT) AS epoch
     FROM j
     """
+
+
+def curriculum_order(df: DataFrame, score_col: str, n_buckets: int = 10,
+                     id_col: str = "doc_id",
+                     n_ranges: int = 32) -> DataFrame:
+    """Curriculum manifest: (id, score, bucket, pos) — every row's global
+    1-based training position under an easy-first curriculum (bucket by
+    ascending ``score_col`` difficulty decile, deterministic hash shuffle
+    WITHIN each bucket so the model never sees the corpus in storage
+    order).
+
+    Scale shape, in two certified-scalable moves:
+
+    1. **Bucketing by value, not by row**: difficulty scores (token
+       counts, quality grades) have bounded cardinality, so quantile
+       buckets come from a value-histogram aggregate (tiny) with integer
+       cumulative math — ``bucket = cum_below * n / total + 1`` in pure
+       integer division, exact in both engines — broadcast back as a
+       narrow join. Never an ntile window over the corpus (single
+       reducer).
+    2. **Global position without a global window**: range-partition on
+       the total order (bucket, md5(id), id), per-partition row_number in
+       parallel, plus each partition's row-count prefix offset (one
+       driver round-trip of ``n_ranges`` numbers — the
+       :func:`token_budget_head` pattern). ``pos`` depends only on the
+       total order, not on where the sampled split points land.
+    """
+    vals = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    # value-cardinality table: a global window here is windowing a
+    # histogram, not the corpus
+    wv = (Window.orderBy(score_col)
+          .rowsBetween(Window.unboundedPreceding, -1))
+    wt = (Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    vb = vals.select(
+        score_col,
+        F.coalesce(F.sum("_cnt").over(wv), F.lit(0)).alias("_cumlt"),
+        F.sum("_cnt").over(wt).alias("_tot"))
+    vb = vb.select(score_col,
+                   (F.expr(f"_cumlt * {n_buckets} div _tot") + 1)
+                   .cast("int").alias("bucket"))
+    b = (df.join(F.broadcast(vb), score_col)
+         .withColumn("_key", F.md5(F.col(id_col).cast("string"))))
+    ranged = b.repartitionByRange(n_ranges, F.col("bucket"),
+                                  F.col("_key"), F.col(id_col))
+    # pin the sampled boundaries: offsets job and final job must see the
+    # SAME layout (repartitionByRange re-samples per job)
+    ranged = ranged.localCheckpoint(eager=True)
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["_c"] for r in
+              pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+              .collect()}
+    off, acc = F.lit(0), 0
+    for p in sorted(counts):
+        off = F.when(F.col("_pid") == p, F.lit(acc)).otherwise(off)
+        acc += counts[p]
+    w = (Window.partitionBy("_pid")
+         .orderBy(F.col("bucket"), F.col("_key"), F.col(id_col)))
+    return (pid.select(F.col(id_col), F.col(score_col), F.col("bucket"),
+                       (F.row_number().over(w) + off).cast("long")
+                       .alias("pos")))
+
+
+def curriculum_order_sql(table: str, score_sql: str, n_buckets: int = 10,
+                         id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`curriculum_order`: the same integer
+    value-histogram bucketing, position as ONE global ROW_NUMBER over
+    the identical total order."""
+    return f"""
+    WITH d AS (SELECT {id_col}, {score_sql} AS score FROM {table}),
+    vals AS (SELECT score, COUNT(*) AS cnt FROM d GROUP BY score),
+    vb AS (SELECT score,
+             COALESCE(SUM(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumlt,
+             SUM(cnt) OVER () AS tot
+           FROM vals),
+    b AS (SELECT d.{id_col}, d.score,
+                 CAST((vb.cumlt * {n_buckets}) // vb.tot + 1 AS INT)
+                   AS bucket
+          FROM d JOIN vb USING (score))
+    SELECT {id_col}, score, bucket,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY bucket, md5(CAST({id_col} AS VARCHAR)), {id_col})
+             AS BIGINT) AS pos
+    FROM b
+    """

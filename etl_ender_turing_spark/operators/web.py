@@ -596,3 +596,132 @@ def curate_web_corpus_sql(table: str = "documents",
              AS BIGINT) AS n_tokens
     FROM fin GROUP BY lang, bucket
     """
+
+
+# --------------------------------------------------------------------------
+# Anchor-text profiles per target domain
+# --------------------------------------------------------------------------
+
+# an <a> whose href is ABSOLUTE http(s), capturing (2) the url and (3) the
+# plain inner text; the backreference closes whichever quote opened. The
+# text group ends at the FIRST nested tag ([^<]* — the conservative read:
+# "mixed <b>inner</b>" attributes only "mixed "), so no literal </a> is
+# required after it (requiring one would silently drop every anchor with
+# inline markup).
+_ANCHOR_RE = (r"(?i)<a\s[^>]*?href\s*=\s*([\"'])(https?://[^\"']+)\1"
+              r"[^>]*>([^<]*)")
+
+
+def synthesize_planted_anchors(docs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, html) anchor fixture: two absolute-href anchors whose
+    target domains AND anchor words derive arithmetically from doc_id,
+    plus a relative-href anchor ("skip me") whose text must NOT be
+    attributed to any domain, and a second-anchor ``<A HREF`` spelling
+    pinning case-insensitivity (same planting discipline as
+    :func:`synthesize_planted_links`)."""
+    did = F.col(id_col)
+    u1 = F.concat(F.lit("https://w"), (did % 5).cast("string"),
+                  F.lit(".example-"), ((did + 1) % 7).cast("string"),
+                  F.lit("."), _tld_cycle(did + 1),
+                  F.lit("/p/"), did.cast("string"))
+    t1 = F.concat(F.lit("visit example site "), (did % 3).cast("string"))
+    u2 = F.concat(F.lit("http://example-"), ((did * 3) % 7).cast("string"),
+                  F.lit("."), _tld_cycle(did + 2), F.lit("/q"))
+    t2 = F.concat(F.lit("download data "), (did % 2).cast("string"))
+    html = F.concat(
+        F.lit('<p><a href="'), u1, F.lit('">'), t1,
+        F.lit('</a> <a href="/rel/'), did.cast("string"),
+        F.lit('">skip me</a> <A HREF="'), u2, F.lit('">'), t2,
+        F.lit("</A></p>"))
+    return docs.select(id_col, html.alias("html"))
+
+
+def extract_anchors(df: DataFrame, html_col: str = "html",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(id, dst_domain, anchor): the visible text of every absolute
+    http(s) link, keyed by the target's PSL eTLD+1.
+
+    Anchor text is the strongest off-page description of a target domain
+    a crawl owns — search stacks and link-spam classifiers aggregate it
+    per domain (TrustRank-adjacent signals), and a curation pipeline uses
+    the same profile to give or deny a domain a quality prior. Two
+    `regexp_extract_all` passes over the same pattern (url group, text
+    group) are zipped positionally — one narrow projection with per-row
+    fan-out, no shuffle, no Python; at 100 TB this stays inside the scan
+    stage and only the domain-aggregated term table ever shuffles."""
+    urls = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 2)
+    txts = F.regexp_extract_all(F.col(html_col), F.lit(_ANCHOR_RE), 3)
+    pair = F.zip_with(urls, txts,
+                      lambda u, t: F.struct(u.alias("href"),
+                                            t.alias("anchor")))
+    ex = df.select(F.col(id_col), F.explode(pair).alias("l"))
+    host = F.parse_url(F.col("l.href"), F.lit("HOST"))
+    return ex.select(id_col, reg_domain_expr(host).alias("dst_domain"),
+                     F.col("l.anchor").alias("anchor"))
+
+
+def anchor_domain_terms(anchors: DataFrame, k: int = 5) -> DataFrame:
+    """Top-``k`` anchor terms per target domain: (dst_domain, term, n,
+    rnk) — the domain's inbound-text profile.
+
+    Shape at scale: explode to (domain, term) → ONE partial+final count
+    on uniform keys → per-domain top-k via a row_number window whose
+    ``<= k`` filter Catalyst rewrites to two-phase WindowGroupLimit
+    (map-side prune before the exchange, the repo's certified top-k
+    discipline)."""
+    terms = (anchors
+             .select("dst_domain",
+                     F.explode(F.split(F.lower(F.col("anchor")),
+                                       r"\s+")).alias("term"))
+             .filter(F.col("term") != ""))
+    counts = (terms.groupBy("dst_domain", "term")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("dst_domain").orderBy(F.desc("n"),
+                                                 F.asc("term"))
+    return (counts.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k))
+
+
+def anchor_domain_terms_sql(table: str = "documents", k: int = 5,
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`anchor_domain_terms` over the planted
+    anchor fixture: both (domain, anchor-text) rows are regenerated
+    arithmetically — extractor and oracle share no code path — then the
+    identical explode/count/top-k."""
+    tld1 = (f"CASE WHEN ({id_col} + 1) % 4 = 1 THEN 'co.uk' "
+            f"WHEN ({id_col} + 1) % 4 = 2 THEN 'com.au' "
+            f"WHEN ({id_col} + 1) % 4 = 3 THEN 'k12.ak.us' "
+            f"ELSE 'com' END")
+    tld2 = (f"CASE WHEN ({id_col} + 2) % 4 = 1 THEN 'co.uk' "
+            f"WHEN ({id_col} + 2) % 4 = 2 THEN 'com.au' "
+            f"WHEN ({id_col} + 2) % 4 = 3 THEN 'k12.ak.us' "
+            f"ELSE 'com' END")
+    return f"""
+    WITH anchors AS (
+      SELECT 'example-' || CAST(({id_col} + 1) % 7 AS VARCHAR) || '.'
+               || {tld1} AS dst_domain,
+             'visit example site ' || CAST({id_col} % 3 AS VARCHAR)
+               AS anchor
+      FROM {table}
+      UNION ALL
+      SELECT 'example-' || CAST(({id_col} * 3) % 7 AS VARCHAR) || '.'
+               || {tld2},
+             'download data ' || CAST({id_col} % 2 AS VARCHAR)
+      FROM {table}
+    ),
+    terms AS (
+      SELECT dst_domain, unnest(string_split(lower(anchor), ' ')) AS term
+      FROM anchors
+    ),
+    counts AS (
+      SELECT dst_domain, term, COUNT(*) AS n FROM terms
+      WHERE term <> '' GROUP BY dst_domain, term
+    )
+    SELECT dst_domain, term, n, rnk FROM (
+      SELECT dst_domain, term, n,
+             ROW_NUMBER() OVER (PARTITION BY dst_domain
+                                ORDER BY n DESC, term ASC) AS rnk
+      FROM counts
+    ) WHERE rnk <= {k}
+    """

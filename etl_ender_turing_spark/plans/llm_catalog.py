@@ -610,6 +610,30 @@ def q_token_budget(spark, sf_dir):
                                 quality_col="n_chars", token_col="n_chars")
 
 
+@register(
+    "q_curriculum_order",
+    sp.curriculum_order_sql(
+        "documents", ts.quality_sql_columns()["n_tokens"], n_buckets=10),
+    doc="curriculum training manifest (operators/sampling."
+        "curriculum_order): every doc's global 1-based training position "
+        "under an easy-first curriculum — length-decile bucket ascending "
+        "(short-to-long is the classic length curriculum), deterministic "
+        "md5 shuffle within each bucket so no model ever sees storage "
+        "order. Two scale moves, both certified: decile buckets from an "
+        "integer value-HISTOGRAM aggregate broadcast back (never an "
+        "ntile window over the corpus), and the global position as "
+        "range-partitioned per-partition row_number plus n_ranges driver-"
+        "side prefix offsets (the token_budget_head pattern) — pos "
+        "depends only on the total order, not on sampled split points. "
+        "Oracle computes the identical buckets and ONE global ROW_NUMBER "
+        "over the same (bucket, md5, id) order — a boundary or offset "
+        "bug anywhere shifts positions and hash-mismatches")
+def q_curriculum_order(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", ts.quality_columns()["n_tokens"].alias("score"))
+    return sp.curriculum_order(d, "score", n_buckets=10)
+
+
 _MULTI_PAIRS_SQL = f"""
     SELECT doc_a, doc_b FROM ({dd.lsh_jaccard_sql(_SHINGLE_CTE, threshold=0.6)})
     UNION
@@ -993,6 +1017,26 @@ def q_training_set(spark, sf_dir):
     return cu.prepare_training_set(_docs(spark, sf_dir),
                                    rates=_CURATION_RATES,
                                    default_rate=0.5)
+
+
+@register(
+    "q_curation_attrition",
+    cu.curation_attrition_sql("documents", rates=_CURATION_RATES,
+                              default_rate=0.5),
+    doc="per-stage attrition funnel over the curation chain (operators/"
+        "curation.curation_attrition): one row per stage — raw -> "
+        "quality gate -> exact dedup -> decontaminate -> stratified "
+        "sample — with surviving doc and token counts; the run-over-run "
+        "funnel a production data team alerts on (a dedup stage that "
+        "drops 40% instead of 4% is an incident only stage counts can "
+        "see). Same stage shapes as q_training_set; every stage frame "
+        "now feeds two consumers (next stage + its own count) so each "
+        "is localCheckpoint-cut — the capstone's no-cross-consumer-CSE "
+        "lesson — and the report itself is one extra partial+final agg "
+        "per stage. Oracle: the same stage CTEs, UNION ALL of counts")
+def q_curation_attrition(spark, sf_dir):
+    return cu.curation_attrition(_docs(spark, sf_dir),
+                                 rates=_CURATION_RATES, default_rate=0.5)
 
 
 @register(
@@ -1650,6 +1694,28 @@ def q_domain_pagerank(spark, sf_dir):
     return gr.pagerank(wb.domain_edges(parsed, links), iters=3)
 
 
+@register(
+    "q_anchor_terms",
+    wb.anchor_domain_terms_sql("documents", k=5),
+    doc="anchor-text domain profiles (operators/web.extract_anchors + "
+        "anchor_domain_terms): the visible text of every absolute link, "
+        "keyed by the target's PSL eTLD+1, exploded to terms and "
+        "aggregated to a per-domain top-5 — the strongest off-page "
+        "description of a domain a crawl owns (search/link-spam stacks "
+        "aggregate exactly this; curation uses it as a domain quality "
+        "prior). Extraction is two zipped regexp_extract_all passes, "
+        "narrow and shuffle-free; counting is ONE partial+final agg on "
+        "uniform (domain, term) keys; top-k is the certified "
+        "WindowGroupLimit shape. Fixture plants anchor words AND target "
+        "domains arithmetically, plus a relative-href anchor whose text "
+        "must not be attributed; the oracle regenerates both planted "
+        "rows and re-aggregates — extractor and oracle share no code")
+def q_anchor_terms(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    anchors = wb.extract_anchors(wb.synthesize_planted_anchors(docs))
+    return wb.anchor_domain_terms(anchors, k=5)
+
+
 # =========================================================================
 # N-gram language model (the executable CCNet perplexity filter)
 # =========================================================================
@@ -1980,6 +2046,34 @@ def q_stream_source_cap(spark, sf_dir):
     ckpt = tempfile.mkdtemp(prefix="q_stream_cap_ckpt_")
     return run_capped_docs_batch(spark, sf_dir, ckpt, cap=10,
                                  glob_filter="documents.parquet")
+
+
+@register(
+    "q_stream_neardup_gate",
+    dd._minhash_ctes(dd.shingle_sql("documents"), 8, 2, "doc_id")
+    + "\n    SELECT s.doc_id, s.doc_id IN (SELECT doc_b FROM pairs)"
+      " AS is_dup FROM sigs s",
+    doc="streaming MinHash-LSH near-dup gate run to completion "
+        "(streaming/stream.neardup_gate_stream, availableNow): the "
+        "NEAR-dup member of the stateful family (byte-identity dedup "
+        "never fires on a re-crawled article with a fresh timestamp). "
+        "Signatures ride minhash_signatures_inline — shingle + per-"
+        "family mins as array HOFs in ONE projection, so the stream "
+        "stacks no second stateful op — melted to band buckets whose "
+        "state is one long (first owner) per distinct band hash; later "
+        "arrivals are flagged, shipped docs never retracted. In one "
+        "availableNow round the verdict equals the batch window: "
+        "flagged ⟺ shares a band with a smaller id ⟺ appears as doc_b "
+        "in the batch pair generator — so the oracle IS the batch "
+        "family's pairs CTE, certifying stream and batch against the "
+        "same SQL. State is band-vocabulary-sized, never pair-scale")
+def q_stream_neardup_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_neardup_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_neardup_ckpt_")
+    return run_neardup_gate_batch(spark, sf_dir, ckpt,
+                                  glob_filter="documents.parquet")
 
 
 @register(

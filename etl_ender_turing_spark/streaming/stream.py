@@ -671,3 +671,95 @@ def run_capped_docs_batch(spark: SparkSession, source_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("capped_docs_result")
+
+
+def neardup_gate_stream(spark: SparkSession, source_dir: str,
+                        n_hashes: int = 8, rows_per_band: int = 2,
+                        glob_filter: str | None = None) -> DataFrame:
+    """Streaming MinHash-LSH near-duplicate gate: flag each arriving doc
+    whose LSH band signature was already seen — the ingest-time twin of
+    the batch ``q_dedup_minhash_lsh`` family, and the missing NEAR-dup
+    member of the stateful family (exactly-first dedup is byte-identity;
+    a crawl re-fetches the same article with a new timestamp footer and
+    byte-identity never fires).
+
+    Dataflow: signatures come from ``dedup.minhash_signatures_inline`` —
+    shingling and per-family mins as array HOFs in ONE projection, so the
+    stream needs NO aggregation before its single stateful op (a
+    groupBy-min signature would be a second stateful operator, which
+    Structured Streaming append-mode cannot stack). Docs shorter than the
+    shingle width carry no signature and bypass the gate (a production
+    pipeline unions them back as unique). Signatures melt to
+    (band, band_hash) rows; state — keyed by the band bucket, ONE long
+    (the bucket's first doc id) per distinct band hash ever seen — marks
+    every later arrival. Per-doc verdicts are a batch ``bool_or`` over
+    the completed output (any band seen ⇒ near-dup suspect).
+
+    Semantics across arrival waves: first-owner-wins, monotone — a
+    shipped doc is never retracted when its twin arrives later; the twin
+    is flagged. When all data lands in one availableNow round the
+    verdict equals the batch window exactly: doc flagged ⟺ it shares a
+    band with a smaller id ⟺ it appears as doc_b in the batch pair
+    generator — so the ORACLE is the batch family's own pairs CTE.
+    State size = distinct band hashes (vocabulary-scale, not pair-scale);
+    at 100 TB the same gate runs with a TTL on cold buckets.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..operators import dedup as dd
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir)
+    sigs = dd.minhash_signatures_inline(docs, n_hashes=n_hashes)
+    n_bands = n_hashes // rows_per_band
+    stack = ", ".join(
+        "'{b}', concat({cols})".format(
+            b=b, cols=", ".join(f"h{b * rows_per_band + r}"
+                                for r in range(rows_per_band)))
+        for b in range(n_bands))
+    melted = sigs.selectExpr(
+        "doc_id", f"stack({n_bands}, {stack}) AS (band, h)")
+
+    def gate(key, pdf_iter, state: GroupState):
+        pdf = pd.concat(list(pdf_iter)).sort_values("doc_id")
+        if pdf.empty:
+            return iter(())
+        if state.exists:
+            seen = [True] * len(pdf)
+        else:
+            first = int(pdf["doc_id"].iloc[0])
+            state.update((first,))
+            seen = [int(d) != first for d in pdf["doc_id"]]
+        out = pdf[["doc_id", "band"]].copy()
+        out["seen_before"] = seen
+        return iter([out])
+
+    return (melted.groupBy("band", "h")
+            .applyInPandasWithState(
+                gate, "doc_id long, band string, seen_before boolean",
+                "first_id long", "append", GroupStateTimeout.NoTimeout))
+
+
+def run_neardup_gate_batch(spark: SparkSession, source_dir: str,
+                           checkpoint_dir: str, n_hashes: int = 8,
+                           rows_per_band: int = 2,
+                           glob_filter: str | None = None,
+                           query_name: str = "neardup_gate_result"
+                           ) -> DataFrame:
+    """Drive the near-dup gate to completion (availableNow) and reduce
+    the per-band verdicts to one row per doc: (doc_id, is_dup)."""
+    gated = neardup_gate_stream(spark, source_dir, n_hashes,
+                                rows_per_band, glob_filter)
+    q = (gated.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("doc_id")
+            .agg(F.expr("bool_or(seen_before)").alias("is_dup")))

@@ -85,3 +85,35 @@ def test_extract_links_ignores_relative_and_anchors(spark):
     assert got == {"https://b.co.uk/y": "b.co.uk",
                    "http://sq.example.com/": "example.com",
                    "HTTPS://c.github.io/z": "c.github.io"}
+
+
+def test_extract_anchors_text_attribution(spark):
+    from etl_ender_turing_spark.operators import web as wb
+
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    html = ('<a href="/rel">never attributed</a> '
+            '<a class="x" href="https://b.co.uk/y">Read The Docs</a> '
+            '<A HREF="http://sq.example.com/">mixed <b>inner</b></A>')
+    got = {(r["dst_domain"], r["anchor"])
+           for r in wb.extract_anchors(
+               df.select("doc_id", F.lit(html).alias("html"))).collect()}
+    # relative-href text is dropped; inline markup truncates the anchor
+    # at the first nested tag (conservative read)
+    assert got == {("b.co.uk", "Read The Docs"),
+                   ("example.com", "mixed ")}
+
+
+def test_anchor_domain_terms_topk(spark):
+    from etl_ender_turing_spark.operators import web as wb
+
+    anchors = spark.createDataFrame(
+        [("d.com", "fast spark engine"), ("d.com", "fast engine"),
+         ("d.com", "SPARK guide"), ("e.org", "one")],
+        "dst_domain string, anchor string")
+    out = wb.anchor_domain_terms(anchors, k=2).collect()
+    top = {(r["dst_domain"], r["rnk"]): (r["term"], r["n"]) for r in out}
+    # lowercased counts: fast=2 engine=2 spark=2 guide=1 → ties break
+    # alphabetically (engine, fast) at k=2
+    assert top[("d.com", 1)] == ("engine", 2)
+    assert top[("d.com", 2)] == ("fast", 2)
+    assert top[("e.org", 1)] == ("one", 1)

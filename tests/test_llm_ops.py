@@ -1344,3 +1344,61 @@ def test_margin_mine_rewards_mutual_pairs_over_hub_edges(spark):
     assert all(pairs[(0, 1)] > m for m in clique)
     # every surviving edge respects the threshold
     assert all(m > 1.0 for m in pairs.values())
+
+
+def test_curation_attrition_funnel_matches_pipeline(spark):
+    from etl_ender_turing_spark.operators import curation as cu
+    long_text = " ".join(f"tok{i % 37}" for i in range(60))
+    bench_text = " ".join(f"b{i}" for i in range(50))
+    leak = "b10 b11 b12 b13 b14"
+    rows = ([(i, "srcA", long_text + f" uniq{i}") for i in range(20, 25)]
+            + [(25, "srcA", long_text + " " + leak)]
+            + [(30, "srcA", long_text + " uniq20")]
+            + [(5, "srcB", bench_text)]
+            + [(31, "srcB", "short text")])
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    kw = dict(rates={"srcA": 1.0, "srcB": 1.0}, default_rate=1.0,
+              benchmark_max_id=20, min_tokens=40, min_ttr=0.2)
+    rep = {r.stage: r for r in cu.curation_attrition(docs, **kw).collect()}
+    assert [rep[s].stage_idx for s in
+            ("raw", "quality_gate", "exact_dedup", "decontaminate",
+             "stratified_sample")] == [0, 1, 2, 3, 4]
+    # the funnel is monotone and each planted drop lands in its stage:
+    assert rep["raw"].docs_out == 9
+    assert rep["quality_gate"].docs_out == 8       # 31 gated (5 is a
+    # 50-token bench doc that PASSES quality; decontamination is what
+    # never emits it downstream — it is not a corpus row there)
+    assert rep["exact_dedup"].docs_out == 7        # 30 deduped
+    # decontaminate drops 25 (leaked 5-gram); 5 itself shares ALL its
+    # shingles with the benchmark (it IS a benchmark doc), so it drops too
+    assert rep["decontaminate"].docs_out == 5
+    assert rep["stratified_sample"].docs_out == 5  # rates 1.0 keep all
+    # token counts shrink with the docs
+    toks = [rep[s].tokens_out for s in
+            ("raw", "quality_gate", "exact_dedup", "decontaminate")]
+    assert toks == sorted(toks, reverse=True) and toks[-1] > 0
+    # the funnel's terminal row equals the shipped pipeline's count
+    shipped = cu.prepare_training_set(docs, **kw).count()
+    assert rep["stratified_sample"].docs_out == shipped
+
+
+def test_curriculum_order_is_split_point_independent(spark):
+    from etl_ender_turing_spark.operators import sampling as sp
+    rows = [(i, (i * 7) % 23 + 1) for i in range(97)]   # skewed scores
+    df = spark.createDataFrame(rows, "doc_id long, score long")
+    a = {r.doc_id: (r.bucket, r.pos)
+         for r in sp.curriculum_order(df, "score", n_buckets=4,
+                                      n_ranges=3).collect()}
+    b = {r.doc_id: (r.bucket, r.pos)
+         for r in sp.curriculum_order(df, "score", n_buckets=4,
+                                      n_ranges=17).collect()}
+    assert a == b                      # pos never depends on split points
+    # pos is a permutation of 1..n and bucket is non-decreasing along it
+    seq = sorted(a.values(), key=lambda t: t[1])
+    assert [p for _, p in seq] == list(range(1, 98))
+    assert [bk for bk, _ in seq] == sorted(bk for bk, _ in seq)
+    # value-level bucketing: equal scores always share a bucket
+    by_score = {}
+    for (i, s) in rows:
+        by_score.setdefault(s, set()).add(a[i][0])
+    assert all(len(v) == 1 for v in by_score.values())

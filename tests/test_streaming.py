@@ -331,3 +331,38 @@ def test_capped_doc_stream_counter_spans_micro_batches(spark, tmp_path):
         ranked = sorted(w)
         qs = [by_rank[r].n_chars for r in ranked]
         assert qs == sorted(qs, reverse=True)
+
+
+def test_neardup_gate_state_spans_micro_batches(spark, tmp_path):
+    import pandas as pd
+
+    from etl_ender_turing_spark.streaming.stream import neardup_gate_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    pd.DataFrame({"doc_id": [1], "text": [text], "lang": ["en"],
+                  "source": ["s"], "n_chars": [len(text)]}
+                 ).to_parquet(src / "wave1.parquet")
+    other = "one two three four five six seven eight nine"
+    pd.DataFrame({"doc_id": [100, 101], "text": [text, other],
+                  "lang": ["en", "en"], "source": ["s", "s"],
+                  "n_chars": [len(text), len(other)]}
+                 ).to_parquet(src / "wave2.parquet")
+    gated = neardup_gate_stream(spark, str(src))
+    q = (gated.writeStream.format("memory").queryName("neardup_span")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("maxFilesPerTrigger", 1)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+    verdict = {r.doc_id: r.is_dup for r in
+               spark.table("neardup_span").groupBy("doc_id")
+               .agg(F.expr("bool_or(seen_before)").alias("is_dup"))
+               .collect()}
+    # the twin that arrives in the LATER micro-batch is flagged by state
+    # from the earlier one (file order isn't pinned, so exactly one of
+    # the identical pair is flagged); the distinct doc never is
+    assert sorted([verdict[1], verdict[100]]) == [False, True]
+    assert verdict[101] is False
