@@ -673,6 +673,61 @@ def q_embed_quantize(spark, sf_dir):
                     F.array_join("qvec", ",").alias("qvec_csv")))
 
 
+_CARD_PLANT_SQL = (
+    "text || CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || "
+    "CASE WHEN doc_id % 2 = 0 THEN ' 1111 1111 1111' "
+    "ELSE '-1111-1111-1111' END "
+    "WHEN doc_id % 5 = 1 THEN ' card 4111111111111112' "
+    "WHEN doc_id % 5 = 3 THEN ' card 5500 0000 0000 0004' "
+    "ELSE '' END || ' ref 12345'")
+
+_CARD_SQL = ts.card_sql_columns("txt")
+
+
+@register(
+    "q_card_redact",
+    f"""
+    WITH planted AS (SELECT doc_id, {_CARD_PLANT_SQL} AS txt
+                     FROM documents)
+    SELECT doc_id, {_CARD_SQL['n_card_candidates']} AS n_card_candidates,
+           {_CARD_SQL['n_cards_valid']} AS n_cards_valid,
+           md5({_CARD_SQL['redacted']}) AS redacted_md5
+    FROM planted
+    """,
+    doc="checksum-validated payment-card redaction (operators/textstats."
+        "card_columns): 13-19-digit candidate runs from ONE regexp pass, "
+        "each Luhn-validated by an indexed array-HOF fold (d*2-9 "
+        "identity, pure INT — Spark div promotes the fold accumulator "
+        "to BIGINT and fails analysis), and only VALIDATING runs are "
+        "masked — the precision upgrade over pattern-only PII: order "
+        "ids and tracking numbers stop being destructive false "
+        "redactions. Narrow projection, no shuffle. Fixture plants a "
+        "valid Visa test number (separator varies by parity), an "
+        "invalid near-miss (must count as candidate, never mask), a "
+        "valid Mastercard, and a short digit run that must not even be "
+        "a candidate; masked text md5-matches value-for-value")
+def q_card_redact(spark, sf_dir):
+    plant = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit(" card 4111"),
+                        F.when(F.col("doc_id") % 2 == 0,
+                               F.lit(" 1111 1111 1111"))
+                        .otherwise(F.lit("-1111-1111-1111"))))
+        .when(F.col("doc_id") % 5 == 1, F.lit(" card 4111111111111112"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.lit(" card 5500 0000 0000 0004"))
+        .otherwise(F.lit("")),
+        F.lit(" ref 12345"))
+    cols = ts.card_columns("txt")
+    return (_docs(spark, sf_dir).select("doc_id", plant.alias("txt"))
+            .select("doc_id",
+                    cols["n_card_candidates"].alias("n_card_candidates"),
+                    cols["n_cards_valid"].alias("n_cards_valid"),
+                    F.md5(cols["redacted"]).alias("redacted_md5")))
+
+
+
 _PII_PLANT_SQL = (
     "text || CASE WHEN doc_id % 7 = 0 THEN ' contact user' || doc_id || "
     "'@example.com or +1 (555) 123-' || "

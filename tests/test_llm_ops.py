@@ -1402,3 +1402,20 @@ def test_curriculum_order_is_split_point_independent(spark):
     for (i, s) in rows:
         by_score.setdefault(s, set()).add(a[i][0])
     assert all(len(v) == 1 for v in by_score.values())
+
+
+def test_card_columns_luhn_gates_masking(spark):
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.operators import textstats as ts
+    txt = ("order 4111 1111 1111 1111 sent; track 4111111111111112; "
+           "id 12345; alt 5500-0000-0000-0004")
+    df = spark.createDataFrame([(txt,)], "text string")
+    c = ts.card_columns("text")
+    row = df.select(c["n_card_candidates"].alias("nc"),
+                    c["n_cards_valid"].alias("nv"),
+                    c["redacted"].alias("red")).collect()[0]
+    assert row.nc == 3            # 12345 is too short to be a candidate
+    assert row.nv == 2            # the near-miss fails its checksum
+    assert row.red == ("order <CARD> sent; track 4111111111111112; "
+                       "id 12345; alt <CARD>")
