@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     # knn_graph self-join consumed by three branches)
     "q_domain_pagerank",
     "q_margin_mining",
+    # round-6 session-2 additions: the per-stage attrition funnel
+    # (re-times the whole curation chain + 5 stage counts over
+    # checkpoint-cut frames) and the curriculum manifest (value-histogram
+    # bucketing + the range-partitioned global-position two-pass)
+    "q_curation_attrition",
+    "q_curriculum_order",
 ]
 
 

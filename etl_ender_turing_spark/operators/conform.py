@@ -122,3 +122,117 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
     return (j.withColumn("change_type", change)
             .filter(F.col("change_type").isNotNull())
             .select(*key_cols, "change_type"))
+
+
+# --------------------------------------------------------------------------
+# PSI drift between two corpus snapshots (population stability index)
+# --------------------------------------------------------------------------
+
+# per-bin PSI term over add-one-smoothed counts: (q - p) * ln(q / p),
+# 6dp-floor-quantized so an ulp of ln divergence can never reach the
+# decimal sum (the lm._P_CASE discipline). ONE dual-dialect snippet —
+# CAST/FLOOR/ln spell identically in Spark SQL and DuckDB.
+_PSI_TERM = (
+    "CAST(FLOOR((CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE) - "
+    "CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE)) * "
+    "ln((CAST(cq AS DOUBLE) / CAST(tq AS DOUBLE)) / "
+    "(CAST(cp AS DOUBLE) / CAST(tp AS DOUBLE))) "
+    "* 1000000 + 0.5) / 1000000 AS DECIMAL(28,6))")
+
+
+def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str = "n_chars",
+              group_col: str = "source", n_bins: int = 10) -> DataFrame:
+    """Population Stability Index of ``value_col`` per ``group_col``
+    between a reference snapshot and the current one — THE production
+    drift monitor (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken):
+    a crawl source whose length distribution shifts under your feet is
+    how silent corpus regressions ship.
+
+    Scale shape: bin edges come from the REFERENCE's value histogram
+    (value-cardinality, tiny) using the repo's explicit integer-index
+    quantile rule — edge_b = min value whose cumulative count reaches
+    ``(b·total) div n_bins`` — never a corpus sort or percentile window;
+    the 9-element edge array broadcasts into a narrow binning projection
+    on both snapshots; everything after is (group × bin)-cardinality.
+    Empty (group, bin) cells are add-one smoothed on BOTH sides (the
+    standard PSI fix for ln(0)), with per-group totals re-summed over the
+    smoothed counts so shares still sum to 1.
+    """
+    spark = ref.sparkSession
+    vals = ref.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
+    # windows over the HISTOGRAM, not the corpus
+    from pyspark.sql import Window
+    wv = (Window.orderBy(value_col)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = (Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    vc = vals.select(value_col, F.sum("cnt").over(wv).alias("cumle"),
+                     F.sum("cnt").over(wt).alias("tot"))
+    bs = spark.range(1, n_bins).withColumnRenamed("id", "b")
+    edges = (vc.crossJoin(F.broadcast(bs))
+             .filter(F.col("cumle") >= F.expr(f"(b * tot) div {n_bins}"))
+             .groupBy("b").agg(F.min(value_col).alias("edge")))
+    earr = edges.agg(F.sort_array(F.collect_list("edge")).alias("earr"))
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        return (df.crossJoin(F.broadcast(earr))
+                .select(group_col,
+                        (F.expr(f"size(filter(earr, e -> {value_col} > e))")
+                         + 1).alias("bin"))
+                .groupBy(group_col, "bin")
+                .agg(F.count(F.lit(1)).alias(out)))
+
+    spine = (ref.select(group_col).union(cur.select(group_col)).distinct()
+             .crossJoin(F.broadcast(
+                 spark.range(1, n_bins + 1)
+                 .select(F.col("id").cast("int").alias("bin")))))
+    j = (spine.join(binned(ref, "rp"), [group_col, "bin"], "left")
+         .join(binned(cur, "rq"), [group_col, "bin"], "left")
+         .select(group_col, "bin",
+                 (F.coalesce(F.col("rp"), F.lit(0)) + 1).alias("cp"),
+                 (F.coalesce(F.col("rq"), F.lit(0)) + 1).alias("cq")))
+    tot = (j.groupBy(group_col)
+           .agg(F.sum("cp").alias("tp"), F.sum("cq").alias("tq")))
+    return (j.join(F.broadcast(tot), group_col)
+            .select(group_col, F.expr(_PSI_TERM).alias("term"))
+            .groupBy(group_col)
+            .agg(F.expr("CAST(SUM(term) AS DOUBLE)").alias("psi")))
+
+
+def psi_drift_sql(ref_sql: str, cur_sql: str, value_col: str = "n_chars",
+                  group_col: str = "source", n_bins: int = 10) -> str:
+    """DuckDB oracle for :func:`psi_drift`: identical histogram edges,
+    binning, smoothing and the shared quantized-ln term."""
+    return f"""
+    WITH refd AS ({ref_sql}), curd AS ({cur_sql}),
+    vals AS (SELECT {value_col} AS v, COUNT(*) AS cnt
+             FROM refd GROUP BY 1),
+    vc AS (SELECT v, SUM(cnt) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumle,
+             SUM(cnt) OVER () AS tot FROM vals),
+    bs AS (SELECT unnest(range(1, {n_bins})) AS b),
+    edges AS (SELECT b, MIN(v) AS edge FROM vc, bs
+              WHERE cumle >= (b * tot) // {n_bins} GROUP BY b),
+    earr AS (SELECT list_sort(list(edge)) AS arr FROM edges),
+    bp AS (SELECT {group_col} AS g,
+                  len(list_filter(arr, e -> {value_col} > e)) + 1 AS bin
+           FROM refd, earr),
+    bq AS (SELECT {group_col} AS g,
+                  len(list_filter(arr, e -> {value_col} > e)) + 1 AS bin
+           FROM curd, earr),
+    cp0 AS (SELECT g, bin, COUNT(*) AS rp FROM bp GROUP BY g, bin),
+    cq0 AS (SELECT g, bin, COUNT(*) AS rq FROM bq GROUP BY g, bin),
+    spine AS (SELECT g, bin FROM
+                (SELECT {group_col} AS g FROM refd
+                 UNION SELECT {group_col} FROM curd),
+                (SELECT unnest(range(1, {n_bins + 1})) AS bin)),
+    j AS (SELECT s.g, s.bin, COALESCE(rp, 0) + 1 AS cp,
+                 COALESCE(rq, 0) + 1 AS cq
+          FROM spine s
+          LEFT JOIN cp0 USING (g, bin) LEFT JOIN cq0 USING (g, bin)),
+    t AS (SELECT g, SUM(cp) AS tp, SUM(cq) AS tq FROM j GROUP BY g)
+    SELECT j.g AS {group_col},
+           CAST(SUM({_PSI_TERM}) AS DOUBLE) AS psi
+    FROM j JOIN t USING (g) GROUP BY j.g
+    """

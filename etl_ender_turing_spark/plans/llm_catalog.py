@@ -673,6 +673,41 @@ def q_embed_quantize(spark, sf_dir):
                     F.array_join("qvec", ",").alias("qvec_csv")))
 
 
+from ..operators.conform import psi_drift, psi_drift_sql  # noqa: E402
+
+_PSI_REF_SQL = "SELECT * FROM documents WHERE doc_id < 400"
+_PSI_CUR_SQL = ("SELECT doc_id, source, n_chars + CASE WHEN source = "
+                "'src3' THEN 200 ELSE 0 END AS n_chars "
+                "FROM documents WHERE doc_id >= 400")
+
+
+@register(
+    "q_psi_drift",
+    psi_drift_sql(_PSI_REF_SQL, _PSI_CUR_SQL),
+    doc="PSI distribution-drift monitor between corpus snapshots "
+        "(operators/conform.psi_drift): per-source Population Stability "
+        "Index of the length distribution — THE production drift gate "
+        "(<0.1 stable, >0.25 broken); a crawl source whose lengths "
+        "shift under you is how silent corpus regressions ship. Bin "
+        "edges from the REFERENCE's value histogram via the repo's "
+        "explicit integer-index quantile rule (value-cardinality agg, "
+        "never a corpus sort), 9-edge array broadcast into narrow "
+        "binning on both snapshots, add-one smoothing on empty cells, "
+        "per-bin (q-p)·ln(q/p) terms 6dp-floor-quantized and decimal-"
+        "summed (the lm ln discipline — one dual-dialect snippet). "
+        "Fixture shifts src3's current snapshot by +200 chars, so "
+        "exactly one source crosses the drift threshold")
+def q_psi_drift(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") < 400)
+    cur = (docs.filter(F.col("doc_id") >= 400)
+           .select("doc_id", "source",
+                   (F.col("n_chars")
+                    + F.when(F.col("source") == "src3", 200)
+                    .otherwise(0)).alias("n_chars")))
+    return psi_drift(ref, cur)
+
+
 _CARD_PLANT_SQL = (
     "text || CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || "
     "CASE WHEN doc_id % 2 = 0 THEN ' 1111 1111 1111' "

@@ -1419,3 +1419,20 @@ def test_card_columns_luhn_gates_masking(spark):
     assert row.nv == 2            # the near-miss fails its checksum
     assert row.red == ("order <CARD> sent; track 4111111111111112; "
                        "id 12345; alt <CARD>")
+
+
+def test_psi_drift_flags_the_shifted_group(spark):
+    from etl_ender_turing_spark.operators.conform import psi_drift
+    # stable group: identical uniform lengths in both snapshots;
+    # drifted group: every value moves up by 100 in the current snapshot
+    ref = spark.createDataFrame(
+        [(i, "stable", 100 + i % 10) for i in range(40)]
+        + [(i + 100, "moved", 100 + i % 10) for i in range(40)],
+        "doc_id long, source string, n_chars long")
+    cur = spark.createDataFrame(
+        [(i + 200, "stable", 100 + i % 10) for i in range(40)]
+        + [(i + 300, "moved", 200 + i % 10) for i in range(40)],
+        "doc_id long, source string, n_chars long")
+    got = {r.source: r.psi for r in psi_drift(ref, cur).collect()}
+    assert got["stable"] < 0.1          # identical distribution
+    assert got["moved"] > 0.25          # fully displaced distribution

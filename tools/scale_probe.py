@@ -25,10 +25,12 @@ from pyspark.sql import functions as F
 # SUBMODULE on every import-as spelling — import the function directly
 from etl_ender_turing_spark.operators.conform import snapshot_diff
 from etl_ender_turing_spark.operators import bpe
+from etl_ender_turing_spark.operators import curation as cu
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import dsir as dsr
 from etl_ender_turing_spark.operators import graph as gr
 from etl_ender_turing_spark.operators import lm
+from etl_ender_turing_spark.operators import sampling as sp
 from etl_ender_turing_spark.operators import similarity as sim
 from etl_ender_turing_spark.operators import terms as tm
 from etl_ender_turing_spark.operators import textstats as ts
@@ -143,6 +145,23 @@ def main() -> None:
         "dsir_weights": lambda d, e, ev: force(dsr.dsir_weights(
             d, n_buckets=1024)),
         "bpe_learn": lambda d, e, ev: force(bpe.bpe_learn(d, rounds=2)),
+        # round-6 late additions: curriculum's value-histogram stays
+        # token-length-cardinality (replication-invariant) and the
+        # position pass is one range shuffle + per-partition windows, so
+        # growth should track the scan; anchor profiles explode 2 planted
+        # anchors/doc into a (domain, term)-keyed agg (domain set fixed
+        # at 28 -> per-domain top-k frames grow linearly); the attrition
+        # funnel re-times the whole q_training_set chain plus 5 stage
+        # counts over checkpoint-cut frames — its ratio is the composed
+        # answer, and a super-linear step here means a stage lost its cut
+        "curriculum": lambda d, e, ev: force(sp.curriculum_order(
+            d.select("doc_id", F.col("n_chars").alias("score")),
+            "score")),
+        "anchor_terms": lambda d, e, ev: force(wb.anchor_domain_terms(
+            wb.extract_anchors(wb.synthesize_planted_anchors(
+                d.select("doc_id"))))),
+        "attrition": lambda d, e, ev: force(cu.curation_attrition(
+            d, rates={}, default_rate=0.5)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
