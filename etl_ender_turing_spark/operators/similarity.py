@@ -1436,3 +1436,79 @@ def margin_mine_sql(sf_table: str, k: int = 4, threshold: float = 1.0,
     WHERE ma.mc + mb.mc <> 0
       AND g.cos_sim / ((ma.mc + mb.mc) / 2) > {threshold!r}
     """
+
+
+# --------------------------------------------------------------------------
+# Embedding distribution drift between snapshots (the PSI analog for
+# vector columns)
+# --------------------------------------------------------------------------
+
+
+def embedding_drift(ref: DataFrame, cur: DataFrame,
+                    label_col: str = "label",
+                    vec_col: str = "embedding") -> DataFrame:
+    """(label, n_ref, n_cur, centroid_cos): per-label cosine between the
+    two snapshots' exact-decimal centroids — the embedding-space drift
+    monitor (an embedding model silently retrained, a feed whose content
+    moved, a label whose meaning rotated all show up as centroid_cos
+    dropping from ~1.0; scalar PSI on lengths cannot see any of it).
+
+    Scale shape: one melt + partial+final mean per snapshot
+    (label×dim-cardinality output — the :func:`prototype_prune` centroid
+    discipline: DECIMAL(28,12) sums so the mean is order-independent),
+    centroid tables are label-cardinality and broadcast-join on label;
+    labels present in only one snapshot are reported with NULL
+    centroid_cos (full outer), so a vanished label is a visible event,
+    not a dropped row."""
+    def centroids(df: DataFrame, n_name: str, c_name: str) -> DataFrame:
+        v = df.select(F.col(label_col).alias("lbl"),
+                      as_double(vec_col).alias("v"))
+        n = v.groupBy("lbl").agg(F.count(F.lit(1)).alias(n_name))
+        c = (v.select("lbl", F.posexplode("v").alias("dim", "x"))
+             .groupBy("lbl", "dim")
+             .agg(F.expr("CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE)"
+                         " / COUNT(x)").alias("m"))
+             .groupBy("lbl")
+             .agg(F.array_sort(F.collect_list(F.struct("dim", "m")))
+                  .alias("s"))
+             .select("lbl", F.expr("transform(s, x -> x.m)")
+                     .alias(c_name)))
+        return c.join(n, "lbl")
+    rc = centroids(ref, "n_ref", "c_ref")
+    cc = centroids(cur, "n_cur", "c_cur")
+    return (rc.join(cc, "lbl", "full_outer")
+            .select(F.col("lbl").alias(label_col),
+                    F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                    F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+                    F.round(cosine("c_ref", "c_cur"), 6)
+                    .alias("centroid_cos")))
+
+
+def embedding_drift_sql(ref_sql: str, cur_sql: str,
+                        label_col: str = "label",
+                        vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`embedding_drift` — same decimal means,
+    same 6dp-rounded cosine (list_cosine_similarity equivalence is the
+    one prototype_prune certifies)."""
+    def cte(src: str, tag: str) -> str:
+        return f"""
+    {tag}v AS (SELECT {label_col} AS lbl, {vec_col}::DOUBLE[] AS v
+               FROM ({src})),
+    {tag}c AS (
+      SELECT lbl, list(m ORDER BY dim) AS c, MAX(n) AS n FROM (
+        SELECT v.lbl, d.dim,
+               CAST(SUM(CAST(v.v[d.dim] AS DECIMAL(28,12))) AS DOUBLE)
+               / COUNT(v.v[d.dim]) AS m,
+               COUNT(v.v[d.dim]) AS n
+        FROM {tag}v v,
+             (SELECT unnest(generate_series(1, {DIMS})) AS dim) d
+        GROUP BY v.lbl, d.dim
+      ) GROUP BY lbl)"""
+    return f"""
+    WITH {cte(ref_sql, 'r')},
+    {cte(cur_sql, 'c')}
+    SELECT COALESCE(rc.lbl, cc.lbl) AS {label_col},
+           COALESCE(rc.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur,
+           ROUND(list_cosine_similarity(rc.c, cc.c), 6) AS centroid_cos
+    FROM rc FULL OUTER JOIN cc ON rc.lbl = cc.lbl
+    """

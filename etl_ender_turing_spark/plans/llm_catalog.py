@@ -673,6 +673,37 @@ def q_embed_quantize(spark, sf_dir):
                     F.array_join("qvec", ",").alias("qvec_csv")))
 
 
+_EMB_REF_SQL = "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
+_EMB_CUR_SQL = ("SELECT vec_id, label, CASE WHEN label = 3 THEN "
+                "list_transform(embedding, x -> -x) ELSE embedding END "
+                "AS embedding FROM embeddings WHERE vec_id % 2 = 1")
+
+
+@register(
+    "q_embed_drift",
+    sim.embedding_drift_sql(_EMB_REF_SQL, _EMB_CUR_SQL),
+    doc="embedding-space drift monitor (operators/similarity."
+        "embedding_drift): per-label cosine between two snapshots' "
+        "exact-decimal centroids — the vector-column counterpart of "
+        "q_psi_drift (a silently retrained embedding model or a rotated "
+        "label shows up as centroid_cos dropping from ~1; scalar PSI on "
+        "lengths cannot see it). One melt + partial+final decimal mean "
+        "per snapshot (label x dim output), label-cardinality centroid "
+        "join, labels lost from a snapshot surface as NULL cosine via "
+        "the full outer join. Fixture negates label 3's current-half "
+        "vectors, so exactly one label reads centroid_cos = -1 while "
+        "the rest sit near +1")
+def q_embed_drift(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur = (emb.filter(F.col("vec_id") % 2 == 1)
+           .select("vec_id", "label",
+                   F.when(F.col("label") == 3,
+                          F.expr("transform(embedding, x -> -x)"))
+                   .otherwise(F.col("embedding")).alias("embedding")))
+    return sim.embedding_drift(ref, cur)
+
+
 from ..operators.conform import psi_drift, psi_drift_sql  # noqa: E402
 
 _PSI_REF_SQL = "SELECT * FROM documents WHERE doc_id < 400"

@@ -1436,3 +1436,23 @@ def test_psi_drift_flags_the_shifted_group(spark):
     got = {r.source: r.psi for r in psi_drift(ref, cur).collect()}
     assert got["stable"] < 0.1          # identical distribution
     assert got["moved"] > 0.25          # fully displaced distribution
+
+
+def test_embedding_drift_detects_rotation_and_lost_labels(spark):
+    from etl_ender_turing_spark.operators import similarity as sim
+    mk = lambda i, lbl, v: (i, lbl, v)
+    base = [1.0, 0.0, 2.0, 0.5]
+    ref = spark.createDataFrame(
+        [mk(0, 1, base), mk(1, 1, [2.0, 0.0, 4.0, 1.0]),
+         mk(2, 2, base), mk(3, 9, base)],
+        "vec_id long, label int, embedding array<float>")
+    cur = spark.createDataFrame(
+        [mk(10, 1, base),                        # stable direction
+         mk(11, 2, [-1.0, 0.0, -2.0, -0.5]),     # fully rotated
+         mk(12, 5, base)],                       # new label
+        "vec_id long, label int, embedding array<float>")
+    got = {r.label: r for r in sim.embedding_drift(ref, cur).collect()}
+    assert got[1].centroid_cos == 1.0 and got[1].n_ref == 2
+    assert got[2].centroid_cos == -1.0
+    assert got[9].n_cur == 0 and got[9].centroid_cos is None   # vanished
+    assert got[5].n_ref == 0 and got[5].centroid_cos is None   # appeared
