@@ -236,3 +236,52 @@ def psi_drift_sql(ref_sql: str, cur_sql: str, value_col: str = "n_chars",
            CAST(SUM({_PSI_TERM}) AS DOUBLE) AS psi
     FROM j JOIN t USING (g) GROUP BY j.g
     """
+
+
+# --------------------------------------------------------------------------
+# Order-independent corpus manifest (reproducibility fingerprint)
+# --------------------------------------------------------------------------
+
+
+def corpus_manifest(df: DataFrame, group_col: str = "source",
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """(group, n_docs, ids_content_xor, content_xor): an order- and
+    partitioning-independent fingerprint per group — the artifact two
+    pipeline runs (or two CLUSTERS) compare to prove they produced the
+    SAME corpus without sorting or diffing a single row.
+
+    XOR over per-row 32-bit md5 chunks is commutative/associative, so
+    the checksum is identical under any row order, partition layout or
+    cluster size — and it combines: the whole-corpus checksum is the XOR
+    of the group checksums, so a verifier never rescans. Two checksums
+    on purpose: ``ids_content_xor`` binds id↔content (detects id remaps
+    and row edits), ``content_xor`` is id-free (stable across re-keying,
+    detects content-set changes only). One partial+final aggregate —
+    bytes-in to 3-numbers-out at any scale.
+    """
+    idc = (f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+           f"':', {text_col})), 1, 8), 16, 10) AS BIGINT)")
+    txc = (f"CAST(conv(substring(md5({text_col}), 1, 8), 16, 10) "
+           f"AS BIGINT)")
+    return (df.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.expr(f"bit_xor({idc})").alias("ids_content_xor"),
+                 F.expr(f"bit_xor({txc})").alias("content_xor")))
+
+
+def corpus_manifest_sql(table: str = "documents",
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`corpus_manifest` (same md5 chunks; hex →
+    UBIGINT → BIGINT keeps the 32-bit value signed-exact)."""
+    idc = (f"bit_xor(('0x' || substr(md5(CAST({id_col} AS VARCHAR) || "
+           f"':' || {text_col}), 1, 8))::UBIGINT::BIGINT)")
+    txc = (f"bit_xor(('0x' || substr(md5({text_col}), 1, 8))"
+           f"::UBIGINT::BIGINT)")
+    return f"""
+    SELECT {group_col}, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {idc} AS ids_content_xor, {txc} AS content_xor
+    FROM {table} GROUP BY {group_col}
+    """

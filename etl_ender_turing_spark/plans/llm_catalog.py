@@ -704,7 +704,26 @@ def q_embed_drift(spark, sf_dir):
     return sim.embedding_drift(ref, cur)
 
 
-from ..operators.conform import psi_drift, psi_drift_sql  # noqa: E402
+from ..operators.conform import (corpus_manifest,  # noqa: E402
+                                 corpus_manifest_sql, psi_drift,
+                                 psi_drift_sql)
+
+
+@register(
+    "q_corpus_manifest",
+    corpus_manifest_sql("documents"),
+    doc="order-independent corpus fingerprint (operators/conform."
+        "corpus_manifest): per-source row count + XOR of per-row 32-bit "
+        "md5 chunks, twice — id-bound (detects id remaps and row edits) "
+        "and content-only (stable across re-keying) — the artifact two "
+        "pipeline runs on different clusters compare to prove they "
+        "shipped the SAME corpus without sorting or diffing a row. XOR "
+        "is commutative/associative so the checksum is invariant to row "
+        "order, partition layout and cluster size, and group checksums "
+        "XOR-combine into the corpus checksum; one partial+final agg, "
+        "bytes-in to three-numbers-out at any scale")
+def q_corpus_manifest(spark, sf_dir):
+    return corpus_manifest(_docs(spark, sf_dir))
 
 _PSI_REF_SQL = "SELECT * FROM documents WHERE doc_id < 400"
 _PSI_CUR_SQL = ("SELECT doc_id, source, n_chars + CASE WHEN source = "

@@ -1456,3 +1456,27 @@ def test_embedding_drift_detects_rotation_and_lost_labels(spark):
     assert got[2].centroid_cos == -1.0
     assert got[9].n_cur == 0 and got[9].centroid_cos is None   # vanished
     assert got[5].n_ref == 0 and got[5].centroid_cos is None   # appeared
+
+
+def test_corpus_manifest_is_order_and_keying_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.operators.conform import corpus_manifest
+    rows = [(i, "s", f"text number {i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    base = corpus_manifest(df).collect()[0]
+    # any row order / partitioning yields the identical fingerprint
+    shuffled = (df.orderBy(F.md5(F.col("text"))).repartition(7))
+    assert corpus_manifest(shuffled).collect()[0] == base
+    # re-keying ids changes the id-bound checksum but not the content one
+    rekeyed = df.withColumn("doc_id", F.col("doc_id") + 1000)
+    got = corpus_manifest(rekeyed).collect()[0]
+    assert got.content_xor == base.content_xor
+    assert got.ids_content_xor != base.ids_content_xor
+    # editing one row flips both
+    edited = spark.createDataFrame(
+        rows[:-1] + [(9, "s", "text number 9!")],
+        "doc_id long, source string, text string")
+    got2 = corpus_manifest(edited).collect()[0]
+    assert got2.content_xor != base.content_xor
+    assert got2.ids_content_xor != base.ids_content_xor
