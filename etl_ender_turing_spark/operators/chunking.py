@@ -147,3 +147,58 @@ SELECT {id_col}, shard, n_tokens,
        CAST((cum_tokens - n_tokens) // {budget} AS BIGINT) AS seq
 FROM c
 """
+
+
+def pack_efficiency(df: DataFrame, budget: int = 256, n_shards: int = 8,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """One-row packing-efficiency report over :func:`pack_sequences`:
+    (n_docs, n_sequences, total_tokens, mean_seq_tokens, utilization) —
+    the numbers a trainer budgets step counts and accelerator
+    throughput with (utilization is the fraction of each sequence's
+    ``budget`` slots actually filled; a doc that overruns its boundary
+    spills into the same sequence, so utilization can exceed 1 — both
+    regimes are real and the report is how you SEE which one you're in).
+
+    Two aggregations past the packing projection itself: per-(shard,
+    seq) token sums (uniform keys), then a single global reduce.
+    Ratios go through the repo's round6u (small-integer ratios land on
+    6dp halfway points; round(x, 6) is banned cross-engine)."""
+    from ..functions.rounding import round6u
+
+    packed = pack_sequences(df, budget, n_shards, text_col, id_col)
+    per_seq = (packed.groupBy("shard", "seq")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.sum("n_tokens").alias("seq_tokens")))
+    return (per_seq.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_sequences"),
+        F.sum("seq_tokens").alias("total_tokens"),
+        round6u(F.sum("seq_tokens") / F.count(F.lit(1)))
+        .alias("mean_seq_tokens"),
+        round6u(F.sum("seq_tokens")
+                / (F.count(F.lit(1)) * F.lit(budget)))
+        .alias("utilization")))
+
+
+def pack_efficiency_sql(table: str, budget: int = 256, n_shards: int = 8,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> str:
+    from ..functions.rounding import round6u_sql
+
+    inner = pack_sequences_sql(table, budget, n_shards, text_col, id_col)
+    return f"""
+    WITH packed AS ({inner}),
+    per_seq AS (
+      SELECT shard, seq, COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens
+      FROM packed GROUP BY shard, seq
+    )
+    SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sequences,
+           CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+           {round6u_sql("SUM(seq_tokens) * 1.0 / COUNT(*)")}
+             AS mean_seq_tokens,
+           {round6u_sql(f"SUM(seq_tokens) * 1.0 / (COUNT(*) * {budget})")}
+             AS utilization
+    FROM per_seq
+    """

@@ -962,6 +962,22 @@ def q_pack_sequences(spark, sf_dir):
 
 
 @register(
+    "q_pack_efficiency",
+    ck.pack_efficiency_sql("documents", budget=256, n_shards=8),
+    doc="packing-efficiency report over q_pack_sequences (operators/"
+        "chunking.pack_efficiency): sequence count, token totals, mean "
+        "tokens per sequence and budget-slot utilization — the numbers "
+        "a trainer converts into step counts and accelerator "
+        "throughput; utilization above/below 1 distinguishes the "
+        "overflow-spill and padding-waste regimes. Two aggregations "
+        "past the packing projection (per-(shard,seq) sums on uniform "
+        "keys, then one global reduce); ratios via round6u")
+def q_pack_efficiency(spark, sf_dir):
+    return ck.pack_efficiency(_docs(spark, sf_dir), budget=256,
+                              n_shards=8)
+
+
+@register(
     "q_tfidf_top_terms",
     tm.tfidf_top_terms_sql("documents", k=3),
     doc="TF-IDF top-3 terms per document: partial+final TF agg, "

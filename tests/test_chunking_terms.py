@@ -136,3 +136,18 @@ def test_class_tfidf_surfaces_group_exclusive_terms(spark):
     shared = [r for r in out if r.term == "shared"]
     assert all(r.wt == 0.0 for r in shared)
     assert all(r.rnk == 2 for r in shared)
+
+
+def test_pack_efficiency_reports_both_regimes(spark):
+    from etl_ender_turing_spark.operators import chunking as ck
+    # 4 docs of 10 tokens each, budget 15, one shard: packing puts docs
+    # at cumulative starts 0,10,20,30 -> seqs 0,0,1,2 (doc 2 spills over
+    # the seq-0 boundary into seq 1)
+    rows = [(i, " ".join(f"t{j}" for j in range(10))) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = ck.pack_efficiency(df, budget=15, n_shards=1).collect()[0]
+    assert (r.n_docs, r.n_sequences, r.total_tokens) == (4, 3, 40)
+    assert abs(r.mean_seq_tokens - round(40 / 3, 6)) < 2e-6
+    # overflow regime on seq 0 (20 tokens in a 15 budget), padding on
+    # seq 2 -> overall utilization 40 / 45
+    assert abs(r.utilization - round(40 / 45, 6)) < 2e-6
