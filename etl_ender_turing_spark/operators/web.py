@@ -725,3 +725,58 @@ def anchor_domain_terms_sql(table: str = "documents", k: int = 5,
       FROM counts
     ) WHERE rnk <= {k}
     """
+
+
+# --------------------------------------------------------------------------
+# robots.txt: Disallow-rule extraction + prefix filtering
+# --------------------------------------------------------------------------
+
+
+def synthesize_planted_robots(docs: DataFrame,
+                              id_col: str = "doc_id") -> DataFrame:
+    """(reg_domain, robots) fixture: one robots.txt per planted domain,
+    whose Disallow path derives arithmetically from the domain index —
+    plus an ``Allow:`` line, a comment and a second rule the parser must
+    handle (extract Disallow only, all of them)."""
+    did = F.col(id_col)
+    domain = F.concat(F.lit("example-"), (did % 7).cast("string"),
+                      F.lit("."), _tld_cycle(did))
+    robots = F.concat(
+        F.lit("User-agent: *\nAllow: /open\nDisallow: /path/"),
+        (did % 7).cast("string"),
+        F.lit("\nDisallow: /admin\n# crawl politely"))
+    return (docs.select(domain.alias("reg_domain"),
+                        robots.alias("robots"))
+            .distinct())
+
+
+def parse_robots(df: DataFrame, domain_col: str = "reg_domain",
+                 robots_col: str = "robots") -> DataFrame:
+    """(reg_domain, dis_prefix): every ``Disallow:`` path in the file.
+
+    Single-group semantics (rules under ``User-agent: *`` — the
+    dataset-construction reading: respect any disallow); ``Allow:``
+    lines and comments are ignored. One multiline-regexp projection over
+    a DOMAIN-cardinality table — parsing is never corpus-scale work."""
+    prefixes = F.regexp_extract_all(
+        F.col(robots_col), F.lit(r"(?m)^Disallow:\s*(\S+)"), 1)
+    return df.select(F.col(domain_col),
+                     F.explode(prefixes).alias("dis_prefix"))
+
+
+def robots_filter(parsed: DataFrame, rules: DataFrame,
+                  domain_col: str = "reg_domain",
+                  path_col: str = "path") -> DataFrame:
+    """Drop every URL whose path starts with a Disallow prefix for its
+    registered domain — the robots-respect gate a responsible corpus
+    build runs before fetching or keeping a page.
+
+    Rules are domain-cardinality → broadcast; the prefix match is a
+    non-equi condition inside a broadcast LEFT ANTI join (domain
+    equality narrows first, `startswith` decides), so the corpus-side
+    pass stays narrow at any scale."""
+    r = rules.select(F.col(domain_col).alias("_r_dom"),
+                     F.col("dis_prefix"))
+    cond = ((F.col(domain_col) == F.col("_r_dom"))
+            & F.col(path_col).startswith(F.col("dis_prefix")))
+    return parsed.join(F.broadcast(r), cond, "left_anti")

@@ -1812,6 +1812,38 @@ def q_extract_links(spark, sf_dir):
     return wb.extract_links(wb.synthesize_planted_links(docs))
 
 
+@register(
+    "q_robots_filter",
+    f"""
+    SELECT doc_id,
+           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id")} AS reg_domain,
+           '/path/' || CAST(doc_id AS VARCHAR) AS path
+    FROM documents
+    WHERE NOT (('/path/' || CAST(doc_id AS VARCHAR)) LIKE
+               ('/path/' || CAST(doc_id % 7 AS VARCHAR) || '%'))
+      AND NOT (('/path/' || CAST(doc_id AS VARCHAR)) LIKE '/admin%')
+    """,
+    doc="robots.txt-respect gate (operators/web.parse_robots + "
+        "robots_filter): Disallow rules extracted by one multiline "
+        "regexp over the DOMAIN-cardinality robots table (Allow lines "
+        "and comments ignored, every Disallow kept), then URLs dropped "
+        "via a broadcast LEFT ANTI join whose non-equi condition is "
+        "domain equality + path startswith(prefix) — the "
+        "responsible-crawling filter a corpus build runs before "
+        "keeping a page; corpus-side pass stays narrow. Fixture plants "
+        "one robots file per planted domain whose Disallow path "
+        "derives from the domain index, so blocked-ness is a pure "
+        "doc_id predicate the oracle recomputes arithmetically — a "
+        "prefix-semantics or rule-extraction bug hash-mismatches")
+def q_robots_filter(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    urls = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    rules = wb.parse_robots(wb.synthesize_planted_robots(docs))
+    return (wb.robots_filter(urls, rules)
+            .select("doc_id", "reg_domain", "path"))
+
+
 _PAGERANK_EDGES_SQL = f"""
     SELECT src, dst, COUNT(*) AS w FROM (
       SELECT 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'

@@ -117,3 +117,22 @@ def test_anchor_domain_terms_topk(spark):
     assert top[("d.com", 1)] == ("engine", 2)
     assert top[("d.com", 2)] == ("fast", 2)
     assert top[("e.org", 1)] == ("one", 1)
+
+
+def test_robots_rules_and_prefix_filter(spark):
+    from etl_ender_turing_spark.operators import web as wb
+
+    robots = ("User-agent: *\nAllow: /open\nDisallow: /priv\n"
+              "# note\nDisallow: /tmp/x\n")
+    rules = wb.parse_robots(spark.createDataFrame(
+        [("d.com", robots)], "reg_domain string, robots string"))
+    assert {(r.reg_domain, r.dis_prefix) for r in rules.collect()} == \
+        {("d.com", "/priv"), ("d.com", "/tmp/x")}
+    urls = spark.createDataFrame(
+        [(1, "d.com", "/open/a"), (2, "d.com", "/priv"),
+         (3, "d.com", "/private/x"),      # prefix match, not exact
+         (4, "d.com", "/tmp/"),           # NOT under /tmp/x
+         (5, "e.org", "/priv/y")],        # other domain: rules don't apply
+        "doc_id long, reg_domain string, path string")
+    kept = {r.doc_id for r in wb.robots_filter(urls, rules).collect()}
+    assert kept == {1, 4, 5}
