@@ -532,6 +532,71 @@ def contaminated_docs_sql(corpus_where: str, benchmark_where: str,
 # duplicate-cluster resolution (connected components over near-dup pairs)
 # --------------------------------------------------------------------------
 
+def contamination_report(corpus: DataFrame, benchmark: DataFrame,
+                         n: int = 5, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Per-BENCHMARK-doc contamination report: (bench_id, n_ngrams,
+    n_leaked, leak_ratio, n_corpus_docs) — the eval-integrity summary a
+    team reviews before trusting a benchmark number (`contaminated_docs`
+    answers "which corpus docs must go"; this answers "how compromised
+    is each eval item", and a CLEAN item reports 0/0.0, not a missing
+    row).
+
+    Same scale contract as decontamination: the benchmark's (id,
+    n-gram) pairs broadcast, the corpus side is a narrow distinct-pair
+    explode, and the only aggregations run on broadcast-join SURVIVORS
+    (tiny by definition) plus a benchmark-sized totals table."""
+    bsh = (shingle_select(benchmark, text_col, id_col, n=n)
+           .withColumnRenamed(id_col, "bench_id"))
+    csh = shingle_select(corpus, text_col, id_col, n=n)
+    hits = csh.join(F.broadcast(bsh), "shingle")
+    per_bench = (hits.groupBy("bench_id")
+                 .agg(F.count_distinct("shingle").alias("n_leaked"),
+                      F.count_distinct(id_col).alias("n_corpus_docs")))
+    totals = (bsh.groupBy("bench_id")
+              .agg(F.count(F.lit(1)).alias("n_ngrams")))
+    from ..functions.rounding import round6u
+    return (totals.join(per_bench, "bench_id", "left")
+            .select("bench_id", "n_ngrams",
+                    F.coalesce("n_leaked", F.lit(0)).alias("n_leaked"),
+                    round6u(F.coalesce(F.col("n_leaked"), F.lit(0))
+                            / F.col("n_ngrams")).alias("leak_ratio"),
+                    F.coalesce("n_corpus_docs", F.lit(0))
+                    .alias("n_corpus_docs")))
+
+
+def contamination_report_sql(corpus_where: str, benchmark_where: str,
+                             table: str = "documents", n: int = 5,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`contamination_report`."""
+    from ..functions.rounding import round6u_sql
+    corp_cte = shingle_sql(f"(SELECT * FROM {table} WHERE {corpus_where})",
+                           text_col, id_col, n)
+    bench_cte = shingle_sql(
+        f"(SELECT * FROM {table} WHERE {benchmark_where})",
+        text_col, id_col, n)
+    ratio = round6u_sql("COALESCE(n_leaked, 0) * 1.0 / n_ngrams")
+    return f"""
+    WITH corp AS ({corp_cte}),
+    bench AS (SELECT {id_col} AS bench_id, shingle FROM ({bench_cte})),
+    hits AS (SELECT b.bench_id, c.shingle, c.{id_col}
+             FROM corp c JOIN bench b USING (shingle)),
+    per_bench AS (
+      SELECT bench_id, COUNT(DISTINCT shingle) AS n_leaked,
+             COUNT(DISTINCT {id_col}) AS n_corpus_docs
+      FROM hits GROUP BY bench_id
+    ),
+    totals AS (SELECT bench_id, COUNT(*) AS n_ngrams
+               FROM bench GROUP BY bench_id)
+    SELECT t.bench_id, CAST(t.n_ngrams AS BIGINT) AS n_ngrams,
+           CAST(COALESCE(n_leaked, 0) AS BIGINT) AS n_leaked,
+           {ratio} AS leak_ratio,
+           CAST(COALESCE(n_corpus_docs, 0) AS BIGINT) AS n_corpus_docs
+    FROM totals t LEFT JOIN per_bench USING (bench_id)
+    """
+
+
 def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Group near-duplicate PAIRS into clusters and name each cluster by
     its minimum doc id — the step between pair generation (MinHash/

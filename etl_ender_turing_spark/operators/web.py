@@ -780,3 +780,43 @@ def robots_filter(parsed: DataFrame, rules: DataFrame,
     cond = ((F.col(domain_col) == F.col("_r_dom"))
             & F.col(path_col).startswith(F.col("dis_prefix")))
     return parsed.join(F.broadcast(r), cond, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# sitemap.xml: <loc> URL extraction
+# --------------------------------------------------------------------------
+
+
+def synthesize_planted_sitemaps(docs: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sitemap) fixture: two ``<loc>`` entries per sitemap with
+    arithmetically-derived URLs — the second padded with whitespace
+    (extraction must trim) — plus ``<lastmod>`` noise the extractor must
+    ignore."""
+    did = F.col(id_col)
+    u1 = F.concat(F.lit("https://example-"), (did % 7).cast("string"),
+                  F.lit("."), _tld_cycle(did), F.lit("/s/"),
+                  did.cast("string"))
+    u2 = F.concat(F.lit("http://mirror-"), ((did + 2) % 5).cast("string"),
+                  F.lit("."), _tld_cycle(did + 3), F.lit("/t"))
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'), u1,
+        F.lit("</loc><lastmod>2024-01-01</lastmod></url><url><loc>  "),
+        u2, F.lit("  </loc></url></urlset>"))
+    return docs.select(id_col, xml.alias("sitemap"))
+
+
+def extract_sitemap_urls(df: DataFrame, xml_col: str = "sitemap",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, loc, reg_domain): every ``<loc>`` URL in a sitemap, trimmed,
+    keyed by the target's PSL eTLD+1 — the crawl-frontier seed stream
+    (sitemaps are how a site TELLS the crawler what exists; a frontier
+    seeded from them reaches content the link graph alone misses).
+    One regexp projection + per-row fan-out, no shuffle — the
+    extract_links shape; at corpus scale only whatever aggregates the
+    seeds (per-domain counts, frontier dedup) ever shuffles."""
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"(?s)<loc>\s*([^<]*?)\s*</loc>"), 1)
+    ex = df.select(F.col(id_col), F.explode(locs).alias("loc"))
+    host = F.parse_url(F.col("loc"), F.lit("HOST"))
+    return ex.select(id_col, "loc", reg_domain_expr(host).alias("reg_domain"))

@@ -571,6 +571,27 @@ def q_decontaminate(spark, sf_dir):
                                 n=5)
 
 
+@register(
+    "q_contamination_report",
+    dd.contamination_report_sql(corpus_where="doc_id >= 20",
+                                benchmark_where="doc_id < 20"),
+    doc="per-benchmark-doc contamination report (operators/dedup."
+        "contamination_report): for each eval item, how many of its "
+        "5-grams leak into the corpus and how many corpus docs carry "
+        "them — the eval-integrity summary reviewed before trusting a "
+        "benchmark number (q_decontaminate answers which CORPUS docs "
+        "must go; this answers how compromised each EVAL item is, and "
+        "clean items report 0 via the left join, not a missing row). "
+        "Benchmark (id, n-gram) pairs broadcast; all aggregation runs "
+        "on broadcast-join survivors + a benchmark-sized totals table; "
+        "leak_ratio via round6u")
+def q_contamination_report(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dd.contamination_report(
+        corpus=docs.filter(F.col("doc_id") >= 20),
+        benchmark=docs.filter(F.col("doc_id") < 20), n=5)
+
+
 # =========================================================================
 # Data mixing: deterministic sampling / epoch weighting / token budget
 # =========================================================================
@@ -1810,6 +1831,38 @@ def _tld_sql_of(e: str) -> str:
 def q_extract_links(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     return wb.extract_links(wb.synthesize_planted_links(docs))
+
+
+@register(
+    "q_sitemap_urls",
+    f"""
+    SELECT doc_id,
+           'https://example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id")} || '/s/'
+             || CAST(doc_id AS VARCHAR) AS loc,
+           'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id")} AS reg_domain
+    FROM documents
+    UNION ALL
+    SELECT doc_id,
+           'http://mirror-' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 3")} || '/t' AS loc,
+           'mirror-' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id + 3")} AS reg_domain
+    FROM documents
+    """,
+    doc="sitemap <loc> extraction (operators/web.extract_sitemap_urls): "
+        "the crawl-frontier seed stream — sitemaps are how a site TELLS "
+        "the crawler what exists, reaching content the link graph "
+        "misses; one regexp projection + per-row fan-out, no shuffle "
+        "(the extract_links shape), each seed keyed by its PSL eTLD+1. "
+        "Fixture plants two <loc> entries per sitemap (the second "
+        "whitespace-padded to pin trimming) plus <lastmod> noise; the "
+        "oracle regenerates both URLs and registered domains "
+        "arithmetically")
+def q_sitemap_urls(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wb.extract_sitemap_urls(wb.synthesize_planted_sitemaps(docs))
 
 
 @register(

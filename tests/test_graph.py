@@ -136,3 +136,16 @@ def test_robots_rules_and_prefix_filter(spark):
         "doc_id long, reg_domain string, path string")
     kept = {r.doc_id for r in wb.robots_filter(urls, rules).collect()}
     assert kept == {1, 4, 5}
+
+
+def test_extract_sitemap_urls_trims_and_ignores_lastmod(spark):
+    from etl_ender_turing_spark.operators import web as wb
+
+    xml = ('<urlset><url><loc>https://a.co.uk/x</loc>'
+           '<lastmod>2024-05-05</lastmod></url>'
+           '<url><loc>\n  http://b.example.com/y </loc></url></urlset>')
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    got = {(r.loc, r.reg_domain) for r in wb.extract_sitemap_urls(
+        df.select("doc_id", F.lit(xml).alias("sitemap"))).collect()}
+    assert got == {("https://a.co.uk/x", "a.co.uk"),
+                   ("http://b.example.com/y", "example.com")}

@@ -1480,3 +1480,24 @@ def test_corpus_manifest_is_order_and_keying_invariant(spark):
     got2 = corpus_manifest(edited).collect()[0]
     assert got2.content_xor != base.content_xor
     assert got2.ids_content_xor != base.ids_content_xor
+
+
+def test_contamination_report_per_eval_item(spark):
+    from etl_ender_turing_spark.operators import dedup as dd
+    bench_text = " ".join(f"b{i}" for i in range(10))      # 6 5-grams
+    clean_text = " ".join(f"c{i}" for i in range(10))
+    leak = "b0 b1 b2 b3 b4"                                # 1st 5-gram
+    corpus = spark.createDataFrame(
+        [(100, "x " * 30 + leak), (101, "y " * 30 + leak),
+         (102, "unrelated words only here repeated often")],
+        "doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(1, bench_text), (2, clean_text)],
+        "doc_id long, text string")
+    got = {r.bench_id: r for r in
+           dd.contamination_report(corpus, bench, n=5).collect()}
+    assert got[1].n_ngrams == 6 and got[1].n_leaked == 1
+    assert got[1].n_corpus_docs == 2                 # both leak carriers
+    assert abs(got[1].leak_ratio - round(1 / 6, 6)) < 2e-6
+    assert got[2].n_leaked == 0 and got[2].leak_ratio == 0.0
+    assert got[2].n_corpus_docs == 0                 # clean item, 0 row
