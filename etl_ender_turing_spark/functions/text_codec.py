@@ -36,3 +36,30 @@ def unicode_to_utf8(col: Column | str) -> Column:
     """Decode ``\\uXXXX`` / ``\\n``-style escape sequences in a string
     column; NULLs and undecodable values pass through unchanged."""
     return _unicode_to_utf8(F.col(col) if isinstance(col, str) else col)
+
+
+def _nfc(s: str) -> str:
+    import unicodedata
+    return unicodedata.normalize("NFC", s)
+
+
+@F.pandas_udf(StringType())
+def _nfc_normalize(batch: pd.Series) -> pd.Series:
+    return batch.map(lambda s: _nfc(s) if isinstance(s, str) else s)
+
+
+def nfc_normalize(col: Column | str) -> Column:
+    """Unicode NFC normalization — canonical composition, so the two
+    on-the-wire spellings of "café" (precomposed é vs e + COMBINING
+    ACUTE) become byte-identical. Without it, exact/normalized dedup and
+    every md5-keyed operator silently treat canonical-equivalent texts
+    as distinct documents — a real failure mode in multi-source crawls,
+    invisible to ASCII fixtures.
+
+    Spark has no JVM NFC builtin, so this is the third sanctioned
+    Python stage (with unicode_to_utf8 and the multimodal extractor):
+    an Arrow-batched pandas UDF over Python's unicodedata, whose NFC
+    agrees with DuckDB's ``nfc_normalize`` (probed on composed,
+    decomposed, ligature and stacked-combining cases — ligatures are
+    NOT folded, that would be NFKC). NULLs pass through."""
+    return _nfc_normalize(F.col(col) if isinstance(col, str) else col)

@@ -779,6 +779,47 @@ def q_psi_drift(spark, sf_dir):
     return psi_drift(ref, cur)
 
 
+@register(
+    "q_text_nfc",
+    """
+    WITH planted AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                          WHEN doc_id % 3 = 1 THEN ' A' || chr(778)
+                          ELSE ' plain' END AS txt
+      FROM documents)
+    SELECT doc_id, md5(nfc_normalize(txt)) AS nfc_md5,
+           CAST(length(txt) - length(nfc_normalize(txt)) AS BIGINT)
+             AS n_composed
+    FROM planted
+    """,
+    doc="Unicode NFC normalization (functions/text_codec.nfc_normalize):"
+        " canonical composition so the two spellings of cafe+ACCENT are "
+        "byte-identical before any md5-keyed dedup — without it, exact/"
+        "normalized dedup silently treats canonical-equivalent texts as "
+        "distinct docs (real in multi-source crawls, invisible to ASCII "
+        "fixtures). No JVM NFC builtin exists, so this is the third "
+        "sanctioned Arrow-batched Python stage; certified against "
+        "DuckDB's OWN nfc_normalize — independent implementations that "
+        "must agree byte-for-byte (plants decomposed e+U+0301 and "
+        "A+U+030A on 2/3 of rows; n_composed pins the char-count "
+        "change, md5 pins the bytes)")
+def q_text_nfc(spark, sf_dir):
+    from ..functions.text_codec import nfc_normalize
+    plant = F.concat(
+        F.col("text"),
+        # decomposed on purpose (e + U+0301, A + U+030A): NFC must
+        # compose them; a precomposed literal would certify a no-op
+        F.when(F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(" A\u030a"))
+        .otherwise(F.lit(" plain")))
+    d = _docs(spark, sf_dir).select("doc_id", plant.alias("txt"))
+    nfc = nfc_normalize("txt")
+    return d.select("doc_id", F.md5(nfc).alias("nfc_md5"),
+                    (F.length("txt") - F.length(nfc)).cast("long")
+                    .alias("n_composed"))
+
+
 _CARD_PLANT_SQL = (
     "text || CASE WHEN doc_id % 5 = 0 THEN ' card 4111' || "
     "CASE WHEN doc_id % 2 = 0 THEN ' 1111 1111 1111' "
