@@ -529,6 +529,38 @@ def q_lang_id(spark, sf_dir):
 
 
 @register(
+    "q_lang_confusion",
+    f"""
+    SELECT lang AS declared, {ts.lang_guess_sql('text')} AS guessed,
+           COUNT(*) AS n_docs,
+           {{ratio}} AS row_share
+    FROM documents GROUP BY 1, 2
+    """.format(ratio="CAST(FLOOR(COUNT(*) * 1000000.0 / SUM(COUNT(*)) "
+                     "OVER (PARTITION BY lang) + 0.5) / 1000000 "
+                     "AS DOUBLE)"),
+    doc="language-ID confusion matrix (declared lang column vs the "
+        "stopword-argmax guess): per (declared, guessed) doc counts and "
+        "row-normalized shares — the data-quality diagnostic that "
+        "catches BOTH a drifting upstream lang tagger and a broken "
+        "heuristic (diagonal mass drops either way). One partial+final "
+        "agg; row shares via a window over the TINY confusion matrix, "
+        "6dp-floored so the ratio is cross-engine exact")
+def q_lang_confusion(spark, sf_dir):
+    from pyspark.sql import Window
+    d = (_docs(spark, sf_dir)
+         .select(F.col("lang").alias("declared"),
+                 ts.lang_guess_expr("text").alias("guessed"))
+         .groupBy("declared", "guessed")
+         .agg(F.count(F.lit(1)).alias("n_docs")))
+    tot = Window.partitionBy("declared")
+    share = F.expr("CAST(FLOOR(n_docs * 1000000.0 / tot_docs + 0.5) "
+                   "/ 1000000 AS DOUBLE)")
+    return (d.withColumn("tot_docs", F.sum("n_docs").over(tot))
+            .select("declared", "guessed", "n_docs",
+                    share.alias("row_share")))
+
+
+@register(
     "q_token_count",
     r"""
     SELECT doc_id,

@@ -675,7 +675,8 @@ def run_capped_docs_batch(spark: SparkSession, source_dir: str,
 
 def neardup_gate_stream(spark: SparkSession, source_dir: str,
                         n_hashes: int = 8, rows_per_band: int = 2,
-                        glob_filter: str | None = None) -> DataFrame:
+                        glob_filter: str | None = None,
+                        state_ttl: str | None = None) -> DataFrame:
     """Streaming MinHash-LSH near-duplicate gate: flag each arriving doc
     whose LSH band signature was already seen — the ingest-time twin of
     the batch ``q_dedup_minhash_lsh`` family, and the missing NEAR-dup
@@ -701,8 +702,20 @@ def neardup_gate_stream(spark: SparkSession, source_dir: str,
     verdict equals the batch window exactly: doc flagged ⟺ it shares a
     band with a smaller id ⟺ it appears as doc_b in the batch pair
     generator — so the ORACLE is the batch family's own pairs CTE.
-    State size = distinct band hashes (vocabulary-scale, not pair-scale);
-    at 100 TB the same gate runs with a TTL on cold buckets.
+    State size = distinct band hashes (vocabulary-scale, not pair-scale).
+
+    ``state_ttl`` (e.g. ``"30 minutes"``): an arrival whose band owner
+    was last seen longer ago than the TTL treats the bucket as empty and
+    takes ownership — forget-on-arrival, the part of expiry dedup
+    CORRECTNESS needs. It is deliberately NOT a ProcessingTimeTimeout
+    timer: availableNow + processing-time timers spins in "no new data
+    but cleaning up state" micro-batches and the run never terminates
+    (measured: 90 s / 90+ epochs for 4 keys); never-touched cold keys
+    are instead GC'd at the state-store layer (RocksDB state store with
+    a maintenance TTL) or by periodic checkpoint compaction — the
+    documented production pairing. None (the certified form) keeps
+    first-owner state forever, which single-round oracle parity
+    requires.
     """
     import pandas as pd
 
@@ -724,15 +737,35 @@ def neardup_gate_stream(spark: SparkSession, source_dir: str,
     melted = sigs.selectExpr(
         "doc_id", f"stack({n_bands}, {stack}) AS (band, h)")
 
+    ttl_ms = None
+    if state_ttl is not None:
+        import re as _re
+        n, unit = _re.match(r"(\d+)\s*(\w+)", state_ttl).groups()
+        per = {"day": 86_400_000, "days": 86_400_000,
+               "hour": 3_600_000, "hours": 3_600_000,
+               "minute": 60_000, "minutes": 60_000,
+               "second": 1_000, "seconds": 1_000}[unit]
+        ttl_ms = int(n) * per
+
     def gate(key, pdf_iter, state: GroupState):
+        import time as _time
+
         pdf = pd.concat(list(pdf_iter)).sort_values("doc_id")
         if pdf.empty:
             return iter(())
-        if state.exists:
+        now_ms = int(_time.time() * 1000)
+        fresh = state.exists
+        if fresh and ttl_ms is not None:
+            # forget-on-arrival: a stale owner must be forgotten HERE —
+            # a key that receives data never gets a timeout callback
+            fresh = (now_ms - state.get[1]) <= ttl_ms
+        if fresh:
             seen = [True] * len(pdf)
+            if ttl_ms is not None:
+                state.update((state.get[0], now_ms))
         else:
             first = int(pdf["doc_id"].iloc[0])
-            state.update((first,))
+            state.update((first, now_ms))
             seen = [int(d) != first for d in pdf["doc_id"]]
         out = pdf[["doc_id", "band"]].copy()
         out["seen_before"] = seen
@@ -741,19 +774,20 @@ def neardup_gate_stream(spark: SparkSession, source_dir: str,
     return (melted.groupBy("band", "h")
             .applyInPandasWithState(
                 gate, "doc_id long, band string, seen_before boolean",
-                "first_id long", "append", GroupStateTimeout.NoTimeout))
+                "first_id long, last_ms long", "append",
+                GroupStateTimeout.NoTimeout))
 
 
 def run_neardup_gate_batch(spark: SparkSession, source_dir: str,
                            checkpoint_dir: str, n_hashes: int = 8,
                            rows_per_band: int = 2,
                            glob_filter: str | None = None,
-                           query_name: str = "neardup_gate_result"
-                           ) -> DataFrame:
+                           query_name: str = "neardup_gate_result",
+                           state_ttl: str | None = None) -> DataFrame:
     """Drive the near-dup gate to completion (availableNow) and reduce
     the per-band verdicts to one row per doc: (doc_id, is_dup)."""
     gated = neardup_gate_stream(spark, source_dir, n_hashes,
-                                rows_per_band, glob_filter)
+                                rows_per_band, glob_filter, state_ttl)
     q = (gated.writeStream.format("memory").queryName(query_name)
          .outputMode("append")
          .option("checkpointLocation", checkpoint_dir)

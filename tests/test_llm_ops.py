@@ -1501,3 +1501,14 @@ def test_contamination_report_per_eval_item(spark):
     assert abs(got[1].leak_ratio - round(1 / 6, 6)) < 2e-6
     assert got[2].n_leaked == 0 and got[2].leak_ratio == 0.0
     assert got[2].n_corpus_docs == 0                 # clean item, 0 row
+
+
+def test_lang_confusion_row_shares(spark):
+    from etl_ender_turing_spark.plans import CATALOG
+    import pandas as pd
+    out = CATALOG["q_lang_confusion"].builder(
+        spark, "/root/testdata/sf0.001").toPandas()
+    # row-normalized: shares within each declared language sum to ~1
+    sums = out.groupby("declared")["row_share"].sum()
+    assert ((sums - 1.0).abs() < 1e-4).all()
+    assert (out["n_docs"] > 0).all()

@@ -366,3 +366,55 @@ def test_neardup_gate_state_spans_micro_batches(spark, tmp_path):
     # the identical pair is flagged); the distinct doc never is
     assert sorted([verdict[1], verdict[100]]) == [False, True]
     assert verdict[101] is False
+
+
+def test_neardup_gate_ttl_forgets_stale_owners(spark, tmp_path):
+    import time
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.streaming.stream import neardup_gate_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    fresh = "one two three four five six seven eight nine"
+
+    def wave(name, rows):
+        pd.DataFrame({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows],
+                      "lang": ["en"] * len(rows),
+                      "source": ["s"] * len(rows),
+                      "n_chars": [len(r[1]) for r in rows]}
+                     ).to_parquet(src / name)
+
+    wave("wave1.parquet", [(1, text)])
+    gated = neardup_gate_stream(spark, str(src), state_ttl="1 seconds")
+    q = (gated.writeStream.format("memory").queryName("ndg_ttl")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(processingTime="500 milliseconds").start())
+    try:
+        deadline = time.time() + 60
+        while (spark.table("ndg_ttl").count() == 0
+               and time.time() < deadline):
+            time.sleep(0.3)
+        assert spark.table("ndg_ttl").count() > 0
+        time.sleep(1.6)                  # every band owner goes stale
+        wave("wave2.parquet", [(100, text), (101, fresh)])
+        while (spark.table("ndg_ttl")
+               .filter(F.col("doc_id") >= 100).count() == 0
+               and time.time() < deadline):
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    verdict = {r.doc_id: r.is_dup for r in
+               spark.table("ndg_ttl").groupBy("doc_id")
+               .agg(F.expr("bool_or(seen_before)").alias("is_dup"))
+               .collect()}
+    # doc 1's ownership expired: its twin is admitted as NEW — the
+    # forget-on-arrival freshness check must fire even though the band
+    # key receives data
+    assert verdict[100] is False and verdict[101] is False
