@@ -68,6 +68,12 @@ def parse_args(argv=None):
                         "gate -> exact dedup -> decontamination -> "
                         "stratified mixture) over SF_DIR/documents.parquet "
                         "and write the kept set to --out as parquet")
+    p.add_argument("--report", default=None, metavar="SF_DIR",
+                   help="write the corpus ops-monitoring report over "
+                        "SF_DIR/documents.parquet to --out: per-stage "
+                        "curation attrition funnel, order-independent "
+                        "corpus manifest checksums, and per-source PSI "
+                        "drift between the id-median halves")
     return p.parse_args(argv)
 
 
@@ -128,6 +134,37 @@ def main(argv=None) -> dict:
         os.makedirs(args.out, exist_ok=True)
         got = run_api_stream_sync(spark, args.out, ckpt, start, stop)
         return {"sessions_stream": got.count()}
+
+    if args.report is not None:
+        from pyspark.sql import functions as F
+
+        from etl_ender_turing_spark.operators.conform import (
+            corpus_manifest, psi_drift,
+        )
+        from etl_ender_turing_spark.operators.curation import (
+            curation_attrition,
+        )
+        from etl_ender_turing_spark.sources.readers import read_table
+
+        docs = read_table(spark, args.report, "documents")
+        # deterministic snapshot split for the drift monitor: in
+        # production ref/cur are yesterday's and today's loads; the
+        # fixture world splits at the id median (one driver scalar)
+        mid = docs.agg(F.expr("percentile(doc_id, 0.5)")).first()[0]
+        reports = {
+            "attrition": curation_attrition(docs, rates={},
+                                            default_rate=1.0),
+            "manifest": corpus_manifest(docs),
+            "psi_drift": psi_drift(docs.filter(F.col("doc_id") <= mid),
+                                   docs.filter(F.col("doc_id") > mid)),
+        }
+        os.makedirs(args.out, exist_ok=True)
+        counts = {}
+        for name, df in reports.items():
+            path = os.path.join(args.out, name)
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = spark.read.parquet(path).count()
+        return counts
 
     if args.curate is not None:
         from etl_ender_turing_spark.operators.curation import (

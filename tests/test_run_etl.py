@@ -110,3 +110,19 @@ def test_stream_compaction_bounds_files_and_preserves_rows(spark, tmp_path):
     # file at fixture scale), bounded regardless of epoch count
     assert n_comp <= max(1, -(-bytes_comp // (128 * 1024 * 1024)))
     assert n_comp <= n_plain
+
+
+def test_report_mode_writes_monitoring_tables(spark, tmp_path):
+    import run_etl
+
+    out = str(tmp_path / "report")
+    counts = run_etl.main(["--report", "/root/testdata/sf0.001",
+                           "--out", out])
+    assert counts["attrition"] == 5          # one row per pipeline stage
+    assert counts["manifest"] > 0
+    assert counts["psi_drift"] > 0
+    attr = {r.stage: r.docs_out
+            for r in spark.read.parquet(out + "/attrition").collect()}
+    assert attr["raw"] >= attr["stratified_sample"]
+    psi = spark.read.parquet(out + "/psi_drift")
+    assert {"source", "psi"} == set(psi.columns)
