@@ -33,7 +33,7 @@ star' items), alongside ops/web.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 # Shared Spark/DuckDB SQL fragments — ONE text parsed by both engines so
 # the double arithmetic is literally the same expression tree (the
@@ -135,3 +135,75 @@ def pagerank_sql(edges_sql: str, iters: int = 3,
     parts.append(f"""
     SELECT d AS domain, CAST(r AS DOUBLE) AS rank FROM r{iters}""")
     return "".join(parts)
+
+
+# --------------------------------------------------------------------------
+# Crawl-budget apportionment (largest-remainder over rank × quality)
+# --------------------------------------------------------------------------
+
+
+def crawl_budget(ranks: DataFrame, quality: DataFrame, n_slots: int = 1000,
+                 domain_col: str = "domain") -> DataFrame:
+    """(domain, weight6, budget): apportion ``n_slots`` fetch slots
+    across domains proportionally to rank × quality — the number a
+    crawl scheduler actually consumes (PageRank says who deserves
+    depth; the quality prior says whose pages were worth keeping; the
+    budget turns both into integer slots that sum EXACTLY to the
+    fleet's capacity).
+
+    Largest-remainder apportionment (Hamilton's method) in pure integer
+    arithmetic: weights are 6dp-floor-quantized to BIGINT, each domain
+    gets ``(n·w) div W`` slots, and the ``n - Σfloor`` leftover slots go
+    to the largest ``(n·w) mod W`` remainders (domain asc tie-break — a
+    total order, so the result is deterministic and cross-engine exact;
+    no floating shares ever touch the allocation). All frames are
+    domain-cardinality: windows here sort a registry, not a corpus.
+    """
+    w = (ranks.join(quality, domain_col)
+         .select(domain_col,
+                 F.expr("CAST(FLOOR(rank * qsum * 1000000 + 0.5) "
+                        "AS BIGINT)").alias("w6")))
+    wt = (Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    # NOT "W6": Spark column resolution is case-insensitive, so
+    # withColumn("W6", ...) would REPLACE w6 with the global sum and
+    # every domain would silently get the full budget
+    shares = (w.withColumn("tw", F.sum("w6").over(wt))
+              .select(domain_col, "w6",
+                      F.expr(f"({n_slots} * w6) div tw").alias("fl"),
+                      F.expr(f"({n_slots} * w6) % tw").alias("rem"),
+                      F.expr(f"{n_slots} - SUM(({n_slots} * w6) div tw) "
+                             "OVER ()").alias("left_over")))
+    wr = Window.orderBy(F.desc("rem"), F.asc(domain_col))
+    return (shares.withColumn("rn", F.row_number().over(wr))
+            .select(domain_col, F.col("w6").alias("weight6"),
+                    (F.col("fl")
+                     + F.when(F.col("rn") <= F.col("left_over"), 1)
+                     .otherwise(0)).cast("long").alias("budget")))
+
+
+def crawl_budget_sql(ranks_sql: str, quality_sql: str,
+                     n_slots: int = 1000,
+                     domain_col: str = "domain") -> str:
+    """DuckDB oracle for :func:`crawl_budget` — the identical integer
+    apportionment over (domain, rank) and (domain, qsum) CTEs."""
+    return f"""
+    WITH ranks AS ({ranks_sql}), quality AS ({quality_sql}),
+    w AS (SELECT r.{domain_col},
+                 CAST(FLOOR(r.rank * q.qsum * 1000000 + 0.5) AS BIGINT)
+                   AS w6
+          FROM ranks r JOIN quality q USING ({domain_col})),
+    w2 AS (SELECT {domain_col}, w6, SUM(w6) OVER () AS tw FROM w),
+    shares AS (SELECT {domain_col}, w6,
+                      ({n_slots} * w6) // tw AS fl,
+                      ({n_slots} * w6) % tw AS rem
+               FROM w2),
+    shares2 AS (SELECT *, {n_slots} - SUM(fl) OVER () AS left_over
+                FROM shares)
+    SELECT {domain_col}, w6 AS weight6,
+           CAST(fl + CASE WHEN ROW_NUMBER() OVER (
+                  ORDER BY rem DESC, {domain_col} ASC) <= left_over
+                THEN 1 ELSE 0 END AS BIGINT) AS budget
+    FROM shares2
+    """

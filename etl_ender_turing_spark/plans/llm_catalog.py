@@ -2008,6 +2008,42 @@ def q_domain_pagerank(spark, sf_dir):
     return gr.pagerank(wb.domain_edges(parsed, links), iters=3)
 
 
+_DOMAIN_QUALITY_SQL = f"""
+    SELECT 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
+             || {_tld_sql_of("doc_id")} AS domain,
+           SUM(n_chars) AS qsum
+    FROM documents GROUP BY 1"""
+
+
+@register(
+    "q_crawl_budget",
+    gr.crawl_budget_sql("_PAGERANK_PLACEHOLDER_", _DOMAIN_QUALITY_SQL,
+                        n_slots=1000)
+    .replace("_PAGERANK_PLACEHOLDER_",
+             gr.pagerank_sql(_PAGERANK_EDGES_SQL, iters=3)),
+    doc="crawl-budget apportionment (operators/graph.crawl_budget): "
+        "1000 fetch slots split across domains by largest-remainder "
+        "(Hamilton) apportionment over PageRank x quality-prior weights "
+        "— the integer number a crawl scheduler actually consumes, "
+        "summing EXACTLY to fleet capacity (floating shares never touch "
+        "the allocation: weights 6dp-floor-quantized to BIGINT, floor "
+        "shares and remainders in pure integer division, remainder "
+        "ranking totally ordered). Rides two certified subtrees — the "
+        "3-iteration domain PageRank and a per-domain quality "
+        "aggregate; every post-corpus frame is domain-cardinality, so "
+        "the windows sort a registry, not a corpus")
+def q_crawl_budget(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    d = _docs(spark, sf_dir)
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    links = wb.extract_links(wb.synthesize_planted_links(docs))
+    ranks = gr.pagerank(wb.domain_edges(parsed, links), iters=3)
+    quality = (parsed.join(d.select("doc_id", "n_chars"), "doc_id")
+               .groupBy(F.col("reg_domain").alias("domain"))
+               .agg(F.sum("n_chars").alias("qsum")))
+    return gr.crawl_budget(ranks, quality, n_slots=1000)
+
+
 @register(
     "q_anchor_terms",
     wb.anchor_domain_terms_sql("documents", k=5),

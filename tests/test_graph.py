@@ -149,3 +149,24 @@ def test_extract_sitemap_urls_trims_and_ignores_lastmod(spark):
         df.select("doc_id", F.lit(xml).alias("sitemap"))).collect()}
     assert got == {("https://a.co.uk/x", "a.co.uk"),
                    ("http://b.example.com/y", "example.com")}
+
+
+def test_crawl_budget_largest_remainder(spark):
+    from etl_ender_turing_spark.operators import graph as gr
+
+    ranks = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.5), ("c", 0.5)], "domain string, rank double")
+    quality = spark.createDataFrame(
+        [("a", 1), ("b", 1), ("c", 1)], "domain string, qsum long")
+    got = {r.domain: r.budget
+           for r in gr.crawl_budget(ranks, quality, n_slots=100).collect()}
+    # 100/3: floors are 33 each, the single leftover slot goes to the
+    # smallest domain name (deterministic remainder tie-break)
+    assert got == {"a": 34, "b": 33, "c": 33}
+    assert sum(got.values()) == 100
+    # proportionality: 3x the weight -> ~3x the slots, still exact-sum
+    quality2 = spark.createDataFrame(
+        [("a", 3), ("b", 1), ("c", 1)], "domain string, qsum long")
+    got2 = {r.domain: r.budget
+            for r in gr.crawl_budget(ranks, quality2, n_slots=100).collect()}
+    assert got2 == {"a": 60, "b": 20, "c": 20}
