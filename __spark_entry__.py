@@ -41,7 +41,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_stream_neardup_gate", "q_card_redact", "q_psi_drift",
     "q_embed_drift", "q_corpus_manifest", "q_pack_efficiency",
     "q_robots_filter", "q_contamination_report", "q_sitemap_urls",
-    "q_text_nfc", "q_lang_confusion", "q_crawl_budget",
+    "q_text_nfc", "q_lang_confusion", "q_crawl_budget", "q_shard_balance",
     "q_extract_links", "q_domain_pagerank", "q_prototype_prune",
     "q_margin_mining", "q_doremi_step", "q_tokenizer_fertility",
     "q_quality_ensemble", "q_class_tfidf", "q_stream_source_cap",

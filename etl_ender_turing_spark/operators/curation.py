@@ -364,3 +364,48 @@ def curation_attrition_sql(table: str = "documents",
     UNION ALL {stage.format(i=3, n='decontaminate', f='clean')}
     UNION ALL {stage.format(i=4, n='stratified_sample', f='sampled')}
     """
+
+
+def shard_balance(df: DataFrame, n_shards: int = 16,
+                  id_col: str = "doc_id") -> DataFrame:
+    """One-row balance report for the :func:`write_training_shards`
+    layout: (n_shards_used, n_docs, min_shard, max_shard, imbalance6) —
+    the check a data team runs BEFORE a multi-hour export (a skewed
+    shard is a straggler training worker; md5 assignment should keep
+    max/mean within a few percent, and this report is how you notice
+    when an id scheme breaks that).
+
+    Same md5-mod assignment expression as the writer; one partial+final
+    count per shard (≤ n_shards rows) then a 1-row reduce; imbalance =
+    max/mean, 6dp-floored (the cross-engine ratio discipline).
+    """
+    shard = (F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
+                    16, 10).cast("long") % n_shards).alias("shard")
+    per = df.select(shard).groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"))
+    return per.agg(
+        F.count(F.lit(1)).alias("n_shards_used"),
+        F.sum("n").alias("n_docs"),
+        F.min("n").alias("min_shard"),
+        F.max("n").alias("max_shard"),
+        F.expr(f"CAST(FLOOR(MAX(n) * {n_shards} * 1000000.0 / SUM(n) "
+               "+ 0.5) / 1000000 AS DOUBLE)").alias("imbalance6"))
+
+
+def shard_balance_sql(table: str = "documents", n_shards: int = 16,
+                      id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`shard_balance` (same md5-mod)."""
+    return f"""
+    WITH per AS (
+      SELECT ('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 8))
+               ::UBIGINT % {n_shards} AS shard,
+             COUNT(*) AS n
+      FROM {table} GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_shards_used,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(MIN(n) AS BIGINT) AS min_shard,
+           CAST(MAX(n) AS BIGINT) AS max_shard,
+           CAST(FLOOR(MAX(n) * {n_shards} * 1000000.0 / SUM(n) + 0.5)
+             / 1000000 AS DOUBLE) AS imbalance6
+    FROM per
+    """

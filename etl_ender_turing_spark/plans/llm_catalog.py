@@ -1270,6 +1270,22 @@ def q_training_set(spark, sf_dir):
 
 
 @register(
+    "q_shard_balance",
+    cu.shard_balance_sql("documents", n_shards=16),
+    doc="shard-balance report for the training-export layout (operators/"
+        "curation.shard_balance): per-shard counts under the SAME "
+        "md5-mod assignment write_training_shards uses, reduced to one "
+        "row — shards used, doc totals, min/max shard size and the "
+        "6dp-floored max/mean imbalance ratio. The pre-flight check "
+        "before a multi-hour export: a skewed shard is a straggler "
+        "training worker, and this is how a broken id scheme surfaces "
+        "BEFORE the write. One partial+final count (≤ n_shards rows) "
+        "plus a 1-row reduce")
+def q_shard_balance(spark, sf_dir):
+    return cu.shard_balance(_docs(spark, sf_dir), n_shards=16)
+
+
+@register(
     "q_curation_attrition",
     cu.curation_attrition_sql("documents", rates=_CURATION_RATES,
                               default_rate=0.5),

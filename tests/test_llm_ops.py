@@ -1512,3 +1512,20 @@ def test_lang_confusion_row_shares(spark):
     sums = out.groupby("declared")["row_share"].sum()
     assert ((sums - 1.0).abs() < 1e-4).all()
     assert (out["n_docs"] > 0).all()
+
+
+def test_shard_balance_matches_the_writer(spark, tmp_path):
+    from etl_ender_turing_spark.operators.curation import (
+        shard_balance, write_training_shards,
+    )
+    df = spark.createDataFrame([(i, f"t{i}") for i in range(200)],
+                               "doc_id long, text string")
+    rep = shard_balance(df, n_shards=8).collect()[0]
+    written = write_training_shards(df, str(tmp_path / "shards"),
+                                    n_shards=8)
+    # the report predicts exactly what the writer produces
+    assert rep.n_docs == sum(written.values()) == 200
+    assert rep.n_shards_used == len(written)
+    assert rep.min_shard == min(written.values())
+    assert rep.max_shard == max(written.values())
+    assert rep.imbalance6 >= 1.0
