@@ -141,9 +141,20 @@ def pagerank_sql(edges_sql: str, iters: int = 3,
 # Crawl-budget apportionment (largest-remainder over rank × quality)
 # --------------------------------------------------------------------------
 
+# Shared Spark/DuckDB weight spelling: quality is NORMALIZED by the max
+# before quantizing, so the integer weights are bounded regardless of
+# corpus size. Bounds (the overflow guard): rank ≤ 1 and Σrank ≈ 1 for
+# PageRank input, qsum/mq ≤ 1, so w6 ≤ 1e12, Σw6 ≤ Σrank·1e12 ≈ 1e12 and
+# n_slots·w6 stays inside BIGINT for n_slots ≤ 9·10⁶ — unlike the raw
+# rank·qsum·1e6 spelling, which reaches ~1e19 for realistic per-domain
+# char sums and wraps silently under Spark's non-ANSI arithmetic.
+_W6 = ("CAST(FLOOR(rank * (CAST(qsum AS DOUBLE) / CAST(mq AS DOUBLE)) "
+       "* 1000000000000 + 0.5) AS BIGINT)")
+
 
 def crawl_budget(ranks: DataFrame, quality: DataFrame, n_slots: int = 1000,
-                 domain_col: str = "domain") -> DataFrame:
+                 domain_col: str = "domain",
+                 n_ranges: int = 32) -> DataFrame:
     """(domain, weight6, budget): apportion ``n_slots`` fetch slots
     across domains proportionally to rank × quality — the number a
     crawl scheduler actually consumes (PageRank says who deserves
@@ -152,31 +163,56 @@ def crawl_budget(ranks: DataFrame, quality: DataFrame, n_slots: int = 1000,
     fleet's capacity).
 
     Largest-remainder apportionment (Hamilton's method) in pure integer
-    arithmetic: weights are 6dp-floor-quantized to BIGINT, each domain
-    gets ``(n·w) div W`` slots, and the ``n - Σfloor`` leftover slots go
-    to the largest ``(n·w) mod W`` remainders (domain asc tie-break — a
+    arithmetic: weights are max-normalized and 12dp-floor-quantized to
+    BIGINT (see ``_W6`` for the overflow bound), each domain gets
+    ``(n·w) div W`` slots, and the ``n - Σfloor`` leftover slots go to
+    the largest ``(n·w) mod W`` remainders (domain asc tie-break — a
     total order, so the result is deterministic and cross-engine exact;
-    no floating shares ever touch the allocation). All frames are
-    domain-cardinality: windows here sort a registry, not a corpus.
+    no floating shares ever touch the allocation).
+
+    Scale shape — NO unpartitioned window anywhere (a CommonCrawl-scale
+    domain registry is ~10⁸ rows; a global window sort would funnel all
+    of it through one reducer): the weight total and the leftover count
+    ride as 1-row broadcast frames, and the remainder ranking uses the
+    repo's global-order-without-a-global-window pattern
+    (``sampling.token_budget_head``): range-partition on (rem DESC,
+    domain), rank WITHIN each partition in parallel, add each
+    partition's row-count prefix offset (one bounded driver round-trip
+    of ``n_ranges`` numbers).
     """
-    w = (ranks.join(quality, domain_col)
-         .select(domain_col,
-                 F.expr("CAST(FLOOR(rank * qsum * 1000000 + 0.5) "
-                        "AS BIGINT)").alias("w6")))
-    wt = (Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding,
-                       Window.unboundedFollowing))
-    # NOT "W6": Spark column resolution is case-insensitive, so
-    # withColumn("W6", ...) would REPLACE w6 with the global sum and
-    # every domain would silently get the full budget
-    shares = (w.withColumn("tw", F.sum("w6").over(wt))
+    mq = quality.agg(F.max("qsum").alias("mq"))
+    w = (ranks.join(quality, domain_col).crossJoin(F.broadcast(mq))
+         .select(domain_col, F.expr(_W6).alias("w6")))
+    tw = w.agg(F.sum("w6").alias("tw"))
+    # shares feeds BOTH the leftover total and the final projection —
+    # checkpoint so the join+quantize chain runs once (no cross-consumer
+    # CSE in Spark plans)
+    shares = (w.crossJoin(F.broadcast(tw))
               .select(domain_col, "w6",
                       F.expr(f"({n_slots} * w6) div tw").alias("fl"),
-                      F.expr(f"({n_slots} * w6) % tw").alias("rem"),
-                      F.expr(f"{n_slots} - SUM(({n_slots} * w6) div tw) "
-                             "OVER ()").alias("left_over")))
-    wr = Window.orderBy(F.desc("rem"), F.asc(domain_col))
-    return (shares.withColumn("rn", F.row_number().over(wr))
+                      F.expr(f"({n_slots} * w6) % tw").alias("rem"))
+              .localCheckpoint(eager=True))
+    lo = shares.agg((F.lit(n_slots) - F.sum("fl")).alias("left_over"))
+    # pin the sampled range boundaries: the counts job and the final job
+    # must see the SAME layout (repartitionByRange re-samples per job)
+    ranged = (shares.repartitionByRange(
+        n_ranges, F.col("rem").desc(), F.col(domain_col).asc())
+        .localCheckpoint(eager=True))
+    pid = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = {r["_pid"]: r["_c"] for r in
+              pid.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+              .collect()}
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    off = F.lit(0)
+    for p, o in sorted(offsets.items()):
+        off = F.when(F.col("_pid") == p, F.lit(o)).otherwise(off)
+    wr = (Window.partitionBy("_pid")
+          .orderBy(F.col("rem").desc(), F.col(domain_col).asc()))
+    return (pid.withColumn("rn", F.row_number().over(wr) + off)
+            .crossJoin(F.broadcast(lo))
             .select(domain_col, F.col("w6").alias("weight6"),
                     (F.col("fl")
                      + F.when(F.col("rn") <= F.col("left_over"), 1)
@@ -187,23 +223,24 @@ def crawl_budget_sql(ranks_sql: str, quality_sql: str,
                      n_slots: int = 1000,
                      domain_col: str = "domain") -> str:
     """DuckDB oracle for :func:`crawl_budget` — the identical integer
-    apportionment over (domain, rank) and (domain, qsum) CTEs."""
+    apportionment over (domain, rank) and (domain, qsum) CTEs. The
+    oracle ranks remainders with one ROW_NUMBER over the same (rem
+    DESC, domain) total order the distributed prefix-offset rank
+    realizes, so values match row-for-row."""
     return f"""
     WITH ranks AS ({ranks_sql}), quality AS ({quality_sql}),
-    w AS (SELECT r.{domain_col},
-                 CAST(FLOOR(r.rank * q.qsum * 1000000 + 0.5) AS BIGINT)
-                   AS w6
-          FROM ranks r JOIN quality q USING ({domain_col})),
-    w2 AS (SELECT {domain_col}, w6, SUM(w6) OVER () AS tw FROM w),
+    mq AS (SELECT MAX(qsum) AS mq FROM quality),
+    w AS (SELECT r.{domain_col}, {_W6} AS w6
+          FROM ranks r JOIN quality q USING ({domain_col}) CROSS JOIN mq),
+    tw AS (SELECT SUM(w6) AS tw FROM w),
     shares AS (SELECT {domain_col}, w6,
                       ({n_slots} * w6) // tw AS fl,
                       ({n_slots} * w6) % tw AS rem
-               FROM w2),
-    shares2 AS (SELECT *, {n_slots} - SUM(fl) OVER () AS left_over
-                FROM shares)
+               FROM w CROSS JOIN tw),
+    lo AS (SELECT {n_slots} - SUM(fl) AS left_over FROM shares)
     SELECT {domain_col}, w6 AS weight6,
            CAST(fl + CASE WHEN ROW_NUMBER() OVER (
                   ORDER BY rem DESC, {domain_col} ASC) <= left_over
                 THEN 1 ELSE 0 END AS BIGINT) AS budget
-    FROM shares2
+    FROM shares CROSS JOIN lo
     """

@@ -170,3 +170,23 @@ def test_crawl_budget_largest_remainder(spark):
     got2 = {r.domain: r.budget
             for r in gr.crawl_budget(ranks, quality2, n_slots=100).collect()}
     assert got2 == {"a": 60, "b": 20, "c": 20}
+
+
+def test_crawl_budget_survives_100tb_scale_qsums(spark):
+    # 100 TB-corpus char sums: qsum ~1e13 per domain. The raw
+    # rank*qsum*1e6 spelling reached ~5e18 per weight and n_slots*w6
+    # wrapped BIGINT silently (Spark non-ANSI); max-normalized weights
+    # stay ≤1e12, so the apportionment is exact at any corpus size.
+    from etl_ender_turing_spark.operators import graph as gr
+
+    ranks = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.3), ("c", 0.2)], "domain string, rank double")
+    quality = spark.createDataFrame(
+        [("a", 10_000_000_000_000), ("b", 10_000_000_000_000),
+         ("c", 5_000_000_000_000)], "domain string, qsum long")
+    got = {r.domain: (r.weight6, r.budget)
+           for r in gr.crawl_budget(ranks, quality, n_slots=1000).collect()}
+    # shares 0.5 : 0.3 : 0.1 → 5/9, 3/9, 1/9 of 1000 with largest-remainder
+    assert all(0 < w <= 10**12 for w, _ in got.values()), got
+    assert sum(b for _, b in got.values()) == 1000
+    assert got["a"][1] == 556 and got["b"][1] == 333 and got["c"][1] == 111

@@ -144,6 +144,25 @@ def test_zipf_topv_is_ordered_limit_not_global_sort(spark):
     assert "Window" not in below, below[:800]
 
 
+def test_crawl_budget_has_no_unpartitioned_window(spark):
+    # A CommonCrawl-scale domain registry is ~1e8 rows: the apportionment
+    # must never sort it through one reducer. Totals ride as 1-row
+    # broadcasts and the remainder rank is range-partitioned (_pid) —
+    # every Window in the final job must be partitioned, and the ranked
+    # frame must not collapse to a single partition.
+    df = CATALOG["q_crawl_budget"].builder(spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    final = final.split("== Initial Plan ==", 1)[0]
+    # (the 1-row left_over/total aggregates DO pass through an Exchange
+    # SinglePartition — 32 partial rows to one reducer is the intended
+    # broadcast-total shape, so only Window partitioning is gated here)
+    win_lines = [ln for ln in final.splitlines() if "Window" in ln]
+    assert win_lines, final[:800]          # the remainder rank exists...
+    for ln in win_lines:                   # ...and is always partitioned
+        assert "_pid" in ln, ln
+
+
 def test_char_entropy_is_zero_shuffle(spark):
     # the entropy computation is per-row HOFs — a document never leaves
     # its partition; any Exchange here is a regression to the explode form
