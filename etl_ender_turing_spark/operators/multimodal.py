@@ -85,9 +85,18 @@ def parse_media_header(payload: bytes) -> dict | None:
                 "sample_rate": None, "channels": None, "bit_depth": b[24]}
     if len(b) >= 4 and b[:2] == b"\xff\xd8":
         off = 2
-        while off + 4 <= len(b) and b[off] == 0xFF:
+        while off + 2 <= len(b) and b[off] == 0xFF:
+            # runs of 0xFF fill bytes may legally pad any marker
+            # (ITU T.81 §B.1.1.2) — skip to the last 0xFF of the run
+            while off + 2 <= len(b) and b[off + 1] == 0xFF:
+                off += 1
             marker = b[off + 1]
-            if marker in (0xD9, 0xDA):       # EOI / SOS: no SOF seen
+            if marker in (0xD9, 0xDA) or marker == 0x00:
+                break                        # EOI / SOS / stuffed-byte desync
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                off += 2                     # TEM / RSTn: standalone, no length
+                continue
+            if off + 4 > len(b):
                 break
             (size,) = struct.unpack(">H", b[off + 2:off + 4])
             if 0xC0 <= marker <= 0xC3 and off + 9 <= len(b):

@@ -193,6 +193,27 @@ def test_parse_media_header_jpeg():
     assert mm.parse_media_header(_jpeg_bytes(9, 9)[:6]) is None
 
 
+def test_parse_media_header_jpeg_fill_and_standalone_markers():
+    # real-crawl JPEGs: 0xFF fill bytes may pad any marker (T.81
+    # §B.1.1.2) and TEM/RSTn carry NO length — both desynced the offset
+    # before the r7 fix (the fill byte made the parser read a bogus
+    # segment length and bail to None)
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    fill = b"\xff\xff\xff"                       # run of fill bytes
+    tem, rst = b"\xff\x01", b"\xff\xd3"          # standalone markers
+    m = mm.parse_media_header(
+        _jpeg_bytes(320, 200, extra_segments=fill + app0 + tem + rst))
+    assert (m["codec"], m["width"], m["height"]) == (
+        "jpeg-baseline", 320, 200)
+    # fill bytes directly before the SOF marker itself
+    m = mm.parse_media_header(_jpeg_bytes(64, 32, extra_segments=b"\xff"))
+    assert (m["width"], m["height"]) == (64, 32)
+    # a stuffed 0xFF00 pre-SOS is illegal — desync must degrade to None,
+    # never misparse stray bytes as an SOF
+    assert mm.parse_media_header(
+        b"\xff\xd8" + b"\xff\x00" + _jpeg_bytes(9, 9)[2:]) is None
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None
