@@ -526,7 +526,9 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
 
 def curate_web_corpus_sql(table: str = "documents",
                           threshold: float = 0.6,
-                          min_words: int = 4) -> str:
+                          min_words: int = 4,
+                          blocked: tuple[str, ...] = (
+                              "example-1.com", "example-2.co.uk")) -> str:
     """DuckDB oracle for :func:`curate_web_corpus`.
 
     Stages 1-3 (parse → blocklist → canonical dedup) are recomputed
@@ -534,10 +536,16 @@ def curate_web_corpus_sql(table: str = "documents",
     URL — a parse_url/PSL/canonicalization bug on the Spark side
     hash-mismatches); extraction is the planted-line truth; scoring,
     bucketing and MinHash dedup compose the same SQL builders the
-    single-op oracles certify."""
+    single-op oracles certify. ``blocked`` must be the SAME domain list
+    the Spark side is called with, and the canonical-dedup keep rule is
+    DERIVED (min doc_id per fixture page — the fixture maps canonical
+    URL 1:1 to ``doc_id // 2``) rather than assuming id contiguity, so
+    a non-default blocklist or a gappy id range certifies correctly."""
     from . import dedup as dd
     from .textstats import bigram_coherence_sql
 
+    blocked_list = ", ".join("'" + d.replace("'", "''") + "'"
+                             for d in blocked)
     dup = "((doc_id // 2) % 10 = 3)"
     tld = ("CASE WHEN (doc_id // 2) % 4 = 1 THEN 'co.uk' "
            "WHEN (doc_id // 2) % 4 = 2 THEN 'com.au' "
@@ -545,15 +553,19 @@ def curate_web_corpus_sql(table: str = "documents",
     reg = (f"('example-' || CAST((doc_id // 2) % 7 AS VARCHAR)"
            f" || '.' || {tld})")
     return rf"""
-    WITH kept AS (
+    WITH unblocked AS (
+      SELECT doc_id, lang, text FROM {table}
+      WHERE {reg} NOT IN ({blocked_list})
+    ),
+    kept AS (
       SELECT doc_id, lang,
              regexp_replace(trim(CASE WHEN {dup} THEN '{_DUP_TEXT}'
                                  ELSE text END), '\s+', ' ', 'g') AS cc,
              CASE WHEN {dup} THEN '9'
                   ELSE CAST(doc_id % 7 AS VARCHAR) END AS sect
-      FROM {table}
-      WHERE doc_id % 2 = 0
-        AND {reg} NOT IN ('example-1.com', 'example-2.co.uk')
+      FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY doc_id // 2) AS _m
+            FROM unblocked)
+      WHERE doc_id = _m
     ),
     ext AS (
       SELECT doc_id, lang,

@@ -1781,9 +1781,15 @@ def q_html_extract(spark, sf_dir):
     return wb.extract_main_content(wb.synthesize_planted_html(docs))
 
 
+# ONE blocklist constant feeds both the Spark builder and the oracle —
+# the pair can never drift (r6 advisor: the oracle used to hardcode it)
+_CURATION_BLOCKLIST = ("example-1.com", "example-2.co.uk")
+
+
 @register(
     "q_web_curation_pipeline",
-    wb.curate_web_corpus_sql("documents", threshold=0.6),
+    wb.curate_web_corpus_sql("documents", threshold=0.6,
+                             blocked=_CURATION_BLOCKLIST),
     doc="the composed end-to-end WEB-curation pipeline (crawl-to-corpus "
         "counterpart of q_training_set): URL parse with PSL eTLD+1 -> "
         "domain blocklist anti-join -> canonical-URL dedup -> HTML "
@@ -1796,7 +1802,7 @@ def q_html_extract(spark, sf_dir):
         "parses a URL), the rest compose the certified SQL builders")
 def q_web_curation_pipeline(spark, sf_dir):
     blocked = spark.createDataFrame(
-        [("example-1.com",), ("example-2.co.uk",)], "reg_domain string")
+        [(d,) for d in _CURATION_BLOCKLIST], "reg_domain string")
     return wb.curate_web_corpus(_docs(spark, sf_dir), blocked,
                                 threshold=0.6)
 
