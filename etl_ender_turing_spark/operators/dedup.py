@@ -982,6 +982,112 @@ def span_dedup_stats_sql(table: str = "documents", n: int = 8,
     """
 
 
+def span_dedup_rewrite(df: DataFrame, n: int = 8, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-span REMOVAL (Lee et al. 2021 §4 — the rewrite half of
+    exact-substring dedup; :func:`span_dedup_stats` is the measurement
+    half): every token covered by an n-gram that already appears in an
+    EARLIER document (min-id owner) is dropped, and the surviving tokens
+    are reassembled in original order. The canonical (first) copy of a
+    span is kept verbatim; later copies lose exactly the duplicated run,
+    not the whole document — the op that salvages the unique tail of a
+    quote-heavy page instead of discarding it.
+
+    Keep rule, precisely: token j of doc d survives iff NO gram start
+    position p in [j-n+1, j] of doc d has owner(gram_p) < d. Docs
+    shorter than n tokens have no grams and pass through verbatim; docs
+    whose every token is covered come back with clean_text NULL.
+
+    Scale shape — same as the stats op plus one narrow join: positions
+    explode narrow; ownership is a gram-keyed min aggregation (uniform
+    hash shuffle, no doc-vs-doc join); the per-doc duplicated-position
+    list rides back on an id-keyed join (dup docs are a small fraction
+    of the corpus, and a doc's position list is bounded by its own
+    length); the rewrite itself is per-row array work (coverage test is
+    O(|dup positions|) per token via HOFs — bounded by doc length,
+    embarrassingly parallel). Case/reassembly: gram keys are lowercased
+    (matching the stats op), surviving tokens keep original case.
+    """
+    # NULL text drops the row on both engines (split(NULL) is NULL here;
+    # the oracle's LATERAL over a NULL series emits no rows)
+    base = (df.select(F.col(id_col),
+                      F.split(F.col(text_col), " ").alias("_t"))
+            .filter(F.col("_t").isNotNull()))
+    parts = ", ".join(f"element_at(_lt, i + {k})" for k in range(n))
+    grams = (base.select(id_col,
+                         F.expr("transform(_t, x -> lower(x))").alias("_lt"))
+             .filter(F.size("_lt") >= n)
+             .select(id_col, F.posexplode(F.expr(
+                 f"transform(sequence(1, size(_lt) - {n - 1}),"
+                 f" i -> concat_ws(' ', {parts}))")).alias("_i0", "gram"))
+             .select(id_col, (F.col("_i0") + 1).alias("pos"), "gram"))
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("owner_id"))
+    dup = (grams.join(owner, "gram")
+           .filter(F.col("owner_id") < F.col(id_col))
+           .groupBy(id_col)
+           .agg(F.sort_array(F.collect_list("pos")).alias("_p")))
+    return (base.join(dup, id_col, "left")
+            .withColumn("_p", F.coalesce(F.col("_p"),
+                                         F.expr("CAST(array() AS ARRAY<INT>)")))
+            .withColumn("_kept", F.expr(
+                "filter(transform(sequence(1, size(_t)),"
+                " j -> named_struct('j', j, 'tok', element_at(_t, j))),"
+                f" s -> NOT exists(_p,"
+                f" p -> p >= s.j - {n - 1} AND p <= s.j))"))
+            .select(id_col,
+                    F.nullif(F.expr(
+                        "array_join(transform(_kept, s -> s.tok), ' ')"),
+                        F.lit("")).alias("clean_text"),
+                    F.size("_t").cast("long").alias("n_tokens"),
+                    (F.size("_t") - F.size("_kept")).cast("long")
+                    .alias("n_dropped")))
+
+
+def span_dedup_rewrite_sql(table: str = "documents", n: int = 8,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`span_dedup_rewrite` — the same keep rule
+    spelled relationally: duplicated gram starts expand to covered token
+    indexes (LATERAL 0..n-1), survivors reassemble with an ordered
+    string_agg. Pure integer/string logic, no float-parity concerns."""
+    parts = " || ' ' || ".join(f"lt[i + {k}]" for k in range(n))
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS t FROM {table}
+    ),
+    grams AS (
+      SELECT {id_col}, g.i AS pos, {parts} AS gram
+      FROM (SELECT {id_col}, list_transform(t, x -> lower(x)) AS lt
+            FROM base),
+           LATERAL (SELECT unnest(generate_series(1, len(lt) - {n - 1}))
+                    AS i) g
+      WHERE len(lt) >= {n}
+    ),
+    owner AS (SELECT gram, MIN({id_col}) AS owner_id FROM grams
+              GROUP BY gram),
+    covered AS (
+      SELECT DISTINCT g.{id_col}, g.pos + k.k AS j
+      FROM grams g JOIN owner o USING (gram),
+           LATERAL (SELECT unnest(generate_series(0, {n - 1})) AS k) k
+      WHERE o.owner_id < g.{id_col}
+    ),
+    toks AS (
+      SELECT {id_col}, g.j, t[g.j] AS tok
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) g
+    )
+    SELECT t.{id_col},
+           nullif(string_agg(CASE WHEN c.j IS NULL THEN t.tok END, ' '
+                             ORDER BY t.j), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.j IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_dropped
+    FROM toks t LEFT JOIN covered c
+      ON t.{id_col} = c.{id_col} AND t.j = c.j
+    GROUP BY t.{id_col}
+    """
+
+
 def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             source_col: str = "source") -> DataFrame:

@@ -1522,6 +1522,21 @@ def q_span_dedup_stats(spark, sf_dir):
 
 
 @register(
+    "q_span_dedup_rewrite",
+    dd.span_dedup_rewrite_sql("documents", n=8),
+    doc="duplicate-span REMOVAL (the rewrite half of exact-substring "
+        "dedup, Lee et al. 2021 §4; q_span_dedup_stats is the "
+        "measurement half): tokens covered by an 8-gram already seen in "
+        "an earlier doc are dropped and the survivors reassembled in "
+        "order — later copies lose exactly the duplicated run, the "
+        "canonical copy stays verbatim. Gram-keyed min-owner agg + one "
+        "id-keyed join back; the rewrite is per-row HOF array work — "
+        "no doc-vs-doc join anywhere")
+def q_span_dedup_rewrite(spark, sf_dir):
+    return dd.span_dedup_rewrite(_docs(spark, sf_dir), n=8)
+
+
+@register(
     "q_quality_classifier",
     ts.quality_classifier_sql("documents"),
     doc="classifier-based quality filtering (the fasttext/logistic model "

@@ -798,6 +798,30 @@ def test_span_dedup_planted_paste(spark):
     assert got[3]["dup_frac"] == 0.0
 
 
+def test_span_dedup_rewrite_drops_exactly_the_covered_tokens(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h unique tail one"),        # owner of the span
+         (2, "prefix two a b c d e f g h suffix two"),  # pastes the span
+         (3, "a b c d e f g h"),                        # only the span
+         (4, "short doc"),                              # < n: verbatim
+         (5, None),                                     # NULL text: dropped
+         (6, "x y z a b c d e f g h a b c d e f g h")],  # span twice
+        "doc_id long, text string")
+    got = {r.doc_id: (r.clean_text, r.n_tokens, r.n_dropped)
+           for r in dd.span_dedup_rewrite(df, n=8).collect()}
+    assert got == {
+        # canonical copy untouched
+        1: ("a b c d e f g h unique tail one", 11, 0),
+        # later copy loses EXACTLY the pasted run, keeps its unique text
+        2: ("prefix two suffix two", 12, 8),
+        # fully-covered doc -> NULL (matches string_agg-over-nothing)
+        3: (None, 8, 8),
+        4: ("short doc", 2, 0),
+        # both pasted copies dropped; overlapping coverage unions cleanly
+        6: ("x y z", 19, 16),
+    }
+
+
 def test_quality_classifier_orders_prose_above_soup(spark):
     prose = ("the quick brown fox jumps over a lazy dog and that was "
              "fine because we have seen it happen with some regularity")
