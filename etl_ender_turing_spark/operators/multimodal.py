@@ -110,6 +110,14 @@ def parse_media_header(payload: bytes) -> dict | None:
                         "bit_depth": precision}
             off += 2 + size                  # length includes its 2 bytes
         return None
+    if len(b) >= 3 and b[:2] == b"P5" and b[2:3].isspace():
+        try:
+            w, h, maxval, _ = _parse_pgm_header(b)
+        except ValueError:
+            return None
+        return {"media_type": "image", "codec": "pgm",
+                "width": w, "height": h, "sample_rate": None,
+                "channels": None, "bit_depth": 8 if maxval < 256 else 16}
     if len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         off = 12
         while off + 8 <= len(b):
@@ -291,6 +299,215 @@ def synthesize_media_from_documents(docs: DataFrame) -> DataFrame:
     utf-8 bytes of text. Keeps every pipeline stage runnable in-container."""
     return attach_media_meta(
         docs.select("doc_id", F.encode("text", "utf-8").alias("payload")))
+
+
+# --------------------------------------------------------------------------
+# Perceptual hashing (dHash) over REAL-decoded grayscale images
+# --------------------------------------------------------------------------
+
+def _parse_pgm_header(b: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-Netpbm (P5) header for REAL with stdlib only:
+    'P5' then width, height, maxval as whitespace-separated ASCII ints
+    ('#' comment lines legal between tokens per the Netpbm spec), then
+    ONE whitespace byte before the raw pixel payload. Returns
+    (width, height, maxval, pixel_offset); raises ValueError on
+    malformed headers."""
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(b) and b[pos:pos + 1].isspace():
+            pos += 1
+        if b[pos:pos + 1] == b"#":                 # comment to end-of-line
+            while pos < len(b) and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and b[pos:pos + 1].isdigit():
+            pos += 1
+        if pos == start:
+            raise ValueError("bad PGM header token")
+        vals.append(int(b[start:pos]))
+    if pos >= len(b) or not b[pos:pos + 1].isspace():
+        raise ValueError("missing pixel-section separator")
+    return vals[0], vals[1], vals[2], pos + 1
+
+
+def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from a binary PGM — a REAL uncompressed-
+    image decode needing no media library (maxval ≤ 255 only; the raw
+    section must hold exactly w·h bytes)."""
+    w, h, maxval, off = _parse_pgm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PGM needs no consumers here")
+    px = payload[off:off + w * h]
+    if len(px) != w * h or w <= 0 or h <= 0:
+        raise ValueError("truncated PGM payload")
+    return w, h, px
+
+
+def dhash_int(w: int, h: int, px: bytes, hash_w: int = 10,
+              hash_h: int = 6) -> int:
+    """Difference hash over an area-downscaled grayscale image — in PURE
+    integer arithmetic, so the value is bit-reproducible anywhere.
+
+    The image is partitioned into a (hash_w+1) × hash_h grid with floor
+    boundaries (col x covers [x·w/(hash_w+1), (x+1)·w/(hash_w+1))); bit
+    (y·hash_w + x) is 1 iff the mean of cell (x, y) exceeds the mean of
+    cell (x+1, y). Means are compared by integer cross-multiplication
+    (sum_a·area_b > sum_b·area_a) — no float ever enters, so unequal
+    cell areas still compare exactly. 10×6 = 60 bits, exactly the shape
+    :func:`dedup.simhash_pairs`'s 4×15-bit pigeonhole banding expects.
+    """
+    import numpy as np
+
+    a = np.frombuffer(px, dtype=np.uint8).reshape(h, w).astype(np.int64)
+    gx, gy = hash_w + 1, hash_h
+    xb = [x * w // gx for x in range(gx + 1)]
+    yb = [y * h // gy for y in range(gy + 1)]
+    sums = np.empty((gy, gx), dtype=np.int64)
+    areas = np.empty((gy, gx), dtype=np.int64)
+    for y in range(gy):
+        for x in range(gx):
+            block = a[yb[y]:yb[y + 1], xb[x]:xb[x + 1]]
+            sums[y, x] = int(block.sum())
+            areas[y, x] = block.size
+    out = 0
+    for y in range(gy):
+        for x in range(hash_w):
+            if sums[y, x] * areas[y, x + 1] > sums[y, x + 1] * areas[y, x]:
+                out |= 1 << (y * hash_w + x)
+    return out
+
+
+PHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("simhash", T.LongType()),      # named for simhash_pairs
+])
+
+
+def image_dhash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash): 60-bit perceptual dHash per image — the same
+    Arrow ``mapInPandas`` stage as :func:`extract_media_meta`, decoding
+    PGM payloads for real. Undecodable payloads are dropped (a hash of
+    garbage would poison the near-dup buckets). The output column is
+    named ``simhash`` so :func:`dedup.simhash_pairs` banding applies
+    unchanged — the multimodal member of the dedup family."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    w, h, px = decode_pgm(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                ids.append(int(did))
+                hashes.append(dhash_int(w, h, px))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "simhash": pd.Series(hashes, dtype="int64")})
+
+    return df.mapInPandas(run, PHASH_SCHEMA)
+
+
+# planted 22×12 pixels: md5-derived base value per (page, x, y) — the
+# repo's deterministic-coin pattern (sampling.hash_unit), because any
+# POLYNOMIAL-mod formula leaves the hash a function of the base modulo a
+# small period, collapsing distinct pages onto identical images (first
+# drafts: a linear formula hashed EVERY page identically → 7k pairs from
+# 500 docs; a squared one still yielded only 154 distinct hashes). With
+# iid-uniform pixels, cross-page hamming concentrates near 30/60 bits —
+# never inside the gate. Odd ids perturb ONE pixel by +40: one cell sum
+# moves, flipping at most its two adjacent-compare bits, so each
+# (2k, 2k+1) pair is a planted near-duplicate within hamming ≤ 2.
+PGM_W, PGM_H = 22, 12
+# odd ids brighten ONE whole 2×2 downscale cell by +40/px (+160 to the
+# cell sum — enough to usually flip its two adjacent-compare bits; a
+# single-pixel +40 left ~80% of pairs at hamming 0, under-exercising the
+# nonzero-distance path). x//2 is spelled (x - x%2)/2-free so the ONE
+# text parses in both dialects.
+_PERTURB = (" + (CASE WHEN ({did}) % 2 = 1"
+            " AND ({x}) - ({x}) % 2 = 2 * (({page}) % 11)"
+            " AND ({y}) - ({y}) % 2 = 2 * (({page}) % 6)"
+            " THEN 40 ELSE 0 END)")
+# first 8 md5 hex chars of 'page:x:y' → 32-bit int, mod 180, +20: 20..199
+_PGM_PX_SPARK = ("(CAST(conv(substring(md5(CAST({page} AS STRING) || ':'"
+                 " || CAST({x} AS STRING) || ':' || CAST({y} AS STRING)),"
+                 " 1, 8), 16, 10) AS BIGINT) % 180 + 20)" + _PERTURB)
+_PGM_PX_DUCK = ("(CAST(('0x' || substr(md5(CAST({page} AS VARCHAR) || ':'"
+                " || CAST({x} AS VARCHAR) || ':' || CAST({y} AS VARCHAR)),"
+                " 1, 8))::UBIGINT AS BIGINT) % 180 + 20)" + _PERTURB)
+
+
+def synthesize_planted_pgm(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID binary-PGM images planted arithmetically
+    from doc_id — byte assembly is JVM-side hex/unhex (the Python side
+    only ever PARSES, so a decoder bug cannot cancel out against the
+    builder). Two ids per page; the odd id differs by one perturbed
+    pixel → a planted near-duplicate pair per page."""
+    px = _PGM_PX_SPARK.format(page=f"({id_col} div 2)", x=f"(i % {PGM_W})",
+                              y=f"(i div {PGM_W})", did=id_col)
+    header_hex = F.hex(F.concat(
+        F.lit("P5\n"), F.lit(f"{PGM_W} {PGM_H}\n255\n")))
+    body_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {PGM_W * PGM_H - 1}),"
+        f" i -> lpad(hex({px}), 2, '0')))")
+    return docs.select(
+        id_col, F.unhex(F.concat(header_hex, body_hex)).alias("payload"))
+
+
+def planted_pgm_dhash_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted fixture:
+    regenerates cell sums from the SAME pixel arithmetic (never decoding
+    bytes — an off-by-one in the Spark-side parse/downscale
+    hash-mismatches) and assembles the 60-bit hash with exact integer
+    powers. Cells are the fixture's exact 2×2 blocks (22→11, 12→6), so
+    equal areas make the cross-multiplied mean compare a plain sum
+    compare."""
+    px = _PGM_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
+                             did=id_col)
+    return f"""
+    WITH cells AS (
+      SELECT {id_col}, g.cx, g.cy, SUM({px}) AS s
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                    AS i) n,
+           LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px,
+           LATERAL (SELECT px.x // 2 AS cx, px.y // 2 AS cy) g
+      GROUP BY {id_col}, g.cx, g.cy
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.s > b.s
+                    THEN CAST(pow(2, a.cy * 10 + a.cx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM cells a JOIN cells b
+      ON a.{id_col} = b.{id_col} AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 10
+    GROUP BY a.{id_col}
+    """
+
+
+def planted_pgm_neardup_sql(table: str = "documents",
+                            max_hamming: int = 3,
+                            id_col: str = "doc_id") -> str:
+    """Near-dup image pairs over the planted hashes — the banded join
+    spelled relationally (4 × 15-bit bands, exact pigeonhole for
+    hamming ≤ 3), mirroring :func:`dedup.simhash_pairs`."""
+    return f"""
+    WITH sigs AS ({planted_pgm_dhash_sql(table, id_col)}),
+    melted AS (
+      SELECT {id_col}, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    )
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.nib = b.nib AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 def frame_sample(df: DataFrame, every_n_bytes: int = 64,

@@ -1014,6 +1014,47 @@ def q_media_meta(spark, sf_dir):
     return mm.extract_media_meta(mm.synthesize_planted_media(docs))
 
 
+def _planted_pgm_hashes(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_pgm(docs))
+
+
+from ..operators.multimodal import (  # noqa: E402
+    planted_pgm_dhash_sql, planted_pgm_neardup_sql)
+
+
+@register(
+    "q_image_phash",
+    planted_pgm_dhash_sql("documents"),
+    doc="perceptual image hashing: JVM-side hex/unhex plants VALID binary-"
+        "PGM images (pixels arithmetic in doc_id); the Arrow mapInPandas "
+        "stage REALLY decodes them (stdlib Netpbm header parse + raw "
+        "bytes) and computes a 60-bit dHash over an 11x6 area-downscale "
+        "in pure integer arithmetic (cross-multiplied mean compares — no "
+        "float anywhere, bit-reproducible on any worker). The oracle "
+        "regenerates cell sums from the same pixel formula and assembles "
+        "the hash with exact integer powers — a parse offset, downscale "
+        "boundary, or bit-order bug hash-mismatches")
+def q_image_phash(spark, sf_dir):
+    return _planted_pgm_hashes(spark, sf_dir)
+
+
+@register(
+    "q_image_neardup",
+    planted_pgm_neardup_sql("documents", max_hamming=3),
+    doc="perceptual-hash image NEAR-DUP pairs — the multimodal member of "
+        "the dedup family: 60-bit dHashes from really-decoded planted "
+        "PGMs (one perturbed pixel per odd id -> a planted near-identical "
+        "pair per page) fed through the SAME 4x15-bit pigeonhole banding "
+        "as text SimHash (dedup.simhash_pairs, exact for hamming<=3, "
+        "max_bucket star fallback caps the in-bucket expansion); oracle "
+        "recomputes hashes arithmetically and bands them relationally")
+def q_image_neardup(spark, sf_dir):
+    sigs = _planted_pgm_hashes(spark, sf_dir)
+    return dd.simhash_pairs(sigs, max_hamming=3)
+
+
 @register(
     "q_fingerprint",
     r"""

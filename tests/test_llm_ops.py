@@ -214,6 +214,45 @@ def test_parse_media_header_jpeg_fill_and_standalone_markers():
         b"\xff\xd8" + b"\xff\x00" + _jpeg_bytes(9, 9)[2:]) is None
 
 
+def test_pgm_decode_and_dhash_worked_example():
+    # 4x2 image, hash grid 1x1 -> (hash_w+1)=2 cols x 1 row, 1 bit:
+    # left block [10,20,30,40] sum 100, right [50,60,70,80] sum 260 ->
+    # bit 0 is 0; brighten the left block -> bit 0 is 1
+    px = bytes([10, 20, 50, 60, 30, 40, 70, 80])
+    pgm = b"P5\n# a comment\n4 2\n255\n" + px
+    w, h, raw = mm.decode_pgm(pgm)
+    assert (w, h, raw) == (4, 2, px)
+    assert mm.dhash_int(w, h, raw, hash_w=1, hash_h=1) == 0
+    bright = bytes([200, 200, 50, 60, 200, 200, 70, 80])
+    assert mm.dhash_int(4, 2, bright, hash_w=1, hash_h=1) == 1
+    # header branch of the generic parser
+    m = mm.parse_media_header(pgm)
+    assert (m["media_type"], m["codec"], m["width"], m["height"],
+            m["bit_depth"]) == ("image", "pgm", 4, 2, 8)
+    # unequal cell areas: 3 cols into 2 blocks = [1, 2] cols; means
+    # compare by integer cross-multiply (sum_a*area_b > sum_b*area_a):
+    # left mean 90 vs right mean (10+10)/2=10 -> bit set, no float used
+    assert mm.dhash_int(3, 1, bytes([90, 10, 10]), hash_w=1, hash_h=1) == 1
+    with pytest.raises(ValueError):
+        mm.decode_pgm(b"P5\n4 2\n255\n" + px[:5])   # truncated payload
+    with pytest.raises(NotImplementedError):
+        mm.decode_pgm(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit maxval
+
+
+def test_image_dhash_spark_matches_python_reference(spark):
+    # the mapInPandas stage must equal a direct python decode+hash of the
+    # same payloads; undecodable payloads are dropped, not hashed
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    media = mm.synthesize_planted_pgm(docs)
+    rows = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    want = {i: mm.dhash_int(*mm.decode_pgm(b)) for i, b in rows.items()}
+    got = {r.doc_id: r.simhash for r in mm.image_dhash(media).collect()}
+    assert got == want
+    junk = spark.createDataFrame([(99, bytearray(b"not a pgm"))],
+                                 "doc_id long, payload binary")
+    assert mm.image_dhash(junk).count() == 0
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None

@@ -289,6 +289,63 @@ def test_stateful_dedup_ttl_on_non_utc_session(spark, tmp_path):
         spark.conf.set("spark.sql.session.timeZone", old_tz)
 
 
+def test_stateful_dedup_ttl_survives_dst_transitions(spark, tmp_path):
+    """America/New_York actually exercises the localize guards the Tokyo
+    test cannot (Japan has no DST): 2024-03-10 02:30 does NOT EXIST
+    (spring-forward skips 02:00-03:00 -> nonexistent='shift_forward')
+    and 2024-11-03 01:30 is AMBIGUOUS (fall-back repeats 01:00-02:00 ->
+    ambiguous=True picks the DST side). A bare tz_localize raises on
+    both and would kill the micro-batch; the lifecycle must instead
+    emit, suppress duplicates, and expire normally."""
+    import datetime as dt
+
+    from etl_ender_turing_spark.streaming.stream import stateful_dedup_stream
+
+    src = str(tmp_path / "dst_src")
+    out = str(tmp_path / "dst_out")
+    ckpt = str(tmp_path / "dst_ckpt")
+    sch = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    spring = dt.datetime(2024, 3, 10, 2, 30)    # nonexistent wall time
+    fall = dt.datetime(2024, 11, 3, 1, 30)      # ambiguous wall time
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        def append(rows, mode="append"):
+            spark.createDataFrame(rows, sch).coalesce(1) \
+                 .write.mode(mode).parquet(src)
+
+        def drain():
+            q = (stateful_dedup_stream(spark, src, state_ttl="1 hour")
+                 .writeStream.format("parquet").outputMode("append")
+                 .option("path", out).option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(120)
+            return {(r.event_id, r.value)
+                    for r in spark.read.parquet(out).collect()}
+
+        # an event INSIDE the spring-forward gap is admitted, not a crash
+        append([(1, spring, 7, "click", 1.0, "{}")], mode="overwrite")
+        assert drain() == {(1, 1.0)}
+        # duplicate still suppressed when the batch max ts is nonexistent
+        append([(1, spring + dt.timedelta(minutes=10), 7, "click", 2.0,
+                 "{}")])
+        assert drain() == {(1, 1.0)}
+        # an event INSIDE the fall-back repeated hour is admitted too
+        # (and advances the watermark months past key 1's expiry)
+        append([(2, fall, 8, "view", 3.0, "{}")])
+        assert drain() == {(1, 1.0), (2, 3.0)}
+        # timeout callback fires across the next boundary; re-delivery of
+        # key 1 after expiry is new — the full lifecycle under DST
+        append([(3, fall + dt.timedelta(days=10), 9, "click", 4.0, "{}")])
+        drain()
+        append([(1, fall + dt.timedelta(days=10, hours=1), 7, "click",
+                 9.0, "{}")])
+        assert (1, 9.0) in drain()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_capped_doc_stream_counter_spans_micro_batches(spark, tmp_path):
     import pandas as pd
 
