@@ -83,6 +83,17 @@ BENCH_QUERIES = [
     # bucketing + the range-partitioned global-position two-pass)
     "q_curation_attrition",
     "q_curriculum_order",
+    # round-7 additions: the round-6 families that had no bench row yet
+    # (silent coverage gaps read as "measured" when they aren't) plus the
+    # new rewrite and multimodal-dedup operators
+    "q_psi_drift",
+    "q_corpus_manifest",
+    "q_robots_filter",
+    "q_crawl_budget",
+    "q_shard_balance",
+    "q_text_nfc",
+    "q_span_dedup_rewrite",
+    "q_image_neardup",
 ]
 
 

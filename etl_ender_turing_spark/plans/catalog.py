@@ -85,17 +85,38 @@ def davg_sql(expr_sql: str, scale: int = 6) -> str:
 
 _Q1_CUT = "1998-09-01"
 
+# q1's decimal-exactness tax, minimized (r6 adjudication follow-up):
+# qty/price/disc are exact at 2dp, so ONE scale-2 sum per column serves
+# both the sum and the avg (the davg form re-cast the same column at
+# scale 6 — 7 per-row decimal casts instead of 5, and 7 decimal
+# accumulators instead of 5, for identical values). Precision 18 keeps
+# the per-row cast long-backed (Spark's compact Decimal); the
+# ACCUMULATOR still widens to (28,s), so group sums keep the same 100 TB
+# headroom as before (~1e15 scale-2 units at SF100 vs 1e26 capacity).
+# Values are bit-identical: the scale-2 and scale-6 sums are the same
+# rational number, and double division by the same count follows.
+# Measured at sf0.1: 1.65 s -> 1.19 s warm noop.
+def _q1_sums() -> dict[str, str]:
+    return {"q": "SUM(CAST(l_quantity AS DECIMAL(18,2)))",
+            "p": "SUM(CAST(l_extendedprice AS DECIMAL(18,2)))",
+            "d": "SUM(CAST(l_discount AS DECIMAL(18,2)))"}
+
+
+_Q1S = _q1_sums()
+
 @register(
     "q1_pricing_summary",
     f"""
     SELECT l_returnflag, l_linestatus,
-           {dsum_sql('l_quantity')} AS sum_qty,
-           {dsum_sql('l_extendedprice')} AS sum_base_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
-           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
-           {davg_sql('l_quantity')} AS avg_qty,
-           {davg_sql('l_extendedprice')} AS avg_price,
-           {davg_sql('l_discount')} AS avg_disc,
+           CAST({_Q1S['q']} AS DOUBLE) AS sum_qty,
+           CAST({_Q1S['p']} AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST({_Q1S['q']} AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+           CAST({_Q1S['p']} AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
+           CAST({_Q1S['d']} AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '{_Q1_CUT} 00:00:00'
@@ -104,15 +125,23 @@ _Q1_CUT = "1998-09-01"
     doc="hash aggregation w/ partial+final combine; filter pushdown (SURVEY §2.5)")
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
+    sq, sp, sd = (F.expr(_Q1S[k]) for k in "qpd")
     return (li.filter(F.col("l_shipdate") <= F.lit(f"{_Q1_CUT} 00:00:00").cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(dsum("l_quantity").alias("sum_qty"),
-                 dsum("l_extendedprice").alias("sum_base_price"),
-                 dsum("l_extendedprice * (1 - l_discount)", 6).alias("sum_disc_price"),
-                 dsum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6).alias("sum_charge"),
-                 davg("l_quantity").alias("avg_qty"),
-                 davg("l_extendedprice").alias("avg_price"),
-                 davg("l_discount").alias("avg_disc"),
+            .agg(sq.cast("double").alias("sum_qty"),
+                 sp.cast("double").alias("sum_base_price"),
+                 F.expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                        " AS DECIMAL(18,6))) AS DOUBLE)")
+                 .alias("sum_disc_price"),
+                 F.expr("CAST(SUM(CAST(l_extendedprice * (1 - l_discount)"
+                        " * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE)")
+                 .alias("sum_charge"),
+                 (sq.cast("double") / F.expr("COUNT(l_quantity)"))
+                 .alias("avg_qty"),
+                 (sp.cast("double") / F.expr("COUNT(l_extendedprice)"))
+                 .alias("avg_price"),
+                 (sd.cast("double") / F.expr("COUNT(l_discount)"))
+                 .alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order")))
 
 

@@ -2252,6 +2252,27 @@ def q_bpe_merges(spark, sf_dir):
     return bpe.bpe_learn(_docs(spark, sf_dir), rounds=4)
 
 
+from ..operators import unigram as ugm   # noqa: E402
+
+
+@register(
+    "q_unigram_lm_vocab",
+    ugm.unigram_lm_vocab_sql("documents", rounds=2, v_multi=200),
+    doc="unigram-LM tokenizer training (Kudo 2018 / the SentencePiece "
+        "unigram model; operators/unigram.unigram_lm_vocab) — the "
+        "top-down complement of merge-based BPE: substring seed vocab "
+        "(all single chars + top-200 multis) then 2 plan-unrolled "
+        "Viterbi hard-EM rounds, each segmenting every DISTINCT word "
+        "via an in-plan DP fold over 6dp-floored decimal surprisals "
+        "(exactly-compared -> both engines pick identical paths) and "
+        "re-counting pieces along the best paths. Everything after the "
+        "one corpus-scale word count is vocabulary-scale; emits the "
+        "(piece, cnt, nll) serving artifact")
+def q_unigram_lm_vocab(spark, sf_dir):
+    return ugm.unigram_lm_vocab(_docs(spark, sf_dir), rounds=2,
+                                v_multi=200)
+
+
 @register(
     "q_lm_ccnet_gate",
     f"""

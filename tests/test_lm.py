@@ -203,3 +203,47 @@ def test_quality_ensemble_ranks_garbled_text_lowest(spark):
     again = ensemble.quality_ensemble(
         docs, lm.train_ngram_counts(docs)).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_unigram_lm_vocab_worked_example(spark):
+    """Hand-derived 2-round Viterbi-EM: corpus 'xy xy xy z' seeds
+    {x:3, y:3, xy:3, z:1}; round 1 segments 'xy' as the whole piece
+    (1.203973 < 2.407946), so x/y fall off every path and floor at
+    count 1 (the coverage rule); round 2 re-scores under total 6 —
+    nll(xy) = ln 2, nll(singles) = ln 6."""
+    from etl_ender_turing_spark.operators import unigram as ug
+
+    df = spark.createDataFrame(
+        [(1, "xy xy"), (2, "xy z")], "doc_id long, text string")
+    got = {r.piece: (r.cnt, r.nll)
+           for r in ug.unigram_lm_vocab(df, rounds=2, v_multi=10).collect()}
+    assert got == {"xy": (3, 0.693147),
+                   "x": (1, 1.791759), "y": (1, 1.791759),
+                   "z": (1, 1.791759)}
+
+
+def test_unigram_lm_segments_shared_morphemes(spark):
+    """banana/bandana share 'an'/'ana' — hard-EM must keep the shared
+    morphemes on the paths and drop multis that fall off every path,
+    and the Spark plan must agree with the DuckDB oracle exactly."""
+    import duckdb
+
+    from etl_ender_turing_spark.operators import unigram as ug
+
+    rows = [(1, "abab abab cd"), (2, "abab cd cd xyz"),
+            (3, "banana bandana")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.piece: (r.cnt, r.nll)
+           for r in ug.unigram_lm_vocab(df, rounds=2, v_multi=6).collect()}
+    # whole-word piece for the frequent word; shared morphemes for the
+    # banana family; every seed multi not on a path is gone
+    assert got["abab"][0] == 3 and got["an"][0] == 2 and got["ana"][0] == 2
+    assert "ba" not in got and "nan" not in got
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, '{t}')" for i, t in rows)
+                + ") v(doc_id, text)")
+    want = {r[0]: (r[1], r[2]) for r in con.execute(
+        ug.unigram_lm_vocab_sql("documents", rounds=2,
+                                v_multi=6)).fetchall()}
+    assert got == want

@@ -23,8 +23,12 @@ from pyspark.sql import functions as F
 
 # the package re-exports a conform() FUNCTION that shadows the conform
 # SUBMODULE on every import-as spelling — import the function directly
+from etl_ender_turing_spark.operators.conform import corpus_manifest as _manifest
+from etl_ender_turing_spark.operators.conform import psi_drift as _psi
 from etl_ender_turing_spark.operators.conform import snapshot_diff
+from etl_ender_turing_spark.functions.text_codec import nfc_normalize as _nfc
 from etl_ender_turing_spark.operators import bpe
+from etl_ender_turing_spark.operators import multimodal as mm
 from etl_ender_turing_spark.operators import curation as cu
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import dsir as dsr
@@ -162,6 +166,44 @@ def main() -> None:
                 d.select("doc_id"))))),
         "attrition": lambda d, e, ev: force(cu.curation_attrition(
             d, rates={}, default_rate=0.5)),
+        # round-7 probes for the previously-unprobed round-6 families:
+        # psi is two scans + a bucket-cardinality agg; the manifest is a
+        # source-cardinality XOR reduce; robots is a broadcast-rules
+        # non-equi anti join over the URL stream; crawl_budget's
+        # post-corpus frames are domain-cardinality (28 planted domains),
+        # so only the extraction scans should grow; shard balance is one
+        # hash agg over n_shards keys; nfc is the sanctioned Arrow stage
+        # (pure per-row); the span rewrite adds a gram-keyed min-owner
+        # agg + an id join (replication makes every gram k-ways owned —
+        # the dedup worst case); image near-dup decodes every planted PGM
+        # and bands 60-bit hashes (replicas are exact hash dups)
+        "psi_drift": lambda d, e, ev: force(_psi(
+            d.filter(F.col("doc_id") % 10_000_000 < 400),
+            d.filter(F.col("doc_id") % 10_000_000 >= 400))),
+        "corpus_manifest": lambda d, e, ev: force(_manifest(d)),
+        "robots_filter": lambda d, e, ev: force(wb.robots_filter(
+            wb.parse_urls(wb.synthesize_planted_urls(d.select("doc_id"))),
+            wb.parse_robots(wb.synthesize_planted_robots(
+                d.select("doc_id"))))),
+        "crawl_budget": lambda d, e, ev: force(gr.crawl_budget(
+            gr.pagerank(wb.domain_edges(
+                wb.parse_urls(wb.synthesize_planted_urls(
+                    d.select("doc_id"))),
+                wb.extract_links(wb.synthesize_planted_links(
+                    d.select("doc_id")))), iters=3),
+            wb.parse_urls(wb.synthesize_planted_urls(d.select("doc_id")))
+            .join(d.select("doc_id", "n_chars"), "doc_id")
+            .groupBy(F.col("reg_domain").alias("domain"))
+            .agg(F.sum("n_chars").alias("qsum")),
+            n_slots=1000)),
+        "shard_balance": lambda d, e, ev: force(cu.shard_balance(
+            d, n_shards=16)),
+        "text_nfc": lambda d, e, ev: force(d.select(
+            "doc_id", F.md5(_nfc("text")).alias("nfc_md5"))),
+        "span_rewrite": lambda d, e, ev: force(dd.span_dedup_rewrite(d)),
+        "image_neardup": lambda d, e, ev: force(dd.simhash_pairs(
+            mm.image_dhash(mm.synthesize_planted_pgm(d.select("doc_id"))),
+            max_hamming=3)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
