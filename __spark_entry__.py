@@ -33,31 +33,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- never driver-certified (new in round 6) or code changed in
-    # round 6 (PSL eTLD+1 + canonical-URL NULL fix → url family; tercile
-    # index rule → ccnet; key-only-table fix → snapshot_diff/reconcile;
-    # JPEG plant → media_meta) ---
-    "q_anchor_terms", "q_curation_attrition", "q_curriculum_order",
-    "q_stream_neardup_gate", "q_card_redact", "q_psi_drift",
-    "q_embed_drift", "q_corpus_manifest", "q_pack_efficiency",
-    "q_robots_filter", "q_contamination_report", "q_sitemap_urls",
-    "q_text_nfc", "q_lang_confusion", "q_crawl_budget", "q_shard_balance",
-    "q_extract_links", "q_domain_pagerank", "q_prototype_prune",
-    "q_margin_mining", "q_doremi_step", "q_tokenizer_fertility",
-    "q_quality_ensemble", "q_class_tfidf", "q_stream_source_cap",
-    "q_dsir_weights", "q_dsir_topk", "q_bpe_pair_counts", "q_bpe_merges",
-    "q_lm_ccnet_gate", "q_bpe_encode", "q_unimax_allocation",
-    "q_unimax_sample", "q_stream_lm_scores",
-    "q_llm_training_set",
-    "q_ngram_lm_counts", "q_lm_scores", "q_paragraph_dedup",
-    "q_html_extract", "q_web_curation_pipeline", "q_media_meta",
-    "q_url_parse", "q_domain_stats", "q_domain_blocklist", "q_url_dedup",
-    "q_ccnet_buckets",
-    # --- newest green row is ROUND 3 (31 queries): rotate these through
-    # the driver's budget so nothing is left with a proof older than r4;
-    # cheapest first ---
-    "q_asof_prev_purchase", "q_hourly_event_rollup", "q_rollup_order_status",
-    "q_skew_salted_distinct", "q_grouping_sets_mixed",
+    # --- round-7 order (VERDICT r6 'Next round' #1): brand-new queries
+    # with NO driver proof first, then the 3 serving variants that have
+    # NEVER had a driver row (judge-sweep-green but the contract metric
+    # is CORRECTNESS), then queries whose VALUES changed this round,
+    # then the oldest-stale rotation ---
+    "q_span_dedup_rewrite", "q_image_phash", "q_image_neardup",
+    "q_unigram_lm_vocab",
+    "q_dsir_model", "q_lm_from_counts", "q_dsir_from_model",
+    # genuinely changed in round 7: crawl_budget was de-globalized with
+    # max-normalized weights (new weight6 values); the web-curation
+    # oracle derives its dedup keep rule instead of the even-id
+    # shortcut; q1's decimal-sum spelling was re-shaped (values
+    # identical, plan changed)
+    "q_crawl_budget", "q_web_curation_pipeline", "q1_pricing_summary",
+    # oldest streaming stale (deliberately bumped at position 51 in r6)
+    "q_stream_quality_gate",
+    # --- newest green row is ROUND 3 (26 remaining): clear the r3 tier
+    # entirely this round; cheapest first, streaming last ---
+    "q_grouping_sets_mixed",
     "q_cube_distinct_callers", "q_conform_drift", "q_approx_sketches",
     "q_percentile_prices", "q_union_default_region", "q_dsl_filter_events",
     "q_range_join_attribution", "q_value_histogram", "q_data_profile",
@@ -66,28 +60,15 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_pack_sequences", "q_tfidf_top_terms", "q_dedup_normalized",
     "q_boilerplate_ngrams", "q_training_set", "q_quality_gate_percentile",
     "q_corpus_stats", "q_token_rarity",
-    # streaming r3 rows last in the stale block (each runs a full
-    # availableNow stream — the most expensive rows per proof).
-    # NOTE: with the round-6 additions this block ends at position 51 —
-    # one past the driver's 50-certification budget — so
-    # q_stream_quality_gate may stay r3-stale one more round. Chosen
-    # deliberately: a brand-new query with NO driver proof outranks a
-    # refresh of a row that is r3-green AND was independently
-    # re-verified against the oracle in round 5 (VERDICT.md).
     "q_stream_hourly_counts", "q_stream_session_windows",
-    "q_stream_quality_gate",
-    # r5-certified but touched by the round-6 conform.py key-only-table
-    # fix (a constant-folded no-op for these queries' plans — `lit(True)
-    # & eq` folds to `eq` — so their r5 proofs stand in substance;
-    # re-certify right after the r3 block rather than spending two of
-    # the 50 budget slots ahead of three-round-stale streaming rows)
-    "q_snapshot_diff", "q_table_reconcile",
-    # new but TRANSITIVELY certified (same oracle / shared subtree as an
-    # inline form already in the head): below the stale refreshes,
-    # above the r4 block
-    "q_dsir_model", "q_lm_from_counts", "q_dsir_from_model",
-    # --- newest green row is ROUND 4 (50 queries): a budget cutoff lands
-    # in here; whatever it reaches gets refreshed, the rest stay r4 ---
+    # media_meta's JPEG marker scan changed in r7 (fill bytes +
+    # standalone markers) but the planted fixture exercises neither, so
+    # its r6 proof stands in substance — re-certify after the r3 tier
+    # rather than ahead of three-round-stale rows
+    "q_media_meta",
+    # --- newest green row is ROUND 4 (50 queries): the ~50-row budget
+    # cutoff lands in here (~position 42 onward); whatever it reaches
+    # gets refreshed, the rest rotate in r8 ---
     "q_sessionize_events", "q_scd2_intervals", "q_unpivot_metrics",
     "q_sliding_window_counts", "q_date_spine_orders", "q_json_extract_props",
     "q_hourly_anomalies", "q_equidepth_histogram", "q_funnel_conversion",
