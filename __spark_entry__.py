@@ -39,7 +39,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # is CORRECTNESS), then queries whose VALUES changed this round,
     # then the oldest-stale rotation ---
     "q_span_dedup_rewrite", "q_image_phash", "q_image_neardup",
-    "q_unigram_lm_vocab",
+    "q_unigram_lm_vocab", "q_unigram_encode", "q_image_dup_clusters",
     "q_dsir_model", "q_lm_from_counts", "q_dsir_from_model",
     # genuinely changed in round 7: crawl_budget was de-globalized with
     # max-normalized weights (new weight6 values); the web-curation

@@ -103,10 +103,11 @@ def _prune(cand: DataFrame, v_multi: int) -> DataFrame:
     return singles.unionByName(multis)
 
 
-def _viterbi_counts(wf: DataFrame, vocab: DataFrame,
-                    max_piece: int) -> DataFrame:
-    """One hard-EM round: segment every distinct word against ``vocab``
-    (piece, cnt) and return the path-piece counts (piece, cnt)."""
+def _segment(wf: DataFrame, vocab: DataFrame,
+             max_piece: int) -> DataFrame:
+    """Viterbi-segment every distinct word against ``vocab`` (piece,
+    cnt): returns (word, freq, cuts) — ascending cut positions of the
+    min-surprisal path."""
     total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
     scored = (vocab.crossJoin(F.broadcast(total))
               .select("piece", F.expr(_SURPRISAL).alias("s")))
@@ -123,12 +124,18 @@ def _viterbi_counts(wf: DataFrame, vocab: DataFrame,
     # bind best as a column with a Filter barrier between projections so
     # CollapseProject cannot re-inline the whole DP into each backtrack
     # reference (no CSE inside HOF lambdas)
-    dp = (wf.join(es, "word")
-          .select("word", "freq", "es", F.expr(_DP_SPARK).alias("best"))
-          .filter(F.col("best").isNotNull())
-          .select("word", "freq", F.expr(_CUTS_SPARK).alias("cuts")))
-    return (dp.select("freq",
-                      F.explode(F.expr(_PIECES_SPARK)).alias("piece"))
+    return (wf.join(es, "word")
+            .select("word", "freq", "es", F.expr(_DP_SPARK).alias("best"))
+            .filter(F.col("best").isNotNull())
+            .select("word", "freq", F.expr(_CUTS_SPARK).alias("cuts")))
+
+
+def _viterbi_counts(wf: DataFrame, vocab: DataFrame,
+                    max_piece: int) -> DataFrame:
+    """One hard-EM round: the path-piece counts (piece, cnt)."""
+    return (_segment(wf, vocab, max_piece)
+            .select("freq",
+                    F.explode(F.expr(_PIECES_SPARK)).alias("piece"))
             .groupBy("piece")
             .agg(F.sum("freq").cast("long").alias("cnt")))
 
@@ -160,6 +167,75 @@ def unigram_lm_vocab(df: DataFrame, rounds: int = 2, v_multi: int = 200,
     return (vocab.crossJoin(F.broadcast(total))
             .select("piece", "cnt",
                     F.expr(f"CAST({_SURPRISAL} AS DOUBLE)").alias("nll")))
+
+
+def unigram_encode_counts(df: DataFrame, rounds: int = 2,
+                          v_multi: int = 200,
+                          max_piece: int = MAX_PIECE,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Segment the corpus under the trained unigram vocabulary: per-
+    document piece counts, (id, n_words, n_pieces) — the budget/packing
+    number under THIS tokenizer (the ``bpe_encode_counts`` twin).
+
+    Same skinny-frame shape as the BPE encoder: the Viterbi work happens
+    once per DISTINCT word (vocabulary-scale), the per-word piece count
+    joins back onto the document word stream (AQE broadcasts the vocab
+    side while it fits) and reduces per doc. Documents with no tokens
+    drop out (both engines agree).
+    """
+    wf = word_freqs(df, text_col).localCheckpoint(eager=True)
+    vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
+    for _ in range(rounds):
+        nc = _viterbi_counts(wf, vocab, max_piece)
+        singles = (vocab.filter(F.length("piece") == 1)
+                   .select("piece")
+                   .join(nc, "piece", "left")
+                   .select("piece",
+                           F.greatest(F.coalesce(F.col("cnt"), F.lit(0)),
+                                      F.lit(1)).cast("long").alias("cnt")))
+        vocab = singles.unionByName(nc.filter(F.length("piece") >= 2))
+    # final segmentation pass: pieces per distinct word under the
+    # trained vocab, then the doc-stream re-join
+    vt = (_segment(wf, vocab, max_piece)
+          .select("word", (F.size("cuts") - 1).cast("long")
+                  .alias("n_pieces")))
+    stream = df.select(F.col(id_col), F.explode(F.expr(
+        f"filter(split(lower(trim({text_col})), ' '),"
+        f" x -> x <> '')")).alias("word"))
+    return (stream.join(vt, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces")))
+
+
+def unigram_encode_counts_sql(table: str, rounds: int = 2,
+                              v_multi: int = 200,
+                              max_piece: int = MAX_PIECE,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`unigram_encode_counts`: one more
+    DP/backtrack round under the final vocab, then the doc-stream
+    re-join."""
+    body = unigram_lm_vocab_sql(table, rounds, v_multi, max_piece,
+                                text_col)
+    body = body[:body.rindex("\n    SELECT piece")]
+    fin = rounds + 1
+    final_round = _ROUND_DUCK.format(
+        r=fin, prev=f"v{rounds}", surprisal=_SURPRISAL,
+        edges=_edges_sql(max_piece), pieces=_PIECES_DUCK)
+    # only the chain up to cuts{fin} is needed
+    final_round = final_round[:final_round.rindex(f",\n    nc{fin} AS")]
+    tok = (f"list_filter(string_split(lower(trim({text_col})), ' '),"
+           f" x -> x <> '')")
+    return body + final_round + f""",
+    vt AS (SELECT word, CAST(len(cuts) - 1 AS BIGINT) AS n_pieces
+           FROM cuts{fin}),
+    stream AS (SELECT {id_col}, unnest({tok}) AS word FROM {table})
+    SELECT {id_col}, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_pieces) AS BIGINT) AS n_pieces
+    FROM stream JOIN vt USING (word)
+    GROUP BY {id_col}"""
 
 
 # --- DuckDB oracle -----------------------------------------------------------

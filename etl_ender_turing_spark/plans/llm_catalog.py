@@ -1056,6 +1056,22 @@ def q_image_neardup(spark, sf_dir):
 
 
 @register(
+    "q_image_dup_clusters",
+    dd.duplicate_clusters_sql(planted_pgm_neardup_sql("documents",
+                                                      max_hamming=3)),
+    doc="image near-dup CLUSTER resolution — the perceptual-hash pairs "
+        "fed through the same pointer-jumping min-label resolver the "
+        "text dedup family uses (dedup.duplicate_clusters, O(log "
+        "diameter) rounds with lineage cuts): (doc_id, cluster_id) per "
+        "image appearing in any pair, canonical = min id; oracle walks "
+        "the transitive closure with a recursive CTE")
+def q_image_dup_clusters(spark, sf_dir):
+    pairs = dd.simhash_pairs(_planted_pgm_hashes(spark, sf_dir),
+                             max_hamming=3)
+    return dd.duplicate_clusters(pairs)
+
+
+@register(
     "q_fingerprint",
     r"""
     SELECT doc_id,
@@ -2271,6 +2287,22 @@ from ..operators import unigram as ugm   # noqa: E402
 def q_unigram_lm_vocab(spark, sf_dir):
     return ugm.unigram_lm_vocab(_docs(spark, sf_dir), rounds=2,
                                 v_multi=200)
+
+
+@register(
+    "q_unigram_encode",
+    ugm.unigram_encode_counts_sql("documents", rounds=2, v_multi=200),
+    doc="corpus segmentation under the trained unigram-LM vocabulary "
+        "(operators/unigram.unigram_encode_counts — the "
+        "bpe_encode_counts twin): per-document piece counts, the "
+        "budget/packing number under THIS tokenizer. Viterbi work runs "
+        "once per DISTINCT word; the per-word piece count joins back "
+        "onto the doc stream (AQE-sized) and reduces per doc; the "
+        "oracle unrolls one extra recursive-CTE DP round under the "
+        "final vocab")
+def q_unigram_encode(spark, sf_dir):
+    return ugm.unigram_encode_counts(_docs(spark, sf_dir), rounds=2,
+                                     v_multi=200)
 
 
 @register(
