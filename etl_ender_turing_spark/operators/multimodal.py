@@ -510,6 +510,84 @@ def planted_pgm_neardup_sql(table: str = "documents",
     """
 
 
+PIXEL_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("px_sum", T.LongType()),
+    T.StructField("px_min", T.IntegerType()),
+    T.StructField("px_max", T.IntegerType()),
+    T.StructField("px_mean", T.DoubleType()),
+])
+
+
+def image_pixel_stats(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """REAL pixel statistics over decoded PGM payloads — brightness sum/
+    min/max/mean and dimensions, the content-level features a vision
+    curation pass gates on (all-black/all-white frames, low-contrast
+    junk). Same Arrow ``mapInPandas`` shape as the hashing stage; the
+    mean is the only non-integer and is one IEEE division of two exact
+    integers (bit-identical cross-engine). Undecodable payloads drop."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height", "px_sum",
+                                   "px_min", "px_max", "px_mean")}
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    w, h, px = decode_pgm(b)
+                except (ValueError, NotImplementedError):
+                    continue
+                a = np.frombuffer(px, dtype=np.uint8)
+                s = int(a.sum(dtype=np.int64))
+                out["doc_id"].append(int(did))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["px_sum"].append(s)
+                out["px_min"].append(int(a.min()))
+                out["px_max"].append(int(a.max()))
+                out["px_mean"].append(s / (w * h))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                "width": pd.Series(out["width"], dtype="int32"),
+                "height": pd.Series(out["height"], dtype="int32"),
+                "px_sum": pd.Series(out["px_sum"], dtype="int64"),
+                "px_min": pd.Series(out["px_min"], dtype="int32"),
+                "px_max": pd.Series(out["px_max"], dtype="int32"),
+                "px_mean": pd.Series(out["px_mean"], dtype="float64"),
+            })
+
+    return df.mapInPandas(run, PIXEL_STATS_SCHEMA)
+
+
+def planted_pgm_stats_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_pixel_stats` over the planted
+    fixture — pixel values regenerated arithmetically, aggregated per
+    doc; the mean is CAST(sum AS DOUBLE) / area (exact integers in, one
+    IEEE division, bit-identical to the Python side's ``s / (w*h)``)."""
+    px = _PGM_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
+                             did=id_col)
+    return f"""
+    SELECT {id_col},
+           CAST({PGM_W} AS INTEGER) AS width,
+           CAST({PGM_H} AS INTEGER) AS height,
+           CAST(SUM({px}) AS BIGINT) AS px_sum,
+           CAST(MIN({px}) AS INTEGER) AS px_min,
+           CAST(MAX({px}) AS INTEGER) AS px_max,
+           CAST(SUM({px}) AS DOUBLE) / {PGM_W * PGM_H} AS px_mean
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                  AS i) n,
+         LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px
+    GROUP BY {id_col}
+    """
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64,
                  payload_col: str = "payload") -> DataFrame:
     """'Frame sampling' on the fake payload: slice every Nth byte-window —

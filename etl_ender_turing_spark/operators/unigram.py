@@ -238,6 +238,49 @@ def unigram_encode_counts_sql(table: str, rounds: int = 2,
     GROUP BY {id_col}"""
 
 
+def unigram_fertility(df: DataFrame, rounds: int = 2, v_multi: int = 200,
+                      max_piece: int = MAX_PIECE, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      lang_col: str = "lang") -> DataFrame:
+    """Per-language fertility under the trained unigram vocabulary
+    (pieces per whitespace word) — the same multilingual-tokenizer
+    diagnostic as ``bpe.tokenizer_fertility``, for THIS tokenizer; the
+    two side by side are the standard vocab-selection comparison."""
+    from ..functions.rounding import round6u
+
+    enc = unigram_encode_counts(df, rounds, v_multi, max_piece,
+                                text_col, id_col)
+    return (enc.join(df.select(id_col, lang_col), id_col)
+            .groupBy(lang_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_words"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces"),
+                 round6u(F.sum("n_pieces").cast("double")
+                         / F.sum("n_words")).alias("fertility")))
+
+
+def unigram_fertility_sql(table: str, rounds: int = 2, v_multi: int = 200,
+                          max_piece: int = MAX_PIECE,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          lang_col: str = "lang") -> str:
+    from ..functions.rounding import round6u_sql
+
+    ratio = "CAST(SUM(enc.n_pieces) AS DOUBLE) / SUM(enc.n_words)"
+    return f"""
+    WITH enc AS (SELECT * FROM (
+      {unigram_encode_counts_sql(table, rounds, v_multi, max_piece,
+                                 text_col, id_col)}
+    ))
+    SELECT d.{lang_col},
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(enc.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(enc.n_pieces) AS BIGINT) AS n_pieces,
+           {round6u_sql(ratio)} AS fertility
+    FROM enc JOIN {table} d USING ({id_col})
+    GROUP BY d.{lang_col}
+    """
+
+
 # --- DuckDB oracle -----------------------------------------------------------
 #
 # The DP and the backtrack are RECURSIVE CTEs, not list_reduce folds:

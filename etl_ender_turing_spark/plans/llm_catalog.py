@@ -1021,7 +1021,23 @@ def _planted_pgm_hashes(spark, sf_dir):
 
 
 from ..operators.multimodal import (  # noqa: E402
-    planted_pgm_dhash_sql, planted_pgm_neardup_sql)
+    planted_pgm_dhash_sql, planted_pgm_neardup_sql, planted_pgm_stats_sql)
+
+
+@register(
+    "q_image_stats",
+    planted_pgm_stats_sql("documents"),
+    doc="REAL pixel statistics over decoded PGM payloads (operators/"
+        "multimodal.image_pixel_stats): brightness sum/min/max/mean and "
+        "dimensions from the Arrow mapInPandas decode — the content-"
+        "level features a vision curation pass gates on (all-black "
+        "frames, low-contrast junk); the mean is one IEEE division of "
+        "two exact integers, and the oracle regenerates every pixel "
+        "arithmetically (builder and parser never share code)")
+def q_image_stats(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_pixel_stats(mm.synthesize_planted_pgm(docs))
 
 
 @register(
@@ -2303,6 +2319,20 @@ def q_unigram_lm_vocab(spark, sf_dir):
 def q_unigram_encode(spark, sf_dir):
     return ugm.unigram_encode_counts(_docs(spark, sf_dir), rounds=2,
                                      v_multi=200)
+
+
+@register(
+    "q_unigram_fertility",
+    ugm.unigram_fertility_sql("documents", rounds=2, v_multi=200),
+    doc="per-language fertility under the trained UNIGRAM vocabulary "
+        "(operators/unigram.unigram_fertility): pieces per whitespace "
+        "word by language — the q_tokenizer_fertility twin for the "
+        "other tokenizer family; the side-by-side is the standard "
+        "vocab-selection comparison (a language whose fertility is far "
+        "above the norm is under-served by the piece inventory)")
+def q_unigram_fertility(spark, sf_dir):
+    return ugm.unigram_fertility(_docs(spark, sf_dir), rounds=2,
+                                 v_multi=200)
 
 
 @register(
