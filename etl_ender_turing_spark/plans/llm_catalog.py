@@ -1025,6 +1025,29 @@ from ..operators.multimodal import (  # noqa: E402
 
 
 @register(
+    "q_warc_records",
+    __import__("etl_ender_turing_spark.sources.warc",
+               fromlist=["planted_warc_records_sql"])
+    .planted_warc_records_sql("documents", per_chunk=10),
+    doc="WARC (ISO 28500) web-archive ingestion (sources/warc.py): "
+        "valid multi-record chunks are assembled JVM-side (one HTTP "
+        "response record per document, the document's own text as the "
+        "body, 10 records per chunk) and the Arrow mapInPandas stage "
+        "REALLY walks the container — version line, header block, "
+        "Content-Length payload slice, CRLFCRLF frame — then parses "
+        "the inner HTTP message; splitting on separators would "
+        "mis-slice bodies, so the offset walk is the only correct "
+        "parse. Oracle regenerates every field arithmetically "
+        "(builder and parser never share code); the 100 TB shape is "
+        "one chunk per binaryFile row, embarrassingly parallel")
+def q_warc_records(spark, sf_dir):
+    from ..sources import warc as wc
+    chunks = wc.synthesize_planted_warc(
+        _docs(spark, sf_dir).select("doc_id", "text"), per_chunk=10)
+    return wc.parse_warc_records(chunks)
+
+
+@register(
     "q_image_stats",
     planted_pgm_stats_sql("documents"),
     doc="REAL pixel statistics over decoded PGM payloads (operators/"

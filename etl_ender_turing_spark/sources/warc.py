@@ -1,0 +1,171 @@
+"""WARC (ISO 28500 Web ARChive) record parsing — the container format a
+100 TB web pipeline actually ingests (CommonCrawl publishes WARC/WET).
+
+Shape: a WARC file is a CONCATENATION of records, each "WARC/1.0\\r\\n"
++ headers + CRLFCRLF + Content-Length payload bytes + CRLFCRLF; the
+payload of a response record is a full HTTP message (status line +
+headers + body). Splitting on separators is WRONG — a body may contain
+anything, including things that look like record boundaries — so the
+parser must walk Content-Length offsets. That offset walk is exactly
+what :func:`parse_warc_records` does, for REAL, in the repo's
+Arrow-batched ``mapInPandas`` stage (one Python worker per partition,
+record batches amortize the per-row cost; at production scale each
+input row is one WARC file chunk read as a ``binaryFile`` or blob
+column, so partitioning is by chunk — embarrassingly parallel).
+
+Planting discipline (the q_media_meta pattern): the fixture assembles
+VALID multi-record WARC chunks JVM-side from doc_id arithmetic + the
+documents table's own text — the Python side only ever PARSES, so an
+offset bug cannot cancel out against the builder; the DuckDB oracle
+regenerates every expected field arithmetically without touching the
+bytes.
+
+Reference parity: the reference engine ingests a REST API, not web
+archives — this source belongs to the web-curation mandate
+(SURVEY.md §6), alongside operators/web.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+WARC_RECORD_SCHEMA = T.StructType([
+    T.StructField("chunk_id", T.LongType()),
+    T.StructField("uri", T.StringType()),
+    T.StructField("status", T.IntegerType()),
+    T.StructField("content_type", T.StringType()),
+    T.StructField("n_body", T.LongType()),
+    T.StructField("body_md5", T.StringType()),
+])
+
+
+def synthesize_planted_warc(docs: DataFrame, per_chunk: int = 10,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(chunk_id, warc): valid multi-record WARC chunks — one response
+    record per document (its body is the document's own text), grouped
+    ``per_chunk`` records per chunk in id order. All byte assembly is
+    JVM-side string/encode work."""
+    body = F.coalesce(F.col(text_col), F.lit(""))
+    uri = F.concat(F.lit("https://example-"),
+                   (F.col(id_col) % 7).cast("string"),
+                   F.lit(".com/page/"), F.col(id_col).cast("string"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "Content-Length: "),
+        F.octet_length(F.encode(body, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), body)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        uri, F.lit("\r\nContent-Length: "),
+        F.octet_length(F.encode(http, "utf-8")).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    # integer div, not /: double division truncates wrong past 2^53
+    return (docs.select(F.expr(f"{id_col} div {per_chunk}")
+                        .cast("bigint").alias("chunk_id"),
+                        F.struct(F.col(id_col).alias("i"),
+                                 rec.alias("r")).alias("s"))
+            .groupBy("chunk_id")
+            .agg(F.encode(
+                F.array_join(
+                    F.transform(F.array_sort(F.collect_list("s")),
+                                lambda s: s.getField("r")), ""),
+                "utf-8").alias("warc")))
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    out = {}
+    for line in block.split(b"\r\n"):
+        if b":" in line:
+            k, v = line.split(b":", 1)
+            out[k.strip().lower().decode("ascii", "replace")] = \
+                v.strip().decode("utf-8", "replace")
+    return out
+
+
+def parse_warc_chunk(chunk_id: int, b: bytes) -> list[dict]:
+    """REAL WARC record walk: version line, header block, Content-Length
+    payload slice, CRLFCRLF separator — repeated to exhaustion. Records
+    with a malformed frame stop the walk (never mis-slice the rest);
+    non-HTTP payloads yield NULL status/content_type."""
+    out: list[dict] = []
+    off = 0
+    while off < len(b):
+        if not b[off:].startswith(b"WARC/1.0\r\n"):
+            break
+        hdr_end = b.find(b"\r\n\r\n", off)
+        if hdr_end < 0:
+            break
+        headers = _parse_headers(b[off + 10:hdr_end])
+        try:
+            n = int(headers["content-length"])
+        except (KeyError, ValueError):
+            break
+        payload = b[hdr_end + 4:hdr_end + 4 + n]
+        if len(payload) != n or b[hdr_end + 4 + n:hdr_end + 8 + n] != \
+                b"\r\n\r\n":
+            break
+        status, ctype, body = None, None, payload
+        if payload.startswith(b"HTTP/"):
+            pe = payload.find(b"\r\n\r\n")
+            if pe >= 0:
+                head = payload[:pe]
+                body = payload[pe + 4:]
+                line = head.split(b"\r\n", 1)[0].split(b" ")
+                if len(line) >= 2 and line[1].isdigit():
+                    status = int(line[1])
+                ctype = _parse_headers(head).get("content-type")
+        out.append({
+            "chunk_id": chunk_id,
+            "uri": headers.get("warc-target-uri"),
+            "status": status,
+            "content_type": ctype,
+            "n_body": len(body),
+            "body_md5": hashlib.md5(body).hexdigest(),
+        })
+        off = hdr_end + 8 + n
+    return out
+
+
+def parse_warc_records(df: DataFrame, warc_col: str = "warc",
+                       chunk_col: str = "chunk_id") -> DataFrame:
+    """Arrow-batched record extraction over WARC chunk blobs."""
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[dict] = []
+            for cid, p in zip(pdf[chunk_col], pdf[warc_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                rows.extend(parse_warc_chunk(int(cid), b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, WARC_RECORD_SCHEMA)
+
+
+def planted_warc_records_sql(table: str = "documents",
+                             per_chunk: int = 10,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> str:
+    """DuckDB oracle: every expected record field regenerated
+    arithmetically from the planting formula — URI from the id, status/
+    content-type literal, body length/md5 from the document's own text
+    (DuckDB md5 hashes the VARCHAR's utf-8 bytes, same as the Python
+    side hashing the sliced body bytes)."""
+    return f"""
+    SELECT CAST({id_col} // {per_chunk} AS BIGINT) AS chunk_id,
+           'https://example-' || CAST({id_col} % 7 AS VARCHAR)
+             || '.com/page/' || CAST({id_col} AS VARCHAR) AS uri,
+           CAST(200 AS INTEGER) AS status,
+           'text/html' AS content_type,
+           CAST(octet_length(encode(COALESCE({text_col}, '')))
+                AS BIGINT) AS n_body,
+           md5(COALESCE({text_col}, '')) AS body_md5
+    FROM {table}
+    """
