@@ -2611,6 +2611,43 @@ def q_stream_neardup_gate(spark, sf_dir):
 
 
 @register(
+    "q_stream_image_gate",
+    f"""
+    WITH sigs AS ({planted_pgm_dhash_sql("documents")}),
+    melted AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT s.doc_id, s.doc_id IN (SELECT doc_b FROM cand) AS is_dup
+    FROM sigs s
+    """,
+    doc="streaming perceptual-hash image near-dup gate run to "
+        "completion (streaming/stream.image_neardup_gate_stream, "
+        "availableNow): arriving images decode + 60-bit dHash in a "
+        "stateless Arrow stage, melt to the batch family's 4x15-bit "
+        "pigeonhole bands, and pass the shared first-owner band gate — "
+        "exactly one stateful op, state band-vocabulary-sized, shipped "
+        "images never retracted. Single-round verdict equals the batch "
+        "window (flagged <=> shares a band with a smaller id), so the "
+        "oracle is the banding candidate CTE — the gate is the "
+        "candidate stage, exact hamming verification stays downstream "
+        "in batch, same contract as the text gate")
+def q_stream_image_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_image_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_image_gate_ckpt_")
+    return run_image_gate_batch(spark, sf_dir, ckpt,
+                                glob_filter="documents.parquet")
+
+
+@register(
     "q_dsir_model",
     dsir.dsir_bucket_model_sql("documents", n_buckets=256),
     doc="the persistable DSIR artifact itself (operators/dsir."

@@ -737,6 +737,19 @@ def neardup_gate_stream(spark: SparkSession, source_dir: str,
     melted = sigs.selectExpr(
         "doc_id", f"stack({n_bands}, {stack}) AS (band, h)")
 
+    return _band_owner_gate(melted, state_ttl)
+
+
+def _band_owner_gate(melted: DataFrame,
+                     state_ttl: str | None = None) -> DataFrame:
+    """Shared first-owner band gate over (doc_id, band, h) rows — the
+    stateful core of both the MinHash text gate and the perceptual-hash
+    image gate (state: one owner id + last-seen ms per distinct band
+    hash; see :func:`neardup_gate_stream` for the TTL semantics)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
     ttl_ms = None
     if state_ttl is not None:
         import re as _re
@@ -776,6 +789,58 @@ def neardup_gate_stream(spark: SparkSession, source_dir: str,
                 gate, "doc_id long, band string, seen_before boolean",
                 "first_id long, last_ms long", "append",
                 GroupStateTimeout.NoTimeout))
+
+
+def image_neardup_gate_stream(spark: SparkSession, source_dir: str,
+                              glob_filter: str | None = None,
+                              state_ttl: str | None = None) -> DataFrame:
+    """Streaming PERCEPTUAL-HASH near-dup gate — the multimodal member
+    of the stateful family: arriving images decode + dHash in a
+    stateless Arrow stage (``multimodal.image_dhash`` — real PGM parse,
+    integer-exact 60-bit hash), the hash melts into the same 4×15-bit
+    pigeonhole bands the batch pair generator uses, and the shared
+    first-owner band gate flags every image whose band was already
+    seen. Exactly one stateful operator; state is band-vocabulary-
+    sized. In one availableNow round the verdict equals the batch
+    window: flagged ⟺ shares a band with a smaller id — the oracle is
+    the batch banding spelled relationally (band candidates, not the
+    hamming-verified pairs: the gate is the candidate stage; exact
+    verification happens downstream in batch, same as the text gate).
+    """
+    from ..operators import multimodal as mm
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir).select("doc_id")
+    sigs = mm.image_dhash(mm.synthesize_planted_pgm(docs))
+    stack = ", ".join(
+        f"'{b}', CAST((simhash div CAST(pow(32768, {b}) AS BIGINT))"
+        f" % 32768 AS STRING)"
+        for b in range(4))
+    melted = sigs.selectExpr("doc_id",
+                             f"stack(4, {stack}) AS (band, h)")
+    return _band_owner_gate(melted, state_ttl)
+
+
+def run_image_gate_batch(spark: SparkSession, source_dir: str,
+                         checkpoint_dir: str,
+                         glob_filter: str | None = None,
+                         query_name: str = "image_gate_result",
+                         state_ttl: str | None = None) -> DataFrame:
+    """Drive the image near-dup gate to completion (availableNow) and
+    reduce per-band verdicts to one row per image: (doc_id, is_dup)."""
+    gated = image_neardup_gate_stream(spark, source_dir, glob_filter,
+                                      state_ttl)
+    q = (gated.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("doc_id")
+            .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
 
 
 def run_neardup_gate_batch(spark: SparkSession, source_dir: str,
