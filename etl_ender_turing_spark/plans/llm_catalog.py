@@ -1024,11 +1024,12 @@ from ..operators.multimodal import (  # noqa: E402
     planted_pgm_dhash_sql, planted_pgm_neardup_sql, planted_pgm_stats_sql)
 
 
+from ..sources import warc as wc  # noqa: E402
+
+
 @register(
     "q_warc_records",
-    __import__("etl_ender_turing_spark.sources.warc",
-               fromlist=["planted_warc_records_sql"])
-    .planted_warc_records_sql("documents", per_chunk=10),
+    wc.planted_warc_records_sql("documents", per_chunk=10),
     doc="WARC (ISO 28500) web-archive ingestion (sources/warc.py): "
         "valid multi-record chunks are assembled JVM-side (one HTTP "
         "response record per document, the document's own text as the "
@@ -1041,10 +1042,24 @@ from ..operators.multimodal import (  # noqa: E402
         "(builder and parser never share code); the 100 TB shape is "
         "one chunk per binaryFile row, embarrassingly parallel")
 def q_warc_records(spark, sf_dir):
-    from ..sources import warc as wc
     chunks = wc.synthesize_planted_warc(
         _docs(spark, sf_dir).select("doc_id", "text"), per_chunk=10)
     return wc.parse_warc_records(chunks)
+
+
+@register(
+    "q_warc_domain_stats",
+    wc.planted_warc_domain_stats_sql("documents"),
+    doc="ingest-to-analyze composition over parsed WARC records "
+        "(sources/warc.warc_domain_stats): per-host page counts and "
+        "byte/token volume from really-parsed archive chunks — the "
+        "first report a crawl operator reads after an archive lands; "
+        "one hash aggregation over host-cardinality keys, oracle "
+        "regenerated arithmetically")
+def q_warc_domain_stats(spark, sf_dir):
+    chunks = wc.synthesize_planted_warc(
+        _docs(spark, sf_dir).select("doc_id", "text"), per_chunk=10)
+    return wc.warc_domain_stats(wc.parse_warc_records(chunks))
 
 
 @register(

@@ -41,6 +41,9 @@ WARC_RECORD_SCHEMA = T.StructType([
     T.StructField("content_type", T.StringType()),
     T.StructField("n_body", T.LongType()),
     T.StructField("body_md5", T.StringType()),
+    # the WET half: body text decoded for downstream curation (utf-8
+    # with replacement — crawl bytes are never trusted to be valid)
+    T.StructField("body", T.StringType()),
 ])
 
 
@@ -127,6 +130,7 @@ def parse_warc_chunk(chunk_id: int, b: bytes) -> list[dict]:
             "content_type": ctype,
             "n_body": len(body),
             "body_md5": hashlib.md5(body).hexdigest(),
+            "body": body.decode("utf-8", "replace"),
         })
         off = hdr_end + 8 + n
     return out
@@ -166,6 +170,44 @@ def planted_warc_records_sql(table: str = "documents",
            'text/html' AS content_type,
            CAST(octet_length(encode(COALESCE({text_col}, '')))
                 AS BIGINT) AS n_body,
-           md5(COALESCE({text_col}, '')) AS body_md5
+           md5(COALESCE({text_col}, '')) AS body_md5,
+           COALESCE({text_col}, '') AS body
     FROM {table}
+    """
+
+
+def warc_domain_stats(records: DataFrame) -> DataFrame:
+    """Ingest→analyze composition: per-registered-host page counts and
+    byte/token volume straight off parsed WARC records — the first
+    report a crawl operator reads after an archive lands. One hash
+    aggregation over host-cardinality keys."""
+    host = F.parse_url(F.col("uri"), F.lit("HOST"))
+    toks = F.size(F.expr(
+        "filter(split(lower(trim(body)), ' '), x -> x <> '')"))
+    return (records
+            .filter((F.col("status") == 200)
+                    & (F.col("content_type") == "text/html"))
+            .select(host.alias("host"), F.col("n_body"),
+                    toks.alias("n_tokens"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pages"),
+                 F.sum("n_body").cast("long").alias("n_bytes"),
+                 F.sum("n_tokens").cast("long").alias("n_tokens")))
+
+
+def planted_warc_domain_stats_sql(table: str = "documents",
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text") -> str:
+    """Oracle for :func:`warc_domain_stats` over the planted chunks —
+    hosts and volumes regenerated arithmetically."""
+    tok = (f"len(list_filter(string_split(lower(trim("
+           f"COALESCE({text_col}, ''))), ' '), x -> x <> ''))")
+    return f"""
+    SELECT 'example-' || CAST({id_col} % 7 AS VARCHAR) || '.com' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(octet_length(encode(COALESCE({text_col}, ''))))
+                AS BIGINT) AS n_bytes,
+           CAST(SUM({tok}) AS BIGINT) AS n_tokens
+    FROM {table}
+    GROUP BY 1
     """
