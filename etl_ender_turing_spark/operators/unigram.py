@@ -56,6 +56,14 @@ from pyspark.sql import DataFrame, functions as F
 from .bpe import word_freqs, _word_freqs_sql
 
 MAX_PIECE = 4
+# Words longer than this never enter training or token accounting: the
+# Viterbi DP is O(len·max_piece) per word with an O(len)-per-step array
+# accumulator, so a single 50 KB junk token (base64 blob, minified JS)
+# would dominate the whole job — and no natural-language word is this
+# long (SentencePiece's trainer applies the same kind of cap). Excluded
+# words also drop from encode counts: the encoder joins the vocab-scale
+# per-word table INNER, so both engines exclude them identically.
+MAX_WORD = 64
 
 # 6dp-floored surprisal of a piece under (cnt, total) — non-negative
 # (cnt <= total), so the shared half-up FLOOR contract applies. ONE text
@@ -147,7 +155,8 @@ def unigram_lm_vocab(df: DataFrame, rounds: int = 2, v_multi: int = 200,
     ``rounds`` Viterbi-EM rounds (counts from the final E-step paths;
     nll = 6dp surprisal under those counts, the serving artifact a
     segmenter consumes)."""
-    wf = word_freqs(df, text_col)
+    wf = word_freqs(df, text_col).filter(
+        F.length("word") <= MAX_WORD)
     # wf feeds the seed AND every EM round; localCheckpoint cuts the
     # corpus-scale lineage so each round reuses the materialized
     # distinct-word table (no cross-consumer CSE in Spark plans)
@@ -184,7 +193,9 @@ def unigram_encode_counts(df: DataFrame, rounds: int = 2,
     side while it fits) and reduces per doc. Documents with no tokens
     drop out (both engines agree).
     """
-    wf = word_freqs(df, text_col).localCheckpoint(eager=True)
+    wf = (word_freqs(df, text_col)
+          .filter(F.length("word") <= MAX_WORD)
+          .localCheckpoint(eager=True))
     vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
     for _ in range(rounds):
         nc = _viterbi_counts(wf, vocab, max_piece)
@@ -335,7 +346,7 @@ _ROUND_DUCK = """,
     nc{r} AS (
       SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT w.freq, unnest({pieces}) AS piece
-            FROM cuts{r} c JOIN wf w USING (word))
+            FROM cuts{r} c JOIN wfu w USING (word))
       GROUP BY piece
     ),
     v{r} AS (
@@ -354,7 +365,7 @@ def _edges_sql(max_piece: int) -> str:
       SELECT w.word, jj.j, ii.i,
              substring(w.word, CAST(jj.j + 1 AS INTEGER),
                        CAST(ii.i - jj.j AS INTEGER)) AS piece
-      FROM wf w,
+      FROM wfu w,
            LATERAL (SELECT unnest(generate_series(0, len(w.word) - 1))
                     AS j) jj,
            LATERAL (SELECT unnest(generate_series(jj.j + 1,
@@ -370,12 +381,13 @@ def unigram_lm_vocab_sql(table: str, rounds: int = 2, v_multi: int = 200,
     wf_cte = _word_freqs_sql(table, text_col).replace(
         "WITH wf AS", "WITH RECURSIVE wf AS", 1)
     parts = [wf_cte, f""",
+    wfu AS (SELECT * FROM wf WHERE len(word) <= {MAX_WORD}),
     cand AS (
       SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
       FROM (SELECT w.freq,
                    substring(w.word, CAST(jj.j + 1 AS INTEGER),
                              CAST(ii.i - jj.j AS INTEGER)) AS piece
-            FROM wf w,
+            FROM wfu w,
                  LATERAL (SELECT unnest(generate_series(0, len(w.word) - 1))
                           AS j) jj,
                  LATERAL (SELECT unnest(generate_series(jj.j + 1,
