@@ -588,6 +588,137 @@ def planted_pgm_stats_sql(table: str = "documents",
     """
 
 
+# --------------------------------------------------------------------------
+# Audio content decode: PCM samples from the WAV data chunk
+# --------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("n_samples", T.LongType()),
+    T.StructField("amp_min", T.IntegerType()),
+    T.StructField("amp_max", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("amp_mean", T.DoubleType()),
+])
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
+    """REAL PCM decode with stdlib struct only: RIFF chunk scan to the
+    ``fmt `` chunk (rate/bits — 16-bit mono PCM supported) and the
+    ``data`` chunk, then little-endian signed-int16 unpacking. Raises
+    ValueError on anything else (callers drop the row)."""
+    b = payload
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    rate, bits, data = None, None, None
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off:off + 4]
+        (size,) = struct.unpack("<I", b[off + 4:off + 8])
+        if cid == b"fmt " and size >= 16:
+            _, channels, rate = struct.unpack("<HHI", b[off + 8:off + 16])
+            (bits,) = struct.unpack("<H", b[off + 22:off + 24])
+            if channels != 1:
+                raise ValueError("only mono PCM supported here")
+        elif cid == b"data":
+            data = b[off + 8:off + 8 + size]
+            if len(data) != size:
+                raise ValueError("truncated data chunk")
+        off += 8 + size + (size & 1)
+    if rate is None or data is None or bits != 16:
+        raise ValueError("missing fmt/data chunk or non-16-bit PCM")
+    n = len(data) // 2
+    return rate, list(struct.unpack(f"<{n}h", data[:2 * n]))
+
+
+def audio_sample_stats(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """REAL amplitude statistics over decoded PCM samples — min/max,
+    integer energy (sum of squares) and mean amplitude, the content
+    features an audio curation pass gates on (silence, clipping, DC
+    offset). Same Arrow shape as :func:`image_pixel_stats`; the mean is
+    one IEEE division of exact integers. Undecodable payloads drop."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    rate, xs = decode_wav_samples(b)
+                except ValueError:
+                    continue
+                if not xs:
+                    continue
+                s = sum(xs)
+                rows.append({
+                    "doc_id": int(did), "sample_rate": rate,
+                    "n_samples": len(xs),
+                    "amp_min": min(xs), "amp_max": max(xs),
+                    "sum_sq": sum(x * x for x in xs),
+                    "amp_mean": s / len(xs),
+                })
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields])
+
+    return df.mapInPandas(run, AUDIO_STATS_SCHEMA)
+
+
+# planted PCM: N int16 samples per doc, value ((did*31 + k*17) % 2048)
+# - 1024 (full negative/positive swing, deterministic per position).
+WAV_N_SAMPLES = 64
+_WAV_SAMPLE = "(({did}) * 31 + ({k}) * 17) % 2048 - 1024"
+
+
+def synthesize_planted_wav_pcm(docs: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID 16-bit mono PCM WAVs with a real data
+    chunk planted arithmetically — JVM-side byte assembly (the Python
+    side only ever PARSES). Sample rate = 8000 + (id%5)*8000."""
+    did = F.col(id_col)
+    sr = F.lit(8000) + (did % 5) * 8000
+    n_bytes = WAV_N_SAMPLES * 2
+    sample = _WAV_SAMPLE.format(did=id_col, k="k")
+    # int16 two's complement, little-endian hex
+    data_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {WAV_N_SAMPLES - 1}),"
+        f" k -> concat(substring(lpad(hex((({sample}) + 65536) % 65536),"
+        f" 4, '0'), 3, 2), substring(lpad(hex((({sample}) + 65536)"
+        f" % 65536), 4, '0'), 1, 2))))")
+    wav_hex = F.concat(
+        F.hex(F.lit("RIFF")), _hex_le(F.lit(36 + n_bytes), 4),
+        F.hex(F.lit("WAVE")),
+        F.hex(F.lit("fmt ")), _hex_le(F.lit(16), 4),
+        _hex_le(F.lit(1), 2), _hex_le(F.lit(1), 2),        # PCM, mono
+        _hex_le(sr, 4), _hex_le(sr * 2, 4),                # rate, byterate
+        _hex_le(F.lit(2), 2), _hex_le(F.lit(16), 2),       # align, bits
+        F.hex(F.lit("data")), _hex_le(F.lit(n_bytes), 4),
+        data_hex)
+    return docs.select(id_col, F.unhex(wav_hex).alias("payload"))
+
+
+def planted_wav_stats_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`audio_sample_stats` over the planted
+    PCM — sample values regenerated arithmetically; the mean is
+    CAST(sum AS DOUBLE)/n, matching Python's ``s / len(xs)``."""
+    sample = _WAV_SAMPLE.format(did=id_col, k="k.k")
+    return f"""
+    SELECT {id_col},
+           CAST(8000 + ({id_col} % 5) * 8000 AS INTEGER) AS sample_rate,
+           CAST({WAV_N_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(MIN({sample}) AS INTEGER) AS amp_min,
+           CAST(MAX({sample}) AS INTEGER) AS amp_max,
+           CAST(SUM(({sample}) * ({sample})) AS BIGINT) AS sum_sq,
+           CAST(SUM({sample}) AS DOUBLE) / {WAV_N_SAMPLES} AS amp_mean
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(0, {WAV_N_SAMPLES - 1}))
+                  AS k) k
+    GROUP BY {id_col}
+    """
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64,
                  payload_col: str = "payload") -> DataFrame:
     """'Frame sampling' on the fake payload: slice every Nth byte-window —

@@ -1021,7 +1021,25 @@ def _planted_pgm_hashes(spark, sf_dir):
 
 
 from ..operators.multimodal import (  # noqa: E402
-    planted_pgm_dhash_sql, planted_pgm_neardup_sql, planted_pgm_stats_sql)
+    planted_pgm_dhash_sql, planted_pgm_neardup_sql, planted_pgm_stats_sql,
+    planted_wav_stats_sql)
+
+
+@register(
+    "q_audio_stats",
+    planted_wav_stats_sql("documents"),
+    doc="REAL PCM amplitude statistics (operators/multimodal."
+        "audio_sample_stats): planted 16-bit mono WAVs carry an actual "
+        "data chunk (JVM-side two's-complement little-endian assembly); "
+        "the Arrow stage walks the RIFF chunks and struct-unpacks the "
+        "samples — min/max, integer energy (sum of squares) and mean "
+        "amplitude, the silence/clipping/DC-offset features an audio "
+        "curation pass gates on; oracle regenerates every sample "
+        "arithmetically (builder and parser never share code)")
+def q_audio_stats(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.audio_sample_stats(mm.synthesize_planted_wav_pcm(docs))
 
 
 from ..sources import warc as wc  # noqa: E402

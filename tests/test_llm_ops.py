@@ -253,6 +253,45 @@ def test_image_dhash_spark_matches_python_reference(spark):
     assert mm.image_dhash(junk).count() == 0
 
 
+def _pcm_wav(samples, rate=8000, bits=16, channels=1) -> bytes:
+    import struct as st
+    data = b"".join(st.pack("<h", s) for s in samples)
+    fmt = st.pack("<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
+                  channels * bits // 8, bits)
+    body = (b"fmt " + st.pack("<I", len(fmt)) + fmt
+            + b"data" + st.pack("<I", len(data)) + data)
+    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def test_decode_wav_samples_worked_example():
+    rate, xs = mm.decode_wav_samples(_pcm_wav([0, 100, -100, 32767,
+                                               -32768], rate=44100))
+    assert rate == 44100 and xs == [0, 100, -100, 32767, -32768]
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(b"RIFF\x00\x00\x00\x00WAVE")   # no chunks
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(_pcm_wav([1], channels=2))      # stereo
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(b"not audio")
+
+
+def test_audio_stats_spark_matches_python_reference(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    media = mm.synthesize_planted_wav_pcm(docs)
+    raw = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    got = {r.doc_id: (r.sample_rate, r.n_samples, r.amp_min, r.amp_max,
+                      r.sum_sq, r.amp_mean)
+           for r in mm.audio_sample_stats(media).collect()}
+    for i, b in raw.items():
+        rate, xs = mm.decode_wav_samples(b)
+        assert len(xs) == mm.WAV_N_SAMPLES
+        # the planted wave swings negative AND positive (two's-complement
+        # round-trip actually exercised)
+        assert min(xs) < 0 < max(xs)
+        assert got[i] == (rate, len(xs), min(xs), max(xs),
+                          sum(x * x for x in xs), sum(xs) / len(xs))
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None
