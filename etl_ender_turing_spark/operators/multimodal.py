@@ -719,6 +719,122 @@ def planted_wav_stats_sql(table: str = "documents",
     """
 
 
+# --------------------------------------------------------------------------
+# Video container decode: ISO BMFF (MP4) box walk to the movie header
+# --------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("brand", T.StringType()),
+    T.StructField("timescale", T.IntegerType()),
+    T.StructField("duration", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("n_boxes", T.IntegerType()),
+])
+
+
+def parse_mp4_meta(payload: bytes) -> dict | None:
+    """REAL ISO-BMFF walk with stdlib struct only: top-level boxes are
+    [size u32 BE][4cc type][payload]; ``moov`` is a container whose
+    children walk the same way; ``mvhd`` v0 carries timescale and
+    duration as big-endian u32s at fixed offsets. A box whose declared
+    size overruns the buffer stops the walk (never mis-slice); returns
+    None when no valid mvhd is found."""
+    def walk(b: bytes, lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            (size,) = struct.unpack(">I", b[off:off + 4])
+            if size < 8 or off + size > hi:
+                return
+            yield b[off + 4:off + 8], off + 8, off + size
+            off += size
+
+    b = payload
+    brand, timescale, duration, n_boxes = None, None, None, 0
+    for typ, lo, hi in walk(b, 0, len(b)):
+        n_boxes += 1
+        if typ == b"ftyp" and hi - lo >= 4:
+            brand = b[lo:lo + 4].decode("ascii", "replace")
+        elif typ == b"moov":
+            for ityp, ilo, ihi in walk(b, lo, hi):
+                n_boxes += 1
+                if ityp == b"mvhd" and ihi - ilo >= 20 and b[ilo] == 0:
+                    timescale, duration = struct.unpack(
+                        ">II", b[ilo + 12:ilo + 20])
+    if timescale is None:
+        return None
+    return {"brand": brand, "timescale": timescale, "duration": duration,
+            "duration_s": duration / timescale, "n_boxes": n_boxes}
+
+
+def extract_video_meta(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched MP4 movie-header extraction — the video member of
+    the multimodal decode family (image pixels, audio samples, video
+    container). Unparseable payloads drop; duration_s is one IEEE
+    division of two exact u32s."""
+    cols = [f.name for f in VIDEO_META_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                m = parse_mp4_meta(b)
+                if m is not None:
+                    rows.append({"doc_id": int(did), **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+def synthesize_planted_mp4(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID minimal MP4s planted arithmetically —
+    ftyp('isom') + moov > mvhd v0 (timescale 1000·(1 + id%4), duration
+    timescale·(1 + id%120) ticks, a 'free' sibling box so the walk must
+    SKIP a box inside moov to reach nothing further). All byte assembly
+    JVM-side hex/unhex."""
+    did = F.col(id_col)
+    ts = (F.lit(1000) * (did % 4 + 1)).cast("bigint")
+    dur = (ts * (did % 120 + 1)).cast("bigint")
+    ftyp = F.concat(_hex_be(F.lit(16), 4), F.hex(F.lit("ftypisom")),
+                    F.lit("00000200"))                       # minor version
+    # mvhd v0: FullBox(1+3) + ctime/mtime u32s + timescale + duration +
+    # rate/volume/reserved/matrix/predefineds/next_track = 108 bytes total
+    mvhd_tail_zeros = "00" * 80
+    mvhd = F.concat(_hex_be(F.lit(108), 4), F.hex(F.lit("mvhd")),
+                    F.lit("00000000"),                       # version+flags
+                    F.lit("00000000"), F.lit("00000000"),    # ctime, mtime
+                    _hex_be(ts, 4), _hex_be(dur, 4),
+                    F.lit(mvhd_tail_zeros))
+    free = F.concat(_hex_be(F.lit(12), 4), F.hex(F.lit("free")),
+                    F.lit("00000000"))
+    moov = F.concat(_hex_be(F.lit(8 + 12 + 108), 4), F.hex(F.lit("moov")),
+                    free, mvhd)
+    return docs.select(id_col,
+                       F.unhex(F.concat(ftyp, moov)).alias("payload"))
+
+
+def planted_mp4_meta_sql(table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`extract_video_meta` over the planted
+    fixture — every field regenerated arithmetically; duration_s is
+    CAST/CAST division matching Python's u32/u32."""
+    ts = f"1000 * ({id_col} % 4 + 1)"
+    dur = f"({ts}) * ({id_col} % 120 + 1)"
+    return f"""
+    SELECT {id_col},
+           'isom' AS brand,
+           CAST({ts} AS INTEGER) AS timescale,
+           CAST({dur} AS BIGINT) AS duration,
+           CAST({dur} AS DOUBLE) / ({ts}) AS duration_s,
+           CAST(4 AS INTEGER) AS n_boxes
+    FROM {table}
+    """
+
+
 def frame_sample(df: DataFrame, every_n_bytes: int = 64,
                  payload_col: str = "payload") -> DataFrame:
     """'Frame sampling' on the fake payload: slice every Nth byte-window —

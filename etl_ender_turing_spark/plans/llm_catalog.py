@@ -1042,6 +1042,26 @@ def q_audio_stats(spark, sf_dir):
     return mm.audio_sample_stats(mm.synthesize_planted_wav_pcm(docs))
 
 
+from ..operators.multimodal import planted_mp4_meta_sql  # noqa: E402
+
+
+@register(
+    "q_video_meta",
+    planted_mp4_meta_sql("documents"),
+    doc="REAL ISO-BMFF (MP4) container walk (operators/multimodal."
+        "extract_video_meta): planted minimal MP4s — ftyp + moov "
+        "holding a 'free' sibling the walk must SKIP plus a spec-shaped "
+        "108-byte mvhd v0 — parsed by box-size offsets (a declared size "
+        "overrunning the buffer stops the walk, never mis-slices); "
+        "emits brand, timescale, duration ticks and seconds. Completes "
+        "the multimodal decode triple: image pixels, audio samples, "
+        "video container; oracle regenerates all fields arithmetically")
+def q_video_meta(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.extract_video_meta(mm.synthesize_planted_mp4(docs))
+
+
 from ..sources import warc as wc  # noqa: E402
 
 

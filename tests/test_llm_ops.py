@@ -292,6 +292,29 @@ def test_audio_stats_spark_matches_python_reference(spark):
                           sum(x * x for x in xs), sum(xs) / len(xs))
 
 
+def test_parse_mp4_meta_box_walk():
+    import struct as st
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return st.pack(">I", 8 + len(payload)) + typ + payload
+
+    mvhd = (b"\x00\x00\x00\x00" + bytes(8)
+            + st.pack(">II", 1000, 90_000) + bytes(80))
+    mp4 = (box(b"ftyp", b"isomrest") +
+           box(b"moov", box(b"free", bytes(4)) + box(b"mvhd", mvhd)))
+    m = mm.parse_mp4_meta(mp4)
+    assert (m["brand"], m["timescale"], m["duration"], m["n_boxes"]) == \
+        ("isom", 1000, 90_000, 4)
+    assert m["duration_s"] == 90.0
+    # a box whose declared size overruns the buffer stops the walk
+    bad = box(b"ftyp", b"isom") + st.pack(">I", 9999) + b"moov"
+    assert mm.parse_mp4_meta(bad) is None          # never reached an mvhd
+    assert mm.parse_mp4_meta(b"") is None
+    # mvhd version 1 (64-bit fields) is not mis-read as v0
+    mvhd1 = b"\x01\x00\x00\x00" + bytes(96)
+    assert mm.parse_mp4_meta(box(b"moov", box(b"mvhd", mvhd1))) is None
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None
