@@ -42,7 +42,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_unigram_lm_vocab", "q_unigram_encode", "q_image_dup_clusters",
     "q_unigram_fertility", "q_image_stats", "q_warc_records",
     "q_warc_domain_stats", "q_stream_image_gate", "q_audio_stats",
-    "q_video_meta",
+    "q_video_meta", "q_text_hash_embed", "q_text_embed_neighbors",
     "q_dsir_model", "q_lm_from_counts", "q_dsir_from_model",
     # genuinely changed in round 7: crawl_budget was de-globalized with
     # max-normalized weights (new weight6 values); the web-curation

@@ -1062,7 +1062,38 @@ def q_video_meta(spark, sf_dir):
     return mm.extract_video_meta(mm.synthesize_planted_mp4(docs))
 
 
+from ..operators import feature_hash as fh  # noqa: E402
 from ..sources import warc as wc  # noqa: E402
+
+
+@register(
+    "q_text_hash_embed",
+    fh.text_hash_embed_sql("documents", dim=64, n=3),
+    doc="signed feature-hashing text embeddings (Weinberger 2009; "
+        "operators/feature_hash.text_hash_embed): char 3-grams hash "
+        "into 64 signed slots (md5 slot + parity sign — the "
+        "deterministic-coin pattern), L2-normalized — a zero-model "
+        "text->vector bridge to the ANN family. One narrow explode + "
+        "one uniform (doc, slot) agg + a per-doc norm reduce; sqrt and "
+        "one division are the only floats, both correctly-rounded "
+        "IEEE, weights 6dp-quantized")
+def q_text_hash_embed(spark, sf_dir):
+    return fh.text_hash_embed(_docs(spark, sf_dir), dim=64, n=3)
+
+
+@register(
+    "q_text_embed_neighbors",
+    fh.hash_embed_neighbors_sql("documents", query_id=0, k=10,
+                                dim=64, n=3),
+    doc="zero-model text-similarity search: top-10 cosine neighbors of "
+        "doc 0 under the hashed embeddings — sparse dot products "
+        "joining on the slot index (query side a <=dim-row broadcast), "
+        "12dp-quantized product terms decimal-summed "
+        "(order-independent), TakeOrderedAndProject top-k on a total "
+        "order (sim DESC, id)")
+def q_text_embed_neighbors(spark, sf_dir):
+    emb = fh.text_hash_embed(_docs(spark, sf_dir), dim=64, n=3)
+    return fh.hash_embed_neighbors(emb, query_id=0, k=10)
 
 
 @register(

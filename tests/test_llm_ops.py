@@ -923,6 +923,26 @@ def test_span_dedup_rewrite_drops_exactly_the_covered_tokens(spark):
     }
 
 
+def test_hash_embed_ranks_near_duplicate_above_unrelated(spark):
+    from etl_ender_turing_spark.operators import feature_hash as fh
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),  # near-dup
+         (2, "completely unrelated words about databases"),
+         (3, "zz")],                                     # < n chars: drops
+        "doc_id long, text string")
+    emb = fh.text_hash_embed(df, dim=64, n=3)
+    assert emb.filter("doc_id = 3").count() == 0
+    # unit norm after quantization (within 6dp slack per slot)
+    norms = {r.doc_id: r.s for r in emb.groupBy("doc_id")
+             .agg(F.expr("SUM(w * w)").alias("s")).collect()}
+    assert all(abs(s - 1.0) < 1e-4 for s in norms.values()), norms
+    top = fh.hash_embed_neighbors(emb, query_id=0, k=2).collect()
+    assert top[0].doc_id == 1 and top[0].sim > 0.8
+    assert top[0].sim > (top[1].sim if len(top) > 1 else -1)
+
+
 def test_quality_classifier_orders_prose_above_soup(spark):
     prose = ("the quick brown fox jumps over a lazy dog and that was "
              "fine because we have seen it happen with some regularity")
