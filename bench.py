@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     "q_text_nfc",
     "q_span_dedup_rewrite",
     "q_image_neardup",
+    # round-7 second batch: the EM tokenizer trainer (vocab-scale DP
+    # folds), archive ingestion (Arrow offset walk), and the hashed
+    # text-embedding build (char-gram explode + (doc, slot) agg)
+    "q_unigram_lm_vocab",
+    "q_warc_records",
+    "q_text_hash_embed",
 ]
 
 

@@ -274,6 +274,13 @@ def synthesize_planted_media(docs: DataFrame,
     jpg = F.concat(
         F.lit("ffd8"),                                   # SOI
         F.lit("ffe000104a46494600010100000100010000"),   # APP0/JFIF, len 16
+        # a quarter of the baseline JPEGs (id%16==4) interleave a 0xFF
+        # fill run, a standalone TEM and an RST2 before the frame header
+        # — legal per T.81 and present in real crawls; the r7 scan fix
+        # is thereby exercised by the CERTIFIED fixture, not only by
+        # unit tests (adds 7 bytes, accounted in the n_bytes oracle);
+        # id%16==12 keeps the plain baseline variant
+        F.when(did % 16 == 4, F.lit("ffffffff01ffd2")).otherwise(F.lit("")),
         F.when(did % 8 == 0, F.lit("ffc2")).otherwise(F.lit("ffc0")),
         F.lit("001108"),                      # SOF length 17, precision 8
         _hex_be(h, 2), _hex_be(w, 2),         # HEIGHT first (JPEG spec)

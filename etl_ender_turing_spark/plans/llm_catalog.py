@@ -996,6 +996,7 @@ def q_multimodal_features(spark, sf_dir):
            CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bit_depth,
            CAST(CASE WHEN doc_id % 2 = 1 THEN 36
                      WHEN doc_id % 4 = 2 THEN 33
+                     WHEN doc_id % 16 = 4 THEN 48
                      ELSE 41 END AS BIGINT) AS n_bytes
     FROM documents
     """,

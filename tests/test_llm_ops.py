@@ -332,10 +332,13 @@ def test_extract_media_meta_roundtrips_planted_headers(spark):
     assert (out[2].width, out[2].height) == (2 % 512 + 16, 2 % 256 + 16)
     assert out[2].n_bytes == 33
     # id%4==0 -> JPEG (marker scan must skip the APP0 segment; SOF stores
-    # height BEFORE width); id%8==0 -> progressive SOF2
+    # height BEFORE width); id%16==4 additionally interleaves a 0xFF
+    # fill run + TEM + RST2 (7 bytes) the scan must step over;
+    # id%16==12 stays plain baseline; id%8==0 -> progressive SOF2
     assert (out[4].media_type, out[4].codec) == ("image", "jpeg-baseline")
     assert (out[4].width, out[4].height) == (4 % 512 + 16, 4 % 256 + 16)
-    assert (out[4].bit_depth, out[4].n_bytes) == (8, 41)
+    assert (out[4].bit_depth, out[4].n_bytes) == (8, 48)
+    assert (out[12].codec, out[12].n_bytes) == ("jpeg-baseline", 41)
     assert out[8].codec == "jpeg-progressive"
     assert (out[8].width, out[8].height) == (8 % 512 + 16, 8 % 256 + 16)
     assert out[7].media_type == "audio"

@@ -28,7 +28,10 @@ from etl_ender_turing_spark.operators.conform import psi_drift as _psi
 from etl_ender_turing_spark.operators.conform import snapshot_diff
 from etl_ender_turing_spark.functions.text_codec import nfc_normalize as _nfc
 from etl_ender_turing_spark.operators import bpe
+from etl_ender_turing_spark.operators import feature_hash as fh
 from etl_ender_turing_spark.operators import multimodal as mm
+from etl_ender_turing_spark.operators import unigram as ug
+from etl_ender_turing_spark.sources import warc as wc
 from etl_ender_turing_spark.operators import curation as cu
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import dsir as dsr
@@ -204,6 +207,18 @@ def main() -> None:
         "image_neardup": lambda d, e, ev: force(dd.simhash_pairs(
             mm.image_dhash(mm.synthesize_planted_pgm(d.select("doc_id"))),
             max_hamming=3)),
+        # round-7 second batch: the unigram trainer works on the
+        # distinct-word table (replication-invariant after the word
+        # count — the BPE profile); WARC parse is per-chunk Arrow work;
+        # the hashed embedding is one explode + one uniform (doc, slot)
+        # agg; audio decode is per-row
+        "unigram_lm": lambda d, e, ev: force(ug.unigram_lm_vocab(
+            d, rounds=1, v_multi=100)),
+        "warc_parse": lambda d, e, ev: force(wc.parse_warc_records(
+            wc.synthesize_planted_warc(d.select("doc_id", "text")))),
+        "hash_embed": lambda d, e, ev: force(fh.text_hash_embed(d)),
+        "audio_stats": lambda d, e, ev: force(mm.audio_sample_stats(
+            mm.synthesize_planted_wav_pcm(d.select("doc_id")))),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
