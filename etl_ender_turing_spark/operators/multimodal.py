@@ -453,6 +453,13 @@ def synthesize_planted_pgm(docs: DataFrame,
     only ever PARSES, so a decoder bug cannot cancel out against the
     builder). Two ids per page; the odd id differs by one perturbed
     pixel → a planted near-duplicate pair per page."""
+    # the fixture parquet arrives as ONE split at test SFs, and the
+    # per-pixel md5 planting is the heavy part of this builder (profiled
+    # 4.1 s of a 4.9 s pipeline, single-threaded) — spread the row-wise
+    # work across the cluster first; values are per-row, so the shuffle
+    # changes nothing downstream
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
     px = _PGM_PX_SPARK.format(page=f"({id_col} div 2)", x=f"(i % {PGM_W})",
                               y=f"(i div {PGM_W})", did=id_col)
     header_hex = F.hex(F.concat(
@@ -683,6 +690,10 @@ def synthesize_planted_wav_pcm(docs: DataFrame,
     """(doc_id, payload): VALID 16-bit mono PCM WAVs with a real data
     chunk planted arithmetically — JVM-side byte assembly (the Python
     side only ever PARSES). Sample rate = 8000 + (id%5)*8000."""
+    # single-split fixture input + per-sample hex assembly: spread the
+    # row-wise work first (same reasoning as synthesize_planted_pgm)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
     did = F.col(id_col)
     sr = F.lit(8000) + (did % 5) * 8000
     n_bytes = WAV_N_SAMPLES * 2

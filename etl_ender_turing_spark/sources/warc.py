@@ -54,6 +54,10 @@ def synthesize_planted_warc(docs: DataFrame, per_chunk: int = 10,
     record per document (its body is the document's own text), grouped
     ``per_chunk`` records per chunk in id order. All byte assembly is
     JVM-side string/encode work."""
+    # single-split fixture input: spread the per-record string assembly
+    # before the chunk groupBy (row-wise — values unchanged)
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
     body = F.coalesce(F.col(text_col), F.lit(""))
     uri = F.concat(F.lit("https://example-"),
                    (F.col(id_col) % 7).cast("string"),
