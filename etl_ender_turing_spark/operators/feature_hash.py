@@ -92,10 +92,12 @@ def text_hash_embed_sql(table: str = "documents", dim: int = 64,
 
 
 # 12dp-quantized product terms, decimal-summed -> order-independent,
-# then 6dp-rounded similarity (values in [-1, 1])
-_DOT = ("CAST(FLOOR(a.w * b.w * 1000000000000 + 0.5) / 1000000000000"
+# then 6dp-rounded similarity (values in [-1, 1]). Both engines and the
+# Spark/SQL builders below share these templates so the quantization
+# stays in one place.
+_DOT = ("CAST(FLOOR({a} * {b} * 1000000000000 + 0.5) / 1000000000000"
         " AS DECIMAL(28,12))")
-_SIM6 = ("FLOOR(CAST(SUM({dot}) AS DOUBLE) * 1000000 + 0.5) / 1000000")
+_SIM6 = ("FLOOR(CAST(SUM({term}) AS DOUBLE) * 1000000 + 0.5) / 1000000")
 
 
 def hash_embed_neighbors(emb: DataFrame, query_id: int = 0, k: int = 10,
@@ -110,12 +112,9 @@ def hash_embed_neighbors(emb: DataFrame, query_id: int = 0, k: int = 10,
             .join(F.broadcast(q).alias("bq"),
                   F.col("a.idx") == F.col("bq.qidx"))
             .select(F.col(f"a.{id_col}").alias(id_col),
-                    F.expr("CAST(FLOOR(a.w * qw * 1000000000000 + 0.5)"
-                           " / 1000000000000 AS DECIMAL(28,12))")
-                    .alias("term")))
+                    F.expr(_DOT.format(a="a.w", b="qw")).alias("term")))
     return (dots.groupBy(id_col)
-            .agg(F.expr("FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000 + 0.5)"
-                        " / 1000000").alias("sim"))
+            .agg(F.expr(_SIM6.format(term="term")).alias("sim"))
             .orderBy(F.desc("sim"), F.asc(id_col)).limit(k))
 
 
@@ -128,15 +127,13 @@ def hash_embed_neighbors_sql(table: str = "documents", query_id: int = 0,
     WITH emb AS ({emb}),
     dots AS (
       SELECT a.{id_col},
-             CAST(FLOOR(a.w * q.w * 1000000000000 + 0.5)
-                  / 1000000000000 AS DECIMAL(28,12)) AS term
+             {_DOT.format(a="a.w", b="q.w")} AS term
       FROM emb a JOIN (SELECT idx, w FROM emb
                        WHERE {id_col} = {query_id}) q USING (idx)
       WHERE a.{id_col} <> {query_id}
     )
     SELECT {id_col},
-           FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000 + 0.5)
-             / 1000000 AS sim
+           {_SIM6.format(term="term")} AS sim
     FROM dots GROUP BY {id_col}
     ORDER BY sim DESC, {id_col} ASC LIMIT {k}
     """

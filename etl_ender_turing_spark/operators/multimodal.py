@@ -90,6 +90,8 @@ def parse_media_header(payload: bytes) -> dict | None:
             # (ITU T.81 §B.1.1.2) — skip to the last 0xFF of the run
             while off + 2 <= len(b) and b[off + 1] == 0xFF:
                 off += 1
+            if off + 2 > len(b):
+                break                        # payload ends inside a fill run
             marker = b[off + 1]
             if marker in (0xD9, 0xDA) or marker == 0x00:
                 break                        # EOI / SOS / stuffed-byte desync
@@ -779,7 +781,10 @@ def parse_mp4_meta(payload: bytes) -> dict | None:
                 if ityp == b"mvhd" and ihi - ilo >= 20 and b[ilo] == 0:
                     timescale, duration = struct.unpack(
                         ">II", b[ilo + 12:ilo + 20])
-    if timescale is None:
+    if timescale is None or timescale == 0:
+        # timescale == 0 would make duration_s a ZeroDivisionError; a
+        # zero-timescale mvhd is malformed, so it drops like any other
+        # unparseable payload.
         return None
     return {"brand": brand, "timescale": timescale, "duration": duration,
             "duration_s": duration / timescale, "n_boxes": n_boxes}

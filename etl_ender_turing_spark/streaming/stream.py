@@ -428,15 +428,19 @@ def enriched_segment_counts(events: DataFrame,
                             customer: DataFrame) -> DataFrame:
     """Stream-static enrichment join + aggregation (SURVEY §2.9 composed
     with §2.3's dim-lookup): each micro-batch joins the STATIC customer
-    dimension — Spark re-plans the join per micro-batch, and the dim is
-    explicitly broadcast, so no stream-side shuffle is added for the join;
-    the only stateful shuffle is the aggregation on (segment, event_type).
-    At 100 TB-of-stream scale this is the canonical shape: keep the dim
-    broadcast-small (or snapshot-join via Delta) and let the agg state
-    store hold only segment-cardinality keys.
+    dimension — Spark re-plans the join per micro-batch, so AQE sizes
+    the join each batch: a dim under the auto-broadcast threshold is
+    broadcast with no stream-side shuffle; a dim that has grown past it
+    degrades to a shuffled join instead of an executor OOM. `customer`
+    is an SF-SCALING table, so no explicit broadcast hint here — a hint
+    would override AQE's size estimate at every scale (the batch
+    catalog's no-hint plan gate, extended to streaming builders in r8,
+    pins this). At 100 TB-of-stream scale the production shape is the
+    same: snapshot-join the dim (e.g. via Delta) and let AQE pick the
+    strategy; the agg state store holds only segment-cardinality keys.
     """
-    dim = F.broadcast(customer.select(F.col("c_custkey").alias("user_id"),
-                                      "c_mktsegment"))
+    dim = customer.select(F.col("c_custkey").alias("user_id"),
+                          "c_mktsegment")
     return (events.join(dim, "user_id")
             .groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),

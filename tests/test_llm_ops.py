@@ -212,6 +212,13 @@ def test_parse_media_header_jpeg_fill_and_standalone_markers():
     # never misparse stray bytes as an SOF
     assert mm.parse_media_header(
         b"\xff\xd8" + b"\xff\x00" + _jpeg_bytes(9, 9)[2:]) is None
+    # a payload ENDING in a fill run: the skip loop can park off at
+    # len-1, so the marker read needs its own bounds check (r8 fix —
+    # this raised IndexError, crashing the whole mapInPandas task on
+    # one truncated crawl JPEG)
+    assert mm.parse_media_header(b"\xff\xd8\xff\xff") is None
+    assert mm.parse_media_header(b"\xff\xd8\xff\xff\xff") is None
+    assert mm.parse_media_header(_jpeg_bytes(9, 9) + b"\xff\xff") is not None
 
 
 def test_pgm_decode_and_dhash_worked_example():
@@ -313,6 +320,11 @@ def test_parse_mp4_meta_box_walk():
     # mvhd version 1 (64-bit fields) is not mis-read as v0
     mvhd1 = b"\x01\x00\x00\x00" + bytes(96)
     assert mm.parse_mp4_meta(box(b"moov", box(b"mvhd", mvhd1))) is None
+    # timescale == 0 is malformed (duration_s would divide by zero):
+    # treated as unparseable, not a task-killing ZeroDivisionError
+    mvhd0 = (b"\x00\x00\x00\x00" + bytes(8)
+             + st.pack(">II", 0, 90_000) + bytes(80))
+    assert mm.parse_mp4_meta(box(b"moov", box(b"mvhd", mvhd0))) is None
 
 
 def test_parse_media_header_rejects_garbage():
