@@ -97,20 +97,53 @@ class HttpSessionService:
 
     Builds ``GET {endpoint}/sessions?skip=S&limit=L&filters=<quoted DSL>``
     exactly as Extract.py:36-46 does (``date_range,{d1},{d2}||{t1},{t2}``
-    plus '±'-joined extra terms) and authenticates with a Bearer token
-    (utils.py:121-131 PAT init). Expects the reference's response shape
+    plus '±'-joined extra terms) and authenticates with a Bearer token.
+    The token comes from either of the reference's two auth modes
+    (utils.py:108-131): a pre-provisioned PAT (``init_et_by_pat_token``)
+    passed as ``token``, or user/password credentials (``init_et``'s
+    ``https://{user}:{password}@{domain}`` Config) exchanged lazily for
+    an access token via the OAuth2 password grant
+    (``POST /login/access-token``, form-encoded username/password →
+    ``{"access_token": ...}``). Expects the reference's response shape
     ``{"items": [...]}``.
 
     Instantiated INSIDE partition readers — one client per task, no
-    driver-held connections; combined with ``with_retry`` each task owns
-    its own retry budget.
+    driver-held connections, so the credential exchange also happens
+    executor-side: one login per task, cached on the instance; combined
+    with ``with_retry`` each task owns its own retry budget.
     """
 
     def __init__(self, endpoint: str, token: str | None = None,
+                 user: str | None = None, password: str | None = None,
                  timeout_s: float = 30.0):
         self.endpoint = endpoint.rstrip("/")
         self.token = token
+        self.user = user
+        self.password = password
         self.timeout_s = timeout_s
+
+    def _ensure_token(self) -> None:
+        """Exchange user/password for a bearer token on first use.
+
+        A ready ``token`` always wins (the PAT path is unchanged); with
+        credentials only, the exchange runs once per client instance —
+        i.e. once per Spark task, never per page.
+        """
+        if self.token is not None or self.user is None:
+            return
+        import urllib.parse
+        import urllib.request
+
+        body = urllib.parse.urlencode(
+            {"username": self.user, "password": self.password or ""}
+        ).encode("ascii")
+        req = urllib.request.Request(
+            f"{self.endpoint}/login/access-token", data=body,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST")
+        with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+            payload = json.loads(resp.read().decode("utf-8"))
+        self.token = payload["access_token"]
 
     def query(self, d1: str, d2: str, t1: str = "00:00", t2: str = "23:59",
               skip: int = 0, limit: int = PAGE_LIMIT,
@@ -118,6 +151,7 @@ class HttpSessionService:
         import urllib.parse
         import urllib.request
 
+        self._ensure_token()
         dsl = f"date_range,{d1},{d2}||{t1},{t2}"
         for name, values in extra:
             dsl += f"±{name},{','.join(values)}"
@@ -272,6 +306,8 @@ class SessionApiReader(DataSourceReader):
         self.page_limit = int(options.get("pagelimit", PAGE_LIMIT))
         self.endpoint = options.get("endpoint")      # None -> fixture fake
         self.token = options.get("token")
+        self.user = options.get("user")              # credential auth mode
+        self.password = options.get("password")
         self.time_range: tuple[str, str] | None = None
         self.extra: list[tuple[str, tuple[str, ...]]] = []
         dsl = options.get("filters")
@@ -295,7 +331,8 @@ class SessionApiReader(DataSourceReader):
         return ivs
 
     def read(self, partition: IntervalPartition):
-        svc = (HttpSessionService(self.endpoint, self.token)
+        svc = (HttpSessionService(self.endpoint, self.token,
+                                  self.user, self.password)
                if self.endpoint else FakeSessionService())
         skip = 0
         while True:
@@ -333,13 +370,16 @@ class SessionApiStreamReader(SimpleDataSourceStreamReader):
         self.page_limit = int(options.get("pagelimit", PAGE_LIMIT))
         self.endpoint = options.get("endpoint")
         self.token = options.get("token")
+        self.user = options.get("user")
+        self.password = options.get("password")
         self.intervals = split_half_days(self.start, self.stop)
 
     def initialOffset(self) -> dict:
         return {"iv": 0}
 
     def _svc(self):
-        return (HttpSessionService(self.endpoint, self.token)
+        return (HttpSessionService(self.endpoint, self.token,
+                                   self.user, self.password)
                 if self.endpoint else FakeSessionService())
 
     def _read_interval(self, iv: tuple[str, str, str, str]):
@@ -399,7 +439,8 @@ def register(spark) -> None:
 
 def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT,
                       filters: str | None = None, endpoint: str | None = None,
-                      token: str | None = None):
+                      token: str | None = None, user: str | None = None,
+                      password: str | None = None):
     register(spark)
     r = (spark.read.format("session_api")
          .option("start", start).option("stop", stop)
@@ -410,6 +451,10 @@ def read_sessions_api(spark, start: str, stop: str, page_limit: int = PAGE_LIMIT
         r = r.option("endpoint", endpoint)
     if token:
         r = r.option("token", token)
+    if user:
+        r = r.option("user", user)
+    if password:
+        r = r.option("password", password)
     return r.load()
 
 

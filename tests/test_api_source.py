@@ -1,5 +1,7 @@
 """Custom DataSource: interval-parallel paginated scan (SURVEY §2.1 row 1)."""
 
+import pytest
+
 from etl_ender_turing_spark.sources.api_source import (
     read_sessions_api, split_half_days,
 )
@@ -104,6 +106,32 @@ class _StubApi:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def do_POST(self):  # noqa: N802 — stdlib naming
+                # OAuth2 password grant (reference utils.py:108-118
+                # init_et's user:password@domain Config): form-encoded
+                # username/password -> {"access_token": ...}; wrong
+                # credentials -> 401
+                parsed = urllib.parse.urlparse(self.path)
+                n = int(self.headers.get("Content-Length", "0"))
+                form = urllib.parse.parse_qs(self.rfile.read(n).decode())
+                stub.requests.append({"path": parsed.path,
+                                      "username": form.get("username",
+                                                           [""])[0]})
+                if (parsed.path.rstrip("/") == "/login/access-token"
+                        and form.get("username") == ["alice"]
+                        and form.get("password") == ["s3cret"]):
+                    body = _json.dumps({"access_token": "xchg-tok-alice",
+                                        "token_type": "bearer"}).encode()
+                    self.send_response(200)
+                else:
+                    body = _json.dumps(
+                        {"detail": "Incorrect email or password"}).encode()
+                    self.send_response(401)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def log_message(self, *a):      # silence stderr
                 pass
 
@@ -141,6 +169,72 @@ def test_http_service_pagination_filters_and_auth():
             "date_range,2024-06-01,2024-06-01||00:00,12:00±type,call,chat"
         assert all(r["auth"] == "Bearer tok123" for r in api.requests)
         assert all(r["path"] == "/sessions" for r in api.requests)
+    finally:
+        api.close()
+
+
+def test_http_service_password_token_exchange():
+    """Credential auth mode (reference utils.py:108-118 init_et): the
+    service exchanges user/password for a bearer token on FIRST use,
+    then reuses it — one login per client instance (= per Spark task),
+    never per page. A ready token always wins (PAT path unchanged)."""
+    import urllib.error
+
+    from etl_ender_turing_spark.sources.api_source import HttpSessionService
+
+    rows = [{"id": f"s{i}", "v": i} for i in range(7)]
+    api = _StubApi(rows)
+    try:
+        svc = HttpSessionService(f"http://127.0.0.1:{api.port}",
+                                 user="alice", password="s3cret")
+        got = svc.query("2024-06-01", "2024-06-01", limit=5)
+        got += svc.query("2024-06-01", "2024-06-01", skip=5, limit=5)
+        assert [r["id"] for r in got] == [r["id"] for r in rows]
+        logins = [r for r in api.requests
+                  if r["path"] == "/login/access-token"]
+        pages = [r for r in api.requests if r["path"] == "/sessions"]
+        assert len(logins) == 1 and logins[0]["username"] == "alice"
+        assert all(r["auth"] == "Bearer xchg-tok-alice" for r in pages)
+        # a pre-provisioned token suppresses the exchange entirely
+        api.requests.clear()
+        pat = HttpSessionService(f"http://127.0.0.1:{api.port}",
+                                 token="pat9", user="alice",
+                                 password="s3cret")
+        pat.query("2024-06-01", "2024-06-01", limit=5)
+        assert all(r["path"] == "/sessions" for r in api.requests)
+        # wrong credentials surface as the server's 401, not a hang or
+        # a silent unauthenticated scan
+        bad = HttpSessionService(f"http://127.0.0.1:{api.port}",
+                                 user="alice", password="wrong")
+        with pytest.raises(urllib.error.HTTPError):
+            bad.query("2024-06-01", "2024-06-01", limit=5)
+    finally:
+        api.close()
+
+
+def test_api_source_reads_through_http_with_credentials(spark):
+    """End-to-end: executor tasks perform their own token exchange (the
+    client is built inside the partition reader) and paginate with the
+    exchanged bearer token."""
+    from etl_ender_turing_spark.pipeline.fixtures import raw_sessions
+
+    rows = [r for r in raw_sessions()
+            if r["start_dt"][:10] == "2024-06-01"][:10]
+    api = _StubApi(rows)
+    try:
+        df = read_sessions_api(spark, "2024-06-01", "2024-06-01",
+                               page_limit=7,
+                               endpoint=f"http://127.0.0.1:{api.port}",
+                               user="alice", password="s3cret")
+        got = df.collect()
+        assert len(got) == 2 * len(rows)   # stub ignores date windows
+        pages = [r for r in api.requests if r["path"] == "/sessions"]
+        logins = [r for r in api.requests
+                  if r["path"] == "/login/access-token"]
+        assert pages and all(
+            r["auth"] == "Bearer xchg-tok-alice" for r in pages)
+        # one exchange per partition task (2 half-day intervals), not per page
+        assert 1 <= len(logins) <= 2
     finally:
         api.close()
 
