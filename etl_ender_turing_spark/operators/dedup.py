@@ -1088,6 +1088,92 @@ def span_dedup_rewrite_sql(table: str = "documents", n: int = 8,
     """
 
 
+def span_longest_match(df: DataFrame, n: int = 8, min_len: int = 12,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Variable-length LONGEST-MATCH duplicated spans — the true
+    suffix-array semantics of exact-substring dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2021: report
+    each maximal duplicated substring once, with its length), where
+    :func:`span_dedup_stats` / :func:`span_dedup_rewrite` only see
+    fixed-``n``-gram hits.
+
+    A duplicated run of ``L`` tokens shared with one earlier owner doc
+    shows up as ``L - n + 1`` CONSECUTIVE duplicated gram positions with
+    the same owner, so coalescing consecutive (doc, owner) gram starts
+    (the gaps-and-islands shape of ``q_scd2_intervals``: island key =
+    pos - row_number) recovers the maximal span exactly: start = first
+    gram position, token length = last - first + n. Spans shorter than
+    ``min_len`` tokens are noise-filtered (min_len >= n; at min_len = n
+    every single-gram hit is its own span).
+
+    Output: (id, owner_id, start_pos, span_len) — one row per maximal
+    (doc, owner) duplicated span, 1-based token positions.
+
+    Scale shape (100 TB): grams explode narrow (pos int + gram string);
+    ownership is the same gram-keyed min aggregation as the stats op
+    (uniform hash shuffle, NO doc-vs-doc join); only DUPLICATED positions
+    (a small fraction of the corpus) reach the window, and its
+    partitioning key (doc, owner) is high-cardinality and uniform — no
+    global ordering anywhere. Matches reference scope: the reference has
+    no span-level dedup at all; this extends SURVEY §2's dedup family.
+    """
+    parts = ", ".join(f"element_at(_lt, i + {k})" for k in range(n))
+    grams = (df.select(F.col(id_col), tokens(text_col).alias("_lt"))
+             .filter(F.size("_lt") >= n)
+             .select(id_col, F.posexplode(F.expr(
+                 f"transform(sequence(1, size(_lt) - {n - 1}),"
+                 f" i -> concat_ws(' ', {parts}))")).alias("_i0", "gram"))
+             .select(id_col, (F.col("_i0") + 1).alias("pos"), "gram"))
+    owner = grams.groupBy("gram").agg(F.min(id_col).alias("owner_id"))
+    dup = (grams.join(owner, "gram")
+           .filter(F.col("owner_id") < F.col(id_col))
+           .select(id_col, "owner_id", "pos"))
+    w = Window.partitionBy(id_col, "owner_id").orderBy("pos")
+    return (dup.withColumn("_isl", F.col("pos") - F.row_number().over(w))
+            .groupBy(id_col, "owner_id", "_isl")
+            .agg(F.min("pos").alias("start_pos"),
+                 (F.max("pos") - F.min("pos") + n).cast("long")
+                 .alias("span_len"))
+            .filter(F.col("span_len") >= min_len)
+            .select(id_col, "owner_id",
+                    F.col("start_pos").cast("long").alias("start_pos"),
+                    "span_len"))
+
+
+def span_longest_match_sql(table: str = "documents", n: int = 8,
+                           min_len: int = 12, text_col: str = "text",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`span_longest_match` — the identical
+    gaps-and-islands coalescing in plain SQL (no recursion needed: the
+    island key pos - ROW_NUMBER() is engine-agnostic integer logic)."""
+    parts = " || ' ' || ".join(f"lt[i + {k}]" for k in range(n))
+    return f"""
+    WITH grams AS (
+      SELECT {id_col}, g.i AS pos, {parts} AS gram
+      FROM (SELECT {id_col}, {tokens_sql(text_col)} AS lt FROM {table}),
+           LATERAL (SELECT unnest(generate_series(1, len(lt) - {n - 1}))
+                    AS i) g
+      WHERE len(lt) >= {n}
+    ),
+    owner AS (SELECT gram, MIN({id_col}) AS owner_id FROM grams
+              GROUP BY gram),
+    dup AS (
+      SELECT g.{id_col}, o.owner_id, g.pos,
+             g.pos - ROW_NUMBER() OVER (
+               PARTITION BY g.{id_col}, o.owner_id ORDER BY g.pos) AS isl
+      FROM grams g JOIN owner o USING (gram)
+      WHERE o.owner_id < g.{id_col}
+    )
+    SELECT {id_col}, owner_id,
+           CAST(MIN(pos) AS BIGINT) AS start_pos,
+           CAST(MAX(pos) - MIN(pos) + {n} AS BIGINT) AS span_len
+    FROM dup
+    GROUP BY {id_col}, owner_id, isl
+    HAVING MAX(pos) - MIN(pos) + {n} >= {min_len}
+    """
+
+
 def cross_source_dup_matrix(docs: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
                             source_col: str = "source") -> DataFrame:

@@ -1718,6 +1718,20 @@ def q_span_dedup_rewrite(spark, sf_dir):
 
 
 @register(
+    "q_span_longest_match",
+    dd.span_longest_match_sql("documents", n=8, min_len=12),
+    doc="variable-length LONGEST-MATCH duplicated spans (true "
+        "suffix-array semantics, Lee et al. 2021): consecutive "
+        "duplicated 8-gram positions per (doc, owner) coalesce via "
+        "gaps-and-islands (pos - row_number) into maximal spans with "
+        "their exact token length; spans < 12 tokens filtered. Gram-keyed "
+        "min-owner agg + a high-cardinality (doc, owner) window over "
+        "duplicated positions only — no doc-vs-doc join, no global sort")
+def q_span_longest_match(spark, sf_dir):
+    return dd.span_longest_match(_docs(spark, sf_dir), n=8, min_len=12)
+
+
+@register(
     "q_quality_classifier",
     ts.quality_classifier_sql("documents"),
     doc="classifier-based quality filtering (the fasttext/logistic model "

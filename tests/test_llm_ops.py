@@ -938,6 +938,32 @@ def test_span_dedup_rewrite_drops_exactly_the_covered_tokens(spark):
     }
 
 
+def test_span_longest_match_merges_gram_runs(spark):
+    # doc 2 pastes doc 1's 10-token run: 3 consecutive duplicated 8-gram
+    # starts (positions 3..5) must coalesce into ONE maximal span of
+    # exactly 10 tokens at the paste offset — not three 8-token hits
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    df = spark.createDataFrame(
+        [(1, run),
+         (2, "pre pad " + run + " tail words distinct here"),
+         (3, "no overlap with anything else in this corpus at all ok")],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.owner_id, r.start_pos, r.span_len)
+           for r in dd.span_longest_match(df, n=8, min_len=8).collect()]
+    assert got == [(2, 1, 3, 10)]
+    # min_len filters the merged span LENGTH, not the gram count
+    assert dd.span_longest_match(df, n=8, min_len=11).count() == 0
+    # two disjoint pastes of the same owner stay two islands
+    df2 = spark.createDataFrame(
+        [(1, run + " and completely other filler text keeps going on"),
+         (2, run + " gap word " + run)],
+        "doc_id long, text string")
+    spans = {(r.start_pos, r.span_len)
+             for r in dd.span_longest_match(df2, n=8, min_len=8)
+             .filter("doc_id = 2").collect()}
+    assert spans == {(1, 10), (13, 10)}
+
+
 def test_hash_embed_ranks_near_duplicate_above_unrelated(spark):
     from etl_ender_turing_spark.operators import feature_hash as fh
 
