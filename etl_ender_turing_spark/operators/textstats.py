@@ -449,8 +449,10 @@ def gopher_rule_columns(text_col: str = "text") -> dict[str, Column]:
     return rules
 
 
-def gopher_rules_sql(table: str = "documents", text_col: str = "text",
-                     id_col: str = "doc_id") -> str:
+def _gopher_sql_columns(text_col: str = "text") -> dict[str, str]:
+    """DuckDB expression per Gopher/C4 rule — shared by the rule report
+    (:func:`gopher_rules_sql`) and the classifier-fit oracle's weak
+    labels (:func:`quality_classifier_fit_sql`)."""
     toks = f"list_filter(string_split(lower({text_col}), ' '), t -> t <> '')"
     nw = f"len({toks})"
     stop_arr = "[" + ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS) + "]"
@@ -458,7 +460,7 @@ def gopher_rules_sql(table: str = "documents", text_col: str = "text",
              f" t -> regexp_matches(t, '[a-z]')))")
     sym = (f"len(list_filter({toks},"
            f" t -> regexp_matches(t, '^(#|\\.\\.\\.)')))")
-    cols = {
+    return {
         "n_words": f"CAST({nw} AS BIGINT)",
         "rule_word_count": f"{nw} BETWEEN 50 AND 100000",
         "rule_mean_word_len":
@@ -471,11 +473,21 @@ def gopher_rules_sql(table: str = "documents", text_col: str = "text",
         "rule_no_brace": f"NOT contains({text_col}, '{{')",
         "rule_no_lorem": f"NOT contains(lower({text_col}), 'lorem ipsum')",
     }
-    keep = " AND ".join(f"({e})" for n, e in cols.items() if n != "n_words")
+
+
+def gopher_keep_sql(text_col: str = "text") -> str:
+    """The conjunction of all Gopher/C4 rules as one DuckDB boolean."""
+    cols = _gopher_sql_columns(text_col)
+    return " AND ".join(f"({e})" for n, e in cols.items() if n != "n_words")
+
+
+def gopher_rules_sql(table: str = "documents", text_col: str = "text",
+                     id_col: str = "doc_id") -> str:
+    cols = _gopher_sql_columns(text_col)
     sel = ",\n           ".join(f"{e} AS {n}" for n, e in cols.items())
     return f"""
     SELECT {id_col}, {sel},
-           ({keep}) AS keep
+           ({gopher_keep_sql(text_col)}) AS keep
     FROM {table}
     """
 
@@ -532,6 +544,211 @@ def quality_classifier_sql(table: str = "documents",
            ROUND({z} / (1.0 + abs({z})), 6) AS clf_score,
            ROUND({z} / (1.0 + abs({z})), 6) >= 0.0 AS clf_keep
     FROM {table}
+    """
+
+
+# --- in-engine classifier TRAINING (the fit half of the model filter) ---
+
+# Feature battery the trained classifier fits over: the deterministic
+# quality features plus a bias column. Kept in one tuple so the fit, the
+# fitted scorer, and both oracles iterate the same order.
+CLF_FIT_FEATURES = ("ttr", "stopword_ratio", "mean_token_len",
+                    "log_n_tokens", "bias")
+
+# 12dp-quantized per-row terms, decimal-summed -> order-independent
+# cross-engine sums (FLOOR is sign-agnostic identical on both engines,
+# so signed gradient terms quantize the same way as the non-negative
+# squares)
+_Q12 = ("CAST(FLOOR(({x}) * 1000000000000 + 0.5) / 1000000000000"
+        " AS DECIMAL(28,12))")
+
+
+def gopher_keep_subset(text_col: str = "text",
+                       rules: tuple[str, ...] | None = None) -> Column:
+    """Conjunction of a SUBSET of the Gopher/C4 rules as a Spark boolean
+    — the weak-label knob for :func:`quality_classifier_fit` (a corpus
+    where one rule is degenerate — constant over every doc — would teach
+    the classifier nothing; training labels should split)."""
+    cols = gopher_rule_columns(text_col)
+    names = rules or tuple(n for n in cols if n not in ("n_words", "keep"))
+    keep = None
+    for n in names:
+        keep = cols[n] if keep is None else (keep & cols[n])
+    return keep
+
+
+def gopher_keep_subset_sql(text_col: str = "text",
+                           rules: tuple[str, ...] | None = None) -> str:
+    cols = _gopher_sql_columns(text_col)
+    names = rules or tuple(n for n in cols if n != "n_words")
+    return " AND ".join(f"({cols[n]})" for n in names)
+
+
+def quality_classifier_fit(df: DataFrame,
+                           text_col: str = "text",
+                           label: Column | None = None) -> DataFrame:
+    """TRAIN the quality classifier in-engine — one diagonal-Hessian
+    Newton step of logistic regression from w = 0, distilling the
+    rule-based Gopher/C4 gate into a linear model (exactly the
+    weak-supervision shape of production quality classifiers: fasttext/
+    logistic models trained on rule- or source-labeled docs, then used
+    where the rules are too brittle).
+
+    Math: with w = 0, sigmoid(0) = 1/2, so the logistic gradient is
+    g_j = sum_i x_ij (y_i - 1/2) and the diagonal Hessian is
+    h_j = 1/4 sum_i x_ij^2; the per-feature Newton step is
+    w_j = g_j / h_j = 4 * sum(x (y - 1/2)) / sum(x^2) — closed-form,
+    partial+final aggregation only, no iteration, no matrix solve.
+
+    Cross-engine exactness: every per-row term is 12dp-floor-quantized
+    and decimal-summed (order-independent); the weight is one double
+    division of two exact decimals, floor-6dp'd (sign-agnostic identical
+    in both engines). Output: |features| rows (feature, grad, hess,
+    weight) — the d-row driver model, same contract as the DSIR/LM
+    model tables.
+
+    Scale shape (100 TB): featurize is one narrow projection; the whole
+    fit is ONE aggregation with map-side partial combine producing a
+    single row, exploded to d rows — zero joins, zero windows, the
+    cheapest possible distributed trainer.
+    """
+    q = quality_columns(text_col)
+    keep = label if label is not None else gopher_rule_columns(text_col)["keep"]
+    feats = df.select(
+        q["ttr"].alias("ttr"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        q["mean_token_len"].alias("mean_token_len"),
+        round6u(F.log2(q["n_tokens"].cast("double")))
+        .alias("log_n_tokens"),
+        F.lit(1.0).alias("bias"),
+        keep.cast("double").alias("_y"))
+    aggs = []
+    for c in CLF_FIT_FEATURES:
+        aggs.append(F.expr(
+            f"SUM({_Q12.format(x=f'{c} * (_y - 0.5)')})").alias(f"g_{c}"))
+        aggs.append(F.expr(
+            f"SUM({_Q12.format(x=f'{c} * {c}')})").alias(f"h_{c}"))
+    agg = feats.agg(*aggs)
+    rows = ", ".join(
+        f"struct('{c}' AS feature,"
+        f" CAST(g_{c} AS DOUBLE) AS grad,"
+        f" CAST(h_{c} AS DOUBLE) AS hess,"
+        f" FLOOR(CAST(g_{c} AS DOUBLE) * 4.0"
+        f" / NULLIF(CAST(h_{c} AS DOUBLE), 0.0D)"
+        f" * 1000000 + 0.5) / 1000000 AS weight)"
+        for c in CLF_FIT_FEATURES)
+    return agg.select(F.expr(f"inline(array({rows}))"))
+
+
+def quality_classifier_fit_sql(table: str = "documents",
+                               text_col: str = "text",
+                               label_sql: str | None = None) -> str:
+    """DuckDB oracle for :func:`quality_classifier_fit` — the identical
+    quantized sums and Newton step, the d rows via UNION ALL over the
+    single-row aggregate."""
+    q = quality_sql_columns(text_col)
+    feats = {
+        "ttr": q["ttr"],
+        "stopword_ratio": q["stopword_ratio"],
+        "mean_token_len": q["mean_token_len"],
+        "log_n_tokens": round6u_sql(
+            f"log2(CAST({q['n_tokens']} AS DOUBLE))"),
+        "bias": "1.0",
+    }
+    fcols = ",\n             ".join(f"{e} AS {n}" for n, e in feats.items())
+    acols = ",\n             ".join(
+        f"SUM({_Q12.format(x=f'{c} * (y - 0.5)')}) AS g_{c},\n"
+        f"             SUM({_Q12.format(x=f'{c} * {c}')}) AS h_{c}"
+        for c in CLF_FIT_FEATURES)
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT '{c}' AS feature,"
+        f" CAST(g_{c} AS DOUBLE) AS grad,"
+        f" CAST(h_{c} AS DOUBLE) AS hess,"
+        f" FLOOR(CAST(g_{c} AS DOUBLE) * 4.0"
+        f" / NULLIF(CAST(h_{c} AS DOUBLE), 0.0)"
+        f" * 1000000 + 0.5) / 1000000 AS weight FROM agg"
+        for c in CLF_FIT_FEATURES)
+    y = label_sql if label_sql is not None else gopher_keep_sql(text_col)
+    return f"""
+    WITH f AS (
+      SELECT {fcols},
+             CAST(({y}) AS DOUBLE) AS y
+      FROM {table}
+    ),
+    agg AS (
+      SELECT {acols}
+      FROM f
+    )
+{unions}
+    """
+
+
+def quality_classifier_score_fitted(df: DataFrame,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    label: Column | None = None) -> DataFrame:
+    """Score every document with the weights :func:`quality_classifier_fit`
+    just TRAINED — the end-to-end model filter (fit -> broadcast the
+    d-row model -> one projection), mirroring the DSIR
+    model/from-model pair. The model pivots to one row and broadcasts;
+    no collect, the plan stays fully declarative. Same rational squash
+    z/(1+|z|) as the fixed-weight scorer."""
+    # a zero-signal feature (hess 0 -> NULL weight) contributes nothing
+    # to z instead of NULLing every score
+    model = (quality_classifier_fit(df, text_col, label=label)
+             .groupBy().pivot("feature", list(CLF_FIT_FEATURES))
+             .agg(F.first("weight")))
+    for c in CLF_FIT_FEATURES:
+        model = model.withColumn(c, F.coalesce(F.col(c), F.lit(0.0)))
+    q = quality_columns(text_col)
+    feats = df.select(
+        F.col(id_col),
+        q["ttr"].alias("_ttr"),
+        q["stopword_ratio"].alias("_stop"),
+        q["mean_token_len"].alias("_mtl"),
+        round6u(F.log2(q["n_tokens"].cast("double"))).alias("_lnt"))
+    z = (F.col("bias")
+         + F.col("ttr") * F.col("_ttr")
+         + F.col("stopword_ratio") * F.col("_stop")
+         + F.col("mean_token_len") * F.col("_mtl")
+         + F.col("log_n_tokens") * F.col("_lnt"))
+    return (feats.join(F.broadcast(model))
+            .select(id_col,
+                    F.round(z / (F.lit(1.0) + F.abs(z)), 6)
+                    .alias("clf_score"))
+            .withColumn("clf_keep", F.col("clf_score") >= 0.0))
+
+
+def quality_classifier_score_fitted_sql(table: str = "documents",
+                                        text_col: str = "text",
+                                        id_col: str = "doc_id",
+                                        label_sql: str | None = None) -> str:
+    q = quality_sql_columns(text_col)
+    fit = quality_classifier_fit_sql(table, text_col, label_sql=label_sql)
+    lnt = round6u_sql(f"log2(CAST({q['n_tokens']} AS DOUBLE))")
+    z = (f"(w.bias + w.ttr * ({q['ttr']})"
+         f" + w.stopword_ratio * ({q['stopword_ratio']})"
+         f" + w.mean_token_len * ({q['mean_token_len']})"
+         f" + w.log_n_tokens * ({lnt}))")
+    return f"""
+    WITH fit AS ({fit}),
+    w AS (
+      SELECT COALESCE(MAX(CASE WHEN feature = 'ttr' THEN weight END), 0.0)
+               AS ttr,
+             COALESCE(MAX(CASE WHEN feature = 'stopword_ratio'
+                               THEN weight END), 0.0) AS stopword_ratio,
+             COALESCE(MAX(CASE WHEN feature = 'mean_token_len'
+                               THEN weight END), 0.0) AS mean_token_len,
+             COALESCE(MAX(CASE WHEN feature = 'log_n_tokens'
+                               THEN weight END), 0.0) AS log_n_tokens,
+             COALESCE(MAX(CASE WHEN feature = 'bias' THEN weight END), 0.0)
+               AS bias
+      FROM fit
+    )
+    SELECT {id_col},
+           ROUND({z} / (1.0 + abs({z})), 6) AS clf_score,
+           ROUND({z} / (1.0 + abs({z})), 6) >= 0.0 AS clf_keep
+    FROM {table}, w
     """
 
 

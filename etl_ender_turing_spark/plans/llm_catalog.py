@@ -1717,6 +1717,48 @@ def q_span_dedup_rewrite(spark, sf_dir):
     return dd.span_dedup_rewrite(_docs(spark, sf_dir), n=8)
 
 
+# Weak label for the classifier fit: every Gopher/C4 rule EXCEPT
+# rule_stopwords, which is constant-false on the synthetic corpus (the
+# generator never plants >= 2 Gopher stopwords) — a constant label makes
+# the fit degenerate (all-reject); the subset splits ~55/45 on
+# rule_word_count, so the trained weights demonstrate actual learning.
+# Production callers pass their own label (source-based labels —
+# "reference corpus vs crawl" — are the standard).
+_CLF_FIT_RULES = ("rule_word_count", "rule_mean_word_len",
+                  "rule_alpha_words", "rule_symbol_ratio",
+                  "rule_no_brace", "rule_no_lorem")
+
+
+@register(
+    "q_quality_classifier_fit",
+    ts.quality_classifier_fit_sql(
+        "documents", label_sql=ts.gopher_keep_subset_sql(rules=_CLF_FIT_RULES)),
+    doc="in-engine classifier TRAINING: one diagonal-Hessian Newton step "
+        "of logistic regression from w=0 over the deterministic quality "
+        "features, weak-labeled by the Gopher/C4 rule gate (the "
+        "distill-the-rules shape of production quality classifiers). "
+        "12dp-quantized decimal sums, ONE partial+final aggregation to a "
+        "single row exploded to the d-row model — zero joins/windows")
+def q_quality_classifier_fit(spark, sf_dir):
+    return ts.quality_classifier_fit(
+        _docs(spark, sf_dir),
+        label=ts.gopher_keep_subset(rules=_CLF_FIT_RULES))
+
+
+@register(
+    "q_quality_clf_fitted_scores",
+    ts.quality_classifier_score_fitted_sql(
+        "documents", label_sql=ts.gopher_keep_subset_sql(rules=_CLF_FIT_RULES)),
+    doc="end-to-end model filter: score every doc with the weights "
+        "q_quality_classifier_fit just trained (fit -> pivot to a 1-row "
+        "model -> broadcast join -> one projection; the DSIR "
+        "model/from-model pattern for the classifier family)")
+def q_quality_clf_fitted_scores(spark, sf_dir):
+    return ts.quality_classifier_score_fitted(
+        _docs(spark, sf_dir),
+        label=ts.gopher_keep_subset(rules=_CLF_FIT_RULES))
+
+
 @register(
     "q_span_longest_match",
     dd.span_longest_match_sql("documents", n=8, min_len=12),

@@ -998,6 +998,47 @@ def test_quality_classifier_orders_prose_above_soup(spark):
     assert -1.0 < got[2]["clf_score"] < 1.0       # bounded link
 
 
+def test_quality_classifier_fit_newton_step_math(spark):
+    # Hand-checkable fit: label = the doc contains 'good'. With w=0 the
+    # diagonal-Newton weight is 4*sum(x*(y-1/2))/sum(x^2); for the BIAS
+    # feature (x=1) that is 4*(n_pos - n_neg)/2/N = 2*(n_pos-n_neg)/N.
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(i, ("good doc with words here ok fine yes"
+              if i % 4 != 0 else "bad doc with words here ok fine no"))
+         for i in range(8)], "doc_id long, text string")
+    label = F.col("text").contains("good")
+    model = {r.feature: r for r in
+             ts.quality_classifier_fit(df, label=label).collect()}
+    assert set(model) == {"ttr", "stopword_ratio", "mean_token_len",
+                          "log_n_tokens", "bias"}
+    # 6 positives, 2 negatives: bias grad = 6*0.5 - 2*0.5 = 2.0,
+    # hess = N = 8, weight = 4*2/8 = 1.0
+    assert model["bias"].grad == 2.0
+    assert model["bias"].hess == 8.0
+    assert model["bias"].weight == 1.0
+    # 8-token docs, identical structure: log_n_tokens x = 3 for all ->
+    # grad = 3*2.0/... = 3 * (6-2)*0.5 = 6, hess = 9*8 = 72, w = 1/3 @6dp
+    assert model["log_n_tokens"].grad == 6.0
+    assert model["log_n_tokens"].hess == 72.0
+    assert model["log_n_tokens"].weight == 0.333333
+    # a constant label still yields a well-defined (all-negative) model;
+    # a feature that is 0 on every row (stopword_ratio here) has hess 0
+    # and NULLs its weight instead of dividing by zero
+    const = {r.feature: r.weight
+             for r in ts.quality_classifier_fit(df, label=F.lit(False))
+             .collect()}
+    assert const.pop("stopword_ratio") is None
+    assert all(w <= 0 for w in const.values())
+    # the fitted scorer separates the classes the label defined
+    scored = ts.quality_classifier_score_fitted(df, label=label)
+    got = {r.doc_id: r.clf_score for r in scored.collect()}
+    pos = [got[i] for i in range(8) if i % 4 != 0]
+    neg = [got[i] for i in range(8) if i % 4 == 0]
+    assert min(pos) > max(neg)
+
+
 def test_bm25_ranks_higher_tf_first(spark):
     from etl_ender_turing_spark.operators import terms as tm
     df = spark.createDataFrame(
