@@ -1133,6 +1133,29 @@ def q_warc_domain_stats(spark, sf_dir):
 
 
 @register(
+    "q_stream_warc_gate",
+    wc.planted_warc_gate_sql("documents", min_tokens=40),
+    doc="streaming WARC ingestion run to completion (streaming/stream."
+        "warc_gate_stream, availableNow): planted multi-record archive "
+        "chunks land in a directory, the file-stream source consumes "
+        "them incrementally, each chunk parses in the same Arrow "
+        "Content-Length offset walk as the batch reader (mapInPandas is "
+        "stream-agnostic), and the ingest-time quality gate (token "
+        "floor + stopword ratio + fingerprint) filters records before "
+        "they reach the corpus. Fully stateless, so the single-round "
+        "verdict equals the batch oracle; at scale maxFilesPerTrigger "
+        "bounds a micro-batch and chunk files parallelize the parse")
+def q_stream_warc_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_warc_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_warc_ckpt_")
+    landing = tempfile.mkdtemp(prefix="q_stream_warc_landing_")
+    return run_warc_gate_batch(spark, sf_dir, ckpt, landing,
+                               min_tokens=40)
+
+
+@register(
     "q_image_stats",
     planted_pgm_stats_sql("documents"),
     doc="REAL pixel statistics over decoded PGM payloads (operators/"

@@ -180,6 +180,29 @@ def planted_warc_records_sql(table: str = "documents",
     """
 
 
+def planted_warc_gate_sql(table: str = "documents", min_tokens: int = 40,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> str:
+    """Oracle for ``streaming.stream.warc_gate_stream`` over the planted
+    chunks: the gated record fields regenerated arithmetically (uri /
+    status from the planting formula, the quality battery over the
+    document's own text — which IS the planted body)."""
+    from ..operators.textstats import quality_sql_columns
+    body = f"COALESCE({text_col}, '')"
+    q = quality_sql_columns(body)
+    return rf"""
+    SELECT 'https://example-' || CAST({id_col} % 7 AS VARCHAR)
+             || '.com/page/' || CAST({id_col} AS VARCHAR) AS uri,
+           CAST(200 AS INTEGER) AS status,
+           {q['n_tokens']} AS n_tokens,
+           {q['stopword_ratio']} AS stopword_ratio,
+           md5(regexp_replace(lower(trim({body})), '\s+', ' ', 'g'))
+             AS fingerprint
+    FROM {table}
+    WHERE {q['n_tokens']} >= {min_tokens}
+    """
+
+
 def warc_domain_stats(records: DataFrame) -> DataFrame:
     """Ingest→analyze composition: per-registered-host page counts and
     byte/token volume straight off parsed WARC records — the first

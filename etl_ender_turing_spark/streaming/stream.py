@@ -827,6 +827,71 @@ def image_neardup_gate_stream(spark: SparkSession, source_dir: str,
     return _band_owner_gate(melted, state_ttl)
 
 
+WARC_CHUNK_SCHEMA = T.StructType([
+    T.StructField("chunk_id", T.LongType()),
+    T.StructField("warc", T.BinaryType()),
+])
+
+
+def warc_gate_stream(spark: SparkSession, landing_dir: str,
+                     min_tokens: int = 40,
+                     glob_filter: str | None = None) -> DataFrame:
+    """Streaming WARC ingestion — the production shape of web-archive
+    intake: crawlers drop WARC chunks into a LANDING DIRECTORY and the
+    pipeline consumes them incrementally (file-stream source), instead
+    of the batch backfill in ``sources/warc.py``. Each arriving chunk
+    blob parses in the same Arrow-batched Content-Length offset walk the
+    batch reader uses (``parse_warc_records`` is stream-agnostic —
+    ``mapInPandas`` runs unchanged on a streaming frame), then the
+    ingest-time quality gate (token floor + stopword ratio + content
+    fingerprint, the q_stream_quality_gate battery) filters records
+    before they ever land in the corpus.
+
+    Fully STATELESS — parse and gate are projections, so the streaming
+    plan is the batch plan verbatim and a single availableNow round
+    value-matches the batch oracle. At 100 TB the file source scales by
+    chunk-file parallelism (maxFilesPerTrigger bounds a micro-batch);
+    the near-dup band gate composes downstream exactly as it does for
+    documents (``neardup_gate_stream`` on the fingerprint)."""
+    from ..operators.textstats import fingerprint, quality_columns
+    from ..sources.warc import parse_warc_records
+
+    reader = spark.readStream.schema(WARC_CHUNK_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    chunks = reader.parquet(landing_dir)
+    recs = parse_warc_records(chunks)
+    q = quality_columns("body")
+    return (recs.select(
+        "uri", "status",
+        q["n_tokens"].alias("n_tokens"),
+        q["stopword_ratio"].alias("stopword_ratio"),
+        fingerprint("body").alias("fingerprint"))
+        .filter(F.col("n_tokens") >= min_tokens))
+
+
+def run_warc_gate_batch(spark: SparkSession, sf_dir: str,
+                        checkpoint_dir: str, landing_dir: str,
+                        min_tokens: int = 40) -> DataFrame:
+    """Synthesize the planted WARC chunks into a landing directory, then
+    drive the streaming ingest + quality gate to completion
+    (availableNow) for value-level oracle comparison."""
+    from ..sources.readers import read_table
+    from ..sources.warc import synthesize_planted_warc
+
+    docs = read_table(spark, sf_dir, "documents")
+    (synthesize_planted_warc(docs)
+     .write.mode("overwrite").parquet(landing_dir))
+    gated = warc_gate_stream(spark, landing_dir, min_tokens)
+    q = (gated.writeStream.format("memory").queryName("warc_gate_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("warc_gate_result")
+
+
 def run_image_gate_batch(spark: SparkSession, source_dir: str,
                          checkpoint_dir: str,
                          glob_filter: str | None = None,

@@ -113,6 +113,55 @@ def test_quality_gate_stream_equals_batch(spark, tmp_path):
     assert 0 < got.count() < docs.count()
 
 
+def test_warc_gate_stream_consumes_landing_dir_incrementally(spark, tmp_path):
+    """Streaming WARC intake: chunks landing AFTER a completed round are
+    picked up by the next availableNow run from the same checkpoint —
+    the landing-directory contract — and the parsed+gated records match
+    the batch parse of the same chunks."""
+    from etl_ender_turing_spark.operators.textstats import (
+        fingerprint, quality_columns,
+    )
+    from etl_ender_turing_spark.sources.warc import (
+        parse_warc_records, synthesize_planted_warc,
+    )
+    from etl_ender_turing_spark.streaming.stream import warc_gate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    first = synthesize_planted_warc(docs.filter("doc_id < 30"))
+    later = synthesize_planted_warc(docs.filter("doc_id >= 30"))
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.write.mode("append").parquet(landing)
+
+    def run_round():
+        q = (warc_gate_stream(spark, landing, min_tokens=40)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_round()
+    n_first = spark.read.parquet(out).count()
+    later.write.mode("append").parquet(landing)
+    run_round()
+    got = spark.read.parquet(out)
+    assert got.count() > n_first > 0
+    # no re-ingestion of round-1 chunks: uri is unique per doc
+    assert got.count() == got.select("uri").distinct().count()
+    # value parity with the batch parse+gate over the same chunks
+    q = quality_columns("body")
+    want = (parse_warc_records(spark.read.parquet(landing))
+            .select("uri", "status", q["n_tokens"].alias("n_tokens"),
+                    q["stopword_ratio"].alias("stopword_ratio"),
+                    fingerprint("body").alias("fingerprint"))
+            .filter("n_tokens >= 40"))
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+
+
 def test_stream_static_enrichment_matches_batch_join(spark, tmp_path):
     from pyspark.sql import functions as F
 
