@@ -28,6 +28,7 @@ Decode honesty split:
 
 from __future__ import annotations
 
+import hashlib
 import struct
 from collections.abc import Iterator
 
@@ -353,6 +354,260 @@ def decode_pgm(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, px
 
 
+# --------------------------------------------------------------------------
+# baseline JPEG, DC-only subset: a REAL entropy-coded scan with stdlib only
+# --------------------------------------------------------------------------
+# The planted image family's second container format (the PGM path above
+# decodes uncompressed pixels; crawl images are JPEG). Scope is the
+# DC-ONLY subset of baseline sequential DCT (ITU T.81): grayscale, one
+# component, 8-bit, no subsampling, every block's AC coefficients zero
+# (EOB immediately after the DC code). Within that subset everything is
+# the real format — marker segments, DQT/DHT/SOF0/SOS parsing, canonical
+# Huffman coding, DC prediction, byte stuffing — and the DC-only inverse
+# DCT is EXACT integer arithmetic (the IDCT of a lone F(0,0) is the
+# constant F(0,0)/8 per sample), so decoded pixels are bit-reproducible
+# and the DuckDB oracle can regenerate them arithmetically. Anything
+# outside the subset (progressive, multi-component, nonzero AC, restart
+# markers, 16-bit tables) raises NotImplementedError -> the Arrow stages
+# drop the payload, same contract as every other decoder here.
+
+# ITU T.81 Annex K.3.1 luminance DC table (lengths 1..16, then symbols)
+_JPG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPG_DC_VALS = tuple(range(12))
+# minimal AC table: the lone EOB symbol (run/size 0x00) at length 2 —
+# a legal canonical table; the DC-only scan never emits another AC code
+_JPG_AC_BITS = (0, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+_JPG_AC_VALS = (0x00,)
+_JPG_Q0 = 8          # quant step for F(0,0): pixel = DC*8/8 + 128 exact
+
+
+def _huff_canonical(bits: tuple[int, ...], vals: tuple[int, ...]):
+    """Canonical Huffman assignment (T.81 C.2): {symbol: (code, len)}."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    """MSB-first bit packer with JPEG byte stuffing (0xFF -> 0xFF 0x00)
+    and the spec's 1-fill to the final byte boundary (F.1.2.3)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self._acc, self._n = 0, 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self._acc = (self._acc << 1) | ((value >> i) & 1)
+            self._n += 1
+            if self._n == 8:
+                self.out.append(self._acc)
+                if self._acc == 0xFF:
+                    self.out.append(0x00)
+                self._acc, self._n = 0, 0
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def encode_dc_only_jpeg(w: int, h: int, dcs: list[int]) -> bytes:
+    """Assemble a VALID baseline JPEG whose blocks are the constants
+    ``dc + 128`` — one quantized DC coefficient per 8x8 block in raster
+    order, AC all zero. The planted-fixture builder (the decoder below
+    never shares this bit-packing logic)."""
+    import struct as st
+
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    if len(dcs) != bw * bh:
+        raise ValueError("need one DC per 8x8 block")
+    dc_codes = _huff_canonical(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _huff_canonical(_JPG_AC_BITS, _JPG_AC_VALS)
+    out = bytearray(b"\xff\xd8")                                   # SOI
+    out += b"\xff\xdb" + st.pack(">H", 67) + b"\x00" + bytes([_JPG_Q0] * 64)
+    out += (b"\xff\xc0" + st.pack(">H", 11) + b"\x08"              # SOF0
+            + st.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0]))
+    out += (b"\xff\xc4" + st.pack(">H", 2 + 17 + len(_JPG_DC_VALS)
+                                  + 17 + len(_JPG_AC_VALS))        # DHT
+            + b"\x00" + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+            + b"\x10" + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS))
+    out += (b"\xff\xda" + st.pack(">H", 8) + b"\x01"               # SOS
+            + bytes([1, 0x00]) + bytes([0, 63, 0]))
+    wtr, prev = _BitWriter(), 0
+    for dc in dcs:
+        diff, prev = dc - prev, dc
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        wtr.write(code, ln)
+        if s:
+            wtr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        code, ln = ac_codes[0x00]                                  # EOB
+        wtr.write(code, ln)
+    out += wtr.flush()
+    out += b"\xff\xd9"                                             # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment, un-stuffing
+    0xFF 0x00 and refusing markers mid-scan."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b, self.pos = b, pos
+        self._acc, self._n = 0, 0
+
+    def bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.b):
+                raise ValueError("scan truncated")
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                if self.pos >= len(self.b):
+                    raise ValueError("scan truncated at stuffing")
+                nxt = self.b[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1
+                elif 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError("restart markers unsupported")
+                else:
+                    raise ValueError("marker inside entropy scan")
+            self._acc, self._n = byte, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(rd: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | rd.bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from a DC-only grayscale baseline JPEG —
+    a REAL subset decode with stdlib only: marker walk, DQT/DHT/SOF0/SOS
+    parse, canonical Huffman DC decode with prediction, byte
+    un-stuffing, exact integer DC-only IDCT (constant blocks), edge
+    crop. NotImplementedError on legal-but-out-of-subset streams
+    (progressive/multi-component/nonzero AC/16-bit tables/restarts);
+    ValueError on malformed bytes."""
+    import struct as st
+
+    b = payload
+    if len(b) < 4 or b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, bytes] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_q = 0
+    off = 2
+    while off + 4 <= len(b):
+        if b[off] != 0xFF:
+            raise ValueError("desynced marker stream")
+        marker = b[off + 1]
+        if marker == 0xD9:
+            break
+        (size,) = st.unpack(">H", b[off + 2:off + 4])
+        seg = b[off + 4:off + 2 + size]
+        if marker == 0xDB:                                         # DQT
+            p = 0
+            while p < len(seg):
+                if seg[p] >> 4:
+                    raise NotImplementedError("16-bit quant tables")
+                qt[seg[p] & 0x0F] = seg[p + 1:p + 65]
+                p += 65
+        elif marker == 0xC4:                                       # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = seg[p + 1:p + 17]
+                nsym = sum(bits)
+                vals = seg[p + 17:p + 17 + nsym]
+                tbl, code, k = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        tbl[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                huff[(cls, tid)] = tbl
+                p += 17 + nsym
+        elif marker == 0xC0:                                       # SOF0
+            if seg[0] != 8:
+                raise NotImplementedError("non-8-bit precision")
+            h, w = st.unpack(">HH", seg[1:5])
+            if seg[5] != 1:
+                raise NotImplementedError("multi-component JPEG")
+            if seg[7] != 0x11:
+                raise NotImplementedError("subsampled JPEG")
+            comp_q = seg[8]
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("non-baseline SOF")
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDA:                                       # SOS
+            if w is None or not qt or (0, seg[2] >> 4) not in huff:
+                raise ValueError("SOS before SOF/DQT/DHT")
+            dc_tbl = huff[(0, seg[2] >> 4)]
+            ac_tbl = huff[(1, seg[2] & 0x0F)]
+            q0 = qt[comp_q][0]
+            rd = _BitReader(b, off + 2 + size)
+            bw, bh = (w + 7) // 8, (h + 7) // 8
+            import numpy as np
+            img = np.empty((bh * 8, bw * 8), dtype=np.uint8)
+            dc = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    s = _huff_decode(rd, dc_tbl)
+                    if s:
+                        v = rd.bits(s)
+                        if v < (1 << (s - 1)):
+                            v -= (1 << s) - 1
+                        dc += v
+                    if _huff_decode(rd, ac_tbl) != 0x00:
+                        raise NotImplementedError(
+                            "AC coefficients outside the DC-only subset")
+                    val = dc * q0
+                    # round half away from zero; exact when 8 | val
+                    # (every planted block: q0 = 8)
+                    mag = (abs(val) + 4) // 8
+                    p = (mag if val >= 0 else -mag) + 128
+                    img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = min(
+                        255, max(0, p))
+            return w, h, img[:h, :w].tobytes()
+        off += 2 + size
+    raise ValueError("no scan in JPEG")
+
+
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Format-dispatching grayscale pixel decode: binary PGM or the
+    DC-only baseline-JPEG subset. The image-family operators hash both
+    container formats through this single entry point."""
+    if payload[:2] == b"P5":
+        return decode_pgm(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg_gray(payload)
+    raise ValueError("unrecognized image container")
+
+
 def dhash_int(w: int, h: int, px: bytes, hash_w: int = 10,
               hash_h: int = 6) -> int:
     """Difference hash over an area-downscaled grayscale image — in PURE
@@ -397,10 +652,11 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
                 id_col: str = "doc_id") -> DataFrame:
     """(doc_id, simhash): 60-bit perceptual dHash per image — the same
     Arrow ``mapInPandas`` stage as :func:`extract_media_meta`, decoding
-    PGM payloads for real. Undecodable payloads are dropped (a hash of
-    garbage would poison the near-dup buckets). The output column is
-    named ``simhash`` so :func:`dedup.simhash_pairs` banding applies
-    unchanged — the multimodal member of the dedup family."""
+    PGM and DC-only-JPEG payloads for real (:func:`decode_image`
+    dispatches on the container magic). Undecodable payloads are dropped
+    (a hash of garbage would poison the near-dup buckets). The output
+    column is named ``simhash`` so :func:`dedup.simhash_pairs` banding
+    applies unchanged — the multimodal member of the dedup family."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
@@ -408,7 +664,7 @@ def image_dhash(df: DataFrame, payload_col: str = "payload",
                 b = (b"" if p is None else
                      (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
                 try:
-                    w, h, px = decode_pgm(b)
+                    w, h, px = decode_image(b)
                 except (ValueError, NotImplementedError):
                     continue
                 ids.append(int(did))
@@ -535,6 +791,93 @@ PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("px_max", T.IntegerType()),
     T.StructField("px_mean", T.DoubleType()),
 ])
+
+
+# planted DC-only JPEGs: 88×48 px = 11×6 blocks of 8×8, each block the
+# CONSTANT v(page, bx, by) = md5-derived in [20, 199] ('j:' salt keeps
+# the key space disjoint from the PGM pixel keys). The dHash grid for
+# 88×48 is exactly the block grid (cells 8×8 with equal areas), so the
+# oracle compares adjacent block constants directly. Odd ids brighten
+# ONE block by +40 (≤ 239, never clamped): the planted near-dup pair,
+# hamming ≤ 2 by construction — same discipline as the PGM fixture.
+JPG_W, JPG_H = 88, 48
+_JPG_BX, _JPG_BY = JPG_W // 8, JPG_H // 8
+_JPG_V_DUCK = ("(CAST(('0x' || substr(md5('j:' || CAST({page} AS VARCHAR)"
+               " || ':' || CAST({bx} AS VARCHAR) || ':'"
+               " || CAST({by} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+               " % 180 + 20"
+               " + (CASE WHEN ({did}) % 2 = 1"
+               " AND ({bx}) = ({page}) % 11 AND ({by}) = ({page}) % 6"
+               " THEN 40 ELSE 0 END))")
+
+
+def _planted_jpeg_block(page: int, bx: int, by: int, did: int) -> int:
+    """The Python spelling of the SAME planting formula the DuckDB
+    oracle evaluates (hashlib md5 == DuckDB md5 over utf-8 text)."""
+    v = int(hashlib.md5(f"j:{page}:{bx}:{by}".encode()).hexdigest()[:8],
+            16) % 180 + 20
+    if did % 2 == 1 and bx == page % 11 and by == page % 6:
+        v += 40
+    return v
+
+
+def synthesize_planted_jpeg(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID DC-only baseline JPEGs planted from
+    doc_id — the image family's second real container. The builder packs
+    the scan with :func:`encode_dc_only_jpeg` (Huffman + DC prediction +
+    byte stuffing); the query-side decoder walks the same format with
+    INDEPENDENT unpacking logic, and the DuckDB oracle regenerates every
+    expected block value arithmetically from the md5 formula — a
+    builder/decoder bug pair cannot cancel out against the oracle's
+    values. Arrow-batched and repartitioned first (the fixture parquet
+    is one split; per-row md5+bit-packing is the heavy part)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                dcs = [_planted_jpeg_block(page, bx, by, did) - 128
+                       for by in range(_JPG_BY) for bx in range(_JPG_BX)]
+                ids.append(did)
+                payloads.append(encode_dc_only_jpeg(JPG_W, JPG_H, dcs))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_jpeg_dhash_sql(table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted JPEG
+    fixture: the dHash cells coincide with the 8×8 blocks (equal areas),
+    so adjacent-cell mean compares reduce to comparing the planted block
+    constants — regenerated from the md5 formula, never from bytes."""
+    v = _JPG_V_DUCK.format(page=f"({id_col} // 2)", bx="g.bx", by="g.by",
+                           did=id_col)
+    return f"""
+    WITH blocks AS (
+      SELECT {id_col}, g.bx, g.by, {v} AS v
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0,
+                    {_JPG_BX * _JPG_BY - 1})) AS i) n,
+           LATERAL (SELECT n.i % {_JPG_BX} AS bx, n.i // {_JPG_BX} AS by) g
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.v > b.v
+                    THEN CAST(pow(2, a.by * 10 + a.bx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM blocks a JOIN blocks b
+      ON a.{id_col} = b.{id_col} AND a.by = b.by AND b.bx = a.bx + 1
+    WHERE a.bx < 10
+    GROUP BY a.{id_col}
+    """
 
 
 def image_pixel_stats(df: DataFrame, payload_col: str = "payload",

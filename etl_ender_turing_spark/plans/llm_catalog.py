@@ -1022,8 +1022,8 @@ def _planted_pgm_hashes(spark, sf_dir):
 
 
 from ..operators.multimodal import (  # noqa: E402
-    planted_pgm_dhash_sql, planted_pgm_neardup_sql, planted_pgm_stats_sql,
-    planted_wav_stats_sql)
+    planted_jpeg_dhash_sql, planted_pgm_dhash_sql, planted_pgm_neardup_sql,
+    planted_pgm_stats_sql, planted_wav_stats_sql)
 
 
 @register(
@@ -1185,6 +1185,25 @@ def q_image_stats(spark, sf_dir):
         "boundary, or bit-order bug hash-mismatches")
 def q_image_phash(spark, sf_dir):
     return _planted_pgm_hashes(spark, sf_dir)
+
+
+@register(
+    "q_image_phash_jpeg",
+    planted_jpeg_dhash_sql("documents"),
+    doc="perceptual hashing over the image family's SECOND real "
+        "container: planted DC-ONLY BASELINE JPEGs (valid T.81 streams "
+        "— DQT/DHT/SOF0/SOS segments, canonical Huffman DC coding with "
+        "prediction, byte stuffing; blocks are md5-planted constants, so "
+        "the DC-only integer IDCT is exact). The Arrow stage REALLY "
+        "entropy-decodes the scan (independent unpacking logic from the "
+        "builder's packer) and the same integer dHash runs on the "
+        "decoded pixels; the 88x48 dHash cells coincide with the 8x8 "
+        "blocks, so the oracle compares md5-regenerated block constants "
+        "directly — never touching bytes")
+def q_image_phash_jpeg(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_jpeg(docs))
 
 
 @register(

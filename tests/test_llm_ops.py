@@ -327,6 +327,70 @@ def test_parse_mp4_meta_box_walk():
     assert mm.parse_mp4_meta(box(b"moov", box(b"mvhd", mvhd0))) is None
 
 
+def test_jpeg_dc_only_roundtrip_and_format_conformance():
+    import numpy as np
+
+    # worked example: two blocks, constants 100 and 220
+    b = mm.encode_dc_only_jpeg(16, 8, [100 - 128, 220 - 128])
+    w, h, px = mm.decode_jpeg_gray(b)
+    a = np.frombuffer(px, np.uint8).reshape(h, w)
+    assert (w, h) == (16, 8)
+    assert (a[:, :8] == 100).all() and (a[:, 8:] == 220).all()
+    # the stream is REAL enough for the independent header scanner
+    m = mm.parse_media_header(b)
+    assert (m["codec"], m["width"], m["height"]) == ("jpeg-baseline", 16, 8)
+    # negative DCs round exactly (the r8 round-half-away fix: floor
+    # division shifted every negative block down one level)
+    b2 = mm.decode_jpeg_gray(mm.encode_dc_only_jpeg(8, 8, [20 - 128]))
+    assert np.frombuffer(b2[2], np.uint8)[0] == 20
+    # non-multiple-of-8 width: full block grid decodes, edge crops
+    w3, h3, px3 = mm.decode_jpeg_gray(
+        mm.encode_dc_only_jpeg(12, 8, [50 - 128, 30 - 128]))
+    a3 = np.frombuffer(px3, np.uint8).reshape(h3, w3)
+    assert (w3, len(px3)) == (12, 96)
+    assert (a3[:, :8] == 50).all() and (a3[:, 8:] == 30).all()
+    # byte stuffing: every 0xFF inside the entropy scan is stuffed
+    big = mm.encode_dc_only_jpeg(
+        88, 8, [(i * 23 % 200) - 100 for i in range(11)])
+    scan = big[big.find(b"\xff\xda") + 10:-2]
+    assert all(scan[i + 1] == 0x00
+               for i in range(len(scan) - 1) if scan[i] == 0xFF)
+    assert mm.decode_jpeg_gray(big)[0] == 88
+    # out-of-subset streams refuse loudly instead of mis-decoding
+    prog = bytearray(b)
+    prog[prog.find(b"\xff\xc0") + 1] = 0xC2          # progressive SOF
+    with pytest.raises(NotImplementedError):
+        mm.decode_jpeg_gray(bytes(prog))
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(b"\xff\xd8\xff\xd9")     # no scan
+    with pytest.raises(ValueError):
+        mm.decode_jpeg_gray(b[:40])                  # truncated
+    # dispatching decode: PGM and JPEG through one entry point
+    assert mm.decode_image(b)[:2] == (16, 8)
+    assert mm.decode_image(b"P5\n2 1\n255\nab")[:2] == (2, 1)
+    with pytest.raises(ValueError):
+        mm.decode_image(b"GIF89a")
+
+
+def test_planted_jpeg_pair_is_near_duplicate():
+    # even/odd ids of one page differ by ONE brightened block -> at most
+    # the two adjacent-compare bits flip
+    def hsh(did):
+        page = did // 2
+        dcs = [mm._planted_jpeg_block(page, bx, by, did) - 128
+               for by in range(mm._JPG_BY) for bx in range(mm._JPG_BX)]
+        w, h, px = mm.decode_jpeg_gray(
+            mm.encode_dc_only_jpeg(mm.JPG_W, mm.JPG_H, dcs))
+        return mm.dhash_int(w, h, px)
+
+    dists = [bin(hsh(2 * p) ^ hsh(2 * p + 1)).count("1")
+             for p in range(8)]
+    assert all(d <= 2 for d in dists)        # always inside the gate
+    assert any(d >= 1 for d in dists)        # and the flip path is real
+    # distinct pages are nowhere near the gate
+    assert bin(hsh(0) ^ hsh(6)).count("1") > 10
+
+
 def test_parse_media_header_rejects_garbage():
     assert mm.parse_media_header(b"") is None
     assert mm.parse_media_header(b"not media at all") is None
