@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import sys
+import time
 from datetime import datetime
 
 import duckdb
@@ -88,6 +89,7 @@ def main() -> int:
     for name, spec in CATALOG.items():
         if only and name not in only:
             continue
+        t0 = time.time()
         try:
             sdf = spec.builder(spark, sf_dir)
             scols = sdf.columns
@@ -98,7 +100,8 @@ def main() -> int:
             failures += 1
             continue
         if spec.oracle is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            print(f"ok   {name}: rows-only ({len(srows)} rows) "
+                  f"[{time.time() - t0:.2f}s]")
             continue
         try:
             odf = con.execute(spec.oracle).df()
@@ -125,7 +128,8 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
-            print(f"ok   {name}: {len(srows)} rows hash-match")
+            print(f"ok   {name}: {len(srows)} rows hash-match "
+                  f"[{time.time() - t0:.2f}s]")
     spark.stop()
     return 1 if failures else 0
 
