@@ -329,15 +329,32 @@ def simhash_pairs(sigs: DataFrame, max_hamming: int = 3,
     plausible non-duplicate collision group, or treat the output as
     approximate for over-cap buckets.
     """
+    return banded_hamming_pairs(sigs, sig_col="simhash", n_bands=4,
+                                band_bits=15, max_hamming=max_hamming,
+                                id_col=id_col, max_bucket=max_bucket)
+
+
+def banded_hamming_pairs(sigs: DataFrame, sig_col: str = "simhash",
+                         n_bands: int = 4, band_bits: int = 15,
+                         max_hamming: int = 3, id_col: str = "doc_id",
+                         max_bucket: int = 1000) -> DataFrame:
+    """The band/bucket machinery of :func:`simhash_pairs`, parameterized
+    over signature width: ``n_bands`` bands of ``band_bits`` bits each.
+    Pigeonhole exactness holds when ``max_hamming < n_bands`` (a pair
+    within the threshold leaves at least one band untouched). Other
+    fingerprint families (the 31-bit audio energy-delta fingerprint in
+    :mod:`..operators.multimodal` uses 4×8-bit bands) reuse this instead
+    of re-spelling the melt → bucket → in-bucket expansion shape."""
+    width = 1 << band_bits
     melted = sigs.select(
-        F.col(id_col), F.col("simhash"),
-        F.expr("explode(transform(sequence(0, 3),"
-               " b -> struct(b AS band, (simhash div CAST(pow(32768, b) AS BIGINT))"
-               " % 32768 AS nib)))").alias("bn")) \
-        .select(id_col, "simhash", "bn.band", "bn.nib")
+        F.col(id_col), F.col(sig_col),
+        F.expr(f"explode(transform(sequence(0, {n_bands - 1}),"
+               f" b -> struct(b AS band, ({sig_col} div CAST(pow({width}, b)"
+               f" AS BIGINT)) % {width} AS nib)))").alias("bn")) \
+        .select(id_col, sig_col, "bn.band", "bn.nib")
     buckets = (melted.groupBy("band", "nib")
                .agg(F.sort_array(F.collect_set(F.struct(F.col(id_col).alias("id"),
-                                                        F.col("simhash").alias("sh"))))
+                                                        F.col(sig_col).alias("sh"))))
                     .alias("xs"))
                .filter(F.size("xs") >= 2))
     pairs = F.expr(f"""

@@ -1083,6 +1083,161 @@ def planted_wav_stats_sql(table: str = "documents",
 
 
 # --------------------------------------------------------------------------
+# Audio perceptual fingerprint: frame-energy deltas over decoded PCM
+# --------------------------------------------------------------------------
+
+AUDIO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("fp", T.LongType()),
+])
+
+# 32 frames of 4 samples over the 128-sample pair fixture → 31 delta bits.
+# Real deployments use longer windows (Chromaprint-style fingerprints are
+# 32 bits × thousands of frames); 31 bits keeps the value a plain BIGINT
+# both engines can band with exact pow(2, f) doubles (every power of two
+# ≤ 2^62 is exactly representable).
+AUDIO_FP_FRAMES = 32
+WAV_PAIR_SAMPLES = 128
+
+
+def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id",
+                      n_frames: int = AUDIO_FP_FRAMES) -> DataFrame:
+    """Energy-delta acoustic fingerprint over REALLY-decoded PCM — the
+    audio member of the perceptual-hash dedup family (image dHash is the
+    vision member). Samples split into ``n_frames`` equal frames; frame
+    energy is the exact integer sum of squares; bit ``f`` is set when
+    ``energy[f] > energy[f+1]`` (the same adjacent-compare delta coding
+    dHash uses on pixel cells — pure integers, bit-reproducible on any
+    worker). This is the shape of published audio fingerprints
+    (Haitsma–Kalker / Chromaprint band-energy deltas) minus the FFT:
+    with no scipy in the stack, time-domain frame energy stands in for
+    band energy, and the banding/dedup machinery downstream is
+    identical. Undecodable or too-short payloads drop."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps = [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    _rate, xs = decode_wav_samples(b)
+                except ValueError:
+                    continue
+                if len(xs) < n_frames:
+                    continue
+                flen = len(xs) // n_frames
+                e = [sum(x * x for x in xs[f * flen:(f + 1) * flen])
+                     for f in range(n_frames)]
+                fps.append(sum(1 << f for f in range(n_frames - 1)
+                               if e[f] > e[f + 1]))
+                ids.append(int(did))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "fp": pd.Series(fps, dtype="int64")})
+
+    return df.mapInPandas(run, AUDIO_FP_SCHEMA)
+
+
+# planted near-dup PCM pairs: two ids per page share the page's sample
+# sequence; the odd id adds +300 to ONE sample (index page % 128). That
+# moves exactly one frame energy, so the pair's fingerprints differ in at
+# most the two delta bits adjacent to that frame — a planted near-dup at
+# hamming ≤ 2, the audio analogue of the PGM/JPEG one-block perturbation.
+# Samples are md5-derived ('a:' salt), NOT a linear ramp: a periodic
+# formula gives pages correlated frame-energy profiles and the fingerprint
+# space collapses into structural collisions (measured: 12k pairs across
+# 500 docs); md5 keeps cross-page fingerprints uniform so planted pairs
+# dominate (chance pairs within hamming 3 are ~2e-6 of the 2^31 space).
+_WAV_PERTURB = (" + (CASE WHEN ({did}) % 2 = 1"
+                " AND ({k}) = ({page}) % {n} THEN 300 ELSE 0 END)")
+_WAV_S_SPARK = ("(CAST(conv(substring(md5('a:' || CAST({page} AS STRING)"
+                " || ':' || CAST({k} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+                " % 2048 - 1024" + _WAV_PERTURB + ")")
+_WAV_S_DUCK = ("(CAST(('0x' || substr(md5('a:' || CAST({page} AS VARCHAR)"
+               " || ':' || CAST({k} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+               " % 2048 - 1024" + _WAV_PERTURB + ")")
+
+
+def synthesize_planted_wav_pairs(docs: DataFrame,
+                                 id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID 16-bit mono PCM WAVs planted as near-dup
+    PAIRS (page = id//2; odd ids perturb one sample) — JVM-side hex
+    assembly like :func:`synthesize_planted_wav_pcm`, 128 samples so the
+    fingerprint has 31 bits (2^31 hash space → chance collisions within
+    hamming 3 are ~10^-6-rare at test SFs; the planted pairs dominate)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    page = f"({id_col} div 2)"
+    sr = F.lit(8000) + (F.expr(page) % 5) * 8000
+    n = WAV_PAIR_SAMPLES
+    n_bytes = n * 2
+    sample = _WAV_S_SPARK.format(page=page, k="k", did=id_col, n=n)
+    data_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {n - 1}),"
+        f" k -> concat(substring(lpad(hex((({sample}) + 65536) % 65536),"
+        f" 4, '0'), 3, 2), substring(lpad(hex((({sample}) + 65536)"
+        f" % 65536), 4, '0'), 1, 2))))")
+    wav_hex = F.concat(
+        F.hex(F.lit("RIFF")), _hex_le(F.lit(36 + n_bytes), 4),
+        F.hex(F.lit("WAVE")),
+        F.hex(F.lit("fmt ")), _hex_le(F.lit(16), 4),
+        _hex_le(F.lit(1), 2), _hex_le(F.lit(1), 2),        # PCM, mono
+        _hex_le(sr, 4), _hex_le(sr * 2, 4),                # rate, byterate
+        _hex_le(F.lit(2), 2), _hex_le(F.lit(16), 2),       # align, bits
+        F.hex(F.lit("data")), _hex_le(F.lit(n_bytes), 4),
+        data_hex)
+    return docs.select(id_col, F.unhex(wav_hex).alias("payload"))
+
+
+def planted_wav_fp_sql(table: str = "documents",
+                       id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`audio_fingerprint` over the planted pair
+    fixture: frame energies regenerated from the sample formula (never
+    decoding bytes — a chunk-offset or endianness bug on the Spark side
+    hash-mismatches), delta bits assembled with exact integer powers."""
+    n, nf = WAV_PAIR_SAMPLES, AUDIO_FP_FRAMES
+    flen = n // nf
+    s = _WAV_S_DUCK.format(page=f"({id_col} // 2)", k="k.k",
+                           did=id_col, n=n)
+    return f"""
+    WITH frames AS (
+      SELECT {id_col}, k.k // {flen} AS f, SUM(({s}) * ({s})) AS e
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {n - 1})) AS k) k
+      GROUP BY {id_col}, k.k // {flen}
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.e > b.e
+                    THEN CAST(pow(2, a.f) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS fp
+    FROM frames a JOIN frames b
+      ON a.{id_col} = b.{id_col} AND b.f = a.f + 1
+    GROUP BY a.{id_col}
+    """
+
+
+def planted_wav_neardup_sql(table: str = "documents", max_hamming: int = 3,
+                            id_col: str = "doc_id") -> str:
+    """Near-dup audio pairs over the planted fingerprints — the banded
+    join spelled relationally (4 × 8-bit bands over the 31-bit value,
+    exact pigeonhole for hamming ≤ 3), mirroring
+    :func:`dedup.banded_hamming_pairs`."""
+    return f"""
+    WITH sigs AS ({planted_wav_fp_sql(table, id_col)}),
+    melted AS (
+      SELECT {id_col}, fp, b AS band,
+             (fp // CAST(pow(256, b) AS BIGINT)) % 256 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    )
+    SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+           bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM melted a JOIN melted b
+      ON a.band = b.band AND a.nib = b.nib AND a.{id_col} < b.{id_col}
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+# --------------------------------------------------------------------------
 # Video container decode: ISO BMFF (MP4) box walk to the movie header
 # --------------------------------------------------------------------------
 
@@ -1210,3 +1365,318 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64,
         "frames",
         F.expr(f"transform(sequence(1, greatest(1, length({payload_col}) div {every_n_bytes})),"
                f" i -> substring({payload_col}, (i - 1) * {every_n_bytes} + 1, {every_n_bytes}))"))
+
+
+# --------------------------------------------------------------------------
+# Video FRAME decode: MJPEG-in-MP4 sample-table walk + per-frame dHash
+# --------------------------------------------------------------------------
+
+VIDEO_FRAMES = 3          # frames planted (and sampled) per video
+VIDEO_FP_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("simhash", T.LongType()),
+])
+
+
+def parse_mp4_samples(payload: bytes) -> list[bytes]:
+    """REAL ISO-BMFF sample extraction with stdlib struct only: walk
+    moov > trak > mdia > minf > stbl, parse ``stsz`` (v0; fixed-size or
+    per-sample table) and ``stco`` (u32 chunk offsets), and slice one
+    sample per chunk out of the file. The supported subset is exactly
+    what a 1-sample-per-chunk MJPEG track stores; anything else —
+    missing boxes, stsz/stco count mismatch (multi-sample chunks need
+    stsc math), offsets overrunning the buffer — raises ValueError and
+    the row drops in the Arrow stage. Box walk reuses the size-guard
+    discipline of :func:`parse_mp4_meta` (a declared size overrunning
+    its parent stops the walk, never mis-slices)."""
+    def walk(b: bytes, lo: int, hi: int):
+        off = lo
+        while off + 8 <= hi:
+            (size,) = struct.unpack(">I", b[off:off + 4])
+            if size < 8 or off + size > hi:
+                return
+            yield b[off + 4:off + 8], off + 8, off + size
+            off += size
+
+    def child(b: bytes, lo: int, hi: int, typ: bytes):
+        for t, clo, chi in walk(b, lo, hi):
+            if t == typ:
+                return clo, chi
+        return None
+
+    b = payload
+    span = child(b, 0, len(b), b"moov")
+    for typ in (b"trak", b"mdia", b"minf", b"stbl"):
+        if span is None:
+            raise ValueError("missing box on the moov>...>stbl path")
+        span = child(b, span[0], span[1], typ)
+    if span is None:
+        raise ValueError("missing box on the moov>...>stbl path")
+    sizes, offsets = None, None
+    for t, lo, hi in walk(b, span[0], span[1]):
+        if t == b"stsz" and hi - lo >= 12 and b[lo] == 0:
+            fixed, count = struct.unpack(">II", b[lo + 4:lo + 12])
+            if fixed:
+                sizes = [fixed] * count
+            else:
+                if hi - lo < 12 + 4 * count:
+                    raise ValueError("truncated stsz table")
+                sizes = list(struct.unpack(f">{count}I",
+                                           b[lo + 12:lo + 12 + 4 * count]))
+        elif t == b"stco" and hi - lo >= 8 and b[lo] == 0:
+            (count,) = struct.unpack(">I", b[lo + 4:lo + 8])
+            if hi - lo < 8 + 4 * count:
+                raise ValueError("truncated stco table")
+            offsets = list(struct.unpack(f">{count}I",
+                                         b[lo + 8:lo + 8 + 4 * count]))
+    if sizes is None or offsets is None:
+        raise ValueError("missing stsz/stco")
+    if len(sizes) != len(offsets):
+        raise ValueError("multi-sample chunks not supported (need stsc)")
+    out = []
+    for off, size in zip(offsets, sizes):
+        if off + size > len(b):
+            raise ValueError("sample overruns the buffer")
+        out.append(b[off:off + size])
+    return out
+
+
+def video_frame_hashes(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, frame_idx, simhash): frame-sampled perceptual hashing —
+    the video member of the dedup family. The Arrow stage REALLY walks
+    the MP4 sample table (:func:`parse_mp4_samples`), entropy-decodes
+    each sampled frame (:func:`decode_image` dispatches to the DC-only
+    JPEG decoder) and dHashes the pixels with the SAME integer
+    :func:`dhash_int` the image family certifies. Undecodable containers
+    or frames drop — a hash of garbage would poison near-dup buckets."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hs = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    frames = parse_mp4_samples(b)
+                except ValueError:
+                    continue
+                for j, fb in enumerate(frames):
+                    try:
+                        w, h, px = decode_image(fb)
+                    except (ValueError, NotImplementedError):
+                        continue
+                    ids.append(int(did))
+                    idxs.append(j)
+                    hs.append(dhash_int(w, h, px))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "simhash": pd.Series(hs, dtype="int64")})
+
+    return df.mapInPandas(run, VIDEO_FP_SCHEMA)
+
+
+def _planted_video_block(page: int, frame: int, bx: int, by: int,
+                         did: int) -> int:
+    """Python spelling of the video-frame planting formula ('v:' salt
+    keeps the key space disjoint from the still-JPEG 'j:' keys). Odd ids
+    brighten ONE block of ONE frame (frame page%3) by +40: a planted
+    near-dup VIDEO pair whose total frame-hamming is ≤ 2."""
+    v = int(hashlib.md5(f"v:{page}:{frame}:{bx}:{by}".encode())
+            .hexdigest()[:8], 16) % 180 + 20
+    if (did % 2 == 1 and frame == page % VIDEO_FRAMES
+            and bx == page % _JPG_BX and by == page % _JPG_BY):
+        v += 40
+    return v
+
+
+_VID_V_DUCK = ("(CAST(('0x' || substr(md5('v:' || CAST({page} AS VARCHAR)"
+               " || ':' || CAST({frame} AS VARCHAR) || ':'"
+               " || CAST({bx} AS VARCHAR) || ':'"
+               " || CAST({by} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+               " % 180 + 20"
+               " + (CASE WHEN ({did}) % 2 = 1"
+               " AND ({frame}) = ({page}) % {nf}"
+               " AND ({bx}) = ({page}) % 11 AND ({by}) = ({page}) % 6"
+               " THEN 40 ELSE 0 END))")
+
+
+def synthesize_planted_mjpeg(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID MJPEG-in-MP4 videos planted from doc_id —
+    ftyp + moov(mvhd + trak > mdia > minf > stbl{stsd,stts,stsc,stsz,
+    stco}) + mdat holding VIDEO_FRAMES DC-only baseline JPEGs, one
+    sample per chunk, stco carrying ABSOLUTE file offsets the reader
+    must honor. The query-side reader walks the sample table with
+    independent logic; the DuckDB oracle regenerates every block value
+    from the md5 formula — builder/reader bugs cannot cancel out.
+    Arrow-batched and repartitioned (per-frame md5 + Huffman packing is
+    the heavy part; the fixture parquet arrives as one split)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                frames = []
+                for j in range(VIDEO_FRAMES):
+                    dcs = [_planted_video_block(page, j, bx, by, did) - 128
+                           for by in range(_JPG_BY) for bx in range(_JPG_BX)]
+                    frames.append(encode_dc_only_jpeg(JPG_W, JPG_H, dcs))
+                ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x02\x00")
+                mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + bytes(8)
+                           + struct.pack(">II", 1000, 1000 * VIDEO_FRAMES)
+                           + bytes(80))
+                stsd = box(b"stsd", b"\x00\x00\x00\x00"
+                           + struct.pack(">I", 0))
+                stts = box(b"stts", b"\x00\x00\x00\x00"
+                           + struct.pack(">III", 1, VIDEO_FRAMES, 1000))
+                stsc = box(b"stsc", b"\x00\x00\x00\x00"
+                           + struct.pack(">IIII", 1, 1, 1, 1))
+                stsz = box(b"stsz", b"\x00\x00\x00\x00"
+                           + struct.pack(">II", 0, VIDEO_FRAMES)
+                           + b"".join(struct.pack(">I", len(f))
+                                      for f in frames))
+                # stco carries ABSOLUTE file offsets, which depend on
+                # moov's size — but stco's own size is fixed by the
+                # sample count, so a zero-filled stco fixes every box
+                # size, then the real offsets are packed
+                stco = box(b"stco", b"\x00\x00\x00\x00"
+                           + struct.pack(">I", VIDEO_FRAMES)
+                           + bytes(4 * VIDEO_FRAMES))
+                stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+                moov = box(b"moov", mvhd + box(
+                    b"trak", box(b"mdia", box(b"minf", stbl))))
+                data_at = len(ftyp) + len(moov) + 8      # mdat header
+                offs, acc = [], data_at
+                for f in frames:
+                    offs.append(acc)
+                    acc += len(f)
+                stco = box(b"stco", b"\x00\x00\x00\x00"
+                           + struct.pack(">I", VIDEO_FRAMES)
+                           + b"".join(struct.pack(">I", o) for o in offs))
+                stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+                moov = box(b"moov", mvhd + box(
+                    b"trak", box(b"mdia", box(b"minf", stbl))))
+                mdat = box(b"mdat", b"".join(frames))
+                ids.append(did)
+                payloads.append(ftyp + moov + mdat)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_mjpeg_hash_sql(table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`video_frame_hashes` over the planted
+    MJPEG fixture: per-(doc, frame) dHash from md5-regenerated block
+    constants (cells coincide with the 8×8 blocks), never from bytes."""
+    v = _VID_V_DUCK.format(page=f"({id_col} // 2)", frame="fr.f",
+                           bx="g.bx", by="g.by", did=id_col,
+                           nf=VIDEO_FRAMES)
+    return f"""
+    WITH blocks AS (
+      SELECT {id_col}, fr.f, g.bx, g.by, {v} AS v
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {VIDEO_FRAMES - 1}))
+                    AS f) fr,
+           LATERAL (SELECT unnest(generate_series(0,
+                    {_JPG_BX * _JPG_BY - 1})) AS i) n,
+           LATERAL (SELECT n.i % {_JPG_BX} AS bx, n.i // {_JPG_BX} AS by) g
+    )
+    SELECT a.{id_col}, CAST(a.f AS INTEGER) AS frame_idx,
+           CAST(SUM(CASE WHEN a.v > b.v
+                    THEN CAST(pow(2, a.by * 10 + a.bx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM blocks a JOIN blocks b
+      ON a.{id_col} = b.{id_col} AND a.f = b.f AND a.by = b.by
+     AND b.bx = a.bx + 1
+    WHERE a.bx < 10
+    GROUP BY a.{id_col}, a.f
+    """
+
+
+def video_neardup(hashes: DataFrame, max_total_hamming: int = 4,
+                  id_col: str = "doc_id",
+                  max_bucket: int = 1000) -> DataFrame:
+    """Video near-dup pairs: total frame-aligned Hamming distance over
+    the per-frame perceptual hashes, candidates from pigeonhole banding
+    per (frame, band). A pair within total distance T over F frames has
+    some frame within floor(T/F) ≤ 3, and that frame shares at least one
+    of its 4 15-bit bands — so bucketing on (frame_idx, band, nib) loses
+    no true pair, and the exact total-distance check runs only on
+    band-colliding candidates. Same star-fallback cap as
+    :func:`dedup.banded_hamming_pairs` for over-sized buckets."""
+    melted = hashes.select(
+        F.col(id_col), F.col("frame_idx"), F.col("simhash"),
+        F.expr("explode(transform(sequence(0, 3),"
+               " b -> struct(b AS band, (simhash div CAST(pow(32768, b)"
+               " AS BIGINT)) % 32768 AS nib)))").alias("bn")) \
+        .select(id_col, "frame_idx", "simhash", "bn.band", "bn.nib")
+    buckets = (melted.groupBy("frame_idx", "band", "nib")
+               .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("xs"))
+               .filter(F.size("xs") >= 2))
+    pairs = F.expr(f"""
+        CASE WHEN size(xs) <= {max_bucket}
+        THEN flatten(transform(xs, (a, i) ->
+               transform(slice(xs, i + 2, size(xs)), b ->
+                 struct(a AS doc_a, b AS doc_b))))
+        ELSE transform(slice(xs, 2, size(xs)), b ->
+               struct(xs[0] AS doc_a, b AS doc_b))
+        END""")
+    cand = (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b").distinct())
+    ha = hashes.select(F.col(id_col).alias("doc_a"),
+                       F.col("frame_idx").alias("fa"),
+                       F.col("simhash").alias("sha"))
+    hb = hashes.select(F.col(id_col).alias("doc_b"),
+                       F.col("frame_idx").alias("fb"),
+                       F.col("simhash").alias("shb"))
+    return (cand.join(ha, "doc_a")
+            .join(hb, ["doc_b"])
+            .filter(F.col("fa") == F.col("fb"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.expr("CAST(SUM(bit_count(sha ^ shb)) AS BIGINT)")
+                 .alias("hamming"))
+            .filter(F.col("hamming") <= max_total_hamming))
+
+
+def planted_mjpeg_neardup_sql(table: str = "documents",
+                              max_total_hamming: int = 4,
+                              id_col: str = "doc_id") -> str:
+    """Near-dup video pairs over the planted frame hashes — banding and
+    the frame-aligned total distance spelled relationally."""
+    return f"""
+    WITH sigs AS ({planted_mjpeg_hash_sql(table, id_col)}),
+    melted AS (
+      SELECT {id_col}, frame_idx, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b
+      FROM melted a JOIN melted b
+        ON a.frame_idx = b.frame_idx AND a.band = b.band
+       AND a.nib = b.nib AND a.{id_col} < b.{id_col}
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(bit_count(xor(sa.simhash, sb.simhash))) AS BIGINT)
+               AS hamming
+    FROM cand c
+    JOIN sigs sa ON sa.{id_col} = c.doc_a
+    JOIN sigs sb ON sb.{id_col} = c.doc_b
+     AND sb.frame_idx = sa.frame_idx
+    GROUP BY c.doc_a, c.doc_b
+    HAVING SUM(bit_count(xor(sa.simhash, sb.simhash)))
+           <= {max_total_hamming}
+    """

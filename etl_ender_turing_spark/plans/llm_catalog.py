@@ -1043,6 +1043,49 @@ def q_audio_stats(spark, sf_dir):
     return mm.audio_sample_stats(mm.synthesize_planted_wav_pcm(docs))
 
 
+from ..operators.multimodal import (  # noqa: E402
+    planted_wav_fp_sql, planted_wav_neardup_sql)
+
+
+@register(
+    "q_audio_fingerprint",
+    planted_wav_fp_sql("documents"),
+    doc="acoustic perceptual fingerprint (operators/multimodal."
+        "audio_fingerprint): planted 128-sample PCM pairs are REALLY "
+        "decoded (RIFF walk + int16 unpack) and folded into a 31-bit "
+        "energy-delta fingerprint — 32 exact integer frame energies, "
+        "bit f = energy[f] > energy[f+1], the Haitsma–Kalker/"
+        "Chromaprint delta-coding shape minus the FFT (time-domain "
+        "frame energy stands in for band energy; no scipy in the "
+        "stack). Pure integers end to end, bit-reproducible on any "
+        "worker; oracle regenerates frame energies from the planting "
+        "formula, never from bytes")
+def q_audio_fingerprint(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(docs))
+
+
+@register(
+    "q_audio_neardup",
+    planted_wav_neardup_sql("documents", max_hamming=3),
+    doc="audio NEAR-DUP pairs — the acoustic member of the perceptual "
+        "dedup family: 31-bit energy-delta fingerprints from really-"
+        "decoded planted PCM pairs (odd ids perturb ONE sample of the "
+        "page's waveform -> one frame energy moves -> hamming <= 2 by "
+        "construction) fed through the SAME pigeonhole banding as text "
+        "SimHash and image dHash via dedup.banded_hamming_pairs "
+        "(4 x 8-bit bands, exact for hamming <= 3, max_bucket star "
+        "fallback); oracle recomputes fingerprints arithmetically and "
+        "bands them relationally")
+def q_audio_neardup(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    fps = mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(docs))
+    return dd.banded_hamming_pairs(fps, sig_col="fp", n_bands=4,
+                                   band_bits=8, max_hamming=3)
+
+
 from ..operators.multimodal import planted_mp4_meta_sql  # noqa: E402
 
 
@@ -1061,6 +1104,49 @@ def q_video_meta(spark, sf_dir):
     from ..operators import multimodal as mm
     docs = _docs(spark, sf_dir).select("doc_id")
     return mm.extract_video_meta(mm.synthesize_planted_mp4(docs))
+
+
+from ..operators.multimodal import (  # noqa: E402
+    planted_mjpeg_hash_sql, planted_mjpeg_neardup_sql)
+
+
+@register(
+    "q_video_frame_hashes",
+    planted_mjpeg_hash_sql("documents"),
+    doc="frame-sampled video perceptual hashing (operators/multimodal."
+        "video_frame_hashes): planted MJPEG-in-MP4 videos — ftyp + "
+        "moov(trak>mdia>minf>stbl{stsd,stts,stsc,stsz,stco}) + mdat "
+        "holding 3 DC-only baseline JPEG frames at stco's ABSOLUTE file "
+        "offsets. The Arrow stage REALLY walks the sample table (stsz "
+        "sizes + stco offsets, size-guarded), entropy-decodes each "
+        "frame with the certified JPEG decoder and dHashes the pixels "
+        "with the same integer arithmetic as the image family; oracle "
+        "regenerates every 8x8 block constant from the md5 planting "
+        "formula ('v:' salt), never touching bytes")
+def q_video_frame_hashes(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+
+
+@register(
+    "q_video_neardup",
+    planted_mjpeg_neardup_sql("documents", max_total_hamming=4),
+    doc="video NEAR-DUP pairs — total frame-aligned Hamming distance "
+        "over per-frame perceptual hashes (operators/multimodal."
+        "video_neardup): odd ids brighten ONE block of ONE frame, a "
+        "planted near-dup video pair at total distance <= 2. Candidates "
+        "from pigeonhole banding per (frame, band) — a pair within "
+        "total T=4 over 3 frames has a frame within hamming 1, which "
+        "shares a 15-bit band — then the exact total runs only on "
+        "band-colliding pairs (star-fallback bucket cap as everywhere); "
+        "oracle spells the same banding + frame-aligned sum "
+        "relationally")
+def q_video_neardup(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hashes = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+    return mm.video_neardup(hashes, max_total_hamming=4)
 
 
 from ..operators import feature_hash as fh  # noqa: E402

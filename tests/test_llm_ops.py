@@ -299,6 +299,114 @@ def test_audio_stats_spark_matches_python_reference(spark):
                           sum(x * x for x in xs), sum(xs) / len(xs))
 
 
+def test_audio_fingerprint_matches_python_reference(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    media = mm.synthesize_planted_wav_pairs(docs)
+    raw = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    got = {r.doc_id: r.fp for r in mm.audio_fingerprint(media).collect()}
+    assert set(got) == set(range(8))
+    for i, b in raw.items():
+        _rate, xs = mm.decode_wav_samples(b)
+        assert len(xs) == mm.WAV_PAIR_SAMPLES
+        flen = len(xs) // mm.AUDIO_FP_FRAMES
+        e = [sum(x * x for x in xs[f * flen:(f + 1) * flen])
+             for f in range(mm.AUDIO_FP_FRAMES)]
+        want = sum(1 << f for f in range(mm.AUDIO_FP_FRAMES - 1)
+                   if e[f] > e[f + 1])
+        assert got[i] == want
+        assert 0 <= got[i] < 2 ** (mm.AUDIO_FP_FRAMES - 1)
+
+
+def test_planted_wav_pair_is_near_duplicate(spark):
+    docs = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    fps = {r.doc_id: r.fp for r in mm.audio_fingerprint(
+        mm.synthesize_planted_wav_pairs(docs)).collect()}
+    dists = [bin(fps[2 * p] ^ fps[2 * p + 1]).count("1") for p in range(8)]
+    assert all(d <= 2 for d in dists)        # one frame energy moved
+    assert any(d >= 1 for d in dists)        # and the flip path is real
+    # distinct pages are nowhere near the hamming<=3 gate (md5 samples:
+    # cross-page fingerprints are uniform, unlike a periodic ramp)
+    assert bin(fps[0] ^ fps[6]).count("1") > 3
+
+
+def test_audio_fingerprint_drops_undecodable_and_short(spark):
+    rows = [(0, bytearray(_pcm_wav([100, 0, 0, 0] + [0] * 124))),
+            (1, bytearray(_pcm_wav([5, 6, 7]))),        # < one frame/bit
+            (2, bytearray(b"not audio")),               # undecodable
+            (3, None)]                                  # NULL payload
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {r.doc_id: r.fp for r in mm.audio_fingerprint(df).collect()}
+    # a clip shorter than one sample per frame has no meaningful energy
+    # profile — dropped like undecodable payloads, not emitted as fp 0
+    assert set(out) == {0}
+    # all energy in frame 0 -> the only strict decrease is e[0] > e[1]
+    assert out[0] == 1
+
+
+def test_parse_mp4_samples_walk_and_refusals():
+    import struct as st
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return st.pack(">I", 8 + len(payload)) + typ + payload
+
+    def mp4(sizes, offsets, data=b"", fixed=0):
+        stsz = box(b"stsz", b"\x00\x00\x00\x00"
+                   + st.pack(">II", fixed, len(sizes))
+                   + (b"" if fixed else
+                      b"".join(st.pack(">I", s) for s in sizes)))
+        stco = box(b"stco", b"\x00\x00\x00\x00"
+                   + st.pack(">I", len(offsets))
+                   + b"".join(st.pack(">I", o) for o in offsets))
+        stbl = box(b"stbl", stsz + stco)
+        moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", stbl))))
+        return moov + data
+
+    # two samples sliced at absolute offsets (the header region counts)
+    body = mp4([3, 2], [0, 0], b"XYZAB")
+    off0 = len(body) - 5
+    body = mp4([3, 2], [off0, off0 + 3], b"XYZAB")
+    assert mm.parse_mp4_samples(body) == [b"XYZ", b"AB"]
+    # fixed-size stsz path (sample_size != 0, no table)
+    body = mp4([0, 0], [0, 0], b"PPQQ", fixed=2)
+    off0 = len(body) - 4
+    body = mp4([0, 0], [off0, off0 + 2], b"PPQQ", fixed=2)
+    assert mm.parse_mp4_samples(body) == [b"PP", b"QQ"]
+    # refusals: no moov path, count mismatch (stsc math unsupported),
+    # sample overrunning the buffer
+    with pytest.raises(ValueError):
+        mm.parse_mp4_samples(b"")
+    with pytest.raises(ValueError):
+        mm.parse_mp4_samples(mp4([3], [0, 4], b"XYZAB"))
+    with pytest.raises(ValueError):
+        mm.parse_mp4_samples(mp4([99], [10], b"short"))
+
+
+def test_planted_mjpeg_pair_is_video_near_duplicate(spark):
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    hashes = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+    h = {(r.doc_id, r.frame_idx): r.simhash for r in hashes.collect()}
+    assert len(h) == 8 * mm.VIDEO_FRAMES
+    for page in range(4):
+        a, b = 2 * page, 2 * page + 1
+        pf = page % mm.VIDEO_FRAMES
+        for j in range(mm.VIDEO_FRAMES):
+            d = bin(h[(a, j)] ^ h[(b, j)]).count("1")
+            if j == pf:
+                assert d <= 2          # the one perturbed frame
+            else:
+                assert d == 0          # every other frame identical
+    # distinct pages are nowhere near the total-hamming gate
+    tot = sum(bin(h[(0, j)] ^ h[(6, j)]).count("1")
+              for j in range(mm.VIDEO_FRAMES))
+    assert tot > 20
+
+
+def test_video_frame_hashes_drops_garbage(spark):
+    rows = [(0, bytearray(b"not a video")), (1, None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    assert mm.video_frame_hashes(df).count() == 0
+
+
 def test_parse_mp4_meta_box_walk():
     import struct as st
 
