@@ -100,6 +100,15 @@ BENCH_QUERIES = [
     "q_unigram_lm_vocab",
     "q_warc_records",
     "q_text_hash_embed",
+    # round-8 additions: variable-length span merge (islands over gram
+    # runs), the in-engine IRLS classifier fit, JPEG entropy decode +
+    # dHash, and the acoustic / video perceptual near-dup compositions
+    # (fingerprint + banding + exact-distance verify in one plan)
+    "q_span_longest_match",
+    "q_quality_classifier_fit",
+    "q_image_phash_jpeg",
+    "q_audio_neardup",
+    "q_video_neardup",
 ]
 
 
