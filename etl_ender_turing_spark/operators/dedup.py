@@ -342,8 +342,8 @@ def banded_hamming_pairs(sigs: DataFrame, sig_col: str = "simhash",
     over signature width: ``n_bands`` bands of ``band_bits`` bits each.
     Pigeonhole exactness holds when ``max_hamming < n_bands`` (a pair
     within the threshold leaves at least one band untouched). Other
-    fingerprint families (the 31-bit audio energy-delta fingerprint in
-    :mod:`..operators.multimodal` uses 4×8-bit bands) reuse this instead
+    fingerprint families (the 63-bit audio energy-delta fingerprint in
+    :mod:`..operators.multimodal` uses 4×16-bit bands) reuse this instead
     of re-spelling the melt → bucket → in-bucket expansion shape."""
     width = 1 << band_bits
     melted = sigs.select(

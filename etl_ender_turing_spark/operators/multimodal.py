@@ -1091,13 +1091,17 @@ AUDIO_FP_SCHEMA = T.StructType([
     T.StructField("fp", T.LongType()),
 ])
 
-# 32 frames of 4 samples over the 128-sample pair fixture → 31 delta bits.
+# 64 frames of 4 samples over the 256-sample pair fixture → 63 delta bits.
 # Real deployments use longer windows (Chromaprint-style fingerprints are
-# 32 bits × thousands of frames); 31 bits keeps the value a plain BIGINT
-# both engines can band with exact pow(2, f) doubles (every power of two
-# ≤ 2^62 is exactly representable).
-AUDIO_FP_FRAMES = 32
-WAV_PAIR_SAMPLES = 128
+# 32 bits × thousands of frames); 63 bits fills a BIGINT exactly (bits
+# 0..62; all-set = 2^63-1) and both engines band it with exact pow(2, f)
+# doubles (every power of two ≤ 2^62 is exactly representable). Width
+# matters for BANDING selectivity, not just collision odds: 4×16-bit
+# bands give 64 Ki buckets per band like the image family — an earlier
+# 31-bit/4×8-bit draft had 256 buckets per band, which at corpus scale
+# floods the candidate stage with chance band collisions.
+AUDIO_FP_FRAMES = 64
+WAV_PAIR_SAMPLES = 256
 
 
 def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
@@ -1162,9 +1166,9 @@ def synthesize_planted_wav_pairs(docs: DataFrame,
                                  id_col: str = "doc_id") -> DataFrame:
     """(doc_id, payload): VALID 16-bit mono PCM WAVs planted as near-dup
     PAIRS (page = id//2; odd ids perturb one sample) — JVM-side hex
-    assembly like :func:`synthesize_planted_wav_pcm`, 128 samples so the
-    fingerprint has 31 bits (2^31 hash space → chance collisions within
-    hamming 3 are ~10^-6-rare at test SFs; the planted pairs dominate)."""
+    assembly like :func:`synthesize_planted_wav_pcm`, 256 samples so the
+    fingerprint has 63 bits (chance collisions within hamming 3 are
+    ~10^-15-rare; the planted pairs are the only pairs)."""
     docs = docs.repartition(
         docs.sparkSession.sparkContext.defaultParallelism)
     page = f"({id_col} div 2)"
@@ -1219,14 +1223,14 @@ def planted_wav_fp_sql(table: str = "documents",
 def planted_wav_neardup_sql(table: str = "documents", max_hamming: int = 3,
                             id_col: str = "doc_id") -> str:
     """Near-dup audio pairs over the planted fingerprints — the banded
-    join spelled relationally (4 × 8-bit bands over the 31-bit value,
+    join spelled relationally (4 × 16-bit bands over the 63-bit value,
     exact pigeonhole for hamming ≤ 3), mirroring
     :func:`dedup.banded_hamming_pairs`."""
     return f"""
     WITH sigs AS ({planted_wav_fp_sql(table, id_col)}),
     melted AS (
       SELECT {id_col}, fp, b AS band,
-             (fp // CAST(pow(256, b) AS BIGINT)) % 256 AS nib
+             (fp // CAST(pow(65536, b) AS BIGINT)) % 65536 AS nib
       FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
     )
     SELECT DISTINCT a.{id_col} AS doc_a, b.{id_col} AS doc_b,

@@ -1051,9 +1051,9 @@ from ..operators.multimodal import (  # noqa: E402
     "q_audio_fingerprint",
     planted_wav_fp_sql("documents"),
     doc="acoustic perceptual fingerprint (operators/multimodal."
-        "audio_fingerprint): planted 128-sample PCM pairs are REALLY "
-        "decoded (RIFF walk + int16 unpack) and folded into a 31-bit "
-        "energy-delta fingerprint — 32 exact integer frame energies, "
+        "audio_fingerprint): planted 256-sample PCM pairs are REALLY "
+        "decoded (RIFF walk + int16 unpack) and folded into a 63-bit "
+        "energy-delta fingerprint — 64 exact integer frame energies, "
         "bit f = energy[f] > energy[f+1], the Haitsma–Kalker/"
         "Chromaprint delta-coding shape minus the FFT (time-domain "
         "frame energy stands in for band energy; no scipy in the "
@@ -1070,12 +1070,12 @@ def q_audio_fingerprint(spark, sf_dir):
     "q_audio_neardup",
     planted_wav_neardup_sql("documents", max_hamming=3),
     doc="audio NEAR-DUP pairs — the acoustic member of the perceptual "
-        "dedup family: 31-bit energy-delta fingerprints from really-"
+        "dedup family: 63-bit energy-delta fingerprints from really-"
         "decoded planted PCM pairs (odd ids perturb ONE sample of the "
         "page's waveform -> one frame energy moves -> hamming <= 2 by "
         "construction) fed through the SAME pigeonhole banding as text "
         "SimHash and image dHash via dedup.banded_hamming_pairs "
-        "(4 x 8-bit bands, exact for hamming <= 3, max_bucket star "
+        "(4 x 16-bit bands, exact for hamming <= 3, max_bucket star "
         "fallback); oracle recomputes fingerprints arithmetically and "
         "bands them relationally")
 def q_audio_neardup(spark, sf_dir):
@@ -1083,7 +1083,7 @@ def q_audio_neardup(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     fps = mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(docs))
     return dd.banded_hamming_pairs(fps, sig_col="fp", n_bands=4,
-                                   band_bits=8, max_hamming=3)
+                                   band_bits=16, max_hamming=3)
 
 
 from ..operators.multimodal import planted_mp4_meta_sql  # noqa: E402
@@ -2913,6 +2913,42 @@ def q_stream_image_gate(spark, sf_dir):
     from ..streaming.stream import run_image_gate_batch
     ckpt = tempfile.mkdtemp(prefix="q_stream_image_gate_ckpt_")
     return run_image_gate_batch(spark, sf_dir, ckpt,
+                                glob_filter="documents.parquet")
+
+
+@register(
+    "q_stream_audio_gate",
+    f"""
+    WITH sigs AS ({planted_wav_fp_sql("documents")}),
+    melted AS (
+      SELECT doc_id, fp, b AS band,
+             (fp // CAST(pow(65536, b) AS BIGINT)) % 65536 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT s.doc_id, s.doc_id IN (SELECT doc_b FROM cand) AS is_dup
+    FROM sigs s
+    """,
+    doc="streaming acoustic near-dup gate run to completion (streaming/"
+        "stream.audio_neardup_gate_stream, availableNow): arriving "
+        "clips decode + 63-bit energy-delta fingerprint in a stateless "
+        "Arrow stage, melt to the batch family's 4x16-bit pigeonhole "
+        "bands, and pass the shared first-owner band gate — exactly one "
+        "stateful op, state band-vocabulary-sized, shipped clips never "
+        "retracted. Single-round verdict equals the batch window "
+        "(flagged <=> shares a band with a smaller id), so the oracle "
+        "is the banding candidate CTE — same contract as the text and "
+        "image gates")
+def q_stream_audio_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_audio_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_audio_gate_ckpt_")
+    return run_audio_gate_batch(spark, sf_dir, ckpt,
                                 glob_filter="documents.parquet")
 
 

@@ -827,6 +827,56 @@ def image_neardup_gate_stream(spark: SparkSession, source_dir: str,
     return _band_owner_gate(melted, state_ttl)
 
 
+def audio_neardup_gate_stream(spark: SparkSession, source_dir: str,
+                              glob_filter: str | None = None,
+                              state_ttl: str | None = None) -> DataFrame:
+    """Streaming ACOUSTIC near-dup gate — the audio member of the
+    stateful family: arriving clips decode + fingerprint in a stateless
+    Arrow stage (``multimodal.audio_fingerprint`` — real RIFF/PCM
+    decode, 63-bit integer energy-delta fingerprint), the fingerprint
+    melts into the batch pair generator's 4×16-bit pigeonhole bands,
+    and the shared first-owner band gate flags every clip whose band
+    was already seen. Exactly one stateful operator; state is
+    band-vocabulary-sized. Single-round verdict equals the batch
+    window (flagged ⟺ shares a band with a smaller id); the gate is
+    the candidate stage — exact hamming verification stays downstream
+    in batch, the same contract as the text and image gates."""
+    from ..operators import multimodal as mm
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir).select("doc_id")
+    sigs = mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(docs))
+    stack = ", ".join(
+        f"'{b}', CAST((fp div CAST(pow(65536, {b}) AS BIGINT))"
+        f" % 65536 AS STRING)"
+        for b in range(4))
+    melted = sigs.selectExpr("doc_id",
+                             f"stack(4, {stack}) AS (band, h)")
+    return _band_owner_gate(melted, state_ttl)
+
+
+def run_audio_gate_batch(spark: SparkSession, source_dir: str,
+                         checkpoint_dir: str,
+                         glob_filter: str | None = None,
+                         query_name: str = "audio_gate_result",
+                         state_ttl: str | None = None) -> DataFrame:
+    """Drive the acoustic near-dup gate to completion (availableNow) and
+    reduce per-band verdicts to one row per clip: (doc_id, is_dup)."""
+    gated = audio_neardup_gate_stream(spark, source_dir, glob_filter,
+                                      state_ttl)
+    q = (gated.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("doc_id")
+            .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
+
+
 WARC_CHUNK_SCHEMA = T.StructType([
     T.StructField("chunk_id", T.LongType()),
     T.StructField("warc", T.BinaryType()),

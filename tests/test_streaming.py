@@ -474,6 +474,45 @@ def test_neardup_gate_state_spans_micro_batches(spark, tmp_path):
     assert verdict[101] is False
 
 
+def test_audio_gate_state_spans_micro_batches(spark, tmp_path):
+    import pandas as pd
+
+    from etl_ender_turing_spark.streaming.stream import (
+        audio_neardup_gate_stream,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+
+    def wave(ids, name):
+        pd.DataFrame({"doc_id": ids, "text": ["x"] * len(ids),
+                      "lang": ["en"] * len(ids), "source": ["s"] * len(ids),
+                      "n_chars": [1] * len(ids)}
+                     ).to_parquet(src / name)
+
+    # doc 0 and its perturbed twin doc 1 (same page) land in DIFFERENT
+    # micro-batches; doc 4 is a distinct page
+    wave([0], "wave1.parquet")
+    wave([1, 4], "wave2.parquet")
+    gated = audio_neardup_gate_stream(spark, str(src))
+    q = (gated.writeStream.format("memory").queryName("audio_span")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .option("maxFilesPerTrigger", 1)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+    verdict = {r.doc_id: r.is_dup for r in
+               spark.table("audio_span").groupBy("doc_id")
+               .agg(F.expr("bool_or(seen_before)").alias("is_dup"))
+               .collect()}
+    # the twin arriving in the LATER micro-batch is flagged by state
+    # from the earlier one (file order isn't pinned, so exactly one of
+    # the near-identical pair is flagged); the distinct clip never is
+    assert sorted([verdict[0], verdict[1]]) == [False, True]
+    assert verdict[4] is False
+
+
 def test_neardup_gate_ttl_forgets_stale_owners(spark, tmp_path):
     import time
 
