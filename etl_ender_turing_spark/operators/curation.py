@@ -409,3 +409,99 @@ def shard_balance_sql(table: str = "documents", n_shards: int = 16,
              / 1000000 AS DOUBLE) AS imbalance6
     FROM per
     """
+
+
+def prepare_multimodal_training_set(docs: DataFrame, min_tokens: int = 40,
+                                    max_hamming: int = 3,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id") -> DataFrame:
+    """Multimodal curation capstone: curate a corpus whose records carry
+    text AND an image AND an audio clip — the shape of a
+    vision/audio-language training set. Every stage is a certified
+    single-modality operator, chained the way a production pipeline
+    runs:
+
+    1. **text quality gate** — narrow projection+filter (token floor);
+    2. **image perceptual dedup** — 60-bit dHash over really-decoded
+       planted images, pigeonhole-banded pairs, drop the larger id of
+       every near-dup pair (keep-canonical);
+    3. **acoustic dedup** — 63-bit energy-delta fingerprint over
+       really-decoded PCM, same banding machinery, same keep rule;
+    4. **manifest** — per-doc (lang, source, n_tokens, image_hash,
+       audio_fp): the signatures ship WITH the corpus so downstream
+       incremental dedup never re-decodes media.
+
+    The composition adds no shuffle beyond the stages' own (the drop
+    sets anti-join WITHOUT a broadcast hint — they are corpus-scale at
+    real duplicate rates, AQE sizes them from observed bytes). Stage
+    outputs feeding multiple consumers (the gated frame; each signature
+    table serves its pair generator AND the final manifest join) are
+    localCheckpointed — Spark has no cross-consumer CSE, and the decode
+    stages are the expensive part. The DuckDB oracle composes the SAME
+    SQL fragments the single-op oracles use (each as an isolated WITH
+    block over the gated subset), so the hash match certifies the
+    chain, not just the parts.
+    """
+    from . import multimodal as mm
+
+    q = quality_columns(text_col)
+    gated = (docs.select(id_col, "lang", "source",
+                         q["n_tokens"].alias("n_tokens"))
+             .filter(F.col("n_tokens") >= min_tokens)
+             .localCheckpoint(eager=False))
+    ids = gated.select(id_col)
+    img = (mm.image_dhash(mm.synthesize_planted_pgm(ids))
+           .localCheckpoint(eager=False))
+    aud = (mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(ids))
+           .localCheckpoint(eager=False))
+    img_drop = (dd.simhash_pairs(img, max_hamming=max_hamming)
+                .select(F.col("doc_b").alias(id_col)).distinct())
+    aud_drop = (dd.banded_hamming_pairs(aud, sig_col="fp", n_bands=4,
+                                        band_bits=16,
+                                        max_hamming=max_hamming)
+                .select(F.col("doc_b").alias(id_col)).distinct())
+    kept = (gated.join(img_drop, id_col, "left_anti")
+            .join(aud_drop, id_col, "left_anti"))
+    return (kept.join(img, id_col).join(aud, id_col)
+            .select(id_col, "lang", "source", "n_tokens",
+                    F.col("simhash").alias("image_hash"),
+                    F.col("fp").alias("audio_fp")))
+
+
+def prepare_multimodal_training_set_sql(table: str = "documents",
+                                        min_tokens: int = 40,
+                                        max_hamming: int = 3,
+                                        text_col: str = "text",
+                                        id_col: str = "doc_id") -> str:
+    """Composed DuckDB oracle for
+    :func:`prepare_multimodal_training_set`: the gate CTE plus each
+    modality's own certified SQL generator over it, nested as isolated
+    WITH blocks."""
+    from . import multimodal as mm
+
+    qs = quality_sql_columns(text_col)
+    img_sql = mm.planted_pgm_dhash_sql("gated", id_col)
+    img_pairs = mm.planted_pgm_neardup_sql("gated", max_hamming, id_col)
+    aud_sql = mm.planted_wav_fp_sql("gated", id_col)
+    aud_pairs = mm.planted_wav_neardup_sql("gated", max_hamming, id_col)
+    return f"""
+    WITH gated AS (
+      SELECT {id_col}, lang, source, {qs['n_tokens']} AS n_tokens
+      FROM {table}
+      WHERE {qs['n_tokens']} >= {min_tokens}
+    ),
+    img AS ({img_sql}),
+    img_pairs AS ({img_pairs}),
+    aud AS ({aud_sql}),
+    aud_pairs AS ({aud_pairs}),
+    kept AS (
+      SELECT g.* FROM gated g
+      WHERE g.{id_col} NOT IN (SELECT doc_b FROM img_pairs)
+        AND g.{id_col} NOT IN (SELECT doc_b FROM aud_pairs)
+    )
+    SELECT k.{id_col}, k.lang, k.source, k.n_tokens,
+           i.simhash AS image_hash, a.fp AS audio_fp
+    FROM kept k
+    JOIN img i USING ({id_col})
+    JOIN aud a USING ({id_col})
+    """

@@ -2806,6 +2806,26 @@ def q_llm_training_set(spark, sf_dir):
 
 
 @register(
+    "q_multimodal_training_set",
+    cu.prepare_multimodal_training_set_sql("documents"),
+    doc="The multimodal curation capstone (operators/curation."
+        "prepare_multimodal_training_set): records carrying text + "
+        "image + audio pass a text token-floor gate, then IMAGE "
+        "perceptual dedup (really-decoded 60-bit dHash, pigeonhole "
+        "bands, drop the larger id of every near-dup pair) and "
+        "ACOUSTIC dedup (really-decoded 63-bit energy-delta "
+        "fingerprint, same banding machinery), and the survivors ship "
+        "as a manifest WITH both perceptual signatures — downstream "
+        "incremental dedup never re-decodes media. Drop-set anti-joins "
+        "carry no broadcast hint (corpus-scale at real duplicate "
+        "rates; AQE sizes them); multi-consumer stages are "
+        "localCheckpointed. The oracle nests each modality's own "
+        "certified SQL generator over the gated subset")
+def q_multimodal_training_set(spark, sf_dir):
+    return cu.prepare_multimodal_training_set(_docs(spark, sf_dir))
+
+
+@register(
     "q_stream_lm_scores",
     lm.stupid_backoff_scores_sql("documents"),
     doc="streaming ingest-time LM scoring run to completion "
