@@ -2973,6 +2973,44 @@ def q_stream_audio_gate(spark, sf_dir):
 
 
 @register(
+    "q_stream_video_gate",
+    f"""
+    WITH sigs AS ({planted_mjpeg_hash_sql("documents")}),
+    melted AS (
+      SELECT doc_id, frame_idx, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.frame_idx = b.frame_idx AND a.band = b.band
+       AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT DISTINCT s.doc_id, s.doc_id IN (SELECT doc_b FROM cand)
+           AS is_dup
+    FROM sigs s
+    """,
+    doc="streaming video near-dup gate run to completion (streaming/"
+        "stream.video_neardup_gate_stream, availableNow) — completes "
+        "the multimodal gate triple: arriving videos walk the MP4 "
+        "sample table, entropy-decode + dHash their 3 sampled frames "
+        "in a stateless Arrow stage, melt to (frame, band) pigeonhole "
+        "keys (frame index folded into the band string, so the shared "
+        "first-owner gate applies unchanged) — exactly one stateful "
+        "op. Flagged <=> some frame shares a band with a smaller id — "
+        "the batch video_neardup candidate stage; exact total-hamming "
+        "verification stays downstream in batch")
+def q_stream_video_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_video_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_video_gate_ckpt_")
+    return run_video_gate_batch(spark, sf_dir, ckpt,
+                                glob_filter="documents.parquet")
+
+
+@register(
     "q_dsir_model",
     dsir.dsir_bucket_model_sql("documents", n_buckets=256),
     doc="the persistable DSIR artifact itself (operators/dsir."

@@ -857,6 +857,57 @@ def audio_neardup_gate_stream(spark: SparkSession, source_dir: str,
     return _band_owner_gate(melted, state_ttl)
 
 
+def video_neardup_gate_stream(spark: SparkSession, source_dir: str,
+                              glob_filter: str | None = None,
+                              state_ttl: str | None = None) -> DataFrame:
+    """Streaming VIDEO near-dup gate — completes the multimodal gate
+    triple (text MinHash, image dHash, acoustic fingerprint, video
+    frame hashes): arriving videos walk the MP4 sample table and
+    entropy-decode + dHash their sampled frames in a stateless Arrow
+    stage (``multimodal.video_frame_hashes``), each frame hash melts
+    into the batch candidate generator's (frame, band) pigeonhole keys
+    — the band string carries the frame index, so state stays keyed by
+    ONE string column and the shared first-owner gate applies
+    unchanged. Flagged ⟺ some frame shares a band with a smaller id —
+    exactly the batch ``video_neardup`` candidate stage; exact
+    total-hamming verification stays downstream in batch."""
+    from ..operators import multimodal as mm
+
+    reader = spark.readStream.schema(DOCS_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(source_dir).select("doc_id")
+    sigs = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+    stack = ", ".join(
+        f"concat('f', frame_idx, ':b{b}'),"
+        f" CAST((simhash div CAST(pow(32768, {b}) AS BIGINT))"
+        f" % 32768 AS STRING)"
+        for b in range(4))
+    melted = sigs.selectExpr("doc_id",
+                             f"stack(4, {stack}) AS (band, h)")
+    return _band_owner_gate(melted, state_ttl)
+
+
+def run_video_gate_batch(spark: SparkSession, source_dir: str,
+                         checkpoint_dir: str,
+                         glob_filter: str | None = None,
+                         query_name: str = "video_gate_result",
+                         state_ttl: str | None = None) -> DataFrame:
+    """Drive the video near-dup gate to completion (availableNow) and
+    reduce per-(frame, band) verdicts to one row per video."""
+    gated = video_neardup_gate_stream(spark, source_dir, glob_filter,
+                                      state_ttl)
+    q = (gated.writeStream.format("memory").queryName(query_name)
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table(query_name)
+            .groupBy("doc_id")
+            .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
+
+
 def run_audio_gate_batch(spark: SparkSession, source_dir: str,
                          checkpoint_dir: str,
                          glob_filter: str | None = None,

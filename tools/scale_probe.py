@@ -219,6 +219,24 @@ def main() -> None:
         "hash_embed": lambda d, e, ev: force(fh.text_hash_embed(d)),
         "audio_stats": lambda d, e, ev: force(mm.audio_sample_stats(
             mm.synthesize_planted_wav_pcm(d.select("doc_id")))),
+        # round-8 probes: acoustic near-dup decodes every planted WAV
+        # pair and bands 63-bit fingerprints (replicas are exact
+        # fingerprint dups — the banding worst case, like image_neardup);
+        # video near-dup walks the MP4 sample table, entropy-decodes 3
+        # JPEG frames per doc and sums frame-aligned hamming over
+        # (frame, band)-bucketed candidates; the multimodal capstone
+        # stacks the text gate + both perceptual dedups + the manifest
+        # joins — its ratio is the composed answer
+        "audio_neardup": lambda d, e, ev: force(dd.banded_hamming_pairs(
+            mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(
+                d.select("doc_id"))),
+            sig_col="fp", n_bands=4, band_bits=16, max_hamming=3)),
+        "video_neardup": lambda d, e, ev: force(mm.video_neardup(
+            mm.video_frame_hashes(mm.synthesize_planted_mjpeg(
+                d.select("doc_id"))),
+            max_total_hamming=4)),
+        "mm_training_set": lambda d, e, ev: force(
+            cu.prepare_multimodal_training_set(d)),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
