@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -597,14 +598,196 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     raise ValueError("no scan in JPEG")
 
 
+# --------------------------------------------------------------------------
+# PNG, 8-bit grayscale subset: REAL zlib inflate + filter reconstruction
+# --------------------------------------------------------------------------
+# The image family's THIRD container. Within the subset (8-bit, color
+# type 0 grayscale, no interlace) everything is the real format: chunk
+# walk with length/CRC framing, IDAT concatenation across chunks, zlib
+# DEFLATE inflate (stdlib zlib — an actual compressed bitstream, unlike
+# the uncompressed PGM path), and the per-scanline filter reconstruction
+# of RFC 2083 §6 (None/Sub/Up/Average/Paeth — the planted builder cycles
+# y % 5 through ALL FIVE so every image exercises every reconstruction
+# branch). Outside the subset (16-bit, RGB/palette/alpha, Adam7) raises
+# NotImplementedError → the Arrow stages drop the payload, the same
+# contract as the JPEG decoder.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from an 8-bit grayscale PNG — chunk walk,
+    multi-chunk IDAT inflate, and exact filter reconstruction."""
+    b = payload
+    if b[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    off, w, h, idat = 8, None, None, bytearray()
+    while off + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[off:off + 4])
+        typ = b[off + 4:off + 8]
+        data = b[off + 8:off + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated chunk")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data)
+            if depth != 8 or color != 0:
+                raise NotImplementedError(
+                    "only 8-bit grayscale PNG has consumers here")
+            if comp != 0 or filt != 0:
+                raise ValueError("nonstandard compression/filter method")
+            if inter != 0:
+                raise NotImplementedError("Adam7 interlace unsupported")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        off += 12 + ln                      # len + type + data + crc
+    if w is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (w + 1) * h:
+        raise ValueError("inflated size mismatch")
+    out, prev = bytearray(), bytes(w)
+    for y in range(h):
+        ft = raw[y * (w + 1)]
+        line = bytearray(raw[y * (w + 1) + 1:(y + 1) * (w + 1)])
+        if ft == 0:
+            pass
+        elif ft == 1:                       # Sub
+            for x in range(1, w):
+                line[x] = (line[x] + line[x - 1]) & 255
+        elif ft == 2:                       # Up
+            for x in range(w):
+                line[x] = (line[x] + prev[x]) & 255
+        elif ft == 3:                       # Average
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 255
+        elif ft == 4:                       # Paeth
+            for x in range(w):
+                a = line[x - 1] if x else 0
+                up = prev[x]
+                c = prev[x - 1] if x else 0
+                p = a + up - c
+                pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else c)
+                line[x] = (line[x] + pr) & 255
+        else:
+            raise ValueError("invalid filter type")
+        out += line
+        prev = bytes(line)
+    return w, h, bytes(out)
+
+
+def synthesize_planted_png(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID 8-bit grayscale PNGs planted from doc_id
+    — real chunk framing with CRCs, a real DEFLATE stream, and forward
+    filtering that cycles y % 5 through all five filter types, so the
+    query-side reconstruction exercises every branch on every image.
+    Builder and decoder share no unpacking logic, and the DuckDB oracle
+    regenerates pixels from the md5 formula — a filter-math bug pair
+    cannot cancel out. Arrow-batched and repartitioned first."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                w, h = PGM_W, PGM_H
+                rows = [[_planted_png_pixel(page, x, y, did)
+                         for x in range(w)] for y in range(h)]
+                raw = bytearray()
+                prev = [0] * w
+                for y in range(h):
+                    cur, ft = rows[y], y % 5
+                    raw.append(ft)
+                    for x in range(w):
+                        a = cur[x - 1] if x else 0
+                        up = prev[x]
+                        c = prev[x - 1] if x else 0
+                        if ft == 0:
+                            enc = cur[x]
+                        elif ft == 1:
+                            enc = cur[x] - a
+                        elif ft == 2:
+                            enc = cur[x] - up
+                        elif ft == 3:
+                            enc = cur[x] - ((a + up) >> 1)
+                        else:
+                            p = a + up - c
+                            pa, pb, pc = (abs(p - a), abs(p - up),
+                                          abs(p - c))
+                            pr = a if (pa <= pb and pa <= pc) else \
+                                (up if pb <= pc else c)
+                            enc = cur[x] - pr
+                        raw.append(enc & 255)
+                    prev = cur
+                ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payload = (_PNG_SIG + chunk(b"IHDR", ihdr)
+                           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                           + chunk(b"IEND", b""))
+                ids.append(did)
+                payloads.append(payload)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_png_dhash_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted PNG
+    fixture — the PGM oracle's cell-sum shape with the 'p:'-salted
+    pixel formula; never touches bytes (inflate or filter bugs on the
+    Spark side hash-mismatch)."""
+    px = _PNG_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
+                             did=id_col)
+    return f"""
+    WITH cells AS (
+      SELECT {id_col}, g.cx, g.cy, SUM({px}) AS s
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                    AS i) n,
+           LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px,
+           LATERAL (SELECT px.x // 2 AS cx, px.y // 2 AS cy) g
+      GROUP BY {id_col}, g.cx, g.cy
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.s > b.s
+                    THEN CAST(pow(2, a.cy * 10 + a.cx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM cells a JOIN cells b
+      ON a.{id_col} = b.{id_col} AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 10
+    GROUP BY a.{id_col}
+    """
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
-    """Format-dispatching grayscale pixel decode: binary PGM or the
-    DC-only baseline-JPEG subset. The image-family operators hash both
-    container formats through this single entry point."""
+    """Format-dispatching grayscale pixel decode: binary PGM, the
+    DC-only baseline-JPEG subset, or 8-bit grayscale PNG. The
+    image-family operators hash all three container formats through
+    this single entry point."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
+    if payload[:8] == _PNG_SIG:
+        return decode_png_gray(payload)
     raise ValueError("unrecognized image container")
 
 
@@ -702,6 +885,24 @@ _PGM_PX_SPARK = ("(CAST(conv(substring(md5(CAST({page} AS STRING) || ':'"
 _PGM_PX_DUCK = ("(CAST(('0x' || substr(md5(CAST({page} AS VARCHAR) || ':'"
                 " || CAST({x} AS VARCHAR) || ':' || CAST({y} AS VARCHAR)),"
                 " 1, 8))::UBIGINT AS BIGINT) % 180 + 20)" + _PERTURB)
+
+
+def _planted_png_pixel(page: int, x: int, y: int, did: int) -> int:
+    """Python spelling of the PNG planting formula — the PGM formula
+    with a 'p:' salt (disjoint key space), same one-pixel odd-id
+    perturbation (+40 at a 2×2-cell-aligned position)."""
+    v = int(hashlib.md5(f"p:{page}:{x}:{y}".encode()).hexdigest()[:8],
+            16) % 180 + 20
+    if (did % 2 == 1 and x - x % 2 == 2 * (page % 11)
+            and y - y % 2 == 2 * (page % 6)):
+        v += 40
+    return v
+
+
+_PNG_PX_DUCK = ("(CAST(('0x' || substr(md5('p:' || CAST({page} AS VARCHAR)"
+                " || ':' || CAST({x} AS VARCHAR) || ':'"
+                " || CAST({y} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+                " % 180 + 20" + _PERTURB + ")")
 
 
 def synthesize_planted_pgm(docs: DataFrame,

@@ -1292,6 +1292,28 @@ def q_image_phash_jpeg(spark, sf_dir):
     return mm.image_dhash(mm.synthesize_planted_jpeg(docs))
 
 
+from ..operators.multimodal import planted_png_dhash_sql  # noqa: E402
+
+
+@register(
+    "q_image_phash_png",
+    planted_png_dhash_sql("documents"),
+    doc="perceptual hashing over the image family's THIRD real "
+        "container: planted 8-bit grayscale PNGs with real chunk/CRC "
+        "framing and a real DEFLATE stream (stdlib zlib — an actual "
+        "compressed bitstream, unlike the uncompressed PGM path). The "
+        "builder's forward filtering cycles y%5 through ALL FIVE RFC "
+        "2083 filter types, so the Arrow stage's reconstruction "
+        "(None/Sub/Up/Average/Paeth) exercises every branch on every "
+        "image before the same integer dHash runs; the oracle "
+        "regenerates pixels from the 'p:'-salted md5 formula, never "
+        "from bytes — an inflate or filter-math bug hash-mismatches")
+def q_image_phash_png(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_png(docs))
+
+
 @register(
     "q_image_neardup",
     planted_pgm_neardup_sql("documents", max_hamming=3),

@@ -299,6 +299,67 @@ def test_audio_stats_spark_matches_python_reference(spark):
                           sum(x * x for x in xs), sum(xs) / len(xs))
 
 
+def test_png_decode_roundtrip_all_filter_types(spark):
+    import struct as st
+    import zlib
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_png(docs).collect()}
+    for did, b in raw.items():
+        page = did // 2
+        w, h, px = mm.decode_png_gray(b)
+        assert (w, h) == (mm.PGM_W, mm.PGM_H)
+        want = bytes(mm._planted_png_pixel(page, x, y, did)
+                     for y in range(h) for x in range(w))
+        assert px == want
+        # the builder's DEFLATE stream cycles filters 0..4 (h=12 rows),
+        # so reconstruction exercised every branch to get here
+        flt = zlib.decompress(
+            b[8 + 8 + 13 + 4 + 8:][:st.unpack(">I", b[8 + 8 + 13 + 4:]
+                                              [:4])[0]])
+        assert {flt[y * (w + 1)] for y in range(h)} == {0, 1, 2, 3, 4}
+        # decode_image dispatches on the PNG signature
+        assert mm.decode_image(b) == (w, h, px)
+    # planted near-dup: odd id differs by one perturbed pixel
+    h0 = mm.dhash_int(mm.PGM_W, mm.PGM_H, mm.decode_png_gray(raw[0])[2])
+    h1 = mm.dhash_int(mm.PGM_W, mm.PGM_H, mm.decode_png_gray(raw[1])[2])
+    assert bin(h0 ^ h1).count("1") <= 2
+
+
+def test_png_decode_refusals():
+    import struct as st
+    import zlib
+
+    def chunk(typ, data):
+        return (st.pack(">I", len(data)) + typ + data
+                + st.pack(">I", zlib.crc32(typ + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def png(depth=8, color=0, inter=0, w=2, h=1, raw=None):
+        ihdr = st.pack(">IIBBBBB", w, h, depth, color, 0, 0, inter)
+        raw = b"\x00\xaa\xbb" if raw is None else raw
+        return (sig + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+    assert mm.decode_png_gray(png()) == (2, 1, b"\xaa\xbb")
+    with pytest.raises(ValueError):
+        mm.decode_png_gray(b"not a png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_gray(png(depth=16))          # 16-bit
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_gray(png(color=2))           # RGB
+    with pytest.raises(NotImplementedError):
+        mm.decode_png_gray(png(inter=1))           # Adam7
+    with pytest.raises(ValueError):
+        mm.decode_png_gray(png(raw=b"\x00\xaa"))   # short scanline data
+    with pytest.raises(ValueError):
+        mm.decode_png_gray(png(raw=b"\x09\xaa\xbb"))  # bad filter type
+    with pytest.raises(ValueError):
+        mm.decode_png_gray(png()[:-20])            # truncated IDAT/IEND
+
+
 def test_audio_fingerprint_matches_python_reference(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     media = mm.synthesize_planted_wav_pairs(docs)
