@@ -513,6 +513,65 @@ def quantize_int8_sql(sf_table: str, id_col: str = "vec_id",
     """
 
 
+def random_projection(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Johnson–Lindenstrauss SIGN projection: y_j = Σ_i v_i · s(i, j),
+    s(i, j) = ±1 from the parity of md5('rp:i:j') — data-independent
+    dimension reduction (Achlioptas 2001: ±1 entries satisfy the JL
+    lemma), the cheap front-end that shrinks d before any
+    distance-heavy stage. Pure projection, ZERO shuffle, no trained
+    artifact to ship — every worker regenerates the same matrix from
+    the hash.
+
+    Cross-engine exactness: each product is quantized to the 1e-12 grid
+    before summation (the proven ``_DOT`` pattern from feature_hash) so
+    the sum is order-independent, then the output lands as BIGINT
+    micro-units — one (vec_id, j, y_micro) row per output dim, no list
+    cells for the driver canon to choke on. NULL/empty vectors drop.
+    """
+    sign = ("(CASE WHEN CAST(conv(substring(md5('rp:' ||"
+            " CAST(i AS STRING) || ':' || CAST(j AS STRING)), 1, 1),"
+            " 16, 10) AS INT) % 2 = 1 THEN -1.0 ELSE 1.0 END)")
+    term = (f"CAST(FLOOR(CAST(element_at({vec_col}, i + 1) AS DOUBLE)"
+            f" * {sign} * 1000000000000 + 0.5) AS DOUBLE)"
+            f" / 1000000000000")
+    proj = (f"transform(sequence(0, {k - 1}), j ->"
+            f" CAST(FLOOR(aggregate(sequence(0, size({vec_col}) - 1),"
+            f" CAST(0 AS DOUBLE), (acc, i) -> acc + ({term}))"
+            f" * 1000000 + 0.5) AS BIGINT))")
+    return (emb.filter(F.expr(f"{vec_col} IS NOT NULL"
+                              f" AND size({vec_col}) > 0"))
+            .select(F.col(id_col), F.expr(proj).alias("proj"))
+            .selectExpr(id_col, "posexplode(proj) AS (j, y_micro)"))
+
+
+def random_projection_sql(table: str, k: int = 8, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> str:
+    """DuckDB oracle for :func:`random_projection` — the same ±1 md5
+    matrix and 1e-12 term grid spelled relationally (grid sums are
+    exact multiples, so parallel SUM order cannot perturb them)."""
+    sign = ("(CASE WHEN ('0x' || substr(md5('rp:' ||"
+            " CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),"
+            " 1, 1))::UBIGINT % 2 = 1 THEN -1.0 ELSE 1.0 END)")
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+      WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0
+    ),
+    terms AS (
+      SELECT {id_col}, j.j,
+             FLOOR(v[i.i + 1] * {sign} * 1000000000000 + 0.5)
+                 / 1000000000000 AS term
+      FROM base,
+           LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS j) j,
+           LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i) i
+    )
+    SELECT {id_col}, CAST(j AS INTEGER) AS j,
+           CAST(FLOOR(SUM(term) * 1000000 + 0.5) AS BIGINT) AS y_micro
+    FROM terms GROUP BY {id_col}, j
+    """
+
+
 # --------------------------------------------------------------------------
 # k-NN graph + semantic dedup (SemDeDup) — the embedding-side corpus ops
 # --------------------------------------------------------------------------

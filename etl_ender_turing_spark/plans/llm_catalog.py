@@ -726,6 +726,21 @@ def q_embed_quantize(spark, sf_dir):
                     F.array_join("qvec", ",").alias("qvec_csv")))
 
 
+@register(
+    "q_embed_random_projection",
+    sim.random_projection_sql("embeddings", k=8),
+    doc="Johnson-Lindenstrauss SIGN projection (operators/similarity."
+        "random_projection): y_j = sum_i v_i * s(i,j) with s = +/-1 "
+        "from md5 parity (Achlioptas 2001) — data-independent "
+        "dimension reduction with ZERO shuffle and no trained artifact "
+        "(every worker regenerates the matrix from the hash). Products "
+        "quantized to the 1e-12 grid before summation so the sum is "
+        "order-independent; output is BIGINT micro-units, one "
+        "(vec_id, j) row per output dim")
+def q_embed_random_projection(spark, sf_dir):
+    return sim.random_projection(_emb(spark, sf_dir), k=8)
+
+
 _EMB_REF_SQL = "SELECT * FROM embeddings WHERE vec_id % 2 = 0"
 _EMB_CUR_SQL = ("SELECT vec_id, label, CASE WHEN label = 3 THEN "
                 "list_transform(embedding, x -> -x) ELSE embedding END "
