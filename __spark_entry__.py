@@ -41,7 +41,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_image_phash_jpeg", "q_audio_fingerprint", "q_audio_neardup",
     "q_video_frame_hashes", "q_video_neardup", "q_stream_audio_gate",
     "q_multimodal_training_set", "q_stream_video_gate",
-    "q_image_phash_png", "q_embed_random_projection",
+    "q_image_phash_png", "q_embed_random_projection", "q_mp3_meta",
     # plan changed in round 8: the stream-static enrichment dropped its
     # scaling-table broadcast hint (values identical, plan re-gated) —
     # VERDICT r7 asks for an explicit re-certification; it is also in

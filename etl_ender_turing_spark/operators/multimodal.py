@@ -1284,6 +1284,149 @@ def planted_wav_stats_sql(table: str = "documents",
 
 
 # --------------------------------------------------------------------------
+# MP3 frame walk: MPEG-1 Layer III header hop (the audio container #2)
+# --------------------------------------------------------------------------
+# Like the MP4 box walk for video, this is a REAL container traversal:
+# each frame's byte length derives from its own header (144·bitrate/
+# samplerate + padding, ISO 11172-3), so the walker cannot fake the
+# count — one wrong table entry or a missed padding bit desynchronizes
+# the hop and the stream reads as garbage. Scope: MPEG-1 Layer III
+# without CRC (header 0xFF 0xFB), optional leading ID3v2 tag
+# (synchsafe-size skip). Anything else returns None → the row drops.
+
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 0)                     # kbps, L3/MPEG-1
+_MP3_RATES = (44100, 48000, 32000)
+
+MP3_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("bitrate_kbps", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+
+def parse_mp3_meta(payload: bytes) -> dict | None:
+    """Walk MPEG-1 Layer III frames by their header-derived lengths;
+    returns frame count, rates and exact integer duration, or None for
+    anything outside the subset (mid-stream junk, truncated frames,
+    trailing garbage, CRC frames, reserved table indexes)."""
+    b = payload
+    off = 0
+    if b[:3] == b"ID3":
+        if len(b) < 10:
+            return None
+        if (b[6] | b[7] | b[8] | b[9]) & 0x80:
+            return None                       # not synchsafe
+        off = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+    n_frames, sr, br0 = 0, None, None
+    while off + 4 <= len(b):
+        h = b[off:off + 4]
+        if h[0] != 0xFF or h[1] != 0xFB:      # sync + MPEG-1 L3, no CRC
+            return None
+        bi, si, pad = h[2] >> 4, (h[2] >> 2) & 3, (h[2] >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            return None                       # free-form / reserved
+        br, sr = _MP3_BITRATES[bi], _MP3_RATES[si]
+        if br0 is None:
+            br0 = br
+        flen = (144 * br * 1000) // sr + pad
+        if off + flen > len(b):
+            return None                       # truncated frame
+        n_frames += 1
+        off += flen
+    if n_frames == 0 or off != len(b):
+        return None                           # trailing garbage
+    return {"n_frames": n_frames, "sample_rate": sr,
+            "bitrate_kbps": br0,
+            "duration_ms": n_frames * 1152 * 1000 // sr}
+
+
+def extract_mp3_meta(df: DataFrame, payload_col: str = "payload",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched MP3 frame-walk metadata — frame count, rates, and
+    exact integer duration (1152 samples per MPEG-1 L3 frame).
+    Unparseable payloads drop."""
+    cols = [f.name for f in MP3_META_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                m = parse_mp3_meta(b)
+                if m is not None:
+                    rows.append({"doc_id": int(did), **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, MP3_META_SCHEMA)
+
+
+# planted MP3s: n_frames = 3 + id%5, bitrate index 1 + id%14, samplerate
+# index id%3, per-frame padding (id + f) % 2 — every stream mixes padded
+# and unpadded frames, so the hop must honor the padding bit; id%4==1
+# additionally prepends an ID3v2 tag (synchsafe size id%100) the walker
+# must skip. All byte assembly JVM-side hex/unhex.
+_MP3_BR_SQL = ("element_at(array(32, 40, 48, 56, 64, 80, 96, 112, 128,"
+               " 160, 192, 224, 256, 320), CAST({bi} AS INT))")
+_MP3_SR_SQL = "element_at(array(44100, 48000, 32000), CAST({si} AS INT) + 1)"
+
+
+def synthesize_planted_mp3(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID MPEG-1 Layer III frame sequences planted
+    arithmetically — headers 0xFF 0xFB with real bitrate/samplerate/
+    padding fields and zero-filled frame bodies of the EXACT
+    header-implied length (the Python side only ever PARSES)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    did = id_col
+    bi = f"(1 + {did} % 14)"
+    si = f"({did} % 3)"
+    br = _MP3_BR_SQL.format(bi=bi)
+    sr = _MP3_SR_SQL.format(si=si)
+    n_frames = f"(3 + {did} % 5)"
+    pad = f"(({did} + f) % 2)"
+    flen = f"(CAST(144 * {br} AS BIGINT) * 1000 div {sr} + {pad})"
+    frame_hex = (f"concat('FFFB', lpad(hex({bi} * 16 + {si} * 4"
+                 f" + {pad} * 2), 2, '0'), '00',"
+                 f" repeat('00', CAST({flen} AS INT) - 4))")
+    frames_hex = (f"concat_ws('', transform(sequence(0, {n_frames} - 1),"
+                  f" f -> {frame_hex}))")
+    tagsz = f"({did} % 100)"
+    id3_hex = (f"CASE WHEN {did} % 4 = 1 THEN concat(hex('ID3'),"
+               f" '0400', '00', '000000', lpad(hex({tagsz}), 2, '0'),"
+               f" repeat('00', CAST({tagsz} AS INT))) ELSE '' END")
+    return docs.select(
+        id_col,
+        F.unhex(F.expr(f"concat({id3_hex}, {frames_hex})"))
+        .alias("payload"))
+
+
+def planted_mp3_meta_sql(table: str = "documents",
+                         id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`extract_mp3_meta` over the planted
+    fixture — every field regenerated arithmetically (the frame-length
+    hop itself is what the Spark side must get right to agree)."""
+    bi = f"(1 + {id_col} % 14)"
+    si = f"({id_col} % 3)"
+    br = (f"([32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,"
+          f" 256, 320])[{bi}]")
+    sr = f"([44100, 48000, 32000])[{si} + 1]"
+    nf = f"(3 + {id_col} % 5)"
+    return f"""
+    SELECT {id_col},
+           CAST({nf} AS INTEGER) AS n_frames,
+           CAST({sr} AS INTEGER) AS sample_rate,
+           CAST({br} AS INTEGER) AS bitrate_kbps,
+           CAST({nf} * 1152 * 1000 // {sr} AS BIGINT) AS duration_ms
+    FROM {table}
+    """
+
+
+# --------------------------------------------------------------------------
 # Audio perceptual fingerprint: frame-energy deltas over decoded PCM
 # --------------------------------------------------------------------------
 

@@ -1059,7 +1059,25 @@ def q_audio_stats(spark, sf_dir):
 
 
 from ..operators.multimodal import (  # noqa: E402
-    planted_wav_fp_sql, planted_wav_neardup_sql)
+    planted_mp3_meta_sql, planted_wav_fp_sql, planted_wav_neardup_sql)
+
+
+@register(
+    "q_mp3_meta",
+    planted_mp3_meta_sql("documents"),
+    doc="REAL MPEG-1 Layer III frame walk (operators/multimodal."
+        "extract_mp3_meta) — the audio container #2, the MP4-box-walk "
+        "analogue: each frame's byte length derives from its OWN header "
+        "(144*bitrate/samplerate + padding, ISO 11172-3), so a wrong "
+        "table entry or missed padding bit desynchronizes the hop and "
+        "the stream drops. Planted fixtures mix padded/unpadded frames "
+        "per stream and a quarter carry a leading ID3v2 tag the walker "
+        "must synchsafe-skip; emits frame count, rates and exact "
+        "integer duration. Oracle regenerates all fields arithmetically")
+def q_mp3_meta(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.extract_mp3_meta(mm.synthesize_planted_mp3(docs))
 
 
 @register(

@@ -360,6 +360,39 @@ def test_png_decode_refusals():
         mm.decode_png_gray(png()[:-20])            # truncated IDAT/IEND
 
 
+def test_parse_mp3_meta_frame_hop_and_refusals():
+    def frame(bi=9, si=0, pad=0):
+        br = mm._MP3_BITRATES[bi]
+        sr = mm._MP3_RATES[si]
+        flen = (144 * br * 1000) // sr + pad
+        return bytes([0xFF, 0xFB, bi * 16 + si * 4 + pad * 2, 0]) \
+            + bytes(flen - 4)
+
+    # 3 frames mixing padded/unpadded: the hop must honor the pad bit
+    b = frame(pad=0) + frame(pad=1) + frame(pad=0)
+    m = mm.parse_mp3_meta(b)
+    assert (m["n_frames"], m["sample_rate"], m["bitrate_kbps"]) == \
+        (3, 44100, 128)
+    assert m["duration_ms"] == 3 * 1152 * 1000 // 44100
+    # leading ID3v2 tag skipped by synchsafe size
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 42]) + bytes(42)
+    assert mm.parse_mp3_meta(id3 + b)["n_frames"] == 3
+    # refusals: mid-stream junk, truncated last frame, trailing garbage,
+    # reserved bitrate/samplerate indexes, CRC variant, bad synchsafe
+    assert mm.parse_mp3_meta(b + b"junk") is None
+    assert mm.parse_mp3_meta(b[:-1]) is None
+    assert mm.parse_mp3_meta(b"\x00" + b) is None
+    assert mm.parse_mp3_meta(bytes([0xFF, 0xFB, 0xF0, 0]) + bytes(100)) \
+        is None                                       # bitrate idx 15
+    assert mm.parse_mp3_meta(bytes([0xFF, 0xFB, 0x9C, 0]) + bytes(100)) \
+        is None                                       # samplerate idx 3
+    bad_crc = bytes([0xFF, 0xFA]) + b[2:]
+    assert mm.parse_mp3_meta(bad_crc) is None         # CRC frames out
+    assert mm.parse_mp3_meta(
+        b"ID3\x04\x00\x00" + bytes([0x80, 0, 0, 0])) is None
+    assert mm.parse_mp3_meta(b"") is None
+
+
 def test_audio_fingerprint_matches_python_reference(spark):
     docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
     media = mm.synthesize_planted_wav_pairs(docs)
