@@ -1119,6 +1119,29 @@ def q_audio_neardup(spark, sf_dir):
                                    band_bits=16, max_hamming=3)
 
 
+from ..sources.webdataset import planted_wds_pairs_sql  # noqa: E402
+
+
+@register(
+    "q_webdataset_pairs",
+    planted_wds_pairs_sql("documents"),
+    doc="WebDataset shard ingestion (sources/webdataset."
+        "webdataset_pairs) — the de-facto multimodal training layout "
+        "(LAION-style .tar shards pairing <stem>.jpg + <stem>.txt): a "
+        "REAL ustar offset walk (octal sizes, VERIFIED header "
+        "checksums, 512-padded bodies) over shards written by stdlib "
+        "tarfile (independent writer vs hand-rolled reader), stem "
+        "pairing, caption decode, and the certified DC-only JPEG "
+        "entropy decode + integer dHash attached at ingest so "
+        "downstream image dedup never re-opens the shard. Oracle "
+        "regenerates captions as string arithmetic and hashes from "
+        "the 'w:'-salted block constants, never touching tar bytes")
+def q_webdataset_pairs(spark, sf_dir):
+    from ..sources import webdataset as wds
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return wds.webdataset_pairs(wds.synthesize_planted_webdataset(docs))
+
+
 from ..operators.multimodal import planted_mp4_meta_sql  # noqa: E402
 
 
