@@ -1142,6 +1142,69 @@ def q_webdataset_pairs(spark, sf_dir):
     return wds.webdataset_pairs(wds.synthesize_planted_webdataset(docs))
 
 
+from ..sources.webdataset import _WDS_V_DUCK  # noqa: E402
+
+_WDS_GATE_V = _WDS_V_DUCK.format(did="(m.doc_id % 10000000)",
+                                 bx="g.bx", by="g.by")
+
+
+@register(
+    "q_stream_wds_gate",
+    f"""
+    WITH ids AS (
+      SELECT doc_id FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 FROM documents WHERE doc_id % 4 = 0
+    ),
+    blocks AS (
+      SELECT m.doc_id, g.bx, g.by, {_WDS_GATE_V} AS v
+      FROM ids m,
+           LATERAL (SELECT unnest(generate_series(0, 65)) AS i) n,
+           LATERAL (SELECT n.i % 11 AS bx, n.i // 11 AS by) g
+    ),
+    sigs AS (
+      SELECT a.doc_id,
+             CAST(SUM(CASE WHEN a.v > b.v
+                      THEN CAST(pow(2, a.by * 10 + a.bx) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS simhash
+      FROM blocks a JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.by = b.by AND b.bx = a.bx + 1
+      WHERE a.bx < 10
+      GROUP BY a.doc_id
+    ),
+    melted AS (
+      SELECT doc_id, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    ),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS doc_b
+      FROM melted a JOIN melted b
+        ON a.band = b.band AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT s.doc_id, s.doc_id IN (SELECT doc_b FROM cand) AS is_dup
+    FROM sigs s
+    """,
+    doc="streaming WebDataset intake + image near-dup gate run to "
+        "completion (streaming/stream.wds_gate_stream, availableNow): "
+        ".tar shards land in a directory, the verified ustar walk + "
+        "JPEG entropy decode + dHash run statelessly per micro-batch, "
+        "and the shared first-owner band gate flags duplicate images "
+        "AT INGEST — every 4th sample is re-exported under an offset "
+        "sample id with an identical image (the duplicate-delivery "
+        "case a real exporter produces), so the positive path is "
+        "planted, not incidental. One stateful op, state band-"
+        "vocabulary-sized; oracle spells shards' union + banding "
+        "relationally")
+def q_stream_wds_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_wds_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_wds_gate_ckpt_")
+    landing = tempfile.mkdtemp(prefix="q_stream_wds_gate_landing_")
+    return run_wds_gate_batch(spark, sf_dir, ckpt, landing)
+
+
 from ..operators.multimodal import planted_mp4_meta_sql  # noqa: E402
 
 

@@ -149,7 +149,14 @@ def synthesize_planted_webdataset(docs: DataFrame,
             ids, payloads = [], []
             for did in pdf[id_col]:
                 did = int(did)
-                dcs = [_planted_wds_block(did, bx, by) - 128
+                # image content keys on id % 10M: a re-exported or
+                # replicated shard (id offset by the 10M replication
+                # span) carries an IDENTICAL image under a new sample
+                # id — the dedup worst case, and the streaming gate's
+                # planted positive. Base fixture ids are < 10M, so
+                # base values are unchanged.
+                content_key = did % 10_000_000
+                dcs = [_planted_wds_block(content_key, bx, by) - 128
                        for by in range(_JPG_BY) for bx in range(_JPG_BX)]
                 jpg = encode_dc_only_jpeg(JPG_W, JPG_H, dcs)
                 txt = f"sample {did}".encode()

@@ -928,6 +928,72 @@ def run_audio_gate_batch(spark: SparkSession, source_dir: str,
             .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
 
 
+WDS_SHARD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def wds_gate_stream(spark: SparkSession, landing_dir: str,
+                    glob_filter: str | None = None,
+                    state_ttl: str | None = None) -> DataFrame:
+    """Streaming WebDataset ingestion + image near-dup gate — the
+    production shape of multimodal intake: crawler/exporter drops .tar
+    shards into a landing directory, the pipeline consumes them
+    incrementally, extracts (image, caption) pairs with the verified
+    ustar walk (``sources/webdataset.webdataset_pairs`` — stream-
+    agnostic mapInPandas), and the per-sample perceptual hash passes
+    the shared first-owner band gate so a re-exported duplicate image
+    is flagged AT INGEST, before it ever lands in the corpus. Parse +
+    hash are stateless; the band gate is the single stateful op (state
+    band-vocabulary-sized). Single-round verdict: flagged ⟺ shares a
+    band with a smaller sample id."""
+    from ..sources import webdataset as wds
+
+    reader = spark.readStream.schema(WDS_SHARD_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    shards = reader.parquet(landing_dir)
+    pairs = wds.webdataset_pairs(shards)
+    stack = ", ".join(
+        f"'{b}', CAST((simhash div CAST(pow(32768, {b}) AS BIGINT))"
+        f" % 32768 AS STRING)"
+        for b in range(4))
+    melted = pairs.selectExpr("doc_id",
+                              f"stack(4, {stack}) AS (band, h)")
+    return _band_owner_gate(melted, state_ttl)
+
+
+def run_wds_gate_batch(spark: SparkSession, sf_dir: str,
+                       checkpoint_dir: str, landing_dir: str) -> DataFrame:
+    """Synthesize the planted shards into a landing directory — every
+    4th sample additionally RE-EXPORTED under an offset sample id with
+    an identical image (content keys on id % 10M), the duplicate-
+    delivery case a real exporter produces — then drive the streaming
+    ingest + image gate to completion (availableNow) for value-level
+    oracle comparison."""
+    from ..sources.readers import read_table
+    from ..sources import webdataset as wds
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    (wds.synthesize_planted_webdataset(docs)
+     .write.mode("overwrite").parquet(landing_dir))
+    twins = (docs.filter(F.col("doc_id") % 4 == 0)
+             .select((F.col("doc_id") + 10_000_000).alias("doc_id")))
+    (wds.synthesize_planted_webdataset(twins)
+     .write.mode("append").parquet(landing_dir))
+    gated = wds_gate_stream(spark, landing_dir)
+    q = (gated.writeStream.format("memory").queryName("wds_gate_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return (spark.table("wds_gate_result")
+            .groupBy("doc_id")
+            .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
+
+
 WARC_CHUNK_SCHEMA = T.StructType([
     T.StructField("chunk_id", T.LongType()),
     T.StructField("warc", T.BinaryType()),
