@@ -109,6 +109,14 @@ BENCH_QUERIES = [
     "q_image_phash_jpeg",
     "q_audio_neardup",
     "q_video_neardup",
+    # round-8 second batch: the multimodal capstone (gate + two
+    # perceptual dedups + manifest), PNG inflate+filter decode, the MP3
+    # frame hop, WebDataset shard extraction, and the JL projection
+    "q_multimodal_training_set",
+    "q_image_phash_png",
+    "q_mp3_meta",
+    "q_webdataset_pairs",
+    "q_embed_random_projection",
 ]
 
 
