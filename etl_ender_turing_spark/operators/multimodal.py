@@ -509,7 +509,18 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     un-stuffing, exact integer DC-only IDCT (constant blocks), edge
     crop. NotImplementedError on legal-but-out-of-subset streams
     (progressive/multi-component/nonzero AC/16-bit tables/restarts);
-    ValueError on malformed bytes."""
+    ValueError on malformed bytes — including segments whose declared
+    lengths lie about their contents (short DHT symbol tables, missing
+    quant tables, truncated SOF/SOS), which the fuzz sweep showed would
+    otherwise leak IndexError/KeyError/struct.error out of the Arrow
+    stage and kill the task on one corrupt crawl image."""
+    try:
+        return _decode_jpeg_gray(payload)
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG segment: {e}") from e
+
+
+def _decode_jpeg_gray(payload: bytes) -> tuple[int, int, bytes]:
     import struct as st
 
     b = payload
@@ -640,6 +651,11 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
                 raise ValueError("nonstandard compression/filter method")
             if inter != 0:
                 raise NotImplementedError("Adam7 interlace unsupported")
+            if w == 0 or h == 0 or w * h > (1 << 26):
+                # zero-area is malformed; a forged IHDR claiming a
+                # multi-gigapixel canvas would turn the inflate cap
+                # below into an unbounded allocation
+                raise ValueError("implausible PNG dimensions")
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -647,7 +663,17 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         off += 12 + ln                      # len + type + data + crc
     if w is None or not idat:
         raise ValueError("missing IHDR/IDAT")
-    raw = zlib.decompress(bytes(idat))
+    try:
+        # cap inflation at the expected pixel payload: a forged IHDR or
+        # a zip-bomb IDAT must not allocate unbounded memory inside an
+        # executor — anything past (w+1)*h is malformed either way
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), (w + 1) * h + 1)
+    except zlib.error as e:
+        # zlib.error is NOT a ValueError: uncaught it would kill the
+        # whole Arrow stage on one corrupt crawl image instead of
+        # dropping the row (the extract_media_meta IndexError lesson)
+        raise ValueError(f"corrupt DEFLATE stream: {e}") from e
     if len(raw) != (w + 1) * h:
         raise ValueError("inflated size mismatch")
     out, prev = bytearray(), bytes(w)
@@ -1167,7 +1193,16 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
     """REAL PCM decode with stdlib struct only: RIFF chunk scan to the
     ``fmt `` chunk (rate/bits — 16-bit mono PCM supported) and the
     ``data`` chunk, then little-endian signed-int16 unpacking. Raises
-    ValueError on anything else (callers drop the row)."""
+    ValueError on anything else (callers drop the row) — a chunk whose
+    declared size overruns the buffer surfaces as ValueError, never
+    struct.error (which would escape the Arrow stage)."""
+    try:
+        return _decode_wav_samples(payload)
+    except struct.error as e:
+        raise ValueError(f"malformed RIFF chunk: {e}") from e
+
+
+def _decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")

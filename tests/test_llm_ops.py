@@ -358,6 +358,94 @@ def test_png_decode_refusals():
         mm.decode_png_gray(png(raw=b"\x09\xaa\xbb"))  # bad filter type
     with pytest.raises(ValueError):
         mm.decode_png_gray(png()[:-20])            # truncated IDAT/IEND
+    # corrupt DEFLATE bytes must surface as ValueError (drop), never
+    # zlib.error (Arrow stage crash)
+    good = png()
+    idat_data_at = good.index(b"IDAT") + 4
+    bad = (good[:idat_data_at + 2]
+           + bytes([good[idat_data_at + 2] ^ 0xFF])
+           + good[idat_data_at + 3:])
+    with pytest.raises(ValueError):
+        mm.decode_png_gray(bad)
+
+
+def test_binary_parsers_never_leak_non_drop_exceptions():
+    # Fuzz every binary parser with mutated/truncated/extended valid
+    # payloads: the Arrow stages drop rows on ValueError /
+    # NotImplementedError ONLY — an IndexError, KeyError, struct.error
+    # or zlib.error escaping a parser kills the whole Spark task on one
+    # corrupt crawl file. The round-8 sweep (280k calls) caught real
+    # leaks in the JPEG DHT/SOS segment parse and the WAV chunk walk;
+    # this pins the contract. Deterministic seed => reproducible.
+    import io
+    import random
+    import struct as st
+    import tarfile
+    import zlib
+
+    from etl_ender_turing_spark.sources import webdataset as wds
+
+    random.seed(1234)
+
+    def tar_of(members):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w",
+                          format=tarfile.USTAR_FORMAT) as tf:
+            for n, d in members:
+                ti = tarfile.TarInfo(n)
+                ti.size = len(d)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(d))
+        return buf.getvalue()
+
+    def chunk(t, d):
+        return (st.pack(">I", len(d)) + t + d
+                + st.pack(">I", zlib.crc32(t + d)))
+
+    def box(t, p):
+        return st.pack(">I", 8 + len(p)) + t + p
+
+    dcs = [mm._planted_jpeg_block(0, bx, by, 0) - 128
+           for by in range(mm._JPG_BY) for bx in range(mm._JPG_BX)]
+    jpg = mm.encode_dc_only_jpeg(mm.JPG_W, mm.JPG_H, dcs)
+    ihdr = st.pack(">IIBBBBB", 4, 2, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(10)))
+           + chunk(b"IEND", b""))
+    mp3 = bytes([0xFF, 0xFB, 0x92, 0]) \
+        + bytes((144 * 128 * 1000) // 44100 - 4)
+    mvhd = box(b"mvhd", b"\x00\x00\x00\x00" + bytes(8)
+               + st.pack(">II", 1000, 90000) + bytes(80))
+    stsz = box(b"stsz", b"\x00\x00\x00\x00" + st.pack(">II", 0, 1)
+               + st.pack(">I", 3))
+    stco = box(b"stco", b"\x00\x00\x00\x00" + st.pack(">I", 1)
+               + st.pack(">I", 0))
+    mp4 = (box(b"ftyp", b"isom\x00\x00\x02\x00")
+           + box(b"moov", mvhd + box(b"trak", box(
+               b"mdia", box(b"minf", box(b"stbl", stsz + stco)))))
+           + box(b"mdat", b"XYZ"))
+    seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
+             _pcm_wav([0, 100, -100, 500] * 16), mp4,
+             tar_of([("1.txt", b"x"), ("1.jpg", jpg)])]
+    funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
+             mm.parse_mp4_meta, mm.decode_wav_samples,
+             wds.parse_tar_members, mm.parse_media_header)
+    for _trial in range(2000):
+        b = bytearray(random.choice(seeds))
+        for _ in range(random.randint(1, 8)):
+            op = random.random()
+            if op < 0.5 and b:
+                b[random.randrange(len(b))] = random.randrange(256)
+            elif op < 0.8 and b:
+                del b[random.randrange(len(b)):]
+            else:
+                b += bytes(random.randrange(64))
+        pb = bytes(b)
+        for fn in funcs:
+            try:
+                fn(pb)
+            except (ValueError, NotImplementedError):
+                pass
 
 
 def test_parse_mp3_meta_frame_hop_and_refusals():
