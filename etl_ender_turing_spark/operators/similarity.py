@@ -514,49 +514,70 @@ def quantize_int8_sql(sf_table: str, id_col: str = "vec_id",
 
 
 def random_projection(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
+                      vec_col: str = "embedding",
+                      max_dim: int = 1024) -> DataFrame:
     """Johnson–Lindenstrauss SIGN projection: y_j = Σ_i v_i · s(i, j),
     s(i, j) = ±1 from the parity of md5('rp:i:j') — data-independent
     dimension reduction (Achlioptas 2001: ±1 entries satisfy the JL
     lemma), the cheap front-end that shrinks d before any
     distance-heavy stage. Pure projection, ZERO shuffle, no trained
-    artifact to ship — every worker regenerates the same matrix from
-    the hash.
+    artifact to ship — the matrix derives from the hash formula, so any
+    worker (or the DuckDB oracle) regenerates it bit-identically.
+
+    The sign matrix is evaluated at PLAN time and embedded as a k×
+    ``max_dim`` literal (Catalyst constant-folds it once): the first
+    spelling recomputed md5 inside the fold lambda — there is no CSE
+    across rows in HOF lambdas, so that was k·d hashes PER ROW
+    (measured 2.5 s for 2 000 vectors at sf0.1; the literal form is
+    pure arithmetic). Vectors longer than ``max_dim`` drop with the
+    NULL/empty ones — widen the parameter for wider embeddings.
 
     Cross-engine exactness: each product is quantized to the 1e-12 grid
     before summation (the proven ``_DOT`` pattern from feature_hash) so
     the sum is order-independent, then the output lands as BIGINT
     micro-units — one (vec_id, j, y_micro) row per output dim, no list
-    cells for the driver canon to choke on. NULL/empty vectors drop.
+    cells for the driver canon to choke on.
     """
-    sign = ("(CASE WHEN CAST(conv(substring(md5('rp:' ||"
-            " CAST(i AS STRING) || ':' || CAST(j AS STRING)), 1, 1),"
-            " 16, 10) AS INT) % 2 = 1 THEN -1.0 ELSE 1.0 END)")
+    import hashlib
+
+    rows = []
+    for j in range(k):
+        signs = ("-1.0" if int(hashlib.md5(f"rp:{i}:{j}".encode())
+                               .hexdigest()[0], 16) % 2 else "1.0"
+                 for i in range(max_dim))
+        rows.append("array(" + ",".join(signs) + ")")
+    s_lit = "array(" + ",".join(rows) + ")"
     term = (f"CAST(FLOOR(CAST(element_at({vec_col}, i + 1) AS DOUBLE)"
-            f" * {sign} * 1000000000000 + 0.5) AS DOUBLE)"
-            f" / 1000000000000")
+            f" * element_at(element_at(_rp_s, j + 1), i + 1)"
+            f" * 1000000000000 + 0.5) AS DOUBLE) / 1000000000000")
     proj = (f"transform(sequence(0, {k - 1}), j ->"
             f" CAST(FLOOR(aggregate(sequence(0, size({vec_col}) - 1),"
             f" CAST(0 AS DOUBLE), (acc, i) -> acc + ({term}))"
             f" * 1000000 + 0.5) AS BIGINT))")
     return (emb.filter(F.expr(f"{vec_col} IS NOT NULL"
-                              f" AND size({vec_col}) > 0"))
+                              f" AND size({vec_col}) BETWEEN 1"
+                              f" AND {max_dim}"))
+            .withColumn("_rp_s", F.expr(s_lit))
             .select(F.col(id_col), F.expr(proj).alias("proj"))
             .selectExpr(id_col, "posexplode(proj) AS (j, y_micro)"))
 
 
 def random_projection_sql(table: str, k: int = 8, id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> str:
+                          vec_col: str = "embedding",
+                          max_dim: int = 1024) -> str:
     """DuckDB oracle for :func:`random_projection` — the same ±1 md5
     matrix and 1e-12 term grid spelled relationally (grid sums are
-    exact multiples, so parallel SUM order cannot perturb them)."""
+    exact multiples, so parallel SUM order cannot perturb them); the
+    md5 here is the SOURCE of the Spark side's constant-folded literal,
+    so a generator bug in either spelling hash-mismatches."""
     sign = ("(CASE WHEN ('0x' || substr(md5('rp:' ||"
             " CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),"
             " 1, 1))::UBIGINT % 2 = 1 THEN -1.0 ELSE 1.0 END)")
     return f"""
     WITH base AS (
       SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
-      WHERE {vec_col} IS NOT NULL AND len({vec_col}) > 0
+      WHERE {vec_col} IS NOT NULL
+        AND len({vec_col}) BETWEEN 1 AND {max_dim}
     ),
     terms AS (
       SELECT {id_col}, j.j,
