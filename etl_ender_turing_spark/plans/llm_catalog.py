@@ -1268,6 +1268,24 @@ def q_video_neardup(spark, sf_dir):
     return mm.video_neardup(hashes, max_total_hamming=4)
 
 
+@register(
+    "q_video_dup_clusters",
+    dd.duplicate_clusters_sql(
+        f"SELECT doc_a, doc_b FROM ({planted_mjpeg_neardup_sql('documents', max_total_hamming=4)})"),
+    doc="video near-dup CLUSTER resolution — the frame-hash pairs fed "
+        "through the same pointer-jumping min-label resolver the text "
+        "and image dedup families use (dedup.duplicate_clusters, "
+        "O(log diameter) rounds with lineage cuts): (doc_id, "
+        "cluster_id) per video appearing in any pair, canonical = min "
+        "id; oracle walks the transitive closure with a recursive CTE")
+def q_video_dup_clusters(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    hashes = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+    pairs = mm.video_neardup(hashes, max_total_hamming=4)
+    return dd.duplicate_clusters(pairs)
+
+
 from ..operators import feature_hash as fh  # noqa: E402
 from ..sources import warc as wc  # noqa: E402
 
