@@ -1341,6 +1341,26 @@ def q_warc_records(spark, sf_dir):
 
 
 @register(
+    "q_warc_gz_records",
+    wc.planted_warc_records_sql("documents", per_chunk=10),
+    doc="compressed web-archive ingestion (sources/warc."
+        "synthesize_planted_warc_gz + gunzip_members): the SAME planted "
+        "records shipped the way CommonCrawl publishes them — "
+        "PER-RECORD gzip members concatenated into one .warc.gz blob. "
+        "The reader walks the member chain with stdlib zlib "
+        "(decompressobj unused_data hops — searching for magic bytes "
+        "would misfire on 0x1f8b inside compressed data), then the "
+        "certified Content-Length record walk runs on the inflated "
+        "bytes. THE ORACLE IS THE PLAIN-WARC SQL UNCHANGED: compression "
+        "must be transparent, so the gzip walk is certified "
+        "byte-for-byte against the uncompressed family")
+def q_warc_gz_records(spark, sf_dir):
+    chunks = wc.synthesize_planted_warc_gz(
+        _docs(spark, sf_dir).select("doc_id", "text"), per_chunk=10)
+    return wc.parse_warc_records(chunks)
+
+
+@register(
     "q_warc_domain_stats",
     wc.planted_warc_domain_stats_sql("documents"),
     doc="ingest-to-analyze composition over parsed WARC records "

@@ -85,6 +85,81 @@ def synthesize_planted_warc(docs: DataFrame, per_chunk: int = 10,
                 "utf-8").alias("warc")))
 
 
+def synthesize_planted_warc_gz(docs: DataFrame, per_chunk: int = 10,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """(chunk_id, warc): the same planted records as
+    :func:`synthesize_planted_warc`, but shipped the way CommonCrawl
+    actually publishes them — PER-RECORD gzip members concatenated into
+    one ``.warc.gz`` blob (each record its own member so consumers can
+    seek to an offset and inflate one record). gzip with ``mtime=0`` is
+    deterministic; members are built in an Arrow stage (stdlib gzip —
+    the JVM side cannot deflate), and the ORACLE IS UNCHANGED: the
+    compression must be transparent, so ``planted_warc_records_sql``
+    certifies the gzip walk byte-for-byte against the plain one."""
+    import gzip
+
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    grouped = (docs.select(
+        F.expr(f"{id_col} div {per_chunk}").cast("bigint")
+        .alias("chunk_id"),
+        F.struct(F.col(id_col).alias("i"),
+                 F.coalesce(F.col(text_col), F.lit("")).alias("t"))
+        .alias("s"))
+        .groupBy("chunk_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("xs")))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cids, blobs = [], []
+            for cid, xs in zip(pdf["chunk_id"], pdf["xs"]):
+                members = []
+                for s in xs:
+                    i, body = int(s["i"]), str(s["t"]).encode()
+                    http = (b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n"
+                            b"Content-Length: %d\r\n\r\n"
+                            % len(body)) + body
+                    rec = ((f"WARC/1.0\r\nWARC-Type: response\r\n"
+                            f"WARC-Target-URI: https://example-{i % 7}"
+                            f".com/page/{i}\r\nContent-Length: "
+                            f"{len(http)}\r\n\r\n").encode()
+                           + http + b"\r\n\r\n")
+                    members.append(gzip.compress(rec, mtime=0))
+                cids.append(int(cid))
+                blobs.append(b"".join(members))
+            yield pd.DataFrame({
+                "chunk_id": pd.Series(cids, dtype="int64"),
+                "warc": blobs})
+
+    schema = T.StructType([T.StructField("chunk_id", T.LongType()),
+                           T.StructField("warc", T.BinaryType())])
+    return grouped.mapInPandas(run, schema)
+
+
+def gunzip_members(b: bytes) -> bytes:
+    """Concatenated-gzip-member walk with stdlib zlib: inflate one
+    member, continue from ``unused_data``, repeat to exhaustion — the
+    only correct traversal of a ``.warc.gz`` (searching for magic bytes
+    would mis-fire on 0x1f8b inside compressed data). Truncated or
+    corrupt members raise ValueError (the caller drops the chunk)."""
+    import zlib
+
+    out = bytearray()
+    while b:
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            out += d.decompress(b)
+            out += d.flush()
+        except zlib.error as e:
+            raise ValueError(f"corrupt gzip member: {e}") from e
+        if not d.eof:
+            raise ValueError("truncated gzip member")
+        b = d.unused_data
+    return bytes(out)
+
+
 def _parse_headers(block: bytes) -> dict[str, str]:
     out = {}
     for line in block.split(b"\r\n"):
@@ -101,6 +176,14 @@ def parse_warc_chunk(chunk_id: int, b: bytes) -> list[dict]:
     with a malformed frame stop the walk (never mis-slice the rest);
     non-HTTP payloads yield NULL status/content_type."""
     out: list[dict] = []
+    if b[:2] == b"\x1f\x8b":
+        # .warc.gz: per-record gzip members (the CommonCrawl layout) —
+        # inflate the member chain first; a corrupt/truncated chain
+        # drops the whole chunk (never parse a half-inflated record)
+        try:
+            b = gunzip_members(b)
+        except ValueError:
+            return out
     off = 0
     while off < len(b):
         if not b[off:].startswith(b"WARC/1.0\r\n"):

@@ -68,3 +68,34 @@ def test_warc_roundtrip_multibyte_bodies(spark):
         len(body0), hashlib.md5(body0).hexdigest(), 0)
     # NULL text plants an empty body, still a valid record
     assert got["https://example-2.com/page/2"][0] == 0
+
+
+def test_gunzip_members_walks_concatenated_members():
+    import gzip
+
+    a, b = b"first record bytes", b"second \x1f\x8b inside"
+    # member #2's PLAINTEXT contains the gzip magic: a magic-scanning
+    # walk would misfire; the unused_data hop must not
+    blob = gzip.compress(a, mtime=0) + gzip.compress(b, mtime=0)
+    assert wc.gunzip_members(blob) == a + b
+    assert wc.gunzip_members(b"") == b""
+    import pytest
+    with pytest.raises(ValueError):
+        wc.gunzip_members(blob[:-5])            # truncated last member
+    with pytest.raises(ValueError):
+        wc.gunzip_members(b"\x1f\x8b not really gzip")
+
+
+def test_warc_gz_roundtrips_and_drops_corrupt_chunks(spark):
+    rows = [(0, "café ☃ snow"), (1, "plain"), (2, None), (3, "x" * 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {(r.chunk_id, r.uri): (r.n_body, r.body_md5)
+             for r in wc.parse_warc_records(
+                 wc.synthesize_planted_warc(docs, per_chunk=2)).collect()}
+    gz = {(r.chunk_id, r.uri): (r.n_body, r.body_md5)
+          for r in wc.parse_warc_records(
+              wc.synthesize_planted_warc_gz(docs, per_chunk=2)).collect()}
+    # compression is transparent: identical parsed records
+    assert gz == plain and len(gz) == 4
+    # a corrupt member chain drops the WHOLE chunk, crashes nothing
+    assert wc.parse_warc_chunk(9, b"\x1f\x8b garbage") == []
