@@ -424,12 +424,21 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            + box(b"moov", mvhd + box(b"trak", box(
                b"mdia", box(b"minf", box(b"stbl", stsz + stco)))))
            + box(b"mdat", b"XYZ"))
+    import gzip
+
+    from etl_ender_turing_spark.sources import warc as wc
+
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"WARC-Target-URI: https://e.com/1\r\nContent-Length: 5\r\n"
+           b"\r\nhello\r\n\r\n")
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
              _pcm_wav([0, 100, -100, 500] * 16), mp4,
-             tar_of([("1.txt", b"x"), ("1.jpg", jpg)])]
+             tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
+             rec, gzip.compress(rec, mtime=0) * 2]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
              mm.parse_mp4_meta, mm.decode_wav_samples,
-             wds.parse_tar_members, mm.parse_media_header)
+             wds.parse_tar_members, mm.parse_media_header,
+             wc.gunzip_members, lambda b: wc.parse_warc_chunk(0, b))
     for _trial in range(2000):
         b = bytearray(random.choice(seeds))
         for _ in range(random.randint(1, 8)):
