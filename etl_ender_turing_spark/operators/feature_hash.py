@@ -137,3 +137,152 @@ def hash_embed_neighbors_sql(table: str = "documents", query_id: int = 0,
     FROM dots GROUP BY {id_col}
     ORDER BY sim DESC, {id_col} ASC LIMIT {k}
     """
+
+
+def _token_embed(toks: DataFrame, dim: int, n: int,
+                 tok_col: str = "tok") -> DataFrame:
+    """(tok, idx, w): the text_hash_embed pipeline applied to a DISTINCT
+    token vocabulary — char-grams of the token string, signed-hash
+    cells, L2 norm, 6dp quantization. Identical arithmetic to the
+    doc-level embed, so the SQL templates are shared."""
+    grams = (toks.filter(F.length(tok_col) >= n)
+             .select(tok_col, F.explode(F.expr(
+                 f"transform(sequence(1, length({tok_col}) - {n - 1}),"
+                 f" i -> substring({tok_col}, i, {n}))")).alias("gram")))
+    cells = (grams.select(tok_col,
+                          F.expr(_SLOT_SPARK.format(dim=dim)).alias("idx"),
+                          F.expr(_SIGN_SPARK).alias("sgn"))
+             .groupBy(tok_col, "idx")
+             .agg(F.sum("sgn").cast("long").alias("raw")))
+    norms = (cells.groupBy(tok_col)
+             .agg(F.expr("sqrt(CAST(SUM(raw * raw) AS DOUBLE))")
+                  .alias("nrm")))
+    return (cells.join(norms, tok_col)
+            .filter(F.col("nrm") > 0)
+            .select(tok_col, "idx", F.expr(_W6).alias("w")))
+
+
+def late_interaction_topk(df: DataFrame, query_terms: tuple[str, ...],
+                          k: int = 10, dim: int = 64, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """ColBERT-style LATE-INTERACTION retrieval with zero-model token
+    embeddings: score(doc) = Σ over query terms of MAX over the doc's
+    tokens of cos(term, token) — per-term soft matching that beats
+    whole-doc cosine on multi-aspect queries (Khattab & Zaharia 2020,
+    re-expressed on the hashing-trick embeddings so no model ships).
+
+    Scale shape — the reason this is tractable at 100 TB: token
+    embeddings are computed on the DISTINCT token VOCABULARY
+    (replication-flat, the BPE/unigram trainer argument), the
+    query-side is a ≤|terms|·dim-row broadcast, and the only
+    corpus-scale shuffles are the distinct (doc, token) projection and
+    the final (doc, term) max aggregation — the doc × token-embedding
+    join keys on the token string (uniform, vocabulary-bounded fan-in).
+
+    CANDIDATE SEMANTICS: a (term, token) pair contributes only if the
+    two share ≥ 1 hash slot (the sparse join); a term matching no token
+    of a doc contributes 0 — exactly the inverted-index pruning real
+    late-interaction serving does. Per-(doc, term) maxima quantize to
+    BIGINT micro-units before the final integer sum, so the score is
+    order-independent cross-engine. Output: (doc_id, score_micro),
+    top-k by (score DESC, id) — TakeOrderedAndProject, no global sort.
+    """
+    spark = df.sparkSession
+    doc_toks = (df.select(F.col(id_col),
+                          F.explode(F.split(F.lower(F.trim(
+                              F.col(text_col))), r"\s+")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .distinct())
+    vocab = doc_toks.select("tok").distinct()
+    temb = _token_embed(vocab, dim, n)
+    qdf = spark.createDataFrame([(t,) for t in query_terms], "qterm string")
+    qemb = (_token_embed(qdf.select(F.lower(F.col("qterm")).alias("tok")),
+                         dim, n)
+            .select(F.col("tok").alias("qterm"), "idx",
+                    F.col("w").alias("qw")))
+    sims = (temb.join(F.broadcast(qemb), "idx")
+            .select("tok", "qterm",
+                    F.expr(_DOT.format(a="w", b="qw")).alias("term"))
+            .groupBy("tok", "qterm")
+            .agg(F.expr(_SIM6.format(term="term")).alias("sim")))
+    per_term = (doc_toks.join(sims, "tok")
+                .groupBy(id_col, "qterm")
+                .agg(F.expr("CAST(FLOOR(MAX(sim) * 1000000 + 0.5)"
+                            " AS BIGINT)").alias("m")))
+    return (per_term.groupBy(id_col)
+            .agg(F.sum("m").cast("long").alias("score_micro"))
+            .orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k))
+
+
+def _token_embed_sql(toks_cte: str, dim: int, n: int) -> str:
+    """DuckDB spelling of :func:`_token_embed` over a CTE that yields a
+    ``tok`` column."""
+    return f"""
+      SELECT c.tok, c.idx, {_W6} AS w
+      FROM (
+        SELECT tok, {_SLOT_DUCK.format(dim=dim)} AS idx,
+               CAST(SUM({_SIGN_DUCK}) AS BIGINT) AS raw
+        FROM (
+          SELECT tok, substring(tok, CAST(i AS INTEGER), {n}) AS gram
+          FROM ({toks_cte}),
+               LATERAL (SELECT unnest(generate_series(1, len(tok) - {n - 1}))
+                        AS i) g
+          WHERE len(tok) >= {n}
+        ) GROUP BY 1, 2
+      ) c JOIN (
+        SELECT tok, sqrt(CAST(SUM(raw * raw) AS DOUBLE)) AS nrm
+        FROM (
+          SELECT tok, {_SLOT_DUCK.format(dim=dim)} AS idx,
+                 CAST(SUM({_SIGN_DUCK}) AS BIGINT) AS raw
+          FROM (
+            SELECT tok, substring(tok, CAST(i AS INTEGER), {n}) AS gram
+            FROM ({toks_cte}),
+                 LATERAL (SELECT unnest(generate_series(1, len(tok) - {n - 1}))
+                          AS i) g
+            WHERE len(tok) >= {n}
+          ) GROUP BY 1, 2
+        ) GROUP BY 1
+      ) nr USING (tok)
+      WHERE nr.nrm > 0
+    """
+
+
+def late_interaction_topk_sql(table: str = "documents",
+                              query_terms: tuple[str, ...] = (),
+                              k: int = 10, dim: int = 64, n: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`late_interaction_topk` — identical
+    tokenization, vocabulary embedding, sparse-slot candidates,
+    micro-unit maxima and integer score sum."""
+    terms = ", ".join("'" + t.lower().replace("'", "''") + "'"
+                      for t in query_terms)
+    doc_toks = (f"SELECT DISTINCT {id_col}, tok FROM ("
+                f"SELECT {id_col}, unnest(string_split_regex("
+                f"lower(trim({text_col})), '\\s+')) AS tok FROM {table})"
+                f" WHERE tok <> ''")
+    vocab_emb = _token_embed_sql(
+        f"SELECT DISTINCT tok FROM ({doc_toks})", dim, n)
+    q_emb = _token_embed_sql(
+        f"SELECT unnest([{terms}]) AS tok", dim, n)
+    return f"""
+    WITH doc_toks AS ({doc_toks}),
+    temb AS ({vocab_emb}),
+    qemb AS (SELECT tok AS qterm, idx, w AS qw FROM ({q_emb})),
+    sims AS (
+      SELECT t.tok, q.qterm,
+             {_SIM6.format(term=_DOT.format(a="t.w", b="q.qw"))} AS sim
+      FROM temb t JOIN qemb q USING (idx)
+      GROUP BY t.tok, q.qterm
+    ),
+    per_term AS (
+      SELECT d.{id_col}, s.qterm,
+             CAST(FLOOR(MAX(s.sim) * 1000000 + 0.5) AS BIGINT) AS m
+      FROM doc_toks d JOIN sims s USING (tok)
+      GROUP BY d.{id_col}, s.qterm
+    )
+    SELECT {id_col}, CAST(SUM(m) AS BIGINT) AS score_micro
+    FROM per_term GROUP BY {id_col}
+    ORDER BY score_micro DESC, {id_col} ASC LIMIT {k}
+    """

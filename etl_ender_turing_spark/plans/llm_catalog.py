@@ -1320,6 +1320,31 @@ def q_text_embed_neighbors(spark, sf_dir):
     return fh.hash_embed_neighbors(emb, query_id=0, k=10)
 
 
+_LI_TERMS = ("vector", "stream", "join", "window")
+
+
+@register(
+    "q_late_interaction_topk",
+    fh.late_interaction_topk_sql("documents", _LI_TERMS, k=10,
+                                 dim=64, n=3),
+    doc="ColBERT-style LATE-INTERACTION retrieval (operators/"
+        "feature_hash.late_interaction_topk): score = sum over query "
+        "terms of MAX over the doc's tokens of cos(term, token) — "
+        "per-term soft matching on zero-model hashing-trick token "
+        "embeddings (Khattab & Zaharia 2020 re-expressed without a "
+        "model). Token embeddings computed on the DISTINCT vocabulary "
+        "(replication-flat); query side a <=|terms|*dim-row broadcast; "
+        "(term, token) candidates share >=1 hash slot — the "
+        "inverted-index pruning real late-interaction serving does. "
+        "Per-(doc, term) maxima quantize to BIGINT micro-units before "
+        "the integer score sum (order-independent cross-engine); "
+        "completes the retrieval family: BM25 (lexical), dense cosine, "
+        "RRF hybrid, late interaction")
+def q_late_interaction_topk(spark, sf_dir):
+    return fh.late_interaction_topk(_docs(spark, sf_dir), _LI_TERMS,
+                                    k=10, dim=64, n=3)
+
+
 @register(
     "q_warc_records",
     wc.planted_warc_records_sql("documents", per_chunk=10),
