@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "q_mp3_meta",
     "q_webdataset_pairs",
     "q_embed_random_projection",
+    # round-8 third batch: compressed-archive ingestion and the
+    # late-interaction retrieval composition (vocab embed + maxsim)
+    "q_warc_gz_records",
+    "q_late_interaction_topk",
 ]
 
 
