@@ -43,7 +43,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_multimodal_training_set", "q_stream_video_gate",
     "q_image_phash_png", "q_embed_random_projection", "q_mp3_meta",
     "q_webdataset_pairs", "q_stream_wds_gate", "q_video_dup_clusters",
-    "q_warc_gz_records", "q_late_interaction_topk",
+    "q_warc_gz_records", "q_late_interaction_topk", "q_ngram_novelty",
     # plan changed in round 8: the stream-static enrichment dropped its
     # scaling-table broadcast hint (values identical, plan re-gated) —
     # VERDICT r7 asks for an explicit re-certification; it is also in

@@ -1486,3 +1486,62 @@ def paragraph_dedup_sql(table: str = "documents", text_col: str = "text",
                 AS BIGINT) AS n_dropped
     FROM flagged GROUP BY {id_col}
     """
+
+
+def ngram_novelty(pool: DataFrame, reference: DataFrame, n: int = 3,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document n-gram NOVELTY against a reference corpus: the
+    fraction of a doc's distinct word n-grams never seen in the
+    reference — the memorization/derivativeness signal a curation pass
+    scores alongside quality (near-zero novelty ⇒ boilerplate or a
+    near-copy the pairwise dedup family may have missed; the inverse
+    of decontamination, which looks for ANY overlap with a small
+    benchmark — here the reference is corpus-scale).
+
+    Shape: both sides reuse the shingle stream; the membership probe is
+    ONE shuffle keyed on the shingle (uniform by construction), with NO
+    broadcast hint — the reference is corpus-scale, AQE decides. The
+    novelty ratio lands as BIGINT micro-units: (n_grams − n_seen)·10⁶
+    is an exact integer, one IEEE division by n_grams, half-up floor —
+    bit-identical cross-engine. Docs shorter than ``n`` words drop
+    (no shingles ⇒ no novelty denominator).
+    """
+    ps = shingle_select(pool, text_col, id_col, n=n)
+    rs = (shingle_select(reference, text_col, id_col, n=n)
+          .select("shingle").distinct())
+    joined = ps.join(rs.withColumn("_hit", F.lit(1)), "shingle", "left")
+    return (joined.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+                 .cast("long").alias("n_seen"))
+            .select(id_col, "n_grams", "n_seen",
+                    F.expr("CAST(FLOOR(CAST((n_grams - n_seen) * 1000000"
+                           " AS DOUBLE) / n_grams + 0.5) AS BIGINT)")
+                    .alias("novelty_micro")))
+
+
+def ngram_novelty_sql(pool_sql: str, reference_sql: str, n: int = 3,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`ngram_novelty` — same shingle streams,
+    membership join, and micro-unit arithmetic."""
+    ps = shingle_sql(f"({pool_sql})", text_col, id_col, n)
+    rs = shingle_sql(f"({reference_sql})", text_col, id_col, n)
+    return f"""
+    WITH ps AS ({ps}),
+    rs AS (SELECT DISTINCT shingle FROM ({rs})),
+    agg AS (
+      SELECT p.{id_col},
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_seen
+      FROM ps p LEFT JOIN rs r USING (shingle)
+      GROUP BY p.{id_col}
+    )
+    SELECT {id_col}, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_seen AS BIGINT) AS n_seen,
+           CAST(FLOOR(CAST((n_grams - n_seen) * 1000000 AS DOUBLE)
+                / n_grams + 0.5) AS BIGINT) AS novelty_micro
+    FROM agg
+    """

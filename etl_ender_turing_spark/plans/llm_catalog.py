@@ -1881,6 +1881,25 @@ def q_token_rarity(spark, sf_dir):
 
 
 @register(
+    "q_ngram_novelty",
+    dd.ngram_novelty_sql(
+        "SELECT * FROM documents WHERE doc_id % 2 = 1",
+        "SELECT * FROM documents WHERE doc_id % 2 = 0", n=3),
+    doc="per-doc n-gram NOVELTY vs a reference corpus (operators/dedup."
+        "ngram_novelty): fraction of the doc's distinct word trigrams "
+        "never seen in the reference — the memorization/derivativeness "
+        "signal (near-zero novelty = boilerplate or a near-copy the "
+        "pairwise dedup missed; the inverse of decontamination, whose "
+        "reference is a tiny benchmark). One uniform shingle-keyed "
+        "membership shuffle, NO broadcast hint (the reference is "
+        "corpus-scale, AQE decides); novelty lands as exact micro-units")
+def q_ngram_novelty(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return dd.ngram_novelty(docs.filter(F.col("doc_id") % 2 == 1),
+                            docs.filter(F.col("doc_id") % 2 == 0), n=3)
+
+
+@register(
     "q_embed_outliers",
     sim.embed_outliers_sql("embeddings", per_cell=3),
     doc="embedding-space outliers: the 3 vectors farthest from their IVF "
