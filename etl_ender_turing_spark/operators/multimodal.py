@@ -639,6 +639,14 @@ def decode_png_gray(payload: bytes) -> tuple[int, int, bytes]:
         data = b[off + 8:off + 8 + ln]
         if len(data) != ln:
             raise ValueError("truncated chunk")
+        crc = b[off + 8 + ln:off + 12 + ln]
+        if len(crc) != 4:
+            raise ValueError("truncated chunk CRC")
+        if zlib.crc32(typ + data) != struct.unpack(">I", crc)[0]:
+            # a bit-flipped but well-framed IHDR/IDAT must drop, not
+            # decode to wrong pixels — same strictness as the tar
+            # walker's checksum contract
+            raise ValueError(f"PNG chunk CRC mismatch in {typ!r}")
         if typ == b"IHDR":
             if ln != 13:
                 raise ValueError("bad IHDR length")
@@ -1522,7 +1530,8 @@ def audio_fingerprint(df: DataFrame, payload_col: str = "payload",
 
 
 # planted near-dup PCM pairs: two ids per page share the page's sample
-# sequence; the odd id adds +300 to ONE sample (index page % 128). That
+# sequence; the odd id adds +300 to ONE sample (index page %
+# WAV_PAIR_SAMPLES, i.e. page % 256). That
 # moves exactly one frame energy, so the pair's fingerprints differ in at
 # most the two delta bits adjacent to that frame — a planted near-dup at
 # hamming ≤ 2, the audio analogue of the PGM/JPEG one-block perturbation.
@@ -1999,7 +2008,27 @@ def video_neardup(hashes: DataFrame, max_total_hamming: int = 4,
     of its 4 15-bit bands — so bucketing on (frame_idx, band, nib) loses
     no true pair, and the exact total-distance check runs only on
     band-colliding candidates. Same star-fallback cap as
-    :func:`dedup.banded_hamming_pairs` for over-sized buckets."""
+    :func:`dedup.banded_hamming_pairs` for over-sized buckets.
+
+    Two hard edges of that guarantee are enforced, not assumed:
+
+    * recall: the pigeonhole argument needs floor(T / F) ≤ n_bands - 1
+      (= 3); a larger ``max_total_hamming`` would silently lose
+      candidate pairs, so it raises instead.
+    * missing frames: the exact stage counts matched frame indexes and
+      requires FULL overlap on both sides — a video with an
+      undecodable/dropped frame would otherwise sum fewer per-frame
+      distances and score as nearer than it is. Since a single 60-bit
+      frame hash can differ by more than any permitted threshold
+      (T ≤ 4·F - 1 < 60), "missing frame = max distance" and "require
+      equal frame coverage" reject exactly the same pairs.
+    """
+    if max_total_hamming // VIDEO_FRAMES > 3:
+        raise ValueError(
+            f"max_total_hamming={max_total_hamming} breaks the pigeonhole"
+            f" candidate guarantee: floor(T/{VIDEO_FRAMES}) must be <= 3"
+            f" (4 bands of 15 bits); got {max_total_hamming // VIDEO_FRAMES}")
+    nf = hashes.groupBy(id_col).agg(F.count("*").alias("nf"))
     melted = hashes.select(
         F.col(id_col), F.col("frame_idx"), F.col("simhash"),
         F.expr("explode(transform(sequence(0, 3),"
@@ -2030,8 +2059,16 @@ def video_neardup(hashes: DataFrame, max_total_hamming: int = 4,
             .filter(F.col("fa") == F.col("fb"))
             .groupBy("doc_a", "doc_b")
             .agg(F.expr("CAST(SUM(bit_count(sha ^ shb)) AS BIGINT)")
-                 .alias("hamming"))
-            .filter(F.col("hamming") <= max_total_hamming))
+                 .alias("hamming"),
+                 F.count("*").alias("_nm"))
+            .join(nf.select(F.col(id_col).alias("doc_a"),
+                            F.col("nf").alias("_nfa")), "doc_a")
+            .join(nf.select(F.col(id_col).alias("doc_b"),
+                            F.col("nf").alias("_nfb")), "doc_b")
+            .filter((F.col("_nm") == F.col("_nfa"))
+                    & (F.col("_nm") == F.col("_nfb"))
+                    & (F.col("hamming") <= max_total_hamming))
+            .select("doc_a", "doc_b", "hamming"))
 
 
 def planted_mjpeg_neardup_sql(table: str = "documents",

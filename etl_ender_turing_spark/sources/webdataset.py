@@ -43,14 +43,19 @@ def parse_tar_members(payload: bytes) -> list[tuple[str, bytes]]:
     size field, checksum VERIFIED (sum of header bytes with the
     checksum field as spaces), 512-padded bodies, double-zero-block
     terminator. Returns [(name, bytes)] for regular members; raises
-    ValueError on checksum mismatch, truncation, or an empty archive
-    (callers drop the row)."""
+    ValueError on checksum mismatch, truncation, a missing
+    double-zero-block terminator, a trailing partial header, or an
+    empty archive (callers drop the row) — the walk is strict
+    end-to-end, matching the size/checksum contract: an archive that
+    ends mid-stream was truncated in flight, not \"done early\"."""
     b = payload
     out: list[tuple[str, bytes]] = []
     off = 0
+    terminated = False
     while off + 512 <= len(b):
         hdr = b[off:off + 512]
         if hdr == b"\0" * 512:
+            terminated = True
             break
         name = hdr[0:100].split(b"\0", 1)[0].decode("utf-8", "strict")
         size_field = hdr[124:136].split(b"\0")[0].strip()
@@ -68,6 +73,10 @@ def parse_tar_members(payload: bytes) -> list[tuple[str, bytes]]:
         if hdr[156:157] in (b"0", b"\0"):
             out.append((name, data))
         off += 512 + ((size + 511) // 512) * 512
+    if not terminated:
+        if off < len(b):
+            raise ValueError("trailing partial tar header")
+        raise ValueError("archive ends without zero-block terminator")
     if not out:
         raise ValueError("no regular members in archive")
     return out
