@@ -141,7 +141,8 @@ _PSI_TERM = (
 
 
 def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str = "n_chars",
-              group_col: str = "source", n_bins: int = 10) -> DataFrame:
+              group_col: str = "source", n_bins: int = 10,
+              max_value_cardinality: int = 100_000) -> DataFrame:
     """Population Stability Index of ``value_col`` per ``group_col``
     between a reference snapshot and the current one — THE production
     drift monitor (PSI < 0.1 stable, 0.1-0.25 drifting, > 0.25 broken):
@@ -159,8 +160,11 @@ def psi_drift(ref: DataFrame, cur: DataFrame, value_col: str = "n_chars",
     smoothed counts so shares still sum to 1.
     """
     spark = ref.sparkSession
-    vals = ref.groupBy(value_col).agg(F.count(F.lit(1)).alias("cnt"))
-    # windows over the HISTOGRAM, not the corpus
+    # windows over the HISTOGRAM, not the corpus — ENFORCED (a
+    # continuous value column fails loud, never single-reducer-sorts)
+    from .guards import bounded_value_histogram
+    vals = bounded_value_histogram(ref, value_col, "cnt",
+                                   max_value_cardinality, op="psi_drift")
     from pyspark.sql import Window
     wv = (Window.orderBy(value_col)
           .rowsBetween(Window.unboundedPreceding, 0))

@@ -18,6 +18,7 @@ to a token budget. These operators make that mixing reproducible at
 from __future__ import annotations
 
 from ..functions.rounding import round6u
+from .guards import bounded_value_histogram
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 HASH_SPACE = float(2 ** 32)
@@ -590,8 +591,8 @@ def unimax_sample_sql(table: str, budget: int, epochs: int = 4,
 
 
 def curriculum_order(df: DataFrame, score_col: str, n_buckets: int = 10,
-                     id_col: str = "doc_id",
-                     n_ranges: int = 32) -> DataFrame:
+                     id_col: str = "doc_id", n_ranges: int = 32,
+                     max_score_cardinality: int = 100_000) -> DataFrame:
     """Curriculum manifest: (id, score, bucket, pos) — every row's global
     1-based training position under an easy-first curriculum (bucket by
     ascending ``score_col`` difficulty decile, deterministic hash shuffle
@@ -614,9 +615,12 @@ def curriculum_order(df: DataFrame, score_col: str, n_buckets: int = 10,
        :func:`token_budget_head` pattern). ``pos`` depends only on the
        total order, not on where the sampled split points land.
     """
-    vals = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_cnt"))
     # value-cardinality table: a global window here is windowing a
-    # histogram, not the corpus
+    # histogram, not the corpus — ENFORCED, not assumed (a continuous
+    # score column fails loud instead of silently single-reducer-sorting)
+    vals = bounded_value_histogram(df, score_col, "_cnt",
+                                   max_score_cardinality,
+                                   op="curriculum_order")
     wv = (Window.orderBy(score_col)
           .rowsBetween(Window.unboundedPreceding, -1))
     wt = (Window.partitionBy()

@@ -2049,6 +2049,31 @@ def test_psi_drift_flags_the_shifted_group(spark):
     assert got["moved"] > 0.25          # fully displaced distribution
 
 
+def test_value_histogram_windows_reject_continuous_columns(spark):
+    """A continuous score/value column must fail LOUD: the
+    value-histogram windows in curriculum_order / psi_drift would
+    otherwise silently become single-reducer corpus sorts."""
+    import pytest
+
+    from etl_ender_turing_spark.operators.conform import psi_drift
+    from etl_ender_turing_spark.operators import sampling as sp
+    # every row a distinct float — the continuous-score shape
+    cont = spark.createDataFrame(
+        [(i, "s", i + i / 997.0) for i in range(64)],
+        "doc_id long, source string, score double")
+    with pytest.raises(ValueError, match="distinct values"):
+        sp.curriculum_order(cont, "score", n_buckets=4,
+                            max_score_cardinality=32)
+    with pytest.raises(ValueError, match="distinct values"):
+        psi_drift(cont, cont, value_col="score",
+                  max_value_cardinality=32)
+    # quantized scores stay under the cap and work unchanged
+    quant = cont.selectExpr("doc_id", "source",
+                            "CAST(score AS LONG) % 8 AS score")
+    assert sp.curriculum_order(quant, "score", n_buckets=4,
+                               max_score_cardinality=32).count() == 64
+
+
 def test_embedding_drift_detects_rotation_and_lost_labels(spark):
     from etl_ender_turing_spark.operators import similarity as sim
     mk = lambda i, lbl, v: (i, lbl, v)
