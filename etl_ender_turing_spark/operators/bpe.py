@@ -144,6 +144,13 @@ def bpe_encode_counts(df: DataFrame, rounds: int = 3,
 
     Returns (id, n_words, n_tokens)."""
     _, words = _merge_rounds(df, rounds, text_col)
+    return _encode_tail(df, words, text_col, id_col)
+
+
+def _encode_tail(df: DataFrame, words: DataFrame, text_col: str,
+                 id_col: str) -> DataFrame:
+    """Shared encode tail: per-word token counts from the final
+    symbolizations, re-joined onto the document word stream."""
     vt = words.select("word", F.expr("size(split(trim(w), ' '))")
                       .cast("long").alias("n_tok"))
     stream = (df.select(F.col(id_col), F.explode(F.expr(
@@ -153,6 +160,43 @@ def bpe_encode_counts(df: DataFrame, rounds: int = 3,
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
                  F.sum("n_tok").cast("long").alias("n_tokens")))
+
+
+def bpe_encode_from_merges(df: DataFrame, merges: DataFrame,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Encode a batch under a PERSISTED merge table — the production
+    tokenizer lifecycle (train once, apply for months): ``bpe_learn``
+    writes (round, pair, cnt) to parquet; this reads it back and
+    applies the merges in round order WITHOUT re-deriving them, the
+    ``lm.stupid_backoff_scores(counts=...)`` /
+    ``dsir.dsir_weights(model=...)`` pattern for the tokenizer family.
+
+    Only the round ids are collected (merge-table-sized metadata, like
+    the IVF centroid count); each round's (p1, p2) stays a DataFrame —
+    a 1-row broadcast read from the artifact — so the apply chain is
+    plan-for-plan the same greedy fold as the inline encoder, minus
+    every training aggregation. At a production 30k-merge vocabulary
+    the same loop runs driver-side over the collected merge list (see
+    the module docstring); the unrolled form here keeps the serving
+    path oracle-certifiable end to end.
+
+    Returns (id, n_words, n_tokens) — bit-identical to
+    :func:`bpe_encode_counts` trained at the same ``rounds`` (encode
+    parity is pinned by test and by the shared DuckDB oracle)."""
+    rounds = sorted(r["round"] for r in
+                    merges.select("round").distinct().collect())
+    words = (word_freqs(df, text_col)
+             .select("word", F.expr(_INIT_SPARK).alias("w"), "freq"))
+    for r in rounds:
+        step = (merges.filter(F.col("round") == r)
+                .select(F.expr("split_part(pair, ' ', 1)").alias("p1"),
+                        F.expr("split_part(pair, ' ', 2)").alias("p2")))
+        words = (words.crossJoin(F.broadcast(step))
+                 .select("word", F.expr("split(trim(w), ' ')").alias("_s"),
+                         "freq", "p1", "p2")
+                 .select("word", F.expr(_MERGE_SPARK).alias("w"), "freq"))
+    return _encode_tail(df, words, text_col, id_col)
 
 
 # --- DuckDB oracles ----------------------------------------------------------

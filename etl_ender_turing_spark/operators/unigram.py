@@ -220,6 +220,41 @@ def unigram_encode_counts(df: DataFrame, rounds: int = 2,
                  F.sum("n_pieces").cast("long").alias("n_pieces")))
 
 
+def unigram_encode_from_vocab(df: DataFrame, vocab: DataFrame,
+                              max_piece: int = MAX_PIECE,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Segment a batch under a PERSISTED piece inventory — the
+    production lifecycle (train once, apply for months):
+    :func:`unigram_lm_vocab` writes (piece, cnt, nll) to parquet; this
+    reads it back and runs ONE Viterbi segmentation pass against it,
+    with zero training rounds — the ``dsir_weights(model=...)`` /
+    ``bpe_encode_from_merges`` pattern for the unigram family.
+
+    The artifact stays fully distributed: surprisals recompute from the
+    persisted (piece, cnt) exactly as training did (one 1-row total
+    broadcast), the edge grid joins on piece, and nothing is collected
+    to the driver at all — serving is strictly cheaper than the inline
+    encoder, which re-trains ``rounds`` EM rounds per batch.
+
+    Returns (id, n_words, n_pieces) — bit-identical to
+    :func:`unigram_encode_counts` trained with the same parameters
+    (encode parity pinned by test and by the shared DuckDB oracle)."""
+    wf = (word_freqs(df, text_col)
+          .filter(F.length("word") <= MAX_WORD)
+          .localCheckpoint(eager=True))
+    vt = (_segment(wf, vocab.select("piece", "cnt"), max_piece)
+          .select("word", (F.size("cuts") - 1).cast("long")
+                  .alias("n_pieces")))
+    stream = df.select(F.col(id_col), F.explode(F.expr(
+        f"filter(split(lower(trim({text_col})), ' '),"
+        f" x -> x <> '')")).alias("word"))
+    return (stream.join(vt, "word")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+                 F.sum("n_pieces").cast("long").alias("n_pieces")))
+
+
 def unigram_encode_counts_sql(table: str, rounds: int = 2,
                               v_multi: int = 200,
                               max_piece: int = MAX_PIECE,

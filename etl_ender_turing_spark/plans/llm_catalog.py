@@ -2837,6 +2837,28 @@ def q_unigram_encode(spark, sf_dir):
 
 
 @register(
+    "q_unigram_from_vocab",
+    ugm.unigram_encode_counts_sql("documents", rounds=2, v_multi=200),
+    doc="unigram segmentation served from the PERSISTED piece inventory "
+        "(operators/unigram.unigram_encode_from_vocab): train the "
+        "(piece, cnt, nll) vocab once, write to parquet, segment new "
+        "batches FROM the artifact with one Viterbi pass and ZERO "
+        "training rounds — strictly cheaper than the inline encoder, "
+        "which re-runs the EM rounds per batch; the artifact stays "
+        "fully distributed (surprisals recompute from the persisted "
+        "counts, nothing collected). Certified against the same oracle "
+        "as inline q_unigram_encode — encode parity")
+def q_unigram_from_vocab(spark, sf_dir):
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_unigram_vocab_")
+    (ugm.unigram_lm_vocab(docs, rounds=2, v_multi=200)
+     .write.mode("overwrite").parquet(path))
+    return ugm.unigram_encode_from_vocab(docs, spark.read.parquet(path))
+
+
+@register(
     "q_unigram_fertility",
     ugm.unigram_fertility_sql("documents", rounds=2, v_multi=200),
     doc="per-language fertility under the trained UNIGRAM vocabulary "
@@ -2919,6 +2941,27 @@ def q_lm_ccnet_gate(spark, sf_dir):
         "word stream (skinny side AQE-broadcast) and reduce per doc")
 def q_bpe_encode(spark, sf_dir):
     return bpe.bpe_encode_counts(_docs(spark, sf_dir), rounds=4)
+
+
+@register(
+    "q_bpe_from_merges",
+    bpe.bpe_encode_counts_sql("documents", rounds=4),
+    doc="BPE encoding served from the PERSISTED merge table (operators/"
+        "bpe.bpe_encode_from_merges): bpe_learn once, write (round, "
+        "pair, cnt) to parquet, encode new batches FROM the artifact — "
+        "the tokenizer is trained once and applied for months, so the "
+        "serving path must not re-derive merges per batch (the "
+        "q_lm_from_counts / q_dsir_from_model lifecycle, completed for "
+        "the tokenizer family). Each merge round reads back as a 1-row "
+        "broadcast; only round ids are collected (metadata). Certified "
+        "against the same oracle as inline q_bpe_encode — encode parity")
+def q_bpe_from_merges(spark, sf_dir):
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_bpe_merges_")
+    bpe.bpe_learn(docs, rounds=4).write.mode("overwrite").parquet(path)
+    return bpe.bpe_encode_from_merges(docs, spark.read.parquet(path))
 
 
 from ..operators import doremi as drm  # noqa: E402

@@ -150,3 +150,28 @@ def test_tokenizer_fertility_aggregates_encode_counts_by_lang(spark):
             n_tokens / n_words * 1e6 + 0.5) / 1e6
     # single-char words can never merge below 1 token/word
     assert out["y"].fertility >= 1.0
+
+
+def test_encode_from_merges_matches_inline_encoder(spark, tmp_path):
+    # the persisted-artifact lifecycle: learn once, write the merge
+    # table to parquet, encode FROM the artifact — bit-identical to the
+    # inline train-and-encode at the same rounds
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "new newest news"),
+         (3, "wide widest wider aa aaaa")],
+        "doc_id long, text string")
+    path = str(tmp_path / "merges")
+    bpe.bpe_learn(docs, rounds=3).write.mode("overwrite").parquet(path)
+    served = {r.doc_id: (r.n_words, r.n_tokens) for r in
+              bpe.bpe_encode_from_merges(
+                  docs, spark.read.parquet(path)).collect()}
+    inline = {r.doc_id: (r.n_words, r.n_tokens) for r in
+              bpe.bpe_encode_counts(docs, rounds=3).collect()}
+    assert served == inline and len(served) == 3
+    # the artifact applies in ROUND order even when the parquet read
+    # returns rows shuffled — shuffle the artifact rows explicitly
+    from pyspark.sql import functions as F
+    shuffled = spark.read.parquet(path).orderBy(F.desc("pair"))
+    reshuffled = {r.doc_id: (r.n_words, r.n_tokens) for r in
+                  bpe.bpe_encode_from_merges(docs, shuffled).collect()}
+    assert reshuffled == inline

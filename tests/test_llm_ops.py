@@ -2165,3 +2165,24 @@ def test_shard_balance_matches_the_writer(spark, tmp_path):
     assert rep.min_shard == min(written.values())
     assert rep.max_shard == max(written.values())
     assert rep.imbalance6 >= 1.0
+
+
+def test_unigram_encode_from_vocab_matches_inline_encoder(spark, tmp_path):
+    # persisted-artifact lifecycle for the unigram family: train the
+    # piece inventory once, write to parquet, segment FROM the artifact
+    # with zero training rounds — bit-identical to the inline encoder
+    from etl_ender_turing_spark.operators import unigram as ugm
+    docs = spark.createDataFrame(
+        [(1, "hello help held"), (2, "world word wordy"),
+         (3, "aa aaa aaaa bb")],
+        "doc_id long, text string")
+    path = str(tmp_path / "uvocab")
+    (ugm.unigram_lm_vocab(docs, rounds=2, v_multi=20)
+     .write.mode("overwrite").parquet(path))
+    served = {r.doc_id: (r.n_words, r.n_pieces) for r in
+              ugm.unigram_encode_from_vocab(
+                  docs, spark.read.parquet(path)).collect()}
+    inline = {r.doc_id: (r.n_words, r.n_pieces) for r in
+              ugm.unigram_encode_counts(docs, rounds=2,
+                                        v_multi=20).collect()}
+    assert served == inline and len(served) == 3
