@@ -1771,42 +1771,49 @@ VIDEO_FP_SCHEMA = T.StructType([
 ])
 
 
-def parse_mp4_samples(payload: bytes) -> list[bytes]:
-    """REAL ISO-BMFF sample extraction with stdlib struct only: walk
-    moov > trak > mdia > minf > stbl, parse ``stsz`` (v0; fixed-size or
-    per-sample table) and ``stco`` (u32 chunk offsets), and slice one
-    sample per chunk out of the file. The supported subset is exactly
-    what a 1-sample-per-chunk MJPEG track stores; anything else —
-    missing boxes, stsz/stco count mismatch (multi-sample chunks need
-    stsc math), offsets overrunning the buffer — raises ValueError and
-    the row drops in the Arrow stage. Box walk reuses the size-guard
-    discipline of :func:`parse_mp4_meta` (a declared size overrunning
-    its parent stops the walk, never mis-slices)."""
-    def walk(b: bytes, lo: int, hi: int):
-        off = lo
-        while off + 8 <= hi:
-            (size,) = struct.unpack(">I", b[off:off + 4])
-            if size < 8 or off + size > hi:
-                return
-            yield b[off + 4:off + 8], off + 8, off + size
-            off += size
+def _box_walk(b: bytes, lo: int, hi: int):
+    """Size-guarded ISO-BMFF box iterator: yields (type, body_lo,
+    body_hi); a declared size overrunning its parent stops the walk —
+    never mis-slices (the :func:`parse_mp4_meta` discipline)."""
+    off = lo
+    while off + 8 <= hi:
+        (size,) = struct.unpack(">I", b[off:off + 4])
+        if size < 8 or off + size > hi:
+            return
+        yield b[off + 4:off + 8], off + 8, off + size
+        off += size
 
-    def child(b: bytes, lo: int, hi: int, typ: bytes):
-        for t, clo, chi in walk(b, lo, hi):
-            if t == typ:
-                return clo, chi
-        return None
 
-    b = payload
-    span = child(b, 0, len(b), b"moov")
+def _box_child(b: bytes, lo: int, hi: int, typ: bytes):
+    for t, clo, chi in _box_walk(b, lo, hi):
+        if t == typ:
+            return clo, chi
+    return None
+
+
+class _NoSampleTable(ValueError):
+    """moov carries no usable stbl sample tables — distinct from a
+    CORRUPT table so the dispatcher may still try the fragmented-MP4
+    (moof/traf/trun) walk; a mismatched or truncated table never
+    falls through."""
+
+
+def _parse_stbl_samples(b: bytes) -> list[bytes]:
+    """Progressive-MP4 path: moov > trak > mdia > minf > stbl with
+    ``stsz`` (v0; fixed-size or per-sample table) and ``stco`` (u32
+    chunk offsets), one sample per chunk — exactly what a
+    1-sample-per-chunk MJPEG track stores. Missing boxes/tables raise
+    :class:`_NoSampleTable` (the file may be fragmented); a PRESENT but
+    mismatched/truncated table raises plain ValueError (corrupt, drop)."""
+    span = _box_child(b, 0, len(b), b"moov")
     for typ in (b"trak", b"mdia", b"minf", b"stbl"):
         if span is None:
-            raise ValueError("missing box on the moov>...>stbl path")
-        span = child(b, span[0], span[1], typ)
+            raise _NoSampleTable("missing box on the moov>...>stbl path")
+        span = _box_child(b, span[0], span[1], typ)
     if span is None:
-        raise ValueError("missing box on the moov>...>stbl path")
+        raise _NoSampleTable("missing box on the moov>...>stbl path")
     sizes, offsets = None, None
-    for t, lo, hi in walk(b, span[0], span[1]):
+    for t, lo, hi in _box_walk(b, span[0], span[1]):
         if t == b"stsz" and hi - lo >= 12 and b[lo] == 0:
             fixed, count = struct.unpack(">II", b[lo + 4:lo + 12])
             if fixed:
@@ -1823,7 +1830,7 @@ def parse_mp4_samples(payload: bytes) -> list[bytes]:
             offsets = list(struct.unpack(f">{count}I",
                                          b[lo + 8:lo + 8 + 4 * count]))
     if sizes is None or offsets is None:
-        raise ValueError("missing stsz/stco")
+        raise _NoSampleTable("missing stsz/stco")
     if len(sizes) != len(offsets):
         raise ValueError("multi-sample chunks not supported (need stsc)")
     out = []
@@ -1832,6 +1839,134 @@ def parse_mp4_samples(payload: bytes) -> list[bytes]:
             raise ValueError("sample overruns the buffer")
         out.append(b[off:off + size])
     return out
+
+
+def _u32(b: bytes, p: int, hi: int, what: str) -> int:
+    if p + 4 > hi:
+        raise ValueError(f"truncated {what}")
+    return struct.unpack(">I", b[p:p + 4])[0]
+
+
+def _parse_fragment_samples(b: bytes) -> list[bytes]:
+    """Fragmented-MP4 (DASH/CMAF) path: real-world streaming video
+    ships moof/traf/trun fragments instead of a moov-resident sample
+    table (ISO 14496-12 §8.8). Per top-level ``moof``: ``tfhd`` resolves
+    the base data offset (explicit u64 base-data-offset flag 0x000001,
+    or default-base-is-moof 0x020000 → the moof box's own first byte)
+    and an optional default_sample_size (0x000010); each ``trun`` (v0)
+    then yields sample_count samples laid out contiguously at
+    base + data_offset, sizes from the per-sample table (flag 0x000200),
+    else tfhd's default, else the mvex>trex default. Flag-conditioned
+    fields that don't affect the slice (durations 0x000100, per-sample
+    flags 0x000400, composition offsets 0x000800, first-sample-flags
+    0x000004) are skipped with bounds checks. Anything outside the
+    subset raises NotImplementedError; malformed framing raises
+    ValueError — both are the Arrow drop contract."""
+    trex_dss = None
+    moov = _box_child(b, 0, len(b), b"moov")
+    if moov is not None:
+        mvex = _box_child(b, moov[0], moov[1], b"mvex")
+        if mvex is not None:
+            trex = _box_child(b, mvex[0], mvex[1], b"trex")
+            if trex is not None and trex[1] - trex[0] >= 24:
+                (trex_dss,) = struct.unpack(
+                    ">I", b[trex[0] + 16:trex[0] + 20])
+    out: list[bytes] = []
+    for typ, lo, hi in _box_walk(b, 0, len(b)):
+        if typ != b"moof":
+            continue
+        moof_start = lo - 8
+        for t2, l2, h2 in _box_walk(b, lo, hi):
+            if t2 != b"traf":
+                continue
+            base, tfhd_dss, truns = None, None, []
+            for t3, l3, h3 in _box_walk(b, l2, h2):
+                if t3 == b"tfhd":
+                    if h3 - l3 < 8:
+                        raise ValueError("truncated tfhd")
+                    if b[l3] != 0:
+                        raise NotImplementedError("tfhd version != 0")
+                    flags = int.from_bytes(b[l3 + 1:l3 + 4], "big")
+                    p = l3 + 8                      # ver/flags + track_ID
+                    if flags & 0x000001:
+                        if p + 8 > h3:
+                            raise ValueError("truncated tfhd base offset")
+                        (base,) = struct.unpack(">Q", b[p:p + 8])
+                        p += 8
+                    if flags & 0x000002:            # sample_description
+                        p += 4
+                    if flags & 0x000008:            # default duration
+                        p += 4
+                    if flags & 0x000010:
+                        tfhd_dss = _u32(b, p, h3, "tfhd default size")
+                        p += 4
+                    if base is None:
+                        if not flags & 0x020000:
+                            raise NotImplementedError(
+                                "tfhd without base-data-offset or"
+                                " default-base-is-moof")
+                        base = moof_start
+                elif t3 == b"trun":
+                    truns.append((l3, h3))
+            if base is None:
+                raise ValueError("traf missing tfhd")
+            for l3, h3 in truns:
+                if h3 - l3 < 8:
+                    raise ValueError("truncated trun")
+                if b[l3] != 0:
+                    raise NotImplementedError("trun version != 0")
+                flags = int.from_bytes(b[l3 + 1:l3 + 4], "big")
+                count = _u32(b, l3 + 4, h3, "trun count")
+                p = l3 + 8
+                if not flags & 0x000001:
+                    raise NotImplementedError("trun without data_offset")
+                if p + 4 > h3:
+                    raise ValueError("truncated trun data_offset")
+                (doff,) = struct.unpack(">i", b[p:p + 4])
+                p += 4
+                pos = base + doff
+                if flags & 0x000004:                # first_sample_flags
+                    p += 4
+                for _ in range(count):
+                    if flags & 0x000100:            # duration
+                        p += 4
+                    if flags & 0x000200:
+                        size = _u32(b, p, h3, "trun sample size")
+                        p += 4
+                    elif tfhd_dss is not None:
+                        size = tfhd_dss
+                    elif trex_dss is not None:
+                        size = trex_dss
+                    else:
+                        raise ValueError(
+                            "no sample size in trun/tfhd/trex")
+                    if flags & 0x000400:            # sample flags
+                        p += 4
+                    if flags & 0x000800:            # composition offset
+                        p += 4
+                    if p > h3:
+                        raise ValueError("truncated trun entries")
+                    if pos < 0 or pos + size > len(b):
+                        raise ValueError("sample overruns the buffer")
+                    out.append(b[pos:pos + size])
+                    pos += size
+    if not out:
+        raise ValueError("no samples in any moof fragment")
+    return out
+
+
+def parse_mp4_samples(payload: bytes) -> list[bytes]:
+    """REAL ISO-BMFF sample extraction with stdlib struct only, both
+    layouts a crawl actually sees: a moov-resident stbl (progressive
+    MP4 — :func:`_parse_stbl_samples`) first; when the sample tables
+    are genuinely ABSENT (not corrupt), the fragmented moof/traf/trun
+    walk (:func:`_parse_fragment_samples`, the DASH/CMAF shape).
+    Unsupported variants raise NotImplementedError, malformed framing
+    ValueError — callers' Arrow stages drop the row either way."""
+    try:
+        return _parse_stbl_samples(payload)
+    except _NoSampleTable:
+        return _parse_fragment_samples(payload)
 
 
 def video_frame_hashes(df: DataFrame, payload_col: str = "payload",
@@ -1960,6 +2095,85 @@ def synthesize_planted_mjpeg(docs: DataFrame,
                 mdat = box(b"mdat", b"".join(frames))
                 ids.append(did)
                 payloads.append(ftyp + moov + mdat)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def synthesize_planted_fmp4(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): the SAME planted frames as
+    :func:`synthesize_planted_mjpeg`, re-shipped as VALID fragmented
+    MP4 (the DASH/CMAF layout): ftyp('iso5') + moov{mvhd, mvex>trex,
+    trak>mdia>minf>stbl(stsd only — NO stsz/stco, so the reader must
+    take the fragment path)} + one moof(mfhd + traf{tfhd, trun}) + mdat
+    per frame. The three fragments deliberately resolve their sample
+    size three different ways — per-sample trun table (frame 0), tfhd
+    default_sample_size (frame 1), mvex>trex default (frame 2) — so
+    every resolution branch of :func:`_parse_fragment_samples` is on
+    the certified path. trun data offsets are moof-relative
+    (default-base-is-moof), patched in after the moof size is known.
+    Because the frames are bit-identical to the progressive fixture's,
+    the SAME DuckDB oracle certifies both containers — any fragment-walk
+    bug hash-mismatches."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full(typ: bytes, flags: int, payload: bytes) -> bytes:
+        return box(typ, b"\x00" + flags.to_bytes(3, "big") + payload)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                frames = []
+                for j in range(VIDEO_FRAMES):
+                    dcs = [_planted_video_block(page, j, bx, by, did) - 128
+                           for by in range(_JPG_BY) for bx in range(_JPG_BX)]
+                    frames.append(encode_dc_only_jpeg(JPG_W, JPG_H, dcs))
+                ftyp = box(b"ftyp", b"iso5" + b"\x00\x00\x02\x00")
+                mvhd = full(b"mvhd", 0, bytes(8)
+                            + struct.pack(">II", 1000, 1000 * VIDEO_FRAMES)
+                            + bytes(80))
+                trex = full(b"trex", 0, struct.pack(
+                    ">IIIII", 1, 1, 1000, len(frames[-1]), 0))
+                stbl = box(b"stbl", full(b"stsd", 0, struct.pack(">I", 0)))
+                moov = box(b"moov", mvhd + box(b"mvex", trex)
+                           + box(b"trak", box(b"mdia", box(b"minf", stbl))))
+                frags = []
+                for j, f in enumerate(frames):
+                    mfhd = full(b"mfhd", 0, struct.pack(">I", j + 1))
+                    if j == VIDEO_FRAMES - 1:   # trex default-size path
+                        tfhd = full(b"tfhd", 0x020000, struct.pack(">I", 1))
+                        trun = full(b"trun", 0x000101,
+                                    struct.pack(">IiI", 1, 0, 1000))
+                    elif j % 2 == 1:            # tfhd default-size path
+                        tfhd = full(b"tfhd", 0x020010,
+                                    struct.pack(">II", 1, len(f)))
+                        trun = full(b"trun", 0x000101,
+                                    struct.pack(">IiI", 1, 0, 1000))
+                    else:                       # per-sample trun sizes
+                        tfhd = full(b"tfhd", 0x020000, struct.pack(">I", 1))
+                        trun = full(b"trun", 0x000301,
+                                    struct.pack(">IiII", 1, 0, 1000, len(f)))
+                    moof = box(b"moof", mfhd + box(b"traf", tfhd + trun))
+                    # patch data_offset now that the moof size is fixed
+                    # (the offset field's width never changes it); the
+                    # sample sits right after the 8-byte mdat header
+                    ti = moof.rindex(b"trun") + 4 + 8
+                    moof = (moof[:ti] + struct.pack(">i", len(moof) + 8)
+                            + moof[ti + 4:])
+                    frags.append(moof + box(b"mdat", f))
+                ids.append(did)
+                payloads.append(ftyp + moov + b"".join(frags))
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "payload": payloads})
 

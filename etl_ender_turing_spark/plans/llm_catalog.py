@@ -1249,6 +1249,26 @@ def q_video_frame_hashes(spark, sf_dir):
 
 
 @register(
+    "q_video_frag_hashes",
+    planted_mjpeg_hash_sql("documents"),
+    doc="FRAGMENTED-MP4 frame hashing (operators/multimodal."
+        "_parse_fragment_samples): the same planted frames re-shipped "
+        "in the DASH/CMAF layout — moov carries mvex>trex but NO "
+        "stsz/stco, each frame arrives as moof(mfhd + traf{tfhd, "
+        "trun}) + mdat with moof-relative trun data offsets; the three "
+        "fragments resolve their sample size via the per-sample trun "
+        "table, tfhd's default_sample_size, and the trex default "
+        "respectively, so every resolution branch is certified. "
+        "Because the frames are bit-identical to q_video_frame_hashes' "
+        "progressive fixture, the SAME md5-regenerating oracle covers "
+        "both containers — a fragment-walk bug hash-mismatches")
+def q_video_frag_hashes(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.video_frame_hashes(mm.synthesize_planted_fmp4(docs))
+
+
+@register(
     "q_video_neardup",
     planted_mjpeg_neardup_sql("documents", max_total_hamming=4),
     doc="video NEAR-DUP pairs — total frame-aligned Hamming distance "

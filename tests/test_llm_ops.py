@@ -424,6 +424,24 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            + box(b"moov", mvhd + box(b"trak", box(
                b"mdia", box(b"minf", box(b"stbl", stsz + stco)))))
            + box(b"mdat", b"XYZ"))
+
+    def full(t, fl, p):
+        return box(t, b"\x00" + fl.to_bytes(3, "big") + p)
+
+    # fragmented-MP4 seed: moov without sample tables + moof/traf/trun
+    trex = full(b"trex", 0, st.pack(">IIIII", 1, 1, 1000, 3, 0))
+    fmoov = box(b"moov", mvhd + box(b"mvex", trex) + box(b"trak", box(
+        b"mdia", box(b"minf", box(b"stbl", full(
+            b"stsd", 0, st.pack(">I", 0)))))))
+    moof = box(b"moof", full(b"mfhd", 0, st.pack(">I", 1))
+               + box(b"traf", full(b"tfhd", 0x020000, st.pack(">I", 1))
+                     + full(b"trun", 0x000301,
+                            st.pack(">IiII", 1, 0, 1000, 3))))
+    ti = moof.rindex(b"trun") + 4 + 8
+    moof = moof[:ti] + st.pack(">i", len(moof) + 8) + moof[ti + 4:]
+    fmp4 = (box(b"ftyp", b"iso5\x00\x00\x02\x00") + fmoov
+            + moof + box(b"mdat", b"XYZ"))
+    assert mm.parse_mp4_samples(fmp4) == [b"XYZ"]   # seed is valid
     import gzip
 
     from etl_ender_turing_spark.sources import warc as wc
@@ -432,7 +450,7 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            b"WARC-Target-URI: https://e.com/1\r\nContent-Length: 5\r\n"
            b"\r\nhello\r\n\r\n")
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
-             _pcm_wav([0, 100, -100, 500] * 16), mp4,
+             _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
              rec, gzip.compress(rec, mtime=0) * 2]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
