@@ -139,6 +139,54 @@ def hash_embed_neighbors_sql(table: str = "documents", query_id: int = 0,
     """
 
 
+def hash_embed_query_topk(df: DataFrame, query_text: str, k: int = 10,
+                          dim: int = 64, n: int = 3,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Top-k cosine docs for a FREE-TEXT query under the hashed doc
+    embeddings: the query string runs through the identical
+    text_hash_embed pipeline (one 1-row frame → ≤``dim``-row
+    broadcast), sparse slot-join dot products, TakeOrderedAndProject.
+    The exact whole-doc baseline the late-interaction recall row
+    (q_li_recall_check) measures MaxSim against."""
+    spark = df.sparkSession
+    emb = text_hash_embed(df, dim, n, text_col, id_col)
+    qdf = spark.createDataFrame([(0, query_text)],
+                                f"_qid long, {text_col} string")
+    qemb = (text_hash_embed(qdf, dim, n, text_col, "_qid")
+            .select(F.col("idx").alias("qidx"), F.col("w").alias("qw")))
+    dots = (emb.alias("a")
+            .join(F.broadcast(qemb).alias("bq"),
+                  F.col("a.idx") == F.col("bq.qidx"))
+            .select(F.col(f"a.{id_col}").alias(id_col),
+                    F.expr(_DOT.format(a="a.w", b="qw")).alias("term")))
+    return (dots.groupBy(id_col)
+            .agg(F.expr(_SIM6.format(term="term")).alias("sim"))
+            .orderBy(F.desc("sim"), F.asc(id_col)).limit(k))
+
+
+def hash_embed_query_topk_sql(table: str = "documents",
+                              query_text: str = "", k: int = 10,
+                              dim: int = 64, n: int = 3,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> str:
+    demb = text_hash_embed_sql(table, dim, n, text_col, id_col)
+    esc = query_text.replace("'", "''")
+    qemb = text_hash_embed_sql(f"(SELECT 0 AS _qid, '{esc}' AS qtext)",
+                               dim, n, "qtext", "_qid")
+    return f"""
+    WITH demb AS ({demb}),
+    qemb AS (SELECT idx, w AS qw FROM ({qemb})),
+    dots AS (
+      SELECT a.{id_col}, {_DOT.format(a="a.w", b="q.qw")} AS term
+      FROM demb a JOIN qemb q USING (idx)
+    )
+    SELECT {id_col}, {_SIM6.format(term="term")} AS sim
+    FROM dots GROUP BY {id_col}
+    ORDER BY sim DESC, {id_col} ASC LIMIT {k}
+    """
+
+
 def _token_embed(toks: DataFrame, dim: int, n: int,
                  tok_col: str = "tok") -> DataFrame:
     """(tok, idx, w): the text_hash_embed pipeline applied to a DISTINCT

@@ -1366,6 +1366,45 @@ def q_late_interaction_topk(spark, sf_dir):
 
 
 @register(
+    "q_li_recall_check",
+    f"""
+    WITH li AS ({fh.late_interaction_topk_sql("documents", _LI_TERMS,
+                                              k=10, dim=64, n=3)}),
+    exact AS ({fh.hash_embed_query_topk_sql("documents",
+                                            " ".join(_LI_TERMS),
+                                            k=10, dim=64, n=3)})
+    SELECT (SELECT COUNT(*) FROM li) AS n_li,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM li i
+            WHERE EXISTS (SELECT 1 FROM exact e
+                          WHERE e.doc_id = i.doc_id)) AS n_overlap
+    FROM (SELECT 1)
+    """,
+    doc="certified late-interaction recall: overlap of the MaxSim "
+        "top-10 (q_late_interaction_topk) against the exact whole-doc "
+        "cosine top-10 for the SAME query text (operators/feature_hash."
+        "hash_embed_query_topk — the terms joined as one string through "
+        "the identical hash-embed pipeline), as hash-checked counts — "
+        "the q_ann_recall_check / q_compressed_ann_recall counted-"
+        "overlap certification the retrieval family's newest member "
+        "was missing; per-term soft matching and whole-doc pooling "
+        "legitimately rank differently, so the pinned number is the "
+        "measured agreement, re-verified every round")
+def q_li_recall_check(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    li = (fh.late_interaction_topk(docs, _LI_TERMS, k=10, dim=64, n=3)
+          .select("doc_id"))
+    exact = (fh.hash_embed_query_topk(docs, " ".join(_LI_TERMS),
+                                      k=10, dim=64, n=3)
+             .select("doc_id"))
+    n_l = li.agg(F.count(F.lit(1)).alias("n_li"))
+    n_e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_o = (li.join(exact, "doc_id", "left_semi")
+           .agg(F.count(F.lit(1)).alias("n_overlap")))
+    return n_l.crossJoin(n_e).crossJoin(n_o)
+
+
+@register(
     "q_warc_records",
     wc.planted_warc_records_sql("documents", per_chunk=10),
     doc="WARC (ISO 28500) web-archive ingestion (sources/warc.py): "
