@@ -33,43 +33,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- round-8 order (VERDICT r7 'Next round' #1): brand-new queries
-    # with NO driver proof first, then the one whose PLAN changed this
-    # round, then the r4-stale rotation ---
-    "q_span_longest_match", "q_quality_classifier_fit",
-    "q_quality_clf_fitted_scores", "q_stream_warc_gate",
-    "q_image_phash_jpeg", "q_audio_fingerprint", "q_audio_neardup",
-    "q_video_frame_hashes", "q_video_neardup", "q_stream_audio_gate",
-    "q_multimodal_training_set", "q_stream_video_gate",
-    "q_image_phash_png", "q_embed_random_projection", "q_mp3_meta",
-    "q_webdataset_pairs", "q_stream_wds_gate", "q_video_dup_clusters",
-    "q_warc_gz_records", "q_late_interaction_topk", "q_ngram_novelty",
-    # plan changed in round 8: the stream-static enrichment dropped its
-    # scaling-table broadcast hint (values identical, plan re-gated) —
-    # VERDICT r7 asks for an explicit re-certification; it is also in
-    # the r4-stale tier below
-    "q_stream_enriched_segments",
-    # --- newest green row is ROUND 4 (48 remaining after the one
-    # promoted above): the ~50-row budget covers all but the tail;
-    # cheapest first, streaming last — whatever the cutoff misses
-    # rotates to the front in r9 ---
-    "q_date_spine_orders", "q_unpivot_metrics", "q_json_extract_props",
-    "q_stats_moments", "q_k_anonymity", "q_equidepth_histogram",
-    "q_chi_square_lang_source", "q_funnel_conversion", "q_cohort_retention",
-    "q_funnel_windowed", "q_hourly_anomalies", "q_sliding_window_counts",
-    "q_scd2_intervals", "q_constraint_audit", "q_table_reconcile",
-    "q_gopher_rules", "q_bigram_coherence", "q_weighted_sample",
-    "q_source_head_cap", "q_temperature_mixture", "q_train_val_test_split",
-    "q_group_token_budget", "q_quality_classifier", "q_span_dedup_stats",
-    "q_embed_quantize", "q_embed_binary_topk", "q_embed_matryoshka_topk",
-    "q_embed_pq_codes", "q_embed_pq_topk", "q_embed_ann_multiprobe",
-    "q_ann_recall_check", "q_compressed_ann_recall", "q_kmeans_one_step",
-    "q_embed_ivf_kmeans", "q_embed_ivf_from_index", "q_bm25_topk",
-    "q_bm25_from_index", "q_hybrid_rrf", "q_minhash_estimate_error",
-    "q_lsh_recall_check", "q_dedup_containment", "q_dedup_keep_best",
-    "q_dedup_prefix_jaccard", "q_dup_cluster_stats", "q_cross_source_dups",
-    "q_incremental_dedup_verified",
-    "q_stream_sliding_counts", "q_stream_click_attribution",
+    # --- round-9 order (VERDICT r8 'Next round' #1): brand-new queries
+    # with NO driver proof first ---
+    "q_bpe_from_merges", "q_unigram_from_vocab", "q_video_frag_hashes",
+    "q_li_recall_check",
+    # --- plans changed in round 9 (values unchanged, re-certify):
+    # decimal-accumulated JL sums; video_neardup's frame-coverage
+    # joins (+ its cluster consumer); the value-histogram cardinality
+    # guard's eager checkpoint in curriculum/PSI ---
+    "q_embed_random_projection", "q_video_neardup",
+    "q_video_dup_clusters", "q_curriculum_order", "q_psi_drift",
+    # --- newest green row is ROUND 4 (the 20 the r8 budget cut),
+    # cheapest first per a same-day sf0.01 sweep, streaming last ---
+    "q_kmeans_one_step", "q_cross_source_dups", "q_bm25_topk",
+    "q_embed_ann_multiprobe", "q_hybrid_rrf", "q_dedup_containment",
+    "q_compressed_ann_recall", "q_embed_pq_topk",
+    "q_incremental_dedup_verified", "q_ann_recall_check",
+    "q_dedup_keep_best", "q_bm25_from_index", "q_dedup_prefix_jaccard",
+    "q_embed_ivf_from_index", "q_dup_cluster_stats",
+    "q_minhash_estimate_error", "q_lsh_recall_check",
+    "q_embed_ivf_kmeans", "q_stream_sliding_counts",
+    "q_stream_click_attribution",
+    # --- the next-oldest tier (newest green row ROUND 5, 43 rows):
+    # head of it here up to the ~50-row budget, cheapest first by
+    # recorded bench floors; the cutoff's tail rotates forward in r10 ---
+    "q_repetition_signals", "q_text_quality", "q_explode_part_tokens",
+    "q_dedup_latest_event", "q_zipf_slope", "q_topk_orders_per_segment",
+    "q_dedup_embed_cosine", "q_decontaminate", "q_knn_graph",
+    "q5_revenue_by_nation", "q_incremental_dedup", "q_dedup_minhash_lsh",
+    "q_char_entropy", "q_semdedup_keep", "q2_filter_projection",
+    "q_count_pushdown", "q_scalar_functions", "q_token_count",
+    "q_lang_id", "q_semi_join_reviewed", "q_anti_join_no_orders",
 )
 
 

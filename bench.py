@@ -121,6 +121,13 @@ BENCH_QUERIES = [
     # late-interaction retrieval composition (vocab embed + maxsim)
     "q_warc_gz_records",
     "q_late_interaction_topk",
+    # round-9 additions: tokenizer serving from persisted artifacts
+    # (train + write + encode-from-parquet, the full lifecycle timed),
+    # the fragmented-MP4 walk, and the LI-vs-exact recall composition
+    "q_bpe_from_merges",
+    "q_unigram_from_vocab",
+    "q_video_frag_hashes",
+    "q_li_recall_check",
 ]
 
 

@@ -1235,6 +1235,20 @@ def test_certification_sf_buckets_far_below_star_cap(spark):
     assert mh_max < 100, f"minhash bucket {mh_max} approaching star cap"
     assert sim_max < 100, f"simhash bucket {sim_max} approaching star cap"
 
+    # video family: (frame, band, nib) pigeonhole buckets over the
+    # planted MJPEG frame hashes — the steepest replication profile in
+    # SCALE.md, so pin that its certified buckets are nowhere near the
+    # cap either (the fallback stays a never-engaged safety valve)
+    vh = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(
+        docs01.select("doc_id")))
+    vnib = F.explode(F.expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, "
+        "(simhash div CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib))"))
+    vid_max = (vh.select("frame_idx", vnib.alias("bn"))
+               .groupBy("frame_idx", "bn.band", "bn.nib").count()
+               .agg(F.max("count")).first()[0])
+    assert vid_max < 100, f"video bucket {vid_max} approaching star cap"
+
 
 def test_gopher_rules_planted_extremes(spark):
     good = ("the data " * 30).strip()            # 60 words, stopword 'the'

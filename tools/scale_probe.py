@@ -242,18 +242,22 @@ def main() -> None:
     only = set(sys.argv[2:])   # optional op names: probe just those
     if only:
         ops = {n: f for n, f in ops.items() if n in only}
-    print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in (1, 2, 4, 8))
+    # SCALE_PROBE_KS=1,2,4,8,16,32 extends the doubling ladder (the
+    # default stops at 8x; steep profiles get re-probed deeper)
+    ks = tuple(int(x) for x in
+               os.environ.get("SCALE_PROBE_KS", "1,2,4,8").split(","))
+    print(f"{'op':<15} " + " ".join(f"{k}x".rjust(8) for k in ks)
           + "   ratios (per doubling)")
     for name, fn in ops.items():
         times = []
-        for k in (1, 2, 4, 8):
+        for k in ks:
             d = replicate(docs0, k, "doc_id")
             e = replicate(emb0, k, "vec_id")
             ev = replicate(ev0, k, "user_id")
             t0 = time.perf_counter()
             fn(d, e, ev)
             times.append(time.perf_counter() - t0)
-        ratios = [times[i + 1] / times[i] for i in range(3)]
+        ratios = [times[i + 1] / times[i] for i in range(len(ks) - 1)]
         print(f"{name:<15} " + " ".join(f"{t:8.2f}" for t in times)
               + "   " + " ".join(f"{r:.2f}" for r in ratios))
     spark.stop()
