@@ -128,6 +128,9 @@ BENCH_QUERIES = [
     "q_unigram_from_vocab",
     "q_video_frag_hashes",
     "q_li_recall_check",
+    # round-9: incremental media dedup vs the persisted signature store
+    # (decode + store write + banded store-vs-batch join, all timed)
+    "q_incremental_image_dedup",
 ]
 
 

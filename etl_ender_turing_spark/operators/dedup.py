@@ -822,6 +822,48 @@ def incremental_dedup_sql(table: str = "documents", split_id: int = 400,
     """
 
 
+def incremental_hamming_pairs(corpus_sigs: DataFrame,
+                              batch_sigs: DataFrame,
+                              sig_col: str = "simhash",
+                              n_bands: int = 4, band_bits: int = 15,
+                              max_hamming: int = 3,
+                              id_col: str = "doc_id") -> DataFrame:
+    """(batch_id, corpus_id, hamming): which NEW fingerprints land
+    within ``max_hamming`` of the EXISTING corpus — the Hamming twin of
+    :func:`incremental_dedup_pairs`, and the serving half of the media
+    families' "decode once, ship signatures" contract: the corpus side
+    is a PERSISTED signature store (perceptual image/audio/video hashes
+    written at ingest), so deduping an ingestion increment never
+    re-opens a single historical byte.
+
+    Same pigeonhole banding as :func:`banded_hamming_pairs` (exact when
+    ``max_hamming < n_bands``); the batch side of the (band, nib) join
+    is one increment — broadcast — and the corpus store streams by,
+    partition-pruned to colliding buckets by the join itself. No
+    in-bucket expansion is needed at all here (and so no star-fallback
+    cap): candidates are cross-side only, never corpus×corpus.
+    """
+    width = 1 << band_bits
+    bands = (f"explode(transform(sequence(0, {n_bands - 1}),"
+             f" b -> struct(b AS band, ({sig_col} div CAST(pow({width},"
+             f" b) AS BIGINT)) % {width} AS nib)))")
+
+    def melt(sigs: DataFrame, out: str, sh: str) -> DataFrame:
+        return (sigs.select(F.col(id_col).alias(out),
+                            F.col(sig_col).alias(sh),
+                            F.expr(bands).alias("bn"))
+                .select(out, sh, "bn.band", "bn.nib"))
+
+    corpus = melt(corpus_sigs, "corpus_id", "csh")
+    batch = melt(batch_sigs, "batch_id", "bsh")
+    return (corpus.join(F.broadcast(batch), ["band", "nib"])
+            .select("batch_id", "corpus_id",
+                    F.expr("bit_count(bigint(csh) ^ bigint(bsh))")
+                    .alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 # --------------------------------------------------------------------------
 # prefix-filtering similarity join (AllPairs/PPJoin family) — exact recall
 # --------------------------------------------------------------------------

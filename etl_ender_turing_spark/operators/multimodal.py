@@ -1017,6 +1017,28 @@ def planted_pgm_neardup_sql(table: str = "documents",
     """
 
 
+def planted_pgm_incremental_sql(table: str = "documents",
+                                max_hamming: int = 3,
+                                id_col: str = "doc_id") -> str:
+    """Oracle for the incremental image dedup row: the same planted
+    hashes and banding, candidates restricted to corpus-side (even ids,
+    the persisted store) × batch-side (odd ids, the increment)."""
+    return f"""
+    WITH sigs AS ({planted_pgm_dhash_sql(table, id_col)}),
+    melted AS (
+      SELECT {id_col}, simhash, b AS band,
+             (simhash // CAST(pow(32768, b) AS BIGINT)) % 32768 AS nib
+      FROM sigs, unnest([0, 1, 2, 3]) AS t(b)
+    )
+    SELECT DISTINCT b.{id_col} AS batch_id, c.{id_col} AS corpus_id,
+           bit_count(xor(c.simhash, b.simhash)) AS hamming
+    FROM melted c JOIN melted b
+      ON c.band = b.band AND c.nib = b.nib
+    WHERE c.{id_col} % 2 = 0 AND b.{id_col} % 2 = 1
+      AND bit_count(xor(c.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
 PIXEL_STATS_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("width", T.IntegerType()),

@@ -1037,7 +1037,8 @@ def _planted_pgm_hashes(spark, sf_dir):
 
 
 from ..operators.multimodal import (  # noqa: E402
-    planted_jpeg_dhash_sql, planted_pgm_dhash_sql, planted_pgm_neardup_sql,
+    planted_jpeg_dhash_sql, planted_pgm_dhash_sql,
+    planted_pgm_incremental_sql, planted_pgm_neardup_sql,
     planted_pgm_stats_sql, planted_wav_stats_sql)
 
 
@@ -1584,6 +1585,32 @@ def q_image_dup_clusters(spark, sf_dir):
     pairs = dd.simhash_pairs(_planted_pgm_hashes(spark, sf_dir),
                              max_hamming=3)
     return dd.duplicate_clusters(pairs)
+
+
+@register(
+    "q_incremental_image_dedup",
+    planted_pgm_incremental_sql("documents", max_hamming=3),
+    doc="incremental MEDIA dedup against a PERSISTED signature store "
+        "(dedup.incremental_hamming_pairs): the even-id half's "
+        "perceptual hashes are written to parquet (the store the "
+        "'decode once, ship signatures' contract accumulates at "
+        "ingest), then the odd-id increment dedups against the store "
+        "read BACK from disk — each planted odd image finds its even "
+        "twin without re-opening a single historical byte. Pigeonhole "
+        "(band, nib) join with the one-increment batch side broadcast; "
+        "candidates are cross-side only, so no in-bucket expansion and "
+        "no star cap exist on this path at all — the q_incremental_"
+        "dedup_verified lifecycle, completed for the media families")
+def q_incremental_image_dedup(spark, sf_dir):
+    import tempfile
+
+    sigs = _planted_pgm_hashes(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_img_sig_store_")
+    (sigs.filter(F.col("doc_id") % 2 == 0)
+     .write.mode("overwrite").parquet(path))
+    store = spark.read.parquet(path)
+    batch = sigs.filter(F.col("doc_id") % 2 == 1)
+    return dd.incremental_hamming_pairs(store, batch, max_hamming=3)
 
 
 @register(

@@ -2218,3 +2218,24 @@ def test_unigram_encode_from_vocab_matches_inline_encoder(spark, tmp_path):
               ugm.unigram_encode_counts(docs, rounds=2,
                                         v_multi=20).collect()}
     assert served == inline and len(served) == 3
+
+
+def test_incremental_hamming_pairs_store_vs_batch(spark, tmp_path):
+    # the persisted-signature-store lifecycle: corpus hashes written to
+    # parquet, a new increment dedups against the store read back; only
+    # cross-side pairs within the threshold emerge, exactly once
+    rows = [(0, 0b111000111000111), (2, 0b101010101010101),
+            (4, 1 << 59)]
+    batch = [(1, 0b111000111000110),    # hamming 1 from doc 0
+             (3, 0b101010101010101),    # hamming 0 from doc 2
+             (5, (1 << 59) ^ 0b11111),  # hamming 5 from doc 4: dropped
+             (7, 0b111000111000111)]    # hamming 0 from doc 0
+    store_path = str(tmp_path / "sig_store")
+    spark.createDataFrame(rows, "doc_id long, simhash long") \
+        .write.mode("overwrite").parquet(store_path)
+    got = {(r.batch_id, r.corpus_id): r.hamming for r in
+           dd.incremental_hamming_pairs(
+               spark.read.parquet(store_path),
+               spark.createDataFrame(batch, "doc_id long, simhash long"),
+               max_hamming=3).collect()}
+    assert got == {(1, 0): 1, (3, 2): 0, (7, 0): 0}
