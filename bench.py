@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     # round-9: incremental media dedup vs the persisted signature store
     # (decode + store write + banded store-vs-batch join, all timed)
     "q_incremental_image_dedup",
+    # round-9: the image family's second real decompressor (LZW)
+    "q_image_phash_gif",
 ]
 
 

@@ -811,17 +811,232 @@ def planted_png_dhash_sql(table: str = "documents",
     """
 
 
+# --------------------------------------------------------------------------
+# GIF, grayscale-palette subset: REAL LZW decode (the image family's
+# FOURTH container, and its second real decompressor after DEFLATE)
+# --------------------------------------------------------------------------
+# Within the subset (global grayscale color table, single full-frame
+# non-interlaced image) everything is the real format per the GIF89a
+# spec: logical screen descriptor, color-table walk, extension-block
+# skipping, sub-block reassembly, and a genuine variable-width LZW
+# bitstream (LSB-first packing, CLEAR/END codes, dictionary growth with
+# the spec's code-width schedule, 12-bit cap). Outside the subset
+# (local color tables, interlace, color palettes, subimages) raises
+# NotImplementedError → the Arrow stages drop the row, the same
+# contract as JPEG/PNG.
+
+def _lzw_decode(data: bytes, min_code: int, max_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width from ``min_code + 1`` up to
+    12 bits, LSB-first bit packing, CLEAR resets the table, END
+    terminates. The decoder's width grows one code EARLIER than the
+    table-size check suggests (when next_code reaches max_code - 1):
+    the encoder registers each new string one code ahead of the
+    decoder, so this is the schedule that keeps both sides bit-synced —
+    the classic GIF off-by-one. Raises ValueError on truncation, codes
+    out of range, or output overrun (zip-bomb guard)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    nbits = len(data) * 8
+    # table entries as full bytes (not prefix-code chains): simpler and
+    # fine because the output is capped at max_pixels anyway
+    table: list = [bytes([i]) for i in range(clear)] + [None, None]
+    width = min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    while True:
+        if bitpos + width > nbits:
+            raise ValueError("truncated LZW stream")
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [None, None]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= clear:
+                raise ValueError("first LZW code is not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if entry is None:
+                raise ValueError("LZW code references CLEAR/END slot")
+        elif code == len(table):
+            entry = prev + prev[:1]          # the cScSc case
+        else:
+            raise ValueError("LZW code out of range")
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+        out += entry
+        if len(out) > max_pixels:
+            raise ValueError("LZW output overruns the pixel count")
+        prev = entry
+
+
+def _lzw_encode(idx: bytes, min_code: int) -> bytes:
+    """GIF-variant LZW compressor for the planted builder — real greedy
+    longest-match with dictionary growth (NOT the fixed-width
+    'uncompressed GIF' trick, so the decoder's growth/cScSc paths are
+    on the certified path). The emit width is not the encoder's own
+    table state but an explicit SIMULATION of the decoder's: the
+    decoder appends an entry on every data code after the first —
+    including the encoder's final wbuf flush, which registers nothing —
+    so deriving width from the encoder's next_code desyncs exactly at
+    growth boundaries. Tracking (dec_len, first) mirrors
+    :func:`_lzw_decode` bit for bit."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    bits = bytearray()
+    bitpos = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitpos
+        need = (bitpos + width + 7) >> 3
+        while len(bits) < need:
+            bits.append(0)
+        v = int.from_bytes(bits[bitpos >> 3:(bitpos >> 3) + 3], "little")
+        v |= code << (bitpos & 7)
+        bits[bitpos >> 3:(bitpos >> 3) + 3] = v.to_bytes(3, "little")
+        bitpos += width
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    dec_len, width, first = clear + 2, min_code + 1, True
+
+    def after_data_code() -> None:
+        nonlocal dec_len, width, first
+        if first:
+            first = False
+            return
+        dec_len += 1
+        if dec_len >= (1 << width) - 1 and width < 12:
+            width += 1
+
+    emit(clear, width)
+    wbuf = b""
+    for ch in idx:
+        nxt = wbuf + bytes([ch])
+        if nxt in table:
+            wbuf = nxt
+            continue
+        emit(table[wbuf], width)
+        after_data_code()
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+        else:                                # table full: reset both sides
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            dec_len, width, first = clear + 2, min_code + 1, True
+        wbuf = bytes([ch])
+    if wbuf:
+        emit(table[wbuf], width)
+        after_data_code()
+    emit(end, width)
+    return bytes(bits[:(bitpos + 7) >> 3])
+
+
+def decode_gif_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """(width, height, pixels) from a grayscale-palette GIF — header,
+    screen descriptor, color-table walk, extension skip, sub-block
+    reassembly, real LZW inflate, palette mapping."""
+    b = payload
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(b) < 13:
+        raise ValueError("truncated screen descriptor")
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", b[6:13])
+    if w == 0 or h == 0 or w * h > (1 << 26):
+        raise ValueError("implausible GIF dimensions")
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without a global color table")
+    n_colors = 2 << (packed & 7)
+    off = 13
+    gct = b[off:off + 3 * n_colors]
+    if len(gct) < 3 * n_colors:
+        raise ValueError("truncated color table")
+    pal = []
+    for i in range(n_colors):
+        r, g, bl = gct[3 * i:3 * i + 3]
+        if r != g or g != bl:
+            raise NotImplementedError("non-grayscale GIF palette")
+        pal.append(r)
+    off += 3 * n_colors
+    while True:
+        if off >= len(b):
+            raise ValueError("no image descriptor")
+        marker = b[off]
+        if marker == 0x2C:
+            break
+        if marker == 0x21:                   # extension: label + blocks
+            off += 2
+            while True:
+                if off >= len(b):
+                    raise ValueError("truncated extension block")
+                sz = b[off]
+                off += 1 + sz
+                if sz == 0:
+                    break
+        elif marker == 0x3B:
+            raise ValueError("trailer before any image")
+        else:
+            raise ValueError("unknown GIF block marker")
+    if off + 10 > len(b):
+        raise ValueError("truncated image descriptor")
+    left, top, iw, ih, ipacked = struct.unpack("<HHHHB", b[off + 1:off + 10])
+    if ipacked & 0x80:
+        raise NotImplementedError("local color tables unsupported")
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF unsupported")
+    if (left, top, iw, ih) != (0, 0, w, h):
+        raise NotImplementedError("subimage frames unsupported")
+    off += 10
+    if off >= len(b):
+        raise ValueError("missing LZW minimum code size")
+    min_code = b[off]
+    off += 1
+    if not 2 <= min_code <= 8:
+        raise ValueError("invalid LZW minimum code size")
+    data = bytearray()
+    while True:
+        if off >= len(b):
+            raise ValueError("unterminated image data")
+        sz = b[off]
+        off += 1
+        if sz == 0:
+            break
+        blk = b[off:off + sz]
+        if len(blk) != sz:
+            raise ValueError("truncated image sub-block")
+        data += blk
+        off += sz
+    idx = _lzw_decode(bytes(data), min_code, w * h)
+    if len(idx) != w * h:
+        raise ValueError("decoded pixel count mismatch")
+    if max(idx) >= n_colors:
+        raise ValueError("palette index out of range")
+    return w, h, bytes(pal[i] for i in idx)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Format-dispatching grayscale pixel decode: binary PGM, the
-    DC-only baseline-JPEG subset, or 8-bit grayscale PNG. The
-    image-family operators hash all three container formats through
-    this single entry point."""
+    DC-only baseline-JPEG subset, 8-bit grayscale PNG, or
+    grayscale-palette GIF. The image-family operators hash all four
+    container formats through this single entry point."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
     if payload[:8] == _PNG_SIG:
         return decode_png_gray(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_gray(payload)
     raise ValueError("unrecognized image container")
 
 
@@ -937,6 +1152,97 @@ _PNG_PX_DUCK = ("(CAST(('0x' || substr(md5('p:' || CAST({page} AS VARCHAR)"
                 " || ':' || CAST({x} AS VARCHAR) || ':'"
                 " || CAST({y} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
                 " % 180 + 20" + _PERTURB + ")")
+
+
+def _planted_gif_pixel(page: int, x: int, y: int, did: int) -> int:
+    """Python spelling of the GIF planting formula — the PGM formula
+    with a 'g:' salt (disjoint key space), same one-cell odd-id
+    perturbation."""
+    v = int(hashlib.md5(f"g:{page}:{x}:{y}".encode()).hexdigest()[:8],
+            16) % 180 + 20
+    if (did % 2 == 1 and x - x % 2 == 2 * (page % 11)
+            and y - y % 2 == 2 * (page % 6)):
+        v += 40
+    return v
+
+
+_GIF_PX_DUCK = ("(CAST(('0x' || substr(md5('g:' || CAST({page} AS VARCHAR)"
+                " || ':' || CAST({x} AS VARCHAR) || ':'"
+                " || CAST({y} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+                " % 180 + 20" + _PERTURB + ")")
+
+
+def synthesize_planted_gif(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID grayscale-palette GIFs planted from
+    doc_id — logical screen descriptor, a 256-entry identity-ramp
+    global color table, a graphic-control extension the reader must
+    SKIP, and a REAL variable-width LZW stream (:func:`_lzw_encode` —
+    greedy longest-match with dictionary growth, so the decoder's
+    width-growth and cScSc paths run on every image; 264 pixels under a
+    9-bit start width cross one growth boundary by construction).
+    Builder and decoder share only the bit-schedule contract (pinned by
+    an 8k-case round-trip fuzz test); the DuckDB oracle regenerates
+    pixels from the 'g:'-salted md5 formula, never from bytes — an LZW
+    bug on either side hash-mismatches."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    gce = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                w, h = PGM_W, PGM_H
+                px = bytes(_planted_gif_pixel(page, x, y, did)
+                           for y in range(h) for x in range(w))
+                lsd = struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+                idesc = b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+                lzw = _lzw_encode(px, 8)
+                sub = b"".join(
+                    bytes([len(lzw[i:i + 255])]) + lzw[i:i + 255]
+                    for i in range(0, len(lzw), 255)) + b"\x00"
+                payloads.append(b"GIF89a" + lsd + gct + gce + idesc
+                                + bytes([8]) + sub + b"\x3B")
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_gif_dhash_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted GIF
+    fixture — the PGM oracle's cell-sum shape with the 'g:'-salted
+    pixel formula; never touches bytes (an LZW or palette bug on the
+    Spark side hash-mismatches)."""
+    px = _GIF_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
+                             did=id_col)
+    return f"""
+    WITH cells AS (
+      SELECT {id_col}, g.cx, g.cy, SUM({px}) AS s
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                    AS i) n,
+           LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px,
+           LATERAL (SELECT px.x // 2 AS cx, px.y // 2 AS cy) g
+      GROUP BY {id_col}, g.cx, g.cy
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.s > b.s
+                    THEN CAST(pow(2, a.cy * 10 + a.cx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM cells a JOIN cells b
+      ON a.{id_col} = b.{id_col} AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 10
+    GROUP BY a.{id_col}
+    """
 
 
 def synthesize_planted_pgm(docs: DataFrame,

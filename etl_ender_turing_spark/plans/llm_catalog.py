@@ -1534,7 +1534,8 @@ def q_image_phash_jpeg(spark, sf_dir):
     return mm.image_dhash(mm.synthesize_planted_jpeg(docs))
 
 
-from ..operators.multimodal import planted_png_dhash_sql  # noqa: E402
+from ..operators.multimodal import (  # noqa: E402
+    planted_gif_dhash_sql, planted_png_dhash_sql)
 
 
 @register(
@@ -1554,6 +1555,26 @@ def q_image_phash_png(spark, sf_dir):
     from ..operators import multimodal as mm
     docs = _docs(spark, sf_dir).select("doc_id")
     return mm.image_dhash(mm.synthesize_planted_png(docs))
+
+
+@register(
+    "q_image_phash_gif",
+    planted_gif_dhash_sql("documents"),
+    doc="perceptual hashing over the image family's FOURTH real "
+        "container — GIF, the format's second REAL decompressor after "
+        "PNG's DEFLATE: planted grayscale-palette GIFs carry a genuine "
+        "variable-width LZW stream (greedy longest-match dictionary "
+        "growth from the builder, so the decoder's width-growth and "
+        "cScSc paths run on every image — the width schedule's classic "
+        "off-by-one is pinned by an 8k-case round-trip fuzz test), a "
+        "256-entry color-table walk, and an extension block the reader "
+        "must skip by sub-block sizes. Same integer dHash; the oracle "
+        "regenerates pixels from the 'g:'-salted md5 formula, never "
+        "from bytes — an LZW bug on either side hash-mismatches")
+def q_image_phash_gif(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_gif(docs))
 
 
 @register(

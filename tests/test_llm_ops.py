@@ -442,6 +442,19 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
     fmp4 = (box(b"ftyp", b"iso5\x00\x00\x02\x00") + fmoov
             + moof + box(b"mdat", b"XYZ"))
     assert mm.parse_mp4_samples(fmp4) == [b"XYZ"]   # seed is valid
+
+    # grayscale-palette GIF seed with a real LZW stream
+    gpx = bytes(mm._planted_gif_pixel(0, x, y, 0)
+                for y in range(mm.PGM_H) for x in range(mm.PGM_W))
+    glzw = mm._lzw_encode(gpx, 8)
+    gsub = b"".join(bytes([len(glzw[i:i + 255])]) + glzw[i:i + 255]
+                    for i in range(0, len(glzw), 255)) + b"\x00"
+    gif = (b"GIF89a" + st.pack("<HHBBB", mm.PGM_W, mm.PGM_H, 0x87, 0, 0)
+           + bytes(v for i in range(256) for v in (i, i, i))
+           + bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+           + b"\x2C" + st.pack("<HHHHB", 0, 0, mm.PGM_W, mm.PGM_H, 0)
+           + bytes([8]) + gsub + b"\x3B")
+    assert mm.decode_gif_gray(gif)[2] == gpx        # seed is valid
     import gzip
 
     from etl_ender_turing_spark.sources import warc as wc
@@ -450,7 +463,7 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            b"WARC-Target-URI: https://e.com/1\r\nContent-Length: 5\r\n"
            b"\r\nhello\r\n\r\n")
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
-             _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4,
+             _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
              rec, gzip.compress(rec, mtime=0) * 2]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
@@ -2239,3 +2252,76 @@ def test_incremental_hamming_pairs_store_vs_batch(spark, tmp_path):
                spark.createDataFrame(batch, "doc_id long, simhash long"),
                max_hamming=3).collect()}
     assert got == {(1, 0): 1, (3, 2): 0, (7, 0): 0}
+
+
+def test_lzw_codec_round_trips_and_decoder_refuses_corruption():
+    """The GIF LZW pair: 8k-case round-trip fuzz across alphabets that
+    stress the width-growth off-by-one and the cScSc path, plus the
+    decoder's refusal contract (drop-class exceptions only)."""
+    import random
+
+    import pytest
+    random.seed(99)
+    for trial in range(8000):
+        mc = random.randint(2, 8)
+        n = random.randint(0, 500)
+        mode = trial % 4
+        if mode == 0:
+            idx = bytes(random.randrange(1 << mc) for _ in range(n))
+        elif mode == 1:
+            idx = bytes([random.randrange(1 << mc)] * n)
+        elif mode == 2:
+            a, b = (random.randrange(1 << mc), random.randrange(1 << mc))
+            idx = bytes([a, b] * (n // 2))
+        else:
+            idx = bytes((i * 7) % (1 << mc) for i in range(n))
+        enc = mm._lzw_encode(idx, mc)
+        assert mm._lzw_decode(enc, mc, len(idx)) == idx
+    # deep stream: 12-bit growth ceiling and the full-table reset
+    long = bytes([3] * 120_000)
+    assert mm._lzw_decode(mm._lzw_encode(long, 8), 8, len(long)) == long
+    # refusals: truncation mid-code, zip-bomb overrun, bad first code
+    good = mm._lzw_encode(bytes(range(16)) * 4, 8)
+    with pytest.raises(ValueError):
+        mm._lzw_decode(good[:3], 8, 64)
+    with pytest.raises(ValueError):
+        mm._lzw_decode(good, 8, 5)           # output exceeds pixel cap
+    with pytest.raises(ValueError):
+        # first data code references a non-literal slot
+        bad = mm._lzw_encode(b"\x01\x02\x03", 2)
+        mm._lzw_decode(bytes([0xFF] * len(bad)), 2, 3)
+
+
+def test_decode_gif_gray_refuses_out_of_subset_variants(spark):
+    import pytest
+    import struct as st
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_gif(docs).collect()}
+    w, h, px = mm.decode_gif_gray(raw[0])
+    assert (w, h) == (mm.PGM_W, mm.PGM_H)
+    assert px == bytes(mm._planted_gif_pixel(0, x, y, 0)
+                       for y in range(h) for x in range(w))
+    # odd id: exactly one 2x2 cell brightened by +40
+    _, _, px1 = mm.decode_gif_gray(raw[1])
+    diff = [i for i in range(len(px)) if px1[i] != px[i]]
+    assert len(diff) == 4 and all(px1[i] - px[i] == 40 for i in diff)
+    b = raw[0]
+    gct_at = 13
+    # non-grayscale palette -> NotImplementedError (drop class)
+    mut = bytearray(b)
+    mut[gct_at + 30] = (mut[gct_at + 30] + 1) % 256
+    with pytest.raises(NotImplementedError):
+        mm.decode_gif_gray(bytes(mut))
+    # interlace flag -> NotImplementedError
+    idesc_at = b.index(b"\x2C", gct_at + 768)
+    mut = bytearray(b)
+    mut[idesc_at + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        mm.decode_gif_gray(bytes(mut))
+    # truncated color table / missing descriptor -> ValueError
+    with pytest.raises(ValueError):
+        mm.decode_gif_gray(b[:100])
+    with pytest.raises(ValueError):
+        mm.decode_gif_gray(b"GIF89a" + st.pack("<HHBBB", 0, 0, 0x87, 0, 0))
