@@ -1674,3 +1674,89 @@ def q_dedup_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import consecutive_dedup
     ev = _t(spark, sf_dir, "events")
     return consecutive_dedup(ev).select("event_id", "user_id", "event_type")
+
+
+# =========================================================================
+# Entity resolution / record linkage (operators/linkage.py) — the fuzzy
+# front half the reference's exact-key dimension upsert assumes away
+# =========================================================================
+
+def _linkage():
+    from ..operators import linkage as lk
+    return lk
+
+
+@register(
+    "q_er_candidate_pairs",
+    None,  # oracle installed below (module-level import keeps file order)
+    doc="record-linkage candidate generation + verify "
+        "(linkage.er_candidate_pairs): three interleaved name segments "
+        "per record — a pair within 2 substitutions corrupts at most two "
+        "position classes, so one block key survives (PassJoin-shape "
+        "pigeonhole, exact recall for substitution edits); blocks keyed "
+        "(nationkey, class, segment), in-bucket lambda expansion with "
+        "the banded families' max_block star fallback; verified by FULL "
+        "levenshtein (JVM builtin vs DuckDB's independent "
+        "implementation) + a balance-window rule; planted feeds exercise "
+        "lev-1 link, lev-2 link, lev-3 reject, balance reject")
+def q_er_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = _linkage()
+    return lk.er_candidate_pairs(lk.dirty_customers(
+        _t(spark, sf_dir, "customer")))
+
+
+@register(
+    "q_er_clusters",
+    None,
+    doc="record-linkage entity clustering: verified match pairs through "
+        "the shared pointer-jumping min-label resolver "
+        "(dedup.duplicate_clusters, O(log diameter) rounds) — "
+        "(rec_id, cluster_id) per record appearing in any match pair; "
+        "oracle walks the transitive closure with a recursive CTE")
+def q_er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters
+    lk = _linkage()
+    pairs = lk.er_candidate_pairs(lk.dirty_customers(
+        _t(spark, sf_dir, "customer")))
+    return duplicate_clusters(
+        pairs.select(F.col("rec_a").alias("doc_a"),
+                     F.col("rec_b").alias("doc_b"))) \
+        .select(F.col("doc_id").alias("rec_id"), "cluster_id")
+
+
+@register(
+    "q_er_golden_record",
+    None,
+    doc="survivorship / golden record (linkage.golden_records): one row "
+        "per resolved entity over ALL records (singletons via left join "
+        "+ coalesce) — canonical name by deterministic arg-min on "
+        "rec_id, balance survives as max across feeds, member + "
+        "distinct-origin counts for audit; the master-data output an "
+        "exact-key warehouse upsert consumes")
+def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import duplicate_clusters
+    lk = _linkage()
+    recs = lk.dirty_customers(_t(spark, sf_dir, "customer"))
+    pairs = lk.er_candidate_pairs(recs)
+    labels = duplicate_clusters(
+        pairs.select(F.col("rec_a").alias("doc_a"),
+                     F.col("rec_b").alias("doc_b")))
+    return lk.golden_records(recs, labels)
+
+
+def _install_linkage_oracles() -> None:
+    from ..operators import linkage as lk
+    from ..operators.dedup import duplicate_clusters_sql
+    pairs_cte = ("SELECT rec_a AS doc_a, rec_b AS doc_b FROM ("
+                 + lk.er_pairs_sql() + ")")
+    for name, sql in (
+            ("q_er_candidate_pairs", lk.er_pairs_sql()),
+            ("q_er_clusters",
+             "SELECT doc_id AS rec_id, cluster_id FROM ("
+             + duplicate_clusters_sql(pairs_cte) + ")"),
+            ("q_er_golden_record", lk.golden_records_sql())):
+        spec = CATALOG[name]
+        CATALOG[name] = QuerySpec(spec.name, spec.builder, sql, spec.doc)
+
+
+_install_linkage_oracles()

@@ -1,0 +1,118 @@
+"""Entity resolution / record linkage (operators/linkage.py): planted
+link/reject tiers, pigeonhole blocking recall, survivorship rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from etl_ender_turing_spark.operators import linkage as lk
+from etl_ender_turing_spark.operators.dedup import duplicate_clusters
+
+SF = "/root/testdata/sf0.001"
+
+
+def _cust(spark, n=60):
+    rows = [Row(c_custkey=k, c_name=f"Customer#{k:09d}",
+                c_nationkey=k * 7 % 25,
+                c_acctbal=float(f"{(k * 137) % 9000}.{k % 100:02d}"),
+                c_mktsegment="BUILDING")
+            for k in range(n)]
+    return spark.createDataFrame(rows)
+
+
+def test_planted_tiers_link_and_reject(spark):
+    recs = lk.dirty_customers(_cust(spark))
+    pairs = lk.er_candidate_pairs(recs).collect()
+    got = {(r.rec_a, r.rec_b): r.lev for r in pairs}
+    # one-substitution feed links at lev 1; two-substitution at lev 2
+    assert got[(0, 10_000_000)] == 1
+    assert got[(5, 10_000_005)] == 1
+    assert got[(0, 20_000_000)] == 2
+    assert got[(10, 20_000_010)] == 2
+    # three-edit corruption is REJECTED by the levenshtein verify even
+    # though all three edits share one position class (block key found)
+    assert all(not (a % 10_000_000 == 7 and b == a % 10_000_000
+                    + 30_000_000) for a, b in got)
+    assert (7, 30_000_007) not in got and (17, 30_000_017) not in got
+    # one-edit twin with a 5000.00 balance move is REJECTED by the
+    # balance-window rule
+    assert (4, 40_000_004) not in got and (14, 40_000_014) not in got
+
+
+def test_blocking_recall_matches_allpairs_verify(spark):
+    """Blocked candidates + verify == brute-force all-pairs verify (the
+    pigeonhole guarantee for the substitution-only fixture)."""
+    recs = lk.dirty_customers(_cust(spark, 40))
+    blocked = {(r.rec_a, r.rec_b)
+               for r in lk.er_candidate_pairs(recs).collect()}
+    a, b = recs.alias("a"), recs.alias("b")
+    brute = {(r.rec_a, r.rec_b) for r in
+             a.join(b, (F.col("a.rec_id") < F.col("b.rec_id"))
+                    & (F.col("a.nationkey") == F.col("b.nationkey")))
+             .select(F.col("a.rec_id").alias("rec_a"),
+                     F.col("b.rec_id").alias("rec_b"),
+                     F.levenshtein("a.name", "b.name").alias("lev"),
+                     F.abs(F.col("a.bal") - F.col("b.bal")).alias("bd"))
+             .filter((F.col("lev") <= lk.MAX_EDITS)
+                     & (F.col("bd") <= lk.BAL_WINDOW)).collect()}
+    assert blocked == brute
+
+
+def test_golden_record_survivorship(spark):
+    recs = lk.dirty_customers(_cust(spark, 30))
+    pairs = lk.er_candidate_pairs(recs)
+    labels = duplicate_clusters(
+        pairs.select(F.col("rec_a").alias("doc_a"),
+                     F.col("rec_b").alias("doc_b")))
+    gold = {r.entity_id: r for r in
+            lk.golden_records(recs, labels).collect()}
+    # every record is in exactly one entity
+    assert sum(r.n_members for r in gold.values()) == recs.count()
+    # customer 0: base + import_a + import_b merge into entity 0
+    e0 = gold[0]
+    assert e0.n_members >= 3 and e0.n_origins >= 3
+    assert e0.canonical_name == "Customer#000000000"  # min-rec_id member
+    base_bal = float(
+        recs.filter(F.col("rec_id") == 0).collect()[0].bal)
+    assert e0.best_bal == base_bal + 100.0  # max across feeds survives
+    # the balance-reject twin stays a singleton entity
+    e4 = gold[40_000_004]
+    assert e4.n_members == 1 and e4.n_origins == 1
+
+
+def test_star_fallback_caps_block_expansion(spark):
+    """A degenerate block (identical names, same nation, equal balance)
+    over max_block produces star pairs only — linear, not quadratic."""
+    rows = [Row(rec_id=i, name="Customer#000000000", nationkey=1,
+                bal=0.0, origin="base") for i in range(12)]
+    recs = spark.createDataFrame(rows)
+    pairs = lk.er_candidate_pairs(recs, max_block=10)
+    got = {(r.rec_a, r.rec_b) for r in pairs.collect()}
+    assert got == {(0, i) for i in range(1, 12)}
+
+
+def test_catalog_queries_hash_vs_duckdb(spark):
+    """Cross-engine value check of the three ER queries at sf0.001."""
+    import duckdb
+
+    from etl_ender_turing_spark.plans import CATALOG
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW customer AS SELECT * FROM "
+                f"'{SF}/customer.parquet'")
+    for name in ("q_er_candidate_pairs", "q_er_clusters",
+                 "q_er_golden_record"):
+        spec = CATALOG[name]
+        sdf = spec.builder(spark, SF).toPandas()
+        odf = con.execute(spec.oracle).df()
+        sdf = sdf[sorted(sdf.columns)].sort_values(
+            sorted(sdf.columns)).reset_index(drop=True)
+        odf = odf[sorted(odf.columns)].sort_values(
+            sorted(odf.columns)).reset_index(drop=True)
+        assert len(sdf) == len(odf), name
+        assert list(sdf.columns) == list(odf.columns), name
+        for c in sdf.columns:
+            a, b = sdf[c], odf[c]
+            if a.dtype.kind == "f":
+                assert (a - b).abs().max() == 0.0, (name, c)
+            else:
+                assert (a.astype(str) == b.astype(str)).all(), (name, c)
