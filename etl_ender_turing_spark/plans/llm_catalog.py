@@ -1143,6 +1143,29 @@ def q_webdataset_pairs(spark, sf_dir):
     return wds.webdataset_pairs(wds.synthesize_planted_webdataset(docs))
 
 
+from ..sources.ziparchive import planted_zip_members_sql  # noqa: E402
+
+
+@register(
+    "q_zip_members",
+    planted_zip_members_sql("documents"),
+    doc="ZIP archive ingestion (sources/ziparchive.zip_members) — the "
+        "PKZIP container ad-hoc dataset drops ship in: a REAL "
+        "EOCD → central-directory → local-header walk (the central "
+        "entries are authoritative for method/sizes/CRC; local-header "
+        "front-to-back scans break on streaming writers and prefixed "
+        "archives) with raw-DEFLATE inflation, CRC-32 + size "
+        "verification, and a zip-bomb inflation cap, over archives "
+        "written by the independent stdlib zipfile writer — STORED on "
+        "even ids, DEFLATED on odd, so both data paths decode. Oracle "
+        "regenerates member names, methods, sizes, and bodies as "
+        "string arithmetic, never touching archive bytes")
+def q_zip_members(spark, sf_dir):
+    from ..sources import ziparchive as za
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return za.zip_members(za.synthesize_planted_zips(docs))
+
+
 from ..sources.webdataset import _WDS_V_DUCK  # noqa: E402
 
 _WDS_GATE_V = _WDS_V_DUCK.format(did="(m.doc_id % 10000000)",

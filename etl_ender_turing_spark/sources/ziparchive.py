@@ -1,0 +1,261 @@
+"""ZIP archive ingestion (APPNOTE.TXT / PKZIP layout) — the container
+half the tar/WARC/WebDataset family was missing: most ad-hoc dataset
+drops (Kaggle exports, scraped bundles, vendor deliveries) arrive as
+``.zip``, not ``.tar``.
+
+Shape: a ZIP is located from its END — the End-Of-Central-Directory
+record (``PK\\x05\\x06``) gives the central directory's offset and entry
+count; each central-directory entry (``PK\\x01\\x02``) carries the
+AUTHORITATIVE name, compression method, sizes, CRC-32, and the local
+header offset; the local header (``PK\\x03\\x04``) is only used to locate
+the data start (its own name/extra lengths may differ from the central
+entry's). Walking local headers front-to-back is WRONG twice over: a
+streaming writer (general-purpose flag bit 3) leaves local sizes as
+zeros with a trailing data descriptor, and appended/garbage prefix
+bytes (self-extracting archives) shift everything — only the central
+directory is load-bearing. Both traversal rules mirror the WARC
+Content-Length hop: header-derived offsets, never delimiter splits.
+
+Independence discipline (the tar walker's): the planted BUILDER writes
+with stdlib ``zipfile``; the query-side READER is a hand-rolled EOCD →
+central-directory → local-header walk sharing no code with it, and the
+DuckDB oracle regenerates every expected value as string arithmetic
+without touching archive bytes.
+
+Strictness contract: bad magic, truncation, a central/local size
+overrun, an unsupported compression method, a CRC-32 or size mismatch
+after inflation, and zip-bomb inflation (per-member output cap) all
+raise ValueError — the Arrow stage drops the row; nothing else may
+escape (fuzz-gated with the other binary parsers).
+
+Scale shape: one archive blob per row (``binaryFile`` at production),
+Arrow-batched parse, signatures/text attached at ingest, no shuffle
+until the user aggregates — identical profile to :mod:`.webdataset`.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, types as T
+
+_EOCD = b"PK\x05\x06"
+_CDH = b"PK\x01\x02"
+_LFH = b"PK\x03\x04"
+# Per-member inflation cap: fixture members are tiny; a member claiming
+# (or inflating to) more than this is treated as hostile, like the PNG
+# decoder's zip-bomb cap.
+MAX_MEMBER_BYTES = 1 << 22
+
+
+def parse_zip_members(payload: bytes) -> list[tuple[str, bytes, int]]:
+    """REAL ZIP walk with stdlib struct/zlib only. Returns
+    [(name, bytes, method)] in central-directory order; raises
+    ValueError on any malformation (callers drop the row)."""
+    b = payload
+    if len(b) < 22:
+        raise ValueError("too short for an EOCD record")
+    # EOCD: last 22 bytes when there is no archive comment; scan
+    # backwards through the comment window otherwise, requiring the
+    # comment length to point exactly at the buffer end (rejects a
+    # stray magic inside member data).
+    lo = max(0, len(b) - 22 - 0xFFFF)
+    pos = b.rfind(_EOCD, lo)
+    eocd = -1
+    while pos != -1:
+        if len(b) >= pos + 22:
+            clen = struct.unpack("<H", b[pos + 20:pos + 22])[0]
+            if pos + 22 + clen == len(b):
+                eocd = pos
+                break
+        pos = b.rfind(_EOCD, lo, pos)
+    if eocd == -1:
+        raise ValueError("no end-of-central-directory record")
+    (n_disk, n_total, cd_size, cd_off) = struct.unpack(
+        "<HHII", b[eocd + 8:eocd + 20])
+    if n_disk != n_total:
+        raise ValueError("multi-disk archives unsupported")
+    # Prefixed archives (self-extracting stubs, appended-to files):
+    # stored offsets are relative to the TRUE archive start, which sits
+    # `shift` bytes into the buffer — recover it from where the central
+    # directory actually ends (immediately before the EOCD), the same
+    # correction stdlib zipfile applies ("concat" offset).
+    shift = eocd - cd_size - cd_off
+    if shift < 0:
+        raise ValueError("central directory overruns EOCD")
+    out: list[tuple[str, bytes, int]] = []
+    off = cd_off + shift
+    for _ in range(n_total):
+        if b[off:off + 4] != _CDH:
+            raise ValueError("bad central-directory entry magic")
+        if off + 46 > eocd:
+            raise ValueError("truncated central-directory entry")
+        (method, crc, csize, usize, nlen, elen, klen) = struct.unpack(
+            "<H4xIIIHHH", b[off + 10:off + 34])
+        lho = struct.unpack("<I", b[off + 42:off + 46])[0]
+        name = b[off + 46:off + 46 + nlen].decode("utf-8", "strict")
+        off += 46 + nlen + elen + klen
+        if off > eocd:
+            raise ValueError("central-directory entry overruns")
+        if usize > MAX_MEMBER_BYTES or csize > MAX_MEMBER_BYTES:
+            raise ValueError("member exceeds inflation cap")
+        # local header: only to find the data start — ITS name/extra
+        # lengths, not the central entry's, pad to the member bytes.
+        lho += shift
+        if b[lho:lho + 4] != _LFH or lho + 30 > len(b):
+            raise ValueError("bad local header")
+        lnlen, lelen = struct.unpack("<HH", b[lho + 26:lho + 30])
+        start = lho + 30 + lnlen + lelen
+        raw = b[start:start + csize]
+        if len(raw) != csize:
+            raise ValueError("truncated member data")
+        if method == 0:
+            if csize != usize:
+                raise ValueError("stored member size mismatch")
+            data = raw
+        elif method == 8:
+            try:
+                d = zlib.decompressobj(-15)
+                data = d.decompress(raw, MAX_MEMBER_BYTES + 1)
+            except zlib.error as e:
+                raise ValueError(f"bad DEFLATE stream: {e}") from e
+            if len(data) > MAX_MEMBER_BYTES:
+                raise ValueError("member exceeds inflation cap")
+        else:
+            raise ValueError(f"unsupported compression method {method}")
+        if len(data) != usize:
+            raise ValueError("inflated size mismatch")
+        if zlib.crc32(data) != crc:
+            raise ValueError("member CRC-32 mismatch")
+        if not name.endswith("/"):        # directory entries carry no data
+            out.append((name, data, method))
+    if not out:
+        raise ValueError("no file members in archive")
+    return out
+
+
+ZIP_MEMBER_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("member", T.StringType()),
+    T.StructField("method", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def zip_members(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, member, method, n_bytes, text): every file member of
+    each arriving archive with its compression method (0 stored /
+    8 deflate, read from the central directory), verified uncompressed
+    size, and UTF-8 text. Unparseable archives drop whole (a truncated
+    or bit-flipped archive is not partially trustworthy — every member
+    CRC rides the same byte stream)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, names, methods, sizes, texts = [], [], [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                raw = (b"" if p is None else
+                       (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    members = parse_zip_members(raw)
+                except ValueError:
+                    continue
+                for name, data, method in members:
+                    ids.append(int(did))
+                    names.append(name)
+                    methods.append(method)
+                    sizes.append(len(data))
+                    texts.append(data.decode("utf-8", "replace"))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "member": pd.Series(names, dtype="object"),
+                "method": pd.Series(methods, dtype="int64"),
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+                "text": pd.Series(texts, dtype="object")})
+
+    return df.mapInPandas(run, ZIP_MEMBER_SCHEMA)
+
+
+def _member_text(did: int) -> str:
+    """Deterministic member body — regenerable as string arithmetic in
+    the oracle. Long enough that DEFLATE actually compresses (the
+    repeated tail), short enough to stay fixture-sized."""
+    return f"zip doc {did}: " + "ab" * (did % 40 + 8)
+
+
+def _meta_text(did: int) -> str:
+    return f'{{"id": {did}, "parts": {did % 7}}}'
+
+
+def synthesize_planted_zips(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID two-member archives — ``<id>.txt`` (a
+    deterministic compressible body) + ``<id>.json`` (metadata) —
+    written with stdlib ``zipfile`` (fixed DOS timestamp, no comment),
+    STORED for even ids and DEFLATED for odd ids so both data paths
+    decode. The hand-rolled reader is validated against an independent
+    stdlib writer, like the tar pair."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                method = (zipfile.ZIP_STORED if did % 2 == 0
+                          else zipfile.ZIP_DEFLATED)
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w", method) as zf:
+                    for name, data in (
+                            (f"{did}.txt", _member_text(did).encode()),
+                            (f"{did}.json", _meta_text(did).encode())):
+                        zi = zipfile.ZipInfo(name, (1980, 1, 1, 0, 0, 0))
+                        zi.compress_type = method
+                        zf.writestr(zi, data)
+                ids.append(did)
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_zip_members_sql(table: str = "documents",
+                            id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`zip_members` over the planted archives:
+    member names, methods, sizes, and bodies as pure string arithmetic —
+    never touching ZIP bytes, so a central-directory walk, DEFLATE, or
+    CRC bug on the Spark side hash-mismatches."""
+    body_txt = (f"('zip doc ' || CAST({id_col} AS VARCHAR) || ': ' ||"
+                f" repeat('ab', {id_col} % 40 + 8))")
+    body_json = (f"('{{\"id\": ' || CAST({id_col} AS VARCHAR) ||"
+                 f" ', \"parts\": ' || CAST({id_col} % 7 AS VARCHAR)"
+                 f" || '}}')")
+    return f"""
+    SELECT {id_col} AS doc_id,
+           CAST({id_col} AS VARCHAR) || '.txt' AS member,
+           CAST({id_col} % 2 * 8 AS BIGINT) AS method,
+           CAST(length({body_txt}) AS BIGINT) AS n_bytes,
+           {body_txt} AS text
+    FROM {table}
+    UNION ALL
+    SELECT {id_col} AS doc_id,
+           CAST({id_col} AS VARCHAR) || '.json' AS member,
+           CAST({id_col} % 2 * 8 AS BIGINT) AS method,
+           CAST(length({body_json}) AS BIGINT) AS n_bytes,
+           {body_json} AS text
+    FROM {table}
+    """
+
+
+__all__ = ["parse_zip_members", "zip_members", "synthesize_planted_zips",
+           "planted_zip_members_sql", "MAX_MEMBER_BYTES"]

@@ -462,14 +462,29 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
     rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"WARC-Target-URI: https://e.com/1\r\nContent-Length: 5\r\n"
            b"\r\nhello\r\n\r\n")
+    import zipfile
+
+    from etl_ender_turing_spark.sources import ziparchive as za
+
+    zbuf = io.BytesIO()
+    with zipfile.ZipFile(zbuf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for n, d in (("1.txt", b"zip doc 1: " + b"ab" * 9),
+                     ("1.json", b'{"id": 1}')):
+            zi = zipfile.ZipInfo(n, (1980, 1, 1, 0, 0, 0))
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, d)
+    zipped = zbuf.getvalue()
+    assert len(za.parse_zip_members(zipped)) == 2   # seed is valid
+
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
              _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
-             rec, gzip.compress(rec, mtime=0) * 2]
+             rec, gzip.compress(rec, mtime=0) * 2, zipped]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
              mm.parse_mp4_meta, mm.decode_wav_samples,
              wds.parse_tar_members, mm.parse_media_header,
-             wc.gunzip_members, lambda b: wc.parse_warc_chunk(0, b))
+             wc.gunzip_members, lambda b: wc.parse_warc_chunk(0, b),
+             za.parse_zip_members)
     for _trial in range(2000):
         b = bytearray(random.choice(seeds))
         for _ in range(random.randint(1, 8)):
