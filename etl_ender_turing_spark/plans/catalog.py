@@ -1760,3 +1760,100 @@ def _install_linkage_oracles() -> None:
 
 
 _install_linkage_oracles()
+
+
+# =========================================================================
+# Bloom-filter scan pruning (operators/bloomfilter.py) — the runtime
+# row filter a selective dim->fact join wants at 100 TB
+# =========================================================================
+
+def _bloom_prune_oracle() -> str:
+    from ..functions.rounding import round6u_sql
+    from ..operators import bloomfilter as bf
+    dim = ("SELECT c_custkey FROM customer "
+           "WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 9000")
+    probe_bit = bf.bloom_bit_sql("o_custkey", "gi.i")
+    sel = round6u_sql("CAST(n_bloom_pass AS DOUBLE) / n_scanned")
+    fpr = round6u_sql("CAST(n_false_pos AS DOUBLE)"
+                      " / (n_scanned - n_true_match)")
+    return f"""
+    WITH dim AS ({dim}),
+    words AS ({bf.bloom_words_sql('SELECT c_custkey FROM dim',
+                                  'c_custkey')}),
+    probes AS (
+      SELECT o.o_orderkey, {probe_bit} AS bit
+      FROM orders o,
+           (SELECT unnest(generate_series(0, {bf.N_HASHES - 1})) AS i) gi
+    ),
+    passed AS (
+      SELECT p.o_orderkey
+      FROM probes p JOIN words w ON w.slot = p.bit // 32
+      GROUP BY p.o_orderkey
+      HAVING COUNT(*) FILTER (WHERE (w.w
+               & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INT))) != 0)
+             = {bf.N_HASHES}
+    ),
+    counts AS (
+      SELECT (SELECT COUNT(*) FROM orders) AS n_scanned,
+             (SELECT COUNT(*) FROM passed) AS n_bloom_pass,
+             (SELECT COUNT(*) FROM orders o
+              JOIN dim d ON o.o_custkey = d.c_custkey) AS n_true_match
+    )
+    SELECT n_scanned, n_bloom_pass, n_true_match,
+           n_bloom_pass - n_true_match AS n_false_pos,
+           {sel} AS bloom_selectivity6,
+           {fpr} AS fp_rate6
+    FROM counts
+    """
+
+
+@register(
+    "q_bloom_prune_scan",
+    None,  # installed below — oracle builder needs module imports
+    doc="Bloom-filter scan pruning (bloomfilter.build_bloom + "
+        "bloom_member): a selective customer predicate's surviving keys "
+        "fold into 128 32-bit words (one partial+final bit_or "
+        "aggregate, 128-long driver pull — the IVF-centroid collect "
+        "discipline), and the orders scan is pruned by a pure "
+        "k-hash/md5 membership EXPRESSION — zero shuffle, zero join, "
+        "inside WholeStageCodegen; the exact broadcast join then "
+        "scores true matches so the query certifies the no-false-"
+        "negative invariant and the measured FP rate value-exactly")
+def q_bloom_prune_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import round6u
+    from ..operators import bloomfilter as bf
+    cust = (_t(spark, sf_dir, "customer")
+            .filter((F.col("c_mktsegment") == "BUILDING")
+                    & (F.col("c_acctbal") > 9000))
+            .select("c_custkey"))
+    words = bf.build_bloom(cust, "c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    scored = (orders
+              .withColumn("bloom_pass",
+                          bf.bloom_member("o_custkey", words))
+              .join(F.broadcast(cust.withColumn("hit", F.lit(1))),
+                    orders.o_custkey == F.col("c_custkey"), "left"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+              .cast("long")).alias("n_true_match"))
+    return agg.select(
+        "n_scanned", "n_bloom_pass", "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match"))
+        .alias("n_false_pos"),
+        round6u(F.col("n_bloom_pass").cast("double")
+                / F.col("n_scanned")).alias("bloom_selectivity6"),
+        round6u((F.col("n_bloom_pass") - F.col("n_true_match"))
+                .cast("double")
+                / (F.col("n_scanned") - F.col("n_true_match")))
+        .alias("fp_rate6"))
+
+
+def _install_bloom_oracle() -> None:
+    spec = CATALOG["q_bloom_prune_scan"]
+    CATALOG["q_bloom_prune_scan"] = QuerySpec(
+        spec.name, spec.builder, _bloom_prune_oracle(), spec.doc)
+
+
+_install_bloom_oracle()
