@@ -1024,11 +1024,60 @@ def decode_gif_gray(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, bytes(pal[i] for i in idx)
 
 
+def decode_bmp_gray(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL 8-bit palette BMP decode (BITMAPINFOHEADER): 14-byte file
+    header (data offset at byte 10), 40-byte DIB header validated field
+    by field (planes=1, bpp=8, BI_RGB only — RLE and other depths raise
+    the drop-class NotImplementedError), a BGRA palette mapped to gray
+    (entries must be achromatic, B=G=R), rows padded to 4-byte
+    boundaries and stored BOTTOM-UP when height is positive / top-down
+    when negative — the two layout rules naive readers get wrong.
+    Returns (w, h, pixels) top-down like every other decoder here."""
+    b = payload
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP or truncated file header")
+    data_off = struct.unpack("<I", b[10:14])[0]
+    dib, w, h_raw, planes, bpp = struct.unpack("<IiihH", b[14:30])
+    compression = struct.unpack("<I", b[30:34])[0]
+    if dib < 40:
+        raise ValueError("pre-BITMAPINFOHEADER DIB unsupported")
+    if planes != 1:
+        raise ValueError("bad plane count")
+    if compression != 0:
+        raise NotImplementedError("compressed BMP unsupported")
+    if bpp != 8:
+        raise NotImplementedError(f"{bpp}-bpp BMP unsupported")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0 or w * h > 1 << 24:
+        raise ValueError("bad BMP dimensions")
+    n_colors = struct.unpack("<I", b[46:50])[0] or 256
+    pal_off = 14 + dib
+    pal_end = pal_off + 4 * n_colors
+    if pal_end > len(b) or data_off < pal_end:
+        raise ValueError("truncated or overlapping palette")
+    pal = []
+    for i in range(n_colors):
+        blue, green, red = b[pal_off + 4 * i:pal_off + 4 * i + 3]
+        if not (blue == green == red):
+            raise ValueError("non-grayscale palette entry")
+        pal.append(blue)
+    stride = (w + 3) & ~3
+    if data_off + stride * h > len(b):
+        raise ValueError("truncated BMP pixel data")
+    rows = []
+    for r in range(h):
+        src = r if top_down else h - 1 - r
+        line = b[data_off + src * stride:data_off + src * stride + w]
+        rows.append(bytes(pal[i] for i in line))
+    return w, h, b"".join(rows)
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Format-dispatching grayscale pixel decode: binary PGM, the
-    DC-only baseline-JPEG subset, 8-bit grayscale PNG, or
-    grayscale-palette GIF. The image-family operators hash all four
-    container formats through this single entry point."""
+    DC-only baseline-JPEG subset, 8-bit grayscale PNG, grayscale-
+    palette GIF, or 8-bit palette BMP. The image-family operators hash
+    all five container formats through this single entry point."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
     if payload[:2] == b"\xff\xd8":
@@ -1037,6 +1086,8 @@ def decode_image(payload: bytes) -> tuple[int, int, bytes]:
         return decode_png_gray(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif_gray(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp_gray(payload)
     raise ValueError("unrecognized image container")
 
 
@@ -1223,6 +1274,93 @@ def planted_gif_dhash_sql(table: str = "documents",
     pixel formula; never touches bytes (an LZW or palette bug on the
     Spark side hash-mismatches)."""
     px = _GIF_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
+                             did=id_col)
+    return f"""
+    WITH cells AS (
+      SELECT {id_col}, g.cx, g.cy, SUM({px}) AS s
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                    AS i) n,
+           LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px,
+           LATERAL (SELECT px.x // 2 AS cx, px.y // 2 AS cy) g
+      GROUP BY {id_col}, g.cx, g.cy
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.s > b.s
+                    THEN CAST(pow(2, a.cy * 10 + a.cx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM cells a JOIN cells b
+      ON a.{id_col} = b.{id_col} AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 10
+    GROUP BY a.{id_col}
+    """
+
+
+def _planted_bmp_pixel(page: int, x: int, y: int, did: int) -> int:
+    """Python spelling of the BMP planting formula — the PGM formula
+    with a 'b:' salt (disjoint key space), same one-cell odd-id
+    perturbation."""
+    v = int(hashlib.md5(f"b:{page}:{x}:{y}".encode()).hexdigest()[:8],
+            16) % 180 + 20
+    if (did % 2 == 1 and x - x % 2 == 2 * (page % 11)
+            and y - y % 2 == 2 * (page % 6)):
+        v += 40
+    return v
+
+
+_BMP_PX_DUCK = ("(CAST(('0x' || substr(md5('b:' || CAST({page} AS VARCHAR)"
+                " || ':' || CAST({x} AS VARCHAR) || ':'"
+                " || CAST({y} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+                " % 180 + 20" + _PERTURB + ")")
+
+
+def synthesize_planted_bmp(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID 8-bit palette BMPs planted from doc_id —
+    BITMAPFILEHEADER with the data offset, BITMAPINFOHEADER, a 256-entry
+    identity-ramp grayscale palette, and BOTTOM-UP rows padded to 4-byte
+    strides (the two layout rules :func:`decode_bmp_gray` must invert).
+    Builder assembles bytes; the DuckDB oracle regenerates pixels from
+    the 'b:'-salted md5 formula, never from bytes — a stride, palette,
+    or row-order bug on the Spark side hash-mismatches."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    w, h = PGM_W, PGM_H
+    stride = (w + 3) & ~3
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    data_off = 14 + 40 + len(pal)
+    file_hdr = b"BM" + struct.pack("<IHHI", data_off + stride * h,
+                                   0, 0, data_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0,
+                      stride * h, 2835, 2835, 256, 0)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                page = did // 2
+                rows = []
+                for y in range(h - 1, -1, -1):      # bottom-up storage
+                    line = bytes(_planted_bmp_pixel(page, x, y, did)
+                                 for x in range(w))
+                    rows.append(line + b"\0" * (stride - w))
+                payloads.append(file_hdr + dib + pal + b"".join(rows))
+                ids.append(did)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "payload": payloads})
+
+    schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                           T.StructField("payload", T.BinaryType())])
+    return docs.select(id_col).mapInPandas(run, schema)
+
+
+def planted_bmp_dhash_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted BMP
+    fixture — the GIF oracle's cell-sum shape with the 'b:'-salted
+    pixel formula."""
+    px = _BMP_PX_DUCK.format(page=f"({id_col} // 2)", x="px.x", y="px.y",
                              did=id_col)
     return f"""
     WITH cells AS (

@@ -1600,6 +1600,26 @@ def q_image_phash_gif(spark, sf_dir):
     return mm.image_dhash(mm.synthesize_planted_gif(docs))
 
 
+from ..operators.multimodal import planted_bmp_dhash_sql  # noqa: E402
+
+
+@register(
+    "q_image_phash_bmp",
+    planted_bmp_dhash_sql("documents"),
+    doc="perceptual hashing over the image family's FIFTH container — "
+        "8-bit palette BMP (decode_bmp_gray): file-header data offset, "
+        "field-validated BITMAPINFOHEADER, achromatic-palette mapping, "
+        "and the two layout rules naive readers get wrong — 4-byte row "
+        "strides and bottom-up row order (negative-height top-down "
+        "handled too, unit-pinned). Same integer dHash; oracle "
+        "regenerates pixels from the 'b:'-salted md5 formula, never "
+        "from bytes — a stride or row-order bug hash-mismatches")
+def q_image_phash_bmp(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_bmp(docs))
+
+
 @register(
     "q_image_neardup",
     planted_pgm_neardup_sql("documents", max_hamming=3),

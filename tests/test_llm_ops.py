@@ -476,8 +476,16 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
     zipped = zbuf.getvalue()
     assert len(za.parse_zip_members(zipped)) == 2   # seed is valid
 
+    bpal = bytes(v for i in range(256) for v in (i, i, i, 0))
+    bmp = (b"BM" + st.pack("<IHHI", 14 + 40 + 1024 + 16, 0, 0,
+                           14 + 40 + 1024)
+           + st.pack("<IiiHHIIiiII", 40, 4, 4, 1, 8, 0, 16,
+                     2835, 2835, 256, 0)
+           + bpal + bytes(range(16)))
+    assert mm.decode_bmp_gray(bmp)[0] == 4          # seed is valid
+
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
-             _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif,
+             _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif, bmp,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
              rec, gzip.compress(rec, mtime=0) * 2, zipped]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
@@ -2340,3 +2348,41 @@ def test_decode_gif_gray_refuses_out_of_subset_variants(spark):
         mm.decode_gif_gray(b[:100])
     with pytest.raises(ValueError):
         mm.decode_gif_gray(b"GIF89a" + st.pack("<HHBBB", 0, 0, 0x87, 0, 0))
+
+
+def test_decode_bmp_gray_layout_and_refusals(spark):
+    import pytest
+    import struct as st
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_bmp(docs).collect()}
+    w, h, px = mm.decode_bmp_gray(raw[0])
+    assert (w, h) == (mm.PGM_W, mm.PGM_H)
+    # bottom-up + stride padding inverted: decoded pixels are top-down
+    assert px == bytes(mm._planted_bmp_pixel(0, x, y, 0)
+                       for y in range(h) for x in range(w))
+    # odd id: exactly one 2x2 cell brightened by +40
+    _, _, px1 = mm.decode_bmp_gray(raw[1])
+    diff = [i for i in range(len(px)) if px1[i] != px[i]]
+    assert len(diff) == 4 and all(px1[i] - px[i] == 40 for i in diff)
+    b = raw[0]
+    # non-grayscale palette entry -> ValueError (drop class)
+    mut = bytearray(b)
+    mut[14 + 40 + 4 * 7] = (mut[14 + 40 + 4 * 7] + 1) % 256
+    with pytest.raises(ValueError):
+        mm.decode_bmp_gray(bytes(mut))
+    # 24-bpp and RLE-compressed -> NotImplementedError
+    mut = bytearray(b)
+    mut[28:30] = st.pack("<H", 24)
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp_gray(bytes(mut))
+    mut = bytearray(b)
+    mut[30:34] = st.pack("<I", 1)
+    with pytest.raises(NotImplementedError):
+        mm.decode_bmp_gray(bytes(mut))
+    # truncation -> ValueError
+    with pytest.raises(ValueError):
+        mm.decode_bmp_gray(b[:-8])
+    with pytest.raises(ValueError):
+        mm.decode_bmp_gray(b[:53])
