@@ -133,6 +133,14 @@ BENCH_QUERIES = [
     "q_incremental_image_dedup",
     # round-9: the image family's second real decompressor (LZW)
     "q_image_phash_gif",
+    # round-9 second batch: fuzzy entity resolution end-to-end
+    # (segment blocking + levenshtein verify + clusters + survivorship),
+    # ZIP central-directory ingestion, Bloom-pruned fact scan, and the
+    # fifth image container
+    "q_er_golden_record",
+    "q_zip_members",
+    "q_bloom_prune_scan",
+    "q_image_phash_bmp",
 ]
 
 
