@@ -244,3 +244,106 @@ def crawl_budget_sql(ranks_sql: str, quality_sql: str,
                 THEN 1 ELSE 0 END AS BIGINT) AS budget
     FROM shares CROSS JOIN lo
     """
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """One-row triangle census of the (undirected) domain graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, global_cc6).
+
+    Edge-orientation algorithm (Suri & Vassilvitskii's node-iterator++,
+    WWW 2011): symmetrize + dedup, orient every edge from its
+    lower-(degree, id) endpoint to the higher, enumerate wedges only at
+    each edge's LOW end, and close them with one join back onto the
+    oriented edge list. Orienting by degree caps per-node wedge fan-out
+    at O(sqrt(m)) — the "curse of the last reducer" (one celebrity
+    domain owning quadratic wedges) cannot happen, which is the whole
+    game at web scale where degree skew is power-law. Three uniform
+    shuffles (degree agg, wedge join, closing join); output is one row.
+    global_cc6 = 3·triangles / wedges (the transitivity ratio),
+    round6u-quantized like every small-integer ratio in the repo.
+    """
+    from ..functions.rounding import round6u
+    e = (edges.select(F.col("src").cast("string").alias("a"),
+                      F.col("dst").cast("string").alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct())
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("a", "node")
+    ue = und.filter(F.col("a") < F.col("b"))
+    j = (ue
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("db")), "b"))
+    lo_first = ((F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("a") < F.col("b"))))
+    oriented = j.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da"))
+        .alias("hideg"))
+    x = oriented.select("lo", F.col("hi").alias("v"),
+                        F.col("hideg").alias("dv"))
+    y = oriented.select("lo", F.col("hi").alias("w"),
+                        F.col("hideg").alias("dw"))
+    wedges = x.join(y, "lo").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))))
+    closing = oriented.select(F.col("lo").alias("v"),
+                              F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    node_stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"))
+    n_edges = ue.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (node_stats.crossJoin(n_edges).crossJoin(tri)
+            .select("n_nodes", "n_edges", "n_wedges", "n_triangles",
+                    F.when(F.col("n_wedges") > 0,
+                           round6u(3.0 * F.col("n_triangles")
+                                   / F.col("n_wedges")))
+                    .otherwise(F.lit(0.0)).alias("global_cc6")))
+
+
+def triangle_count_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`triangle_count`: the same orientation
+    and wedge-closing joins relationally, counts and the quantized
+    transitivity ratio identical."""
+    from ..functions.rounding import round6u_sql
+    cc = round6u_sql("3.0 * n_triangles / n_wedges")
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+          FROM raw WHERE src <> dst),
+    und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+    ue AS (SELECT a, b FROM und WHERE a < b),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN ue.a ELSE ue.b END AS lo,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN ue.b ELSE ue.a END AS hi,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN db.deg ELSE da.deg END AS hideg
+      FROM ue JOIN deg da ON da.node = ue.a
+              JOIN deg db ON db.node = ue.b),
+    wed AS (SELECT x.hi AS v, y.hi AS w
+            FROM o x JOIN o y ON x.lo = y.lo
+            WHERE x.hideg < y.hideg
+               OR (x.hideg = y.hideg AND x.hi < y.hi)),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM wed JOIN o ON o.lo = wed.v AND o.hi = wed.w),
+    ns AS (SELECT COUNT(*) AS n_nodes,
+                  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+           FROM deg),
+    ne AS (SELECT COUNT(*) AS n_edges FROM ue)
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           CASE WHEN n_wedges > 0 THEN {cc} ELSE 0.0 END AS global_cc6
+    FROM ns CROSS JOIN ne CROSS JOIN tri
+    """

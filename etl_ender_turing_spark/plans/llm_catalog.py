@@ -2783,6 +2783,25 @@ def q_domain_pagerank(spark, sf_dir):
     return gr.pagerank(wb.domain_edges(parsed, links), iters=3)
 
 
+@register(
+    "q_triangle_stats",
+    gr.triangle_count_sql(_PAGERANK_EDGES_SQL),
+    doc="domain-graph triangle census (operators/graph.triangle_count, "
+        "Suri & Vassilvitskii node-iterator++): symmetrize + dedup the "
+        "link edges, orient every edge low-(degree,id) -> high, "
+        "enumerate wedges only at the low end, close with one join — "
+        "degree orientation caps per-node wedge fan-out at O(sqrt(m)) "
+        "so one celebrity domain cannot own quadratic wedges (the "
+        "last-reducer curse). Output: node/edge/wedge/triangle counts "
+        "+ 6dp transitivity; the link-farm / mutual-citation-cluster "
+        "signal the spam-domain prior reads")
+def q_triangle_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    links = wb.extract_links(wb.synthesize_planted_links(docs))
+    return gr.triangle_count(wb.domain_edges(parsed, links))
+
+
 _DOMAIN_QUALITY_SQL = f"""
     SELECT 'example-' || CAST(doc_id % 7 AS VARCHAR) || '.'
              || {_tld_sql_of("doc_id")} AS domain,

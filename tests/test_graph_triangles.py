@@ -1,0 +1,55 @@
+"""Triangle census (operators/graph.triangle_count): known graphs,
+orientation invariants, cross-engine oracle agreement."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from etl_ender_turing_spark.operators.graph import (
+    triangle_count, triangle_count_sql)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame([Row(src=a, dst=b) for a, b in pairs])
+
+
+def test_k4_has_four_triangles(spark):
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    r = triangle_count(_edges(spark, k4)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (4, 6, 4)
+    # wedges = 4 nodes x C(3,2) = 12; transitivity = 12/12 = 1
+    assert r.n_wedges == 12 and r.global_cc6 == 1.0
+
+
+def test_path_and_star_have_none(spark):
+    r = triangle_count(_edges(spark, [("a", "b"), ("b", "c"),
+                                      ("c", "d")])).collect()[0]
+    assert r.n_triangles == 0 and r.global_cc6 == 0.0
+    star = [("hub", f"leaf{i}") for i in range(20)]
+    r = triangle_count(_edges(spark, star)).collect()[0]
+    assert (r.n_triangles, r.n_wedges) == (0, 190)
+
+
+def test_direction_duplicates_and_self_loops_collapse(spark):
+    """(a,b), (b,a), repeats, and self-loops are ONE undirected edge /
+    nothing — the census is over the simple undirected graph."""
+    messy = [("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+             ("b", "c"), ("c", "a")]
+    r = triangle_count(_edges(spark, messy)).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_triangles) == (3, 3, 1)
+
+
+def test_matches_duckdb_oracle_on_random_graph(spark):
+    import duckdb
+
+    import random
+    random.seed(42)
+    pairs = list({(f"n{random.randrange(30)}", f"n{random.randrange(30)}")
+                  for _ in range(120)})
+    got = triangle_count(_edges(spark, pairs)).collect()[0]
+    vals = ", ".join(f"('{a}', '{b}')" for a, b in pairs)
+    sql = triangle_count_sql(
+        f"SELECT a AS src, b AS dst, 1 AS w FROM (VALUES {vals}) t(a, b)")
+    exp = duckdb.connect().execute(sql).fetchone()
+    assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles,
+            got.global_cc6) == exp
