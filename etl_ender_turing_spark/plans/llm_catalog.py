@@ -3508,3 +3508,28 @@ def q_dsir_from_model(spark, sf_dir):
 def q_unimax_sample(spark, sf_dir):
     return sp.unimax_sample(_docs(spark, sf_dir),
                             budget=2_000_000, epochs=2)
+
+
+# =========================================================================
+# Count-min sketch (operators/countmin.py) — the value-exact mergeable
+# member of the sketch family
+# =========================================================================
+
+from ..operators.countmin import (  # noqa: E402
+    cms_heavy_hitters, cms_heavy_hitters_sql)
+
+
+@register(
+    "q_cms_heavy_hitters",
+    cms_heavy_hitters_sql("documents", k=20),
+    doc="count-min sketch heavy hitters (countmin.cms_heavy_hitters, "
+        "Cormode & Muthukrishnan): token frequencies fold into a fixed "
+        "3x1024-cell sketch (one <=D*W-group aggregate after the "
+        "vocabulary-scale count — memory independent of corpus AND "
+        "vocabulary, cell-wise mergeable across shards/streams), then "
+        "the exact top-20 tokens are scored against it. Unlike the "
+        "builtin-HLL row (bound-check only), the md5-slot cells are "
+        "cross-engine identical, so estimates and collision overcounts "
+        "certify value-exactly; est >= exact by construction")
+def q_cms_heavy_hitters(spark, sf_dir):
+    return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
