@@ -37,7 +37,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # with NO driver proof first ---
     "q_er_candidate_pairs", "q_er_clusters", "q_er_golden_record",
     "q_zip_members", "q_bloom_prune_scan", "q_image_phash_bmp",
-    "q_triangle_stats", "q_cms_heavy_hitters",
+    "q_triangle_stats", "q_cms_heavy_hitters", "q_stream_zip_gate",
     "q_bpe_from_merges", "q_unigram_from_vocab", "q_video_frag_hashes",
     "q_li_recall_check", "q_incremental_image_dedup", "q_image_phash_gif",
     # --- plans changed in round 9 (values unchanged, re-certify):

@@ -1506,6 +1506,30 @@ def q_stream_warc_gate(spark, sf_dir):
                                min_tokens=40)
 
 
+from ..sources.ziparchive import planted_zip_gate_sql  # noqa: E402
+
+
+@register(
+    "q_stream_zip_gate",
+    planted_zip_gate_sql("documents", min_bytes=40),
+    doc="streaming ZIP intake run to completion (streaming/stream."
+        "zip_gate_stream, availableNow): vendor-drop archives land in "
+        "a directory, the file-stream source consumes them "
+        "incrementally, each walks the same Arrow central-directory "
+        "parse as the batch reader (zip_members is stream-agnostic), "
+        "and a minimum-content gate keeps only .txt members >= 40 "
+        "bytes — manifest stubs never reach the corpus. Stateless, so "
+        "the single-round verdict equals the batch oracle; CRC-failed "
+        "archives drop whole inside the Arrow stage")
+def q_stream_zip_gate(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_zip_gate_batch
+    ckpt = tempfile.mkdtemp(prefix="q_stream_zip_ckpt_")
+    landing = tempfile.mkdtemp(prefix="q_stream_zip_landing_")
+    return run_zip_gate_batch(spark, sf_dir, ckpt, landing, min_bytes=40)
+
+
 @register(
     "q_image_stats",
     planted_pgm_stats_sql("documents"),

@@ -259,3 +259,14 @@ def planted_zip_members_sql(table: str = "documents",
 
 __all__ = ["parse_zip_members", "zip_members", "synthesize_planted_zips",
            "planted_zip_members_sql", "MAX_MEMBER_BYTES"]
+
+
+def planted_zip_gate_sql(table: str = "documents", min_bytes: int = 40,
+                         id_col: str = "doc_id") -> str:
+    """DuckDB oracle for the streaming intake gate: the ``.txt`` branch
+    of :func:`planted_zip_members_sql` under the byte floor."""
+    return f"""
+    SELECT doc_id, member, n_bytes
+    FROM ({planted_zip_members_sql(table, id_col)})
+    WHERE member LIKE '%.txt' AND n_bytes >= {min_bytes}
+    """

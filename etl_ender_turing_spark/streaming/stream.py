@@ -1098,3 +1098,61 @@ def run_neardup_gate_batch(spark: SparkSession, source_dir: str,
     return (spark.table(query_name)
             .groupBy("doc_id")
             .agg(F.expr("bool_or(seen_before)").alias("is_dup")))
+
+
+ZIP_SHARD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def zip_gate_stream(spark: SparkSession, landing_dir: str,
+                    min_bytes: int = 40,
+                    glob_filter: str | None = None) -> DataFrame:
+    """Streaming ZIP intake — the container family's fourth landing
+    stream (WARC, WebDataset, media, now PKZIP): vendor drops / export
+    jobs leave ``.zip`` bundles in a directory, the file-stream source
+    consumes them incrementally, each archive walks the same Arrow
+    central-directory parse as the batch reader (``zip_members`` is
+    stream-agnostic), and a minimum-content gate keeps only ``.txt``
+    members carrying at least ``min_bytes`` of payload — manifest
+    stubs and empty placeholders never reach the corpus.
+
+    Fully STATELESS (parse + projection), so a single availableNow
+    round value-matches the batch oracle; CRC-failed or truncated
+    archives drop whole inside the Arrow stage, never killing the
+    query — the at-least-once file source plus idempotent downstream
+    upsert is the delivery contract."""
+    from ..sources.ziparchive import zip_members
+
+    reader = spark.readStream.schema(ZIP_SHARD_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    shards = reader.parquet(landing_dir)
+    members = zip_members(shards)
+    return (members
+            .filter(F.col("member").endswith(".txt")
+                    & (F.col("n_bytes") >= min_bytes))
+            .select("doc_id", "member", "n_bytes"))
+
+
+def run_zip_gate_batch(spark: SparkSession, sf_dir: str,
+                       checkpoint_dir: str, landing_dir: str,
+                       min_bytes: int = 40) -> DataFrame:
+    """Synthesize the planted ZIP shards into a landing directory, then
+    drive the streaming intake gate to completion (availableNow) for
+    value-level oracle comparison."""
+    from ..sources.readers import read_table
+    from ..sources.ziparchive import synthesize_planted_zips
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    (synthesize_planted_zips(docs)
+     .write.mode("overwrite").parquet(landing_dir))
+    gated = zip_gate_stream(spark, landing_dir, min_bytes)
+    q = (gated.writeStream.format("memory").queryName("zip_gate_result")
+         .outputMode("append")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("zip_gate_result")

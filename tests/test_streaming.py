@@ -563,3 +563,50 @@ def test_neardup_gate_ttl_forgets_stale_owners(spark, tmp_path):
     # forget-on-arrival freshness check must fire even though the band
     # key receives data
     assert verdict[100] is False and verdict[101] is False
+
+
+def test_zip_gate_stream_incremental_and_corruption_safe(spark, tmp_path):
+    """Streaming ZIP intake: shards landing AFTER a completed round are
+    picked up by the next availableNow run from the same checkpoint; a
+    corrupt archive in the landing dir drops whole without killing the
+    query; the gate keeps only .txt members over the byte floor."""
+    from pyspark.sql import Row
+
+    from etl_ender_turing_spark.sources.ziparchive import (
+        _member_text, synthesize_planted_zips,
+    )
+    from etl_ender_turing_spark.streaming.stream import zip_gate_stream
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id").filter("doc_id < 40")
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    synthesize_planted_zips(docs.filter("doc_id < 20")) \
+        .write.mode("append").parquet(landing)
+
+    def run_round():
+        q = (zip_gate_stream(spark, landing, min_bytes=40)
+             .writeStream.format("parquet")
+             .option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_round()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == sum(1 for i in range(20)
+                          if len(_member_text(i)) >= 40)
+    # second batch + one corrupt shard: new members appear, stream lives
+    later = synthesize_planted_zips(docs.filter("doc_id >= 20"))
+    later.write.mode("append").parquet(landing)
+    spark.createDataFrame([Row(doc_id=999,
+                               payload=b"PK\x03\x04 not really a zip")]) \
+        .write.mode("append").parquet(landing)
+    run_round()
+    got = spark.read.parquet(out)
+    assert got.count() == sum(1 for i in range(40)
+                              if len(_member_text(i)) >= 40)
+    assert got.filter("doc_id = 999").count() == 0
+    assert got.filter("member NOT LIKE '%.txt'").count() == 0
