@@ -256,3 +256,126 @@ def golden_records_sql(table: str = "customer") -> str:
 __all__ = ["dirty_customers", "dirty_customers_sql", "er_candidate_pairs",
            "er_pairs_sql", "golden_records", "golden_records_sql",
            "MAX_EDITS", "BAL_WINDOW", "MAX_BLOCK"]
+
+
+# Increment-feed id offsets (continuing the 10M-span convention).
+_OFF_INC_MATCH = 50_000_000   # one edit, book moved +100 → must match
+_OFF_INC_NEW = 60_000_000     # three edits → genuinely new entity
+
+
+def increment_feed(cust: DataFrame) -> DataFrame:
+    """(rec_id, name, nationkey, bal, origin): tonight's feed batch —
+    every (k % 7 == 3) customer re-arrives with a one-letter typo
+    (must match its existing entity) and every (k % 7 == 5) arrives
+    three-edits corrupted (a genuinely new entity the matcher must NOT
+    force onto an existing one)."""
+    def variant(rem: int, off: int, name_expr: str, origin: str):
+        return (cust.filter((F.col("c_custkey") % 7) == rem)
+                .select((F.col("c_custkey") + off).alias("rec_id"),
+                        F.expr(name_expr).alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        (F.col("c_acctbal") + 100.0).alias("bal"),
+                        F.lit(origin).alias("origin")))
+    return (variant(3, _OFF_INC_MATCH, _v1_name(), "feed_match")
+            .unionByName(variant(5, _OFF_INC_NEW, _v3_name(), "feed_new")))
+
+
+def increment_feed_sql(table: str = "customer") -> str:
+    return (f"SELECT c_custkey + {_OFF_INC_MATCH} AS rec_id,"
+            f" {_v1_name()} AS name, c_nationkey AS nationkey,"
+            f" c_acctbal + 100.0 AS bal, 'feed_match' AS origin"
+            f" FROM {table} WHERE c_custkey % 7 = 3"
+            f" UNION ALL"
+            f" SELECT c_custkey + {_OFF_INC_NEW}, {_v3_name()},"
+            f" c_nationkey, c_acctbal + 100.0, 'feed_new'"
+            f" FROM {table} WHERE c_custkey % 7 = 5")
+
+
+def _melt_segments(recs: DataFrame, id_col: str) -> DataFrame:
+    return recs.select(
+        id_col, "name", "nationkey", "bal",
+        F.expr(f"explode(transform(sequence(0, {N_CLASSES - 1}),"
+               f" s -> struct(s AS seg, {_segval('name', 's')} AS segval)))"
+               ).alias("b")) \
+        .select(id_col, "name", "nationkey", "bal", "b.seg", "b.segval")
+
+
+def er_match_increment(store: DataFrame, batch: DataFrame,
+                       max_edits: int = MAX_EDITS,
+                       bal_window: float = BAL_WINDOW) -> DataFrame:
+    """(rec_id, entity_id, matched, lev): assign each increment record
+    to its existing entity or mint a new one (entity_id = rec_id) —
+    the nightly-MDM half of the linkage lifecycle, mirroring
+    ``dedup.incremental_hamming_pairs``: the persisted entity STORE
+    streams by block key, the small feed batch is BROADCAST, candidates
+    are cross-side only (no in-bucket expansion, no star cap on this
+    path at all), and the historical corpus is never re-clustered.
+    Best match per record = min (lev, entity_id) — a deterministic
+    total order. ``store``: (entity_id, name, nationkey, bal)."""
+    sm = _melt_segments(
+        store.select(F.col("entity_id"), "name", "nationkey", "bal"),
+        "entity_id").withColumnRenamed("name", "s_name") \
+        .withColumnRenamed("bal", "s_bal")
+    bm = _melt_segments(batch, "rec_id") \
+        .withColumnRenamed("name", "b_name") \
+        .withColumnRenamed("bal", "b_bal")
+    cand = (sm.join(F.broadcast(bm), ["nationkey", "seg", "segval"])
+            .select("rec_id", "entity_id",
+                    F.levenshtein("s_name", "b_name").cast("long")
+                    .alias("lev"),
+                    F.abs(F.col("s_bal") - F.col("b_bal")).alias("bd"))
+            .filter((F.col("lev") <= max_edits)
+                    & (F.col("bd") <= bal_window))
+            .drop("bd").distinct())
+    from pyspark.sql import Window
+    w = Window.partitionBy("rec_id").orderBy("lev", "entity_id")
+    best = (cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
+    return (batch.select("rec_id")
+            .join(best, "rec_id", "left")
+            .select("rec_id",
+                    F.coalesce("entity_id", "rec_id").alias("entity_id"),
+                    F.col("entity_id").isNotNull().alias("matched"),
+                    "lev"))
+
+
+def er_match_increment_sql(table: str = "customer",
+                           max_edits: int = MAX_EDITS,
+                           bal_window: float = BAL_WINDOW) -> str:
+    """DuckDB oracle for :func:`er_match_increment` with the day-0
+    store = the base customer dimension (one entity per base record)."""
+    store = (f"SELECT c_custkey AS entity_id, c_name AS name,"
+             f" c_nationkey AS nationkey, c_acctbal AS bal FROM {table}")
+    seg_s = _segval("s.name", "g.s")
+    seg_b = _segval("b.name", "g.s")
+    return f"""
+    WITH store AS ({store}), batch AS ({increment_feed_sql(table)}),
+    sm AS (SELECT s.entity_id, s.name, s.nationkey, s.bal,
+                  g.s AS seg, {seg_s} AS segval
+           FROM store s,
+                (SELECT unnest(generate_series(0, {N_CLASSES - 1})) AS s)
+                g),
+    bm AS (SELECT b.rec_id, b.name, b.nationkey, b.bal,
+                  g.s AS seg, {seg_b} AS segval
+           FROM batch b,
+                (SELECT unnest(generate_series(0, {N_CLASSES - 1})) AS s)
+                g),
+    cand AS (
+      SELECT DISTINCT bm.rec_id, sm.entity_id,
+             CAST(levenshtein(sm.name, bm.name) AS BIGINT) AS lev
+      FROM sm JOIN bm ON sm.nationkey = bm.nationkey
+                     AND sm.seg = bm.seg AND sm.segval = bm.segval
+      WHERE levenshtein(sm.name, bm.name) <= {max_edits}
+        AND abs(sm.bal - bm.bal) <= {bal_window}
+    ),
+    best AS (
+      SELECT rec_id, entity_id, lev,
+             ROW_NUMBER() OVER (PARTITION BY rec_id
+                                ORDER BY lev, entity_id) AS rn
+      FROM cand
+    )
+    SELECT b.rec_id, COALESCE(bst.entity_id, b.rec_id) AS entity_id,
+           bst.entity_id IS NOT NULL AS matched, bst.lev
+    FROM batch b LEFT JOIN (SELECT rec_id, entity_id, lev FROM best
+                            WHERE rn = 1) bst USING (rec_id)
+    """

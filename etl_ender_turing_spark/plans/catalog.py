@@ -1857,3 +1857,41 @@ def _install_bloom_oracle() -> None:
 
 
 _install_bloom_oracle()
+
+
+@register(
+    "q_er_match_increment",
+    None,  # installed below
+    doc="incremental entity resolution against a PERSISTED entity store "
+        "(linkage.er_match_increment): the day-0 entity store is "
+        "written to parquet once, then tonight's feed batch — one-edit "
+        "re-arrivals that must match their entity, three-edit arrivals "
+        "that must mint new ones — blocks against the store READ BACK "
+        "from disk with the batch side broadcast; candidates are "
+        "cross-side only (no in-bucket expansion, no star cap exists on "
+        "this path), best match by the deterministic (lev, entity_id) "
+        "order, unmatched records coalesce to new entities. The "
+        "q_incremental_dedup_verified lifecycle, completed for MDM")
+def q_er_match_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    lk = _linkage()
+    cust = _t(spark, sf_dir, "customer")
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    path = tempfile.mkdtemp(prefix="q_er_store_")
+    store.write.mode("overwrite").parquet(path)
+    return lk.er_match_increment(spark.read.parquet(path),
+                                 lk.increment_feed(cust))
+
+
+def _install_er_increment_oracle() -> None:
+    from ..operators import linkage as lk
+    spec = CATALOG["q_er_match_increment"]
+    CATALOG["q_er_match_increment"] = QuerySpec(
+        spec.name, spec.builder, lk.er_match_increment_sql(), spec.doc)
+
+
+_install_er_increment_oracle()

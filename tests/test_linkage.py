@@ -116,3 +116,37 @@ def test_catalog_queries_hash_vs_duckdb(spark):
                 assert (a - b).abs().max() == 0.0, (name, c)
             else:
                 assert (a.astype(str) == b.astype(str)).all(), (name, c)
+
+
+def test_increment_matching_assigns_and_mints(spark):
+    cust = _cust(spark, 70)
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    got = {r.rec_id: r for r in
+           lk.er_match_increment(store, lk.increment_feed(cust))
+           .collect()}
+    # every feed record got exactly one verdict
+    n_match = sum(1 for k in range(70) if k % 7 == 3)
+    n_new = sum(1 for k in range(70) if k % 7 == 5)
+    assert len(got) == n_match + n_new
+    for k in range(70):
+        if k % 7 == 3:   # one-edit re-arrival -> its own entity, lev 1
+            r = got[k + 50_000_000]
+            assert r.matched and r.entity_id == k and r.lev == 1
+        if k % 7 == 5:   # three-edit arrival -> minted new entity
+            r = got[k + 60_000_000]
+            assert (not r.matched and r.entity_id == k + 60_000_000
+                    and r.lev is None)
+
+
+def test_increment_batch_side_is_broadcast(spark):
+    cust = _cust(spark, 30)
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    plan = (lk.er_match_increment(store, lk.increment_feed(cust))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
