@@ -1895,3 +1895,45 @@ def _install_er_increment_oracle() -> None:
 
 
 _install_er_increment_oracle()
+
+
+# =========================================================================
+# Z-order layout pruning audit (operators/zorder.py)
+# =========================================================================
+
+_ZORD_XY = ("SELECT CAST(o_custkey % 256 AS BIGINT) AS x,"
+            " CAST(FLOOR(o_totalprice / 2500.0) AS BIGINT) % 256 AS y"
+            " FROM orders")
+_ZORD_BOX = (32, 47, 64, 95)
+
+
+@register(
+    "q_zorder_pruning",
+    None,  # installed below
+    doc="Z-order layout audit (zorder.layout_pruning_audit): Morton-"
+        "interleave two order dimensions into a 16-bit clustering key "
+        "(a constant-length aggregate fold — scalar, codegen'd, the "
+        "key a writer sorts/partitions by), assign rows to 64 equal "
+        "key-range files under BOTH layouts (z-sorted vs x-sorted), "
+        "build per-file min/max zone maps, and count the files a 2-D "
+        "box predicate must scan under each — the OPTIMIZE ZORDER BY "
+        "decision, proven numerically instead of asserted; oracle "
+        "rebuilds keys relationally and matches every count")
+def q_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.zorder import layout_pruning_audit
+    o = _t(spark, sf_dir, "orders").selectExpr(
+        "CAST(o_custkey % 256 AS BIGINT) AS x",
+        "CAST(FLOOR(o_totalprice / 2500.0) AS BIGINT) % 256 AS y")
+    return layout_pruning_audit(o, "x", "y", *_ZORD_BOX)
+
+
+def _install_zorder_oracle() -> None:
+    from ..operators.zorder import layout_pruning_audit_sql
+    spec = CATALOG["q_zorder_pruning"]
+    CATALOG["q_zorder_pruning"] = QuerySpec(
+        spec.name, spec.builder,
+        layout_pruning_audit_sql(_ZORD_XY, "x", "y", *_ZORD_BOX),
+        spec.doc)
+
+
+_install_zorder_oracle()
