@@ -1937,3 +1937,24 @@ def _install_zorder_oracle() -> None:
 
 
 _install_zorder_oracle()
+
+
+from ..operators.basket import frequent_pairs, frequent_pairs_sql  # noqa: E402,E501
+
+
+@register(
+    "q_frequent_itempairs",
+    frequent_pairs_sql("lineitem", "l_orderkey", "l_partkey",
+                       min_support=2),
+    doc="market-basket pair mining (basket.frequent_pairs): parts "
+        "co-ordered in >= 2 orders with lift against independence — "
+        "pair expansion INSIDE each order's sorted item array (the "
+        "in-bucket lambda shape), cost bounded by sum C(|basket|,2) "
+        "under a basket cap that DROPS degenerate mega-baskets instead "
+        "of detonating the stage; document frequencies and the basket "
+        "total broadcast back for lift. Counts exact, lift one IEEE "
+        "expression round6u-quantized — oracle self-joins inside "
+        "baskets under the same cap and hash-matches")
+def q_frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
