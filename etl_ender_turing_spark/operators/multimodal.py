@@ -1676,17 +1676,41 @@ def decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
         raise ValueError(f"malformed RIFF chunk: {e}") from e
 
 
+def _ulaw2lin(u: int) -> int:
+    """G.711 µ-law byte → linear sample (the public-domain CCITT
+    expansion: bias 0x84, 3-bit segment, 4-bit mantissa)."""
+    u = ~u & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t <<= (u >> 4) & 0x07
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def _alaw2lin(a: int) -> int:
+    """G.711 A-law byte → linear sample (CCITT expansion: XOR 0x55,
+    segment 0/1 special-cased, sign bit positive when set)."""
+    a ^= 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
 def _decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
     b = payload
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    rate, bits, data = None, None, None
+    tag, rate, bits, data = None, None, None, None
     off = 12
     while off + 8 <= len(b):
         cid = b[off:off + 4]
         (size,) = struct.unpack("<I", b[off + 4:off + 8])
         if cid == b"fmt " and size >= 16:
-            _, channels, rate = struct.unpack("<HHI", b[off + 8:off + 16])
+            tag, channels, rate = struct.unpack("<HHI", b[off + 8:off + 16])
             (bits,) = struct.unpack("<H", b[off + 22:off + 24])
             if channels != 1:
                 raise ValueError("only mono PCM supported here")
@@ -1695,10 +1719,18 @@ def _decode_wav_samples(payload: bytes) -> tuple[int, list[int]]:
             if len(data) != size:
                 raise ValueError("truncated data chunk")
         off += 8 + size + (size & 1)
-    if rate is None or data is None or bits != 16:
-        raise ValueError("missing fmt/data chunk or non-16-bit PCM")
-    n = len(data) // 2
-    return rate, list(struct.unpack(f"<{n}h", data[:2 * n]))
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if tag == 1 and bits == 16:
+        n = len(data) // 2
+        return rate, list(struct.unpack(f"<{n}h", data[:2 * n]))
+    # G.711 companded telephony audio — the call-recording formats a
+    # contact-center feed actually ships (8 kHz, one byte per sample).
+    if tag == 7 and bits == 8:
+        return rate, [_ulaw2lin(u) for u in data]
+    if tag == 6 and bits == 8:
+        return rate, [_alaw2lin(a) for a in data]
+    raise ValueError(f"unsupported WAV format tag {tag}/{bits}-bit")
 
 
 def audio_sample_stats(df: DataFrame, payload_col: str = "payload",
@@ -1769,6 +1801,89 @@ def synthesize_planted_wav_pcm(docs: DataFrame,
         F.hex(F.lit("data")), _hex_le(F.lit(n_bytes), 4),
         data_hex)
     return docs.select(id_col, F.unhex(wav_hex).alias("payload"))
+
+
+G711_N_SAMPLES = 64
+# planted companded bytes: full 0..255 coverage across docs
+_G711_BYTE = "(({did}) * 13 + ({k}) * 7) % 256"
+
+
+def synthesize_planted_g711_wav(docs: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID G.711 telephony WAVs — format tag 7
+    (µ-law) on odd ids, 6 (A-law) on even, 8 kHz mono 8-bit, companded
+    bytes planted arithmetically. JVM-side byte assembly (the Python
+    side only ever PARSES), like the PCM fixture."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    did = F.col(id_col)
+    tag = F.when(did % 2 == 1, F.lit(7)).otherwise(F.lit(6))
+    byte = _G711_BYTE.format(did=id_col, k="k")
+    data_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {G711_N_SAMPLES - 1}),"
+        f" k -> lpad(hex({byte}), 2, '0')))")
+    wav_hex = F.concat(
+        F.hex(F.lit("RIFF")), _hex_le(F.lit(36 + G711_N_SAMPLES), 4),
+        F.hex(F.lit("WAVE")),
+        F.hex(F.lit("fmt ")), _hex_le(F.lit(16), 4),
+        _hex_le(tag, 2), _hex_le(F.lit(1), 2),             # G.711, mono
+        _hex_le(F.lit(8000), 4), _hex_le(F.lit(8000), 4),  # rate, byterate
+        _hex_le(F.lit(1), 2), _hex_le(F.lit(8), 2),        # align, bits
+        F.hex(F.lit("data")), _hex_le(F.lit(G711_N_SAMPLES), 4),
+        data_hex)
+    return docs.select(id_col, F.unhex(wav_hex).alias("payload"))
+
+
+def _ulaw_sql(b: str) -> str:
+    """Dialect-common SQL spelling of :func:`_ulaw2lin` over byte expr
+    ``b`` — pure &/arithmetic (shifts as multiplies, NOT as 255-x), so
+    the one text runs on Spark and DuckDB."""
+    u = f"(255 - ({b}))"
+    t = f"((({u}) & 15) * 8 + 132)"
+    # segment = bits 4-6 = (u & 112)/16 — exact float division into
+    # pow, because neither `div` (Spark-only) nor `//` (DuckDB-only)
+    # parses in both dialects
+    ts = (f"(({t}) * CAST(pow(2, (({u}) & 112) / 16.0) AS BIGINT))")
+    return (f"(CASE WHEN (({u}) & 128) != 0 THEN 132 - ({ts})"
+            f" ELSE ({ts}) - 132 END)")
+
+
+def _alaw_sql(b: str) -> str:
+    """Dialect-common :func:`_alaw2lin`: XOR 0x55 spelled
+    arithmetically (x + 85 - 2*(x & 85)) because ^ is power in DuckDB."""
+    a = f"(({b}) + 85 - 2 * (({b}) & 85))"
+    t = f"((({a}) & 15) * 16)"
+    seg = f"((({a}) & 112) / 16.0)"
+    t2 = (f"(CASE WHEN ({seg}) = 0 THEN ({t}) + 8"
+          f" WHEN ({seg}) = 1 THEN ({t}) + 264"
+          f" ELSE (({t}) + 264)"
+          f" * CAST(pow(2, ({seg}) - 1) AS BIGINT) END)")
+    return (f"(CASE WHEN (({a}) & 128) != 0 THEN ({t2})"
+            f" ELSE -({t2}) END)")
+
+
+def planted_g711_stats_sql(table: str = "documents",
+                           id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`audio_sample_stats` over the planted
+    G.711 fixture: companded bytes regenerated arithmetically and
+    expanded by the same CCITT formulas in SQL — a companding-table bug
+    on either side hash-mismatches."""
+    byte = _G711_BYTE.format(did=id_col, k="k.k")
+    sample = (f"(CASE WHEN {id_col} % 2 = 1 THEN {_ulaw_sql(byte)}"
+              f" ELSE {_alaw_sql(byte)} END)")
+    return f"""
+    SELECT {id_col},
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST({G711_N_SAMPLES} AS BIGINT) AS n_samples,
+           CAST(MIN({sample}) AS INTEGER) AS amp_min,
+           CAST(MAX({sample}) AS INTEGER) AS amp_max,
+           CAST(SUM(({sample}) * ({sample})) AS BIGINT) AS sum_sq,
+           CAST(SUM({sample}) AS DOUBLE) / {G711_N_SAMPLES} AS amp_mean
+    FROM {table},
+         LATERAL (SELECT unnest(generate_series(0, {G711_N_SAMPLES - 1}))
+                  AS k) k
+    GROUP BY {id_col}
+    """
 
 
 def planted_wav_stats_sql(table: str = "documents",

@@ -1059,6 +1059,27 @@ def q_audio_stats(spark, sf_dir):
     return mm.audio_sample_stats(mm.synthesize_planted_wav_pcm(docs))
 
 
+from ..operators.multimodal import planted_g711_stats_sql  # noqa: E402
+
+
+@register(
+    "q_audio_g711_stats",
+    planted_g711_stats_sql("documents"),
+    doc="G.711 telephony audio decode (multimodal._ulaw2lin/_alaw2lin): "
+        "the 8 kHz µ-law/A-law WAVs contact-center call recordings "
+        "actually ship, expanded by the CCITT companding formulas "
+        "(bit-validated against stdlib audioop across all 256 bytes in "
+        "the unit test) inside the same RIFF walk and amplitude-stats "
+        "stage as PCM; format tag 7 on odd ids, 6 on even, so both "
+        "expansions run. Oracle regenerates companded bytes "
+        "arithmetically and expands them with the same formulas in SQL "
+        "— a companding-table bug on either side hash-mismatches")
+def q_audio_g711_stats(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.audio_sample_stats(mm.synthesize_planted_g711_wav(docs))
+
+
 from ..operators.multimodal import (  # noqa: E402
     planted_mp3_meta_sql, planted_wav_fp_sql, planted_wav_neardup_sql)
 

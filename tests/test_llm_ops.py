@@ -2386,3 +2386,40 @@ def test_decode_bmp_gray_layout_and_refusals(spark):
         mm.decode_bmp_gray(b[:-8])
     with pytest.raises(ValueError):
         mm.decode_bmp_gray(b[:53])
+
+
+def test_g711_expansion_and_decode(spark):
+    import pytest
+    import struct as st
+
+    # cross-validate both companding expansions on every byte value
+    # against stdlib audioop where available (deprecated, gone in 3.13)
+    try:
+        import audioop
+        for b in range(256):
+            assert mm._ulaw2lin(b) == int.from_bytes(
+                audioop.ulaw2lin(bytes([b]), 2), "little", signed=True)
+            assert mm._alaw2lin(b) == int.from_bytes(
+                audioop.alaw2lin(bytes([b]), 2), "little", signed=True)
+    except ImportError:
+        # pinned spot values from the CCITT reference tables
+        assert mm._ulaw2lin(0xFF) == 0 and mm._ulaw2lin(0x00) == -8031
+        assert mm._alaw2lin(0x55) == -8 and mm._alaw2lin(0xD5) == 8
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_g711_wav(docs).collect()}
+    # odd id -> mu-law (tag 7), even -> A-law (tag 6); both decode to
+    # the planted byte formula's expansion
+    for did in range(4):
+        rate, xs = mm.decode_wav_samples(raw[did])
+        assert rate == 8000 and len(xs) == mm.G711_N_SAMPLES
+        fn = mm._ulaw2lin if did % 2 == 1 else mm._alaw2lin
+        assert xs == [fn((did * 13 + k * 7) % 256)
+                      for k in range(mm.G711_N_SAMPLES)]
+    # unsupported format tag (IEEE float = 3) refuses as drop-class
+    b = bytearray(raw[0])
+    tag_at = b.index(b"fmt ") + 8
+    b[tag_at:tag_at + 2] = st.pack("<H", 3)
+    with pytest.raises(ValueError):
+        mm.decode_wav_samples(bytes(b))
