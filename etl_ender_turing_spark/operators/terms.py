@@ -470,3 +470,139 @@ FROM (SELECT *, row_number() OVER (PARTITION BY grp
       FROM scored)
 WHERE rnk <= {k}
 """
+
+
+def bm25_prf_topk(df: DataFrame, query_terms: tuple[str, ...],
+                  k: int = 10, n_fb_docs: int = 5, n_fb_terms: int = 3,
+                  k1: float = 1.2, b: float = 0.75,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Pseudo-relevance feedback retrieval (RM3 shape, Abdul-Jaleel et
+    al. TREC 2004): BM25 round one → take the ``n_fb_docs`` best docs
+    as silent relevance judgments → mine their ``n_fb_terms`` most
+    informative terms (feedback frequency × idf, so corpus-common
+    tokens don't expand the query) → re-rank with the expanded term
+    set. The classic fix for vocabulary mismatch — a query for 'merge'
+    also surfaces docs that only say 'upsert'.
+
+    Scale shape: both rounds are the bm25_topk profile (query-sparse
+    explode, broadcast df/stats, per-term windows); the only additions
+    are one vocabulary-scale candidate-df aggregate (replication-flat)
+    and a ``n_fb_terms``-row driver pull for the expansion terms — the
+    centroid-collect discipline (the round-two plan needs them as
+    literals). Determinism: every selection orders by (score, key).
+
+    Output: (doc_id, score6) — the top-``k`` docs by summed
+    6dp-rounded term scores, decimal-accumulated so the cross-engine
+    sum is order-independent.
+    """
+    from ..functions.rounding import round6u
+
+    def doc_scores(terms: tuple[str, ...]):
+        base = df.select(
+            F.col(id_col),
+            F.split(F.lower(F.trim(F.col(text_col))), " ").alias("_arr"))
+        base = base.select(
+            id_col,
+            F.expr("size(filter(_arr, x -> x <> ''))").alias("dl"),
+            "_arr")
+        stats = base.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)"
+                   " / COUNT(dl)").alias("avgdl"))
+        tok = base.select(id_col, "dl", F.explode("_arr").alias("term")) \
+            .filter(F.col("term") != "")
+        tf = (tok.filter(F.col("term").isin(*terms))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.min("dl").alias("dl")))
+        dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_"))
+        scored = (tf.join(F.broadcast(dfreq), "term")
+                  .join(F.broadcast(stats))
+                  .withColumn("bm25", F.round(F.expr(
+                      f"ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))"
+                      f" * tf * ({k1} + 1)"
+                      f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))"),
+                      6)))
+        per_doc = scored.groupBy(id_col).agg(F.expr(
+            "CAST(SUM(CAST(bm25 AS DECIMAL(18,6))) AS DOUBLE)")
+            .alias("score6"))
+        return tok, stats, per_doc
+
+    tok, stats, round1 = doc_scores(query_terms)
+    fb = (round1.orderBy(F.desc("score6"), F.asc(id_col))
+          .limit(n_fb_docs).select(id_col))
+    cand = (tok.join(F.broadcast(fb), id_col)
+            .filter(~F.col("term").isin(*query_terms))
+            .groupBy("term").agg(F.count(F.lit(1)).alias("cnt")))
+    cdf = tok.groupBy("term").agg(
+        F.countDistinct(id_col).alias("df_"))
+    picked = (cand.join(cdf, "term").crossJoin(F.broadcast(stats))
+              .withColumn("w6", round6u(F.expr(
+                  "cnt * ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))")))
+              .orderBy(F.desc("w6"), F.asc("term"))
+              .limit(n_fb_terms))
+    expansion = tuple(r["term"] for r in picked.collect())
+    _, _, round2 = doc_scores(tuple(query_terms) + expansion)
+    return (round2.orderBy(F.desc("score6"), F.asc(id_col))
+            .limit(k))
+
+
+def bm25_prf_topk_sql(table: str, query_terms: tuple[str, ...],
+                      k: int = 10, n_fb_docs: int = 5,
+                      n_fb_terms: int = 3, k1: float = 1.2,
+                      b: float = 0.75, text_col: str = "text",
+                      id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`bm25_prf_topk` — both rounds plus the
+    expansion-term selection as chained CTEs (the oracle joins the
+    term set; the Spark side pulls it as literals)."""
+    from ..functions.rounding import round6u_sql
+    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    bm25 = (f"ROUND(ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))"
+            f" * tf * ({k1} + 1)"
+            f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)), 6)")
+    w6 = round6u_sql("cnt * ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))")
+    return f"""
+    WITH lens AS (
+      SELECT {id_col},
+             list_filter(string_split(lower(trim({text_col})), ' '),
+                         x -> x <> '') AS arr
+      FROM {table}
+    ),
+    base AS (SELECT {id_col}, len(arr) AS dl, arr FROM lens),
+    stats AS (SELECT COUNT(*) AS n_docs,
+                     CAST(SUM(CAST(dl AS DECIMAL(28,6))) AS DOUBLE)
+                     / COUNT(dl) AS avgdl FROM base),
+    tok AS (SELECT {id_col}, dl, unnest(arr) AS term FROM base),
+    tf1 AS (SELECT {id_col}, term, COUNT(*) AS tf, MIN(dl) AS dl
+            FROM tok WHERE term IN ({qlist}) GROUP BY 1, 2),
+    df1 AS (SELECT term, COUNT(*) AS df_ FROM tf1 GROUP BY 1),
+    sc1 AS (SELECT {id_col}, {bm25} AS bm25
+            FROM tf1 JOIN df1 USING (term) CROSS JOIN stats),
+    r1 AS (SELECT {id_col},
+                  CAST(SUM(CAST(bm25 AS DECIMAL(18,6))) AS DOUBLE) AS s
+           FROM sc1 GROUP BY 1),
+    fb AS (SELECT {id_col} FROM r1
+           ORDER BY s DESC, {id_col} LIMIT {n_fb_docs}),
+    cand AS (SELECT t.term, COUNT(*) AS cnt
+             FROM tok t JOIN fb USING ({id_col})
+             WHERE t.term NOT IN ({qlist}) GROUP BY 1),
+    cdf AS (SELECT term, COUNT(DISTINCT {id_col}) AS df_
+            FROM tok GROUP BY 1),
+    exp AS (SELECT c.term FROM cand c JOIN cdf USING (term)
+            CROSS JOIN stats
+            ORDER BY {w6} DESC, c.term LIMIT {n_fb_terms}),
+    terms2 AS (SELECT term FROM exp
+               UNION SELECT unnest([{qlist}]) AS term),
+    tf2 AS (SELECT t.{id_col}, t.term, COUNT(*) AS tf, MIN(t.dl) AS dl
+            FROM tok t JOIN terms2 USING (term) GROUP BY 1, 2),
+    df2 AS (SELECT term, COUNT(*) AS df_ FROM tf2 GROUP BY 1),
+    sc2 AS (SELECT {id_col}, {bm25} AS bm25
+            FROM tf2 JOIN df2 USING (term) CROSS JOIN stats),
+    r2 AS (SELECT {id_col},
+                  CAST(SUM(CAST(bm25 AS DECIMAL(18,6))) AS DOUBLE)
+                  AS score6
+           FROM sc2 GROUP BY 1)
+    SELECT {id_col}, score6 FROM r2
+    ORDER BY score6 DESC, {id_col} LIMIT {k}
+    """

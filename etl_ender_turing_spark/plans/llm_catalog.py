@@ -1824,6 +1824,24 @@ _BM25_TERMS = ("vector", "stream", "join", "window")
 
 
 @register(
+    "q_bm25_prf",
+    tm.bm25_prf_topk_sql("documents", ("vector", "stream"), k=10),
+    doc="pseudo-relevance feedback retrieval (terms.bm25_prf_topk, RM3 "
+        "shape): BM25 round one, the 5 best docs become silent "
+        "relevance judgments, their 3 most informative terms (feedback "
+        "frequency x idf, so corpus-common tokens never expand the "
+        "query) join the query, round two re-ranks — the classic "
+        "vocabulary-mismatch fix. Both rounds are the bm25_topk scale "
+        "profile; additions are one vocabulary-scale candidate-df "
+        "aggregate and a 3-row driver pull (centroid-collect "
+        "discipline); every selection deterministically ordered; "
+        "summed term scores decimal-accumulated")
+def q_bm25_prf(spark, sf_dir):
+    return tm.bm25_prf_topk(_docs(spark, sf_dir), ("vector", "stream"),
+                            k=10)
+
+
+@register(
     "q_bm25_topk",
     tm.bm25_topk_sql("documents", _BM25_TERMS, k=5),
     doc="BM25 lexical retrieval: top-5 docs per probe term; query-term "

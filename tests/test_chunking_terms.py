@@ -151,3 +151,39 @@ def test_pack_efficiency_reports_both_regimes(spark):
     # overflow regime on seq 0 (20 tokens in a 15 budget), padding on
     # seq 2 -> overall utilization 40 / 45
     assert abs(r.utilization - round(40 / 45, 6)) < 2e-6
+
+
+def test_bm25_prf_expands_vocabulary_mismatch(spark):
+    """A doc that never contains the query term but shares the feedback
+    docs' vocabulary enters the top-k only via expansion."""
+    from pyspark.sql import Row
+
+    from etl_ender_turing_spark.operators.terms import bm25_prf_topk
+    rows = (
+        # docs about 'merge' that also say 'upsert' a lot; filler
+        # tokens are CORPUS-COMMON so idf keeps them out of expansion
+        [Row(doc_id=i, text="merge upsert upsert upsert scan filter")
+         for i in range(5)]
+        # the vocabulary-mismatch doc: upsert-only, never 'merge'
+        + [Row(doc_id=50, text="upsert upsert upsert delta table")]
+        # background noise sharing the filler vocabulary
+        + [Row(doc_id=100 + i, text="scan filter project row group")
+           for i in range(20)])
+    df = spark.createDataFrame(rows)
+    got = [r.doc_id for r in
+           bm25_prf_topk(df, ("merge",), k=8, n_fb_docs=3,
+                         n_fb_terms=2).collect()]
+    assert 50 in got          # surfaced purely by expansion
+    # ...and ranked above every background doc that leaks into the tail
+    noise_ranks = [i for i, d in enumerate(got) if d >= 100]
+    assert all(got.index(50) < i for i in noise_ranks)
+
+
+def test_bm25_prf_deterministic_across_runs(spark):
+    from etl_ender_turing_spark.operators.terms import bm25_prf_topk
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = [(r.doc_id, r.score6) for r in
+         bm25_prf_topk(docs, ("vector", "stream"), k=10).collect()]
+    b = [(r.doc_id, r.score6) for r in
+         bm25_prf_topk(docs, ("vector", "stream"), k=10).collect()]
+    assert a == b and len(a) == 10
