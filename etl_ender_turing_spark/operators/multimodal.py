@@ -1073,13 +1073,37 @@ def decode_bmp_gray(payload: bytes) -> tuple[int, int, bytes]:
     return w, h, b"".join(rows)
 
 
+def decode_ppm_luma(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL color decode: binary PPM (P6, maxval ≤ 255) → ITU-R BT.601
+    integer luma ((299R + 587G + 114B) // 1000) — the COLOR member of
+    the image family. Every other decoder here is grayscale-native;
+    crawl images are RGB, and hashing them requires a defined,
+    bit-reproducible luma reduction, not a library's float matmul.
+    Same Netpbm header walk as PGM (comments legal, one separator
+    byte), 3 bytes per pixel."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM")
+    w, h, maxval, off = _parse_pgm_header(payload)
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM needs no consumers here")
+    px = payload[off:off + 3 * w * h]
+    if len(px) != 3 * w * h or w <= 0 or h <= 0:
+        raise ValueError("truncated PPM payload")
+    return w, h, bytes(
+        (299 * px[3 * i] + 587 * px[3 * i + 1] + 114 * px[3 * i + 2])
+        // 1000 for i in range(w * h))
+
+
 def decode_image(payload: bytes) -> tuple[int, int, bytes]:
     """Format-dispatching grayscale pixel decode: binary PGM, the
     DC-only baseline-JPEG subset, 8-bit grayscale PNG, grayscale-
-    palette GIF, or 8-bit palette BMP. The image-family operators hash
-    all five container formats through this single entry point."""
+    palette GIF, 8-bit palette BMP, or color PPM via BT.601 luma. The
+    image-family operators hash all six container formats through this
+    single entry point."""
     if payload[:2] == b"P5":
         return decode_pgm(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm_luma(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg_gray(payload)
     if payload[:8] == _PNG_SIG:
@@ -1883,6 +1907,79 @@ def planted_g711_stats_sql(table: str = "documents",
          LATERAL (SELECT unnest(generate_series(0, {G711_N_SAMPLES - 1}))
                   AS k) k
     GROUP BY {id_col}
+    """
+
+
+_PPM_CH_SPARK = ("(CAST(conv(substring(md5('c{ch}:' || CAST({page} AS"
+                 " STRING) || ':' || CAST({x} AS STRING) || ':'"
+                 " || CAST({y} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+                 " % 180 + 20)")
+_PPM_CH_DUCK = ("(CAST(('0x' || substr(md5('c{ch}:' || CAST({page} AS"
+                " VARCHAR) || ':' || CAST({x} AS VARCHAR) || ':'"
+                " || CAST({y} AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+                " % 180 + 20)")
+
+
+def synthesize_planted_ppm(docs: DataFrame,
+                           id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID binary P6 color images — three
+    md5-planted channels per pixel ('cr:'/'cg:'/'cb:' salts), the
+    odd-id perturbation applied to the GREEN channel (the luma-heavy
+    one) so near-dup pairs survive the BT.601 reduction. JVM-side
+    hex/unhex assembly like the PGM fixture (the Python side only ever
+    PARSES)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    page = f"({id_col} div 2)"
+    x, y = f"(i % {PGM_W})", f"(i div {PGM_W})"
+    chans = {c: _PPM_CH_SPARK.format(ch=c, page=page, x=x, y=y)
+             for c in "rgb"}
+    chans["g"] = ("(" + chans["g"]
+                  + _PERTURB.format(did=id_col, page=page, x=x, y=y)
+                  + ")")
+    header_hex = F.hex(F.concat(
+        F.lit("P6\n"), F.lit(f"{PGM_W} {PGM_H}\n255\n")))
+    body_hex = F.expr(
+        f"concat_ws('', transform(sequence(0, {PGM_W * PGM_H - 1}),"
+        f" i -> concat(lpad(hex({chans['r']}), 2, '0'),"
+        f" lpad(hex({chans['g']}), 2, '0'),"
+        f" lpad(hex({chans['b']}), 2, '0'))))")
+    return docs.select(
+        id_col, F.unhex(F.concat(header_hex, body_hex)).alias("payload"))
+
+
+def planted_ppm_dhash_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`image_dhash` over the planted PPM
+    fixture: three channels regenerated arithmetically, reduced by the
+    same integer BT.601 luma, cell-summed — a channel-order or
+    luma-rounding bug on the Spark side hash-mismatches."""
+    page = f"({id_col} // 2)"
+    chans = {c: _PPM_CH_DUCK.format(ch=c, page=page, x="px.x", y="px.y")
+             for c in "rgb"}
+    g = ("(" + chans["g"]
+         + _PERTURB.format(did=id_col, page=page, x="px.x", y="px.y")
+         + ")")
+    luma = (f"((299 * {chans['r']} + 587 * {g} + 114 * {chans['b']})"
+            f" // 1000)")
+    return f"""
+    WITH cells AS (
+      SELECT {id_col}, cg.cx, cg.cy, SUM({luma}) AS s
+      FROM {table},
+           LATERAL (SELECT unnest(generate_series(0, {PGM_W * PGM_H - 1}))
+                    AS i) n,
+           LATERAL (SELECT n.i % {PGM_W} AS x, n.i // {PGM_W} AS y) px,
+           LATERAL (SELECT px.x // 2 AS cx, px.y // 2 AS cy) cg
+      GROUP BY {id_col}, cg.cx, cg.cy
+    )
+    SELECT a.{id_col},
+           CAST(SUM(CASE WHEN a.s > b.s
+                    THEN CAST(pow(2, a.cy * 10 + a.cx) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM cells a JOIN cells b
+      ON a.{id_col} = b.{id_col} AND a.cy = b.cy AND b.cx = a.cx + 1
+    WHERE a.cx < 10
+    GROUP BY a.{id_col}
     """
 
 

@@ -1059,6 +1059,26 @@ def q_audio_stats(spark, sf_dir):
     return mm.audio_sample_stats(mm.synthesize_planted_wav_pcm(docs))
 
 
+from ..operators.multimodal import planted_ppm_dhash_sql  # noqa: E402
+
+
+@register(
+    "q_image_phash_ppm",
+    planted_ppm_dhash_sql("documents"),
+    doc="perceptual hashing over COLOR images — binary P6 PPM decoded "
+        "to ITU-R BT.601 integer luma ((299R+587G+114B)//1000, "
+        "bit-reproducible, no float matmul) before the shared dHash; "
+        "the odd-id perturbation rides the green (luma-heavy) channel "
+        "so planted near-dup pairs survive the reduction. Oracle "
+        "regenerates all three channels arithmetically and reduces "
+        "with the same integer luma — a channel-order or rounding bug "
+        "on either side hash-mismatches")
+def q_image_phash_ppm(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.image_dhash(mm.synthesize_planted_ppm(docs))
+
+
 from ..operators.multimodal import planted_g711_stats_sql  # noqa: E402
 
 

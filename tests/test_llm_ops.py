@@ -484,7 +484,8 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            + bpal + bytes(range(16)))
     assert mm.decode_bmp_gray(bmp)[0] == 4          # seed is valid
 
-    seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8), png, mp3,
+    seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8),
+             b"P6\n4 2\n255\n" + bytes(range(24)), png, mp3,
              _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif, bmp,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
              rec, gzip.compress(rec, mtime=0) * 2, zipped]
@@ -2423,3 +2424,43 @@ def test_g711_expansion_and_decode(spark):
     b[tag_at:tag_at + 2] = st.pack("<H", 3)
     with pytest.raises(ValueError):
         mm.decode_wav_samples(bytes(b))
+
+
+def test_decode_ppm_luma_and_refusals(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_ppm(docs).collect()}
+    w, h, px = mm.decode_ppm_luma(raw[0])
+    assert (w, h) == (mm.PGM_W, mm.PGM_H)
+    # regenerate luma from the three channel formulas
+    import hashlib
+
+    def ch(c, page, x, y):
+        return int(hashlib.md5(f"c{c}:{page}:{x}:{y}".encode())
+                   .hexdigest()[:8], 16) % 180 + 20
+
+    def luma(page, x, y, did):
+        g = ch("g", page, x, y)
+        if (did % 2 == 1 and x - x % 2 == 2 * (page % 11)
+                and y - y % 2 == 2 * (page % 6)):
+            g += 40
+        return (299 * ch("r", page, x, y) + 587 * g
+                + 114 * ch("b", page, x, y)) // 1000
+
+    assert px == bytes(luma(0, x, y, 0)
+                       for y in range(h) for x in range(w))
+    # odd id: the green-channel perturbation shifts exactly one cell
+    _, _, px1 = mm.decode_ppm_luma(raw[1])
+    diff = [i for i in range(len(px)) if px1[i] != px[i]]
+    assert len(diff) == 4 and all(px1[i] > px[i] for i in diff)
+    # dispatch through the family entry point
+    assert mm.decode_image(raw[0])[2] == px
+    # refusals: truncation ValueError, 16-bit NotImplementedError
+    with pytest.raises(ValueError):
+        mm.decode_ppm_luma(raw[0][:-5])
+    with pytest.raises(NotImplementedError):
+        mm.decode_ppm_luma(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError):
+        mm.decode_ppm_luma(b"P5\n2 2\n255\n" + bytes(4))
