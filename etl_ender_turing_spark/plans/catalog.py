@@ -1958,3 +1958,50 @@ from ..operators.basket import frequent_pairs, frequent_pairs_sql  # noqa: E402,
 def q_frequent_itempairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return frequent_pairs(li, "l_orderkey", "l_partkey", min_support=2)
+
+
+# =========================================================================
+# ALS half-step (operators/als.py) — the distributed recommender update
+# =========================================================================
+
+_ALS_RATINGS_SQL = """
+    SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+           CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS rating
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2"""
+
+
+@register(
+    "q_als_half_step",
+    None,  # installed below
+    doc="rank-2 ALS user half-step (als.als_user_half_step, Zhou et "
+        "al. 2008): fix the seeded item factors, and every user's "
+        "vector solves an independent 2x2 ridge regression over just "
+        "that user's ratings — one groupBy(user) whose per-row terms "
+        "are pure expressions of the item key (no factor table "
+        "shuffled), closed-form inverse, in-engine like k-means/IRLS/"
+        "EM. Exactness: factors live on the 1e-6 integer grid so every "
+        "sum is an exact BIGINT aggregate; the solve is the identical "
+        "IEEE expression over identical integers on both engines")
+def q_als_half_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.als import als_user_half_step
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey",
+                                              "l_quantity")
+    ratings = (o.join(li, o.o_orderkey == li.l_orderkey)
+               .groupBy(F.col("o_custkey").alias("user_id"),
+                        F.col("l_partkey").alias("item_id"))
+               .agg(F.sum(F.col("l_quantity").cast("long"))
+                    .alias("rating")))
+    return als_user_half_step(ratings, "user_id", "item_id", "rating")
+
+
+def _install_als_oracle() -> None:
+    from ..operators.als import als_user_half_step_sql
+    spec = CATALOG["q_als_half_step"]
+    CATALOG["q_als_half_step"] = QuerySpec(
+        spec.name, spec.builder, als_user_half_step_sql(_ALS_RATINGS_SQL),
+        spec.doc)
+
+
+_install_als_oracle()
