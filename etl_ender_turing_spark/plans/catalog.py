@@ -2005,3 +2005,38 @@ def _install_als_oracle() -> None:
 
 
 _install_als_oracle()
+
+
+@register(
+    "q_stream_er_gate",
+    None,  # installed below — reuses the increment matcher's oracle
+    doc="streaming entity resolution run to completion (streaming/"
+        "stream.er_gate_stream, availableNow): feed records land in a "
+        "directory and every micro-batch matches against the persisted "
+        "entity store via foreachBatch — the standard stream-static "
+        "pattern when the batch logic (here the matcher's best-pick "
+        "window) is not expressible on a raw streaming frame; the full "
+        "batch matcher runs unchanged per epoch with an idempotent "
+        "parquet-append sink, so the single-round verdict equals the "
+        "batch oracle verbatim. Identity resolved at ARRIVAL, before "
+        "any downstream upsert")
+def q_stream_er_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..streaming.stream import run_er_gate_batch
+    return run_er_gate_batch(
+        spark, sf_dir,
+        tempfile.mkdtemp(prefix="q_er_gate_ckpt_"),
+        tempfile.mkdtemp(prefix="q_er_gate_landing_"),
+        tempfile.mkdtemp(prefix="q_er_gate_store_"),
+        tempfile.mkdtemp(prefix="q_er_gate_out_"))
+
+
+def _install_er_gate_oracle() -> None:
+    from ..operators import linkage as lk
+    spec = CATALOG["q_stream_er_gate"]
+    CATALOG["q_stream_er_gate"] = QuerySpec(
+        spec.name, spec.builder, lk.er_match_increment_sql(), spec.doc)
+
+
+_install_er_gate_oracle()

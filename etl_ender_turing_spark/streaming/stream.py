@@ -1156,3 +1156,70 @@ def run_zip_gate_batch(spark: SparkSession, sf_dir: str,
          .start())
     q.awaitTermination()
     return spark.table("zip_gate_result")
+
+
+ER_FEED_SCHEMA = T.StructType([
+    T.StructField("rec_id", T.LongType()),
+    T.StructField("name", T.StringType()),
+    T.StructField("nationkey", T.IntegerType()),
+    T.StructField("bal", T.DoubleType()),
+    T.StructField("origin", T.StringType()),
+])
+
+
+def er_gate_stream(spark: SparkSession, landing_dir: str,
+                   store: DataFrame, out_dir: str, checkpoint_dir: str,
+                   glob_filter: str | None = None):
+    """Streaming entity resolution — the linkage family's stream
+    member: feed records land in a directory and each micro-batch
+    matches against the (static) persisted entity store, assigning an
+    existing entity_id or minting a new one. The production MDM
+    intake: identity is resolved at ARRIVAL, before the record ever
+    reaches a downstream upsert.
+
+    The matcher's best-pick window is not expressible on a raw
+    streaming frame (non-time windows are batch-only), so the stream
+    runs through ``foreachBatch`` — the standard stream-static pattern
+    for exactly this: each micro-batch is a REAL batch frame, the full
+    batch matcher (``er_match_increment``, feed side broadcast) runs
+    unchanged, and the parquet append per epoch is the idempotent-sink
+    contract the upsert streams already use. One availableNow round
+    therefore value-matches the batch oracle verbatim."""
+    from ..operators.linkage import er_match_increment
+
+    reader = spark.readStream.schema(ER_FEED_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    feed = reader.parquet(landing_dir)
+
+    def match_batch(batch_df: DataFrame, _epoch: int) -> None:
+        (er_match_increment(store, batch_df)
+         .write.mode("append").parquet(out_dir))
+
+    return (feed.writeStream.foreachBatch(match_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
+def run_er_gate_batch(spark: SparkSession, sf_dir: str,
+                      checkpoint_dir: str, landing_dir: str,
+                      store_dir: str, out_dir: str) -> DataFrame:
+    """Persist the day-0 entity store, land the feed batch, drive the
+    streaming matcher to completion (availableNow) for value-level
+    oracle comparison."""
+    from ..operators.linkage import increment_feed
+    from ..sources.readers import read_table
+
+    cust = read_table(spark, sf_dir, "customer")
+    (cust.select(F.col("c_custkey").alias("entity_id"),
+                 F.col("c_name").alias("name"),
+                 F.col("c_nationkey").alias("nationkey"),
+                 F.col("c_acctbal").alias("bal"))
+     .write.mode("overwrite").parquet(store_dir))
+    increment_feed(cust).write.mode("overwrite").parquet(landing_dir)
+    q = er_gate_stream(spark, landing_dir,
+                       spark.read.parquet(store_dir), out_dir,
+                       checkpoint_dir)
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -610,3 +610,44 @@ def test_zip_gate_stream_incremental_and_corruption_safe(spark, tmp_path):
                               if len(_member_text(i)) >= 40)
     assert got.filter("doc_id = 999").count() == 0
     assert got.filter("member NOT LIKE '%.txt'").count() == 0
+
+
+def test_er_gate_stream_resolves_across_two_rounds(spark, tmp_path):
+    """Streaming ER: feed files landing after a completed round are
+    matched by the next availableNow run from the same checkpoint, and
+    verdicts equal the batch matcher's over the union."""
+    from etl_ender_turing_spark.operators.linkage import (
+        er_match_increment, increment_feed,
+    )
+    from etl_ender_turing_spark.streaming.stream import er_gate_stream
+    from pyspark.sql import functions as F
+
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet") \
+        .filter("c_custkey < 60")
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    store_dir = str(tmp_path / "store")
+    store.write.parquet(store_dir)
+    feed = increment_feed(cust)
+    landing = str(tmp_path / "landing")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    feed.filter("rec_id % 2 = 0").write.mode("append").parquet(landing)
+
+    def run_round():
+        q = er_gate_stream(spark, landing,
+                           spark.read.parquet(store_dir), out, ckpt)
+        q.awaitTermination()
+
+    run_round()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == feed.filter("rec_id % 2 = 0").count()
+    feed.filter("rec_id % 2 = 1").write.mode("append").parquet(landing)
+    run_round()
+    got = {(r.rec_id, r.entity_id, r.matched)
+           for r in spark.read.parquet(out).collect()}
+    want = {(r.rec_id, r.entity_id, r.matched)
+            for r in er_match_increment(
+                spark.read.parquet(store_dir), feed).collect()}
+    assert got == want
