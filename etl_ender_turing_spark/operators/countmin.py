@@ -127,3 +127,19 @@ def cms_heavy_hitters_sql(table: str = "documents", k: int = 20,
 
 __all__ = ["token_counts", "cms_build", "cms_heavy_hitters",
            "cms_heavy_hitters_sql", "CMS_D", "CMS_W"]
+
+
+def cms_cells_sql(table: str = "documents", text_col: str = "text",
+                  d: int = CMS_D) -> str:
+    """DuckDB spelling of the sketch cells alone — the oracle for the
+    streaming fold (which must equal the batch build cell-for-cell)."""
+    toks = _TOKS_DUCK.format(text=text_col)
+    slot = _slot_duck("g.r", "f.token")
+    return f"""
+    SELECT g.r AS row, {slot} AS slot, CAST(SUM(f.cnt) AS BIGINT) AS cell
+    FROM (SELECT token, COUNT(*) AS cnt
+          FROM (SELECT unnest({toks}) AS token FROM {table})
+          GROUP BY token) f,
+         (SELECT unnest(generate_series(0, {d - 1})) AS r) g
+    GROUP BY 1, 2
+    """

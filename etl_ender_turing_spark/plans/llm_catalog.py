@@ -3616,3 +3616,29 @@ from ..operators.countmin import (  # noqa: E402
         "certify value-exactly; est >= exact by construction")
 def q_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(_docs(spark, sf_dir), k=20)
+
+
+from ..operators.countmin import cms_cells_sql  # noqa: E402
+
+
+@register(
+    "q_stream_cms",
+    cms_cells_sql("documents"),
+    doc="streaming count-min sketch run to completion (streaming/"
+        "stream.cms_stream, availableNow, complete mode): every token "
+        "occurrence melts into its 3 (row, slot) cells in-stream and "
+        "the running aggregation state is AT MOST 3x1024 counters no "
+        "matter how many petabytes flow past — the bounded-state "
+        "streaming-aggregation shape sketches exist for (an exact "
+        "token-count stream holds vocabulary-scale state). Cell-wise "
+        "mergeability makes the per-micro-batch fold correct; the "
+        "result equals the batch build cell-for-cell against the same "
+        "oracle")
+def q_stream_cms(spark, sf_dir):
+    import tempfile
+
+    from ..streaming.stream import run_cms_stream_batch
+    return run_cms_stream_batch(
+        spark, sf_dir,
+        tempfile.mkdtemp(prefix="q_stream_cms_ckpt_"),
+        tempfile.mkdtemp(prefix="q_stream_cms_landing_"))

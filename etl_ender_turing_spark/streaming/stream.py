@@ -1223,3 +1223,57 @@ def run_er_gate_batch(spark: SparkSession, sf_dir: str,
                        checkpoint_dir)
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+DOC_FEED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def cms_stream(spark: SparkSession, landing_dir: str,
+               glob_filter: str | None = None) -> DataFrame:
+    """Streaming count-min sketch — the BOUNDED-STATE streaming
+    aggregation: documents land in a directory, every token occurrence
+    melts into its D (row, slot) cells in-stream, and the running
+    aggregation state is AT MOST D×W counters no matter how many
+    petabytes flow past — the whole point of sketching a stream
+    (an exact token-count stream would hold vocabulary-scale state).
+    Complete output mode (the sketch is a running total, not an
+    append log); cell-wise mergeability is what makes the per-batch
+    fold correct."""
+    from ..operators.countmin import CMS_D, _slot_spark, _TOKS_SPARK
+
+    reader = spark.readStream.schema(DOC_FEED_SCHEMA)
+    if glob_filter is not None:
+        reader = reader.option("pathGlobFilter", glob_filter)
+    docs = reader.parquet(landing_dir)
+    toks = docs.select(F.explode(F.expr(
+        _TOKS_SPARK.format(text="text"))).alias("token"))
+    slot = _slot_spark("r", "token")
+    melted = toks.select(F.expr(
+        f"explode(transform(sequence(0, {CMS_D - 1}),"
+        f" r -> struct(r AS row, {slot} AS slot)))").alias("b")) \
+        .select("b.row", "b.slot")
+    return (melted.groupBy("row", "slot")
+            .agg(F.count(F.lit(1)).alias("cell")))
+
+
+def run_cms_stream_batch(spark: SparkSession, sf_dir: str,
+                         checkpoint_dir: str, landing_dir: str
+                         ) -> DataFrame:
+    """Land the documents table, drive the streaming sketch to
+    completion (availableNow, complete mode) for value-level oracle
+    comparison against the batch build."""
+    from ..sources.readers import read_table
+
+    (read_table(spark, sf_dir, "documents").select("doc_id", "text")
+     .write.mode("overwrite").parquet(landing_dir))
+    cells = cms_stream(spark, landing_dir)
+    q = (cells.writeStream.format("memory").queryName("cms_stream_cells")
+         .outputMode("complete")
+         .option("checkpointLocation", checkpoint_dir)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+    return spark.table("cms_stream_cells")

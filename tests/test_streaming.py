@@ -651,3 +651,42 @@ def test_er_gate_stream_resolves_across_two_rounds(spark, tmp_path):
             for r in er_match_increment(
                 spark.read.parquet(store_dir), feed).collect()}
     assert got == want
+
+
+def test_cms_stream_state_is_bounded_and_equals_batch(spark, tmp_path):
+    """The streaming sketch folds across micro-batches into at most
+    D x W cells, and after two landing rounds equals the batch build
+    over the union — cell-wise mergeability in action."""
+    from pyspark.sql import Row
+
+    from etl_ender_turing_spark.operators.countmin import (
+        CMS_D, CMS_W, cms_build, token_counts,
+    )
+    from etl_ender_turing_spark.streaming.stream import cms_stream
+
+    docs = [Row(doc_id=i, text=f"w{i % 31} w{i % 7} shared token")
+            for i in range(120)]
+    first = spark.createDataFrame(docs[:60])
+    later = spark.createDataFrame(docs[60:])
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    first.write.mode("append").parquet(landing)
+
+    def run_round():
+        q = (cms_stream(spark, landing)
+             .writeStream.format("memory").queryName("cms_cells_test")
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        return {(r.row, r.slot): r.cell
+                for r in spark.table("cms_cells_test").collect()}
+
+    run_round()
+    later.write.mode("append").parquet(landing)
+    got = run_round()
+    assert len(got) <= CMS_D * CMS_W
+    want = {(r.row, r.slot): r.cell
+            for r in cms_build(token_counts(
+                spark.createDataFrame(docs))).collect()}
+    assert got == want
