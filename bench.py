@@ -141,6 +141,18 @@ BENCH_QUERIES = [
     "q_zip_members",
     "q_bloom_prune_scan",
     "q_image_phash_bmp",
+    # round-9 third batch: incremental ER vs the persisted store, the
+    # triangle census, the value-exact CMS, layout/basket analytics,
+    # telephony decode, PRF retrieval, color luma, and the ALS step
+    "q_er_match_increment",
+    "q_triangle_stats",
+    "q_cms_heavy_hitters",
+    "q_zorder_pruning",
+    "q_frequent_itempairs",
+    "q_audio_g711_stats",
+    "q_bm25_prf",
+    "q_image_phash_ppm",
+    "q_als_half_step",
 ]
 
 

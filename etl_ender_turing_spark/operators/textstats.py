@@ -686,16 +686,23 @@ def quality_classifier_fit_sql(table: str = "documents",
 def quality_classifier_score_fitted(df: DataFrame,
                                     text_col: str = "text",
                                     id_col: str = "doc_id",
-                                    label: Column | None = None) -> DataFrame:
+                                    label: Column | None = None,
+                                    model: DataFrame | None = None
+                                    ) -> DataFrame:
     """Score every document with the weights :func:`quality_classifier_fit`
     just TRAINED — the end-to-end model filter (fit -> broadcast the
     d-row model -> one projection), mirroring the DSIR
-    model/from-model pair. The model pivots to one row and broadcasts;
-    no collect, the plan stays fully declarative. Same rational squash
-    z/(1+|z|) as the fixed-weight scorer."""
+    model/from-model pair. Pass ``model`` (a persisted (feature,
+    weight) frame read back from parquet) to serve WITHOUT refitting —
+    the train-once / apply-for-months lifecycle the LM, DSIR, and
+    tokenizer families already have. The model pivots to one row and
+    broadcasts; no collect, the plan stays fully declarative. Same
+    rational squash z/(1+|z|) as the fixed-weight scorer."""
     # a zero-signal feature (hess 0 -> NULL weight) contributes nothing
     # to z instead of NULLing every score
-    model = (quality_classifier_fit(df, text_col, label=label)
+    fitted = (quality_classifier_fit(df, text_col, label=label)
+              if model is None else model)
+    model = (fitted
              .groupBy().pivot("feature", list(CLF_FIT_FEATURES))
              .agg(F.first("weight")))
     for c in CLF_FIT_FEATURES:

@@ -3642,3 +3642,27 @@ def q_stream_cms(spark, sf_dir):
         spark, sf_dir,
         tempfile.mkdtemp(prefix="q_stream_cms_ckpt_"),
         tempfile.mkdtemp(prefix="q_stream_cms_landing_"))
+
+
+@register(
+    "q_quality_clf_from_model",
+    ts.quality_classifier_score_fitted_sql(
+        "documents",
+        label_sql=ts.gopher_keep_subset_sql(rules=_CLF_FIT_RULES)),
+    doc="classifier serving from a PERSISTED model artifact: the IRLS "
+        "fit's (feature, weight) rows are written to parquet once and "
+        "every doc scores from the artifact read BACK from disk — the "
+        "train-once / apply-for-months lifecycle (q_lm_from_counts / "
+        "q_dsir_from_model / q_bpe_from_merges), completed for the "
+        "classifier family; scores must equal the fit-inline form, and "
+        "the oracle IS the fit-inline oracle")
+def q_quality_clf_from_model(spark, sf_dir):
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="q_clf_model_")
+    (ts.quality_classifier_fit(
+        docs, label=ts.gopher_keep_subset(rules=_CLF_FIT_RULES))
+     .write.mode("overwrite").parquet(path))
+    return ts.quality_classifier_score_fitted(
+        docs, model=spark.read.parquet(path))
