@@ -119,4 +119,28 @@ def bloom_words_sql(dim_cte: str, key: str,
 
 
 __all__ = ["bloom_bit", "bloom_bit_sql", "build_bloom", "bloom_member",
-           "bloom_words_sql", "N_BITS", "N_HASHES"]
+           "bloom_words_df", "words_from_store", "bloom_words_sql",
+           "N_BITS", "N_HASHES"]
+
+
+def bloom_words_df(df: DataFrame, key_col: str,
+                   n_hashes: int = N_HASHES) -> DataFrame:
+    """(slot, w): the filter words as a persistable frame — the
+    runtime-filter ARTIFACT. A nightly job builds it once from the dim
+    predicate; every later fact batch prunes from the artifact without
+    re-scanning the dimension."""
+    bits = df.select(F.explode(F.array(
+        *[bloom_bit(key_col, i) for i in range(n_hashes)])).alias("bit"))
+    return (bits
+            .select(F.expr("bit div 32").alias("slot"),
+                    F.expr("shiftleft(CAST(1 AS BIGINT),"
+                           " CAST(bit % 32 AS INT))").alias("mask"))
+            .groupBy("slot").agg(F.expr("bit_or(mask)").alias("w")))
+
+
+def words_from_store(store: DataFrame) -> list[int]:
+    """Collect a persisted (slot, w) artifact back into the 128-word
+    list ``bloom_member`` consumes (zero-filling unset slots) — a
+    128-row driver pull, like the centroid reads."""
+    got = {r["slot"]: r["w"] for r in store.collect()}
+    return [got.get(s, 0) for s in range(_WORDS)]

@@ -2040,3 +2040,58 @@ def _install_er_gate_oracle() -> None:
 
 
 _install_er_gate_oracle()
+
+
+@register(
+    "q_bloom_from_store",
+    None,  # installed below — same values as the inline build
+    doc="Bloom pruning from a PERSISTED runtime-filter artifact "
+        "(bloomfilter.bloom_words_df + words_from_store): the filter "
+        "words are written to parquet once by the dim-side job and a "
+        "later fact batch prunes from the artifact read BACK from disk "
+        "— no dim re-scan at probe time, the train-once lifecycle "
+        "completed for runtime filters; identical counts to the inline "
+        "q_bloom_prune_scan against the same oracle")
+def q_bloom_from_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..functions.rounding import round6u
+    from ..operators import bloomfilter as bf
+    cust = (_t(spark, sf_dir, "customer")
+            .filter((F.col("c_mktsegment") == "BUILDING")
+                    & (F.col("c_acctbal") > 9000))
+            .select("c_custkey"))
+    path = tempfile.mkdtemp(prefix="q_bloom_store_")
+    bf.bloom_words_df(cust, "c_custkey").write.mode("overwrite") \
+        .parquet(path)
+    words = bf.words_from_store(spark.read.parquet(path))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    scored = (orders
+              .withColumn("bloom_pass",
+                          bf.bloom_member("o_custkey", words))
+              .join(F.broadcast(cust.withColumn("hit", F.lit(1))),
+                    orders.o_custkey == F.col("c_custkey"), "left"))
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.col("bloom_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+              .cast("long")).alias("n_true_match"))
+    return agg.select(
+        "n_scanned", "n_bloom_pass", "n_true_match",
+        (F.col("n_bloom_pass") - F.col("n_true_match"))
+        .alias("n_false_pos"),
+        round6u(F.col("n_bloom_pass").cast("double")
+                / F.col("n_scanned")).alias("bloom_selectivity6"),
+        round6u((F.col("n_bloom_pass") - F.col("n_true_match"))
+                .cast("double")
+                / (F.col("n_scanned") - F.col("n_true_match")))
+        .alias("fp_rate6"))
+
+
+def _install_bloom_store_oracle() -> None:
+    spec = CATALOG["q_bloom_from_store"]
+    CATALOG["q_bloom_from_store"] = QuerySpec(
+        spec.name, spec.builder, _bloom_prune_oracle(), spec.doc)
+
+
+_install_bloom_store_oracle()

@@ -58,3 +58,13 @@ def test_spark_and_duckdb_words_agree(spark):
         "SELECT unnest(generate_series(0, 99)) * 7 AS k", "k")
     got = {r[0]: r[1] for r in con.execute(sql).fetchall()}
     assert [got[s] for s in range(bf.N_BITS // 32)] == words
+
+
+def test_persisted_words_roundtrip(spark, tmp_path):
+    from pyspark.sql import Row
+
+    dim = spark.createDataFrame([Row(k=i * 11) for i in range(200)])
+    direct = bf.build_bloom(dim, "k")
+    path = str(tmp_path / "bloom_store")
+    bf.bloom_words_df(dim, "k").write.parquet(path)
+    assert bf.words_from_store(spark.read.parquet(path)) == direct
