@@ -2992,3 +2992,132 @@ def planted_mjpeg_neardup_sql(table: str = "documents",
     HAVING SUM(bit_count(xor(sa.simhash, sb.simhash)))
            <= {max_total_hamming}
     """
+
+
+# --------------------------------------------------------------------------
+# FLAC STREAMINFO walk: the audio container #3 (lossless archives)
+# --------------------------------------------------------------------------
+
+FLAC_META_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("channels", T.LongType()),
+    T.StructField("bits_per_sample", T.LongType()),
+    T.StructField("total_samples", T.LongType()),
+    T.StructField("n_meta_blocks", T.LongType()),
+])
+
+
+def parse_flac_meta(payload: bytes) -> dict | None:
+    """REAL FLAC metadata walk (the lossless-archive container a speech
+    corpus's masters ship in): 'fLaC' magic, then metadata blocks each
+    headed by (last-flag bit | 7-bit type, 24-bit big-endian length) —
+    the hop is header-derived like every container walk here. The spec
+    mandates STREAMINFO (type 0, 34 bytes) first; its packed 64-bit
+    field is sample_rate(20) channels-1(3) bits-1(5) total_samples(36).
+    Non-FLAC → None (drop); structural violations (bad first block,
+    truncated block, missing last-flag) → ValueError (drop)."""
+    b = payload
+    if len(b) < 4 or b[:4] != b"fLaC":
+        return None
+    off = 4
+    n_blocks = 0
+    info = None
+    last = False
+    while not last:
+        if off + 4 > len(b):
+            raise ValueError("truncated FLAC block header")
+        hdr = b[off]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        length = int.from_bytes(b[off + 1:off + 4], "big")
+        body = b[off + 4:off + 4 + length]
+        if len(body) != length:
+            raise ValueError("truncated FLAC block body")
+        if n_blocks == 0:
+            if btype != 0 or length != 34:
+                raise ValueError("first block must be STREAMINFO(34)")
+            packed = int.from_bytes(body[10:18], "big")
+            info = {
+                "sample_rate": packed >> 44,
+                "channels": ((packed >> 41) & 0x7) + 1,
+                "bits_per_sample": ((packed >> 36) & 0x1F) + 1,
+                "total_samples": packed & ((1 << 36) - 1),
+            }
+        n_blocks += 1
+        off += 4 + length
+    info["n_meta_blocks"] = n_blocks
+    return info
+
+
+def extract_flac_meta(df: DataFrame, payload_col: str = "payload",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched FLAC STREAMINFO extraction; undecodable drop."""
+    cols = [f.name for f in FLAC_META_SCHEMA.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                b = (b"" if p is None else
+                     (p if isinstance(p, (bytes, bytearray)) else bytes(p)))
+                try:
+                    m = parse_flac_meta(b)
+                except ValueError:
+                    continue
+                if m is not None:
+                    rows.append({"doc_id": int(did), **m})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(run, FLAC_META_SCHEMA)
+
+
+def synthesize_planted_flac(docs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, payload): VALID FLAC metadata sections — STREAMINFO
+    with arithmetic fields (rate 8000+(id%5)*8000, channels 1+(id%2),
+    16-bit, total 1000+(id%100) samples), then for id%3==0 a PADDING
+    block the walker must hop, then a VORBIS_COMMENT-typed last block.
+    JVM-side hex/unhex assembly (the Python side only ever PARSES)."""
+    docs = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism)
+    did = F.col(id_col)
+    rate = F.lit(8000) + (did % 5) * 8000
+    channels = (did % 2) + 1            # stored as channels-1
+    total = F.lit(1000) + (did % 100)
+    # packed 64-bit field: rate<<44 | (ch-1)<<41 | (bits-1)<<36 | total
+    packed = (rate.cast("long") * F.lit(1 << 44).cast("long")
+              + (channels - 1).cast("long") * F.lit(1 << 41).cast("long")
+              + F.lit(15).cast("long") * F.lit(1 << 36).cast("long")
+              + total.cast("long"))
+    si_body = F.concat(
+        _hex_be(F.lit(4096), 2), _hex_be(F.lit(4096), 2),   # blocksizes
+        _hex_be(F.lit(0), 3), _hex_be(F.lit(0), 3),         # framesizes
+        _hex_be(packed, 8),
+        F.lit("00" * 16))                                   # md5 zero
+    streaminfo = F.concat(_hex_be(F.lit(0), 1), _hex_be(F.lit(34), 3),
+                          si_body)
+    padding = F.when(did % 3 == 0,
+                     F.concat(_hex_be(F.lit(1), 1), _hex_be(F.lit(8), 3),
+                              F.lit("00" * 8))).otherwise(F.lit(""))
+    comment = F.concat(_hex_be(F.lit(0x80 | 4), 1), _hex_be(F.lit(4), 3),
+                       F.hex(F.lit("etl!")))
+    flac_hex = F.concat(F.hex(F.lit("fLaC")), streaminfo, padding,
+                        comment)
+    return docs.select(id_col, F.unhex(flac_hex).alias("payload"))
+
+
+def planted_flac_meta_sql(table: str = "documents",
+                          id_col: str = "doc_id") -> str:
+    """DuckDB oracle for :func:`extract_flac_meta` over the planted
+    fixture: every field regenerated arithmetically."""
+    return f"""
+    SELECT {id_col},
+           CAST(8000 + ({id_col} % 5) * 8000 AS BIGINT) AS sample_rate,
+           CAST(({id_col} % 2) + 1 AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits_per_sample,
+           CAST(1000 + ({id_col} % 100) AS BIGINT) AS total_samples,
+           CAST(CASE WHEN {id_col} % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+             AS n_meta_blocks
+    FROM {table}
+    """

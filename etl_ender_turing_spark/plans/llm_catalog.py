@@ -3666,3 +3666,24 @@ def q_quality_clf_from_model(spark, sf_dir):
      .write.mode("overwrite").parquet(path))
     return ts.quality_classifier_score_fitted(
         docs, model=spark.read.parquet(path))
+
+
+from ..operators.multimodal import planted_flac_meta_sql  # noqa: E402
+
+
+@register(
+    "q_flac_meta",
+    planted_flac_meta_sql("documents"),
+    doc="FLAC metadata walk (multimodal.parse_flac_meta) — the audio "
+        "family's THIRD container, the lossless archive format speech-"
+        "corpus masters ship in: 'fLaC' magic, header-derived block "
+        "hops (last-flag | 7-bit type, 24-bit length), the mandated "
+        "STREAMINFO-first rule enforced, and the packed 64-bit "
+        "rate/channels/bits/total field unpacked exactly; a PADDING "
+        "block on every third id forces the hop. JVM-side byte "
+        "assembly, Arrow-side parse, fields regenerated arithmetically "
+        "by the oracle")
+def q_flac_meta(spark, sf_dir):
+    from ..operators import multimodal as mm
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return mm.extract_flac_meta(mm.synthesize_planted_flac(docs))

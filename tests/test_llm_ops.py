@@ -484,13 +484,19 @@ def test_binary_parsers_never_leak_non_drop_exceptions():
            + bpal + bytes(range(16)))
     assert mm.decode_bmp_gray(bmp)[0] == 4          # seed is valid
 
+    flac = (b"fLaC" + bytes([0x80, 0, 0, 34])
+            + st.pack(">HH", 4096, 4096) + bytes(6)
+            + ((8000 << 44) | (15 << 36) | 1000).to_bytes(8, "big")
+            + bytes(16))
+    assert mm.parse_flac_meta(flac)["sample_rate"] == 8000  # seed valid
+
     seeds = [jpg, b"P5\n4 2\n255\n" + bytes(8),
-             b"P6\n4 2\n255\n" + bytes(range(24)), png, mp3,
+             b"P6\n4 2\n255\n" + bytes(range(24)), png, mp3, flac,
              _pcm_wav([0, 100, -100, 500] * 16), mp4, fmp4, gif, bmp,
              tar_of([("1.txt", b"x"), ("1.jpg", jpg)]),
              rec, gzip.compress(rec, mtime=0) * 2, zipped]
     funcs = (mm.decode_image, mm.parse_mp3_meta, mm.parse_mp4_samples,
-             mm.parse_mp4_meta, mm.decode_wav_samples,
+             mm.parse_mp4_meta, mm.decode_wav_samples, mm.parse_flac_meta,
              wds.parse_tar_members, mm.parse_media_header,
              wc.gunzip_members, lambda b: wc.parse_warc_chunk(0, b),
              za.parse_zip_members)
@@ -2464,3 +2470,27 @@ def test_decode_ppm_luma_and_refusals(spark):
         mm.decode_ppm_luma(b"P6\n2 2\n65535\n" + bytes(24))
     with pytest.raises(ValueError):
         mm.decode_ppm_luma(b"P5\n2 2\n255\n" + bytes(4))
+
+
+def test_flac_meta_walk_and_refusals(spark):
+    import pytest
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    raw = {r.doc_id: bytes(r.payload) for r in
+           mm.synthesize_planted_flac(docs).collect()}
+    m0 = mm.parse_flac_meta(raw[0])
+    assert m0 == {"sample_rate": 8000, "channels": 1,
+                  "bits_per_sample": 16, "total_samples": 1000,
+                  "n_meta_blocks": 3}        # id%3==0 -> padding hopped
+    m1 = mm.parse_flac_meta(raw[1])
+    assert (m1["sample_rate"], m1["channels"], m1["n_meta_blocks"]) \
+        == (16000, 2, 2)
+    # non-FLAC returns None (quiet drop); truncation raises ValueError
+    assert mm.parse_flac_meta(b"RIFFxxxx") is None
+    with pytest.raises(ValueError):
+        mm.parse_flac_meta(raw[0][:-3])
+    # a stream whose first block is not STREAMINFO violates the spec
+    bad = bytearray(raw[1])
+    bad[4] = (bad[4] & 0x80) | 4
+    with pytest.raises(ValueError):
+        mm.parse_flac_meta(bytes(bad))
