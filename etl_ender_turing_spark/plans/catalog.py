@@ -2095,3 +2095,23 @@ def _install_bloom_store_oracle() -> None:
 
 
 _install_bloom_store_oracle()
+
+
+from ..operators.hll import hll_estimate, hll_estimate_sql  # noqa: E402
+
+
+@register(
+    "q_hll_distinct",
+    hll_estimate_sql("orders", "o_custkey"),
+    doc="HyperLogLog from first principles (hll.hll_estimate): 256 "
+        "md5-derived registers folded with integer MAX; rho via the "
+        "length(bin(w)) STRING bit trick (floor(log2) would ride libm, "
+        "whose last ulp can differ across engines); the harmonic sum "
+        "uses 1.0/(1<<rho) so every term is an exact power of two and "
+        "the one float reduction is order-independent WITHOUT a "
+        "decimal detour. Raw estimate + exact baseline + relative "
+        "error, all value-exact cross-engine — the distinct-count "
+        "counterpart of the value-exact CMS (the builtin HLL row can "
+        "only be bound-checked)")
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_estimate(_t(spark, sf_dir, "orders"), "o_custkey")
