@@ -2115,3 +2115,23 @@ from ..operators.hll import hll_estimate, hll_estimate_sql  # noqa: E402
         "only be bound-checked)")
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(_t(spark, sf_dir, "orders"), "o_custkey")
+
+
+from ..operators.forecast import holt_forecast, holt_forecast_sql  # noqa: E402,E501
+
+
+@register(
+    "q_holt_forecast",
+    holt_forecast_sql("events", "event_type", "ts", horizon=7),
+    doc="Holt linear-trend forecasting (forecast.holt_forecast) over "
+        "each event type's daily count series — level/trend after the "
+        "last observation and the 7-day-ahead extrapolation, the "
+        "capacity-planning readout. Per-group smoothing recurrence "
+        "folds inside ONE aggregate HOF over the sorted series (state "
+        "= two doubles, no window); the oracle runs the identical "
+        "recurrence as a recursive CTE in the same order with the same "
+        "deliberately-recomputed new-level term, so the inherently "
+        "order-sensitive float fold still hash-matches bit-for-bit")
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return holt_forecast(_t(spark, sf_dir, "events"), "event_type",
+                         "ts", horizon=7)
