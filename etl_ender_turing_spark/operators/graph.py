@@ -347,3 +347,103 @@ def triangle_count_sql(edges_sql: str) -> str:
            CASE WHEN n_wedges > 0 THEN {cc} ELSE 0.0 END AS global_cc6
     FROM ns CROSS JOIN ne CROSS JOIN tri
     """
+
+
+# --------------------------------------------------------------------------
+# Personalized PageRank: teleport to a SEED SET instead of uniformly
+# --------------------------------------------------------------------------
+
+_PPR_INIT = ("CAST(FLOOR((CASE WHEN is_seed = 1 THEN CAST(1 AS DOUBLE)"
+             " / ns ELSE CAST(0 AS DOUBLE) END) * 1000000 + 0.5) "
+             "/ 1000000 AS DECIMAL(28,6))")
+
+_PPR_NEW = ("CAST(FLOOR(((CASE WHEN is_seed = 1 THEN ({base}) / ns"
+            " + ({damp}) * CAST(dang AS DOUBLE) / ns"
+            " ELSE CAST(0 AS DOUBLE) END)"
+            " + ({damp}) * COALESCE(CAST(inflow AS DOUBLE),"
+            " CAST(0 AS DOUBLE))) * 1000000 + 0.5) "
+            "/ 1000000 AS DECIMAL(28,6))")
+
+
+def personalized_pagerank(edges: DataFrame, seed_pred: str,
+                          iters: int = 3, damping: float = 0.85,
+                          src: str = "src", dst: str = "dst",
+                          weight: str = "w") -> DataFrame:
+    """(domain, rank) after ``iters`` PERSONALIZED PageRank iterations:
+    teleport mass — the (1-d) restart AND the dangling redistribution —
+    lands only on the seed set (nodes satisfying ``seed_pred``, an
+    engine-author SQL predicate over the node column ``d``), instead of
+    uniformly. rank(v) becomes proximity TO THE SEEDS: the
+    topic-focused crawl prior / related-domain score (Haveliwala,
+    Topic-Sensitive PageRank, WWW 2002). Same quantized-decimal
+    discipline, shuffle structure, and lineage cuts as :func:`pagerank`
+    — only the two teleport terms differ."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (edges.select(F.col(src).alias("d"))
+             .union(edges.select(F.col(dst).alias("d"))).distinct()
+             .withColumn("is_seed",
+                         F.expr(f"CASE WHEN {seed_pred} THEN 1"
+                                f" ELSE 0 END")))
+    ns_row = nodes.agg(F.sum("is_seed").alias("ns"))
+    outw = (edges.groupBy(src).agg(F.sum(weight).alias("ow"))
+            .withColumnRenamed(src, "o_src"))
+    ew = edges.join(outw, F.col(src) == F.col("o_src")).select(
+        F.col(src).alias("e_src"), F.col(dst).alias("e_dst"),
+        F.col(weight).cast("bigint").alias("w"), "ow")
+    ranks = (nodes.crossJoin(ns_row)
+             .select("d", "is_seed", F.expr(_PPR_INIT).alias("r")))
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    new_rank = _PPR_NEW.format(base=base, damp=damp)
+    for _ in range(iters):
+        contrib = (ranks.join(ew, F.col("d") == F.col("e_src"))
+                   .select(F.col("e_dst").alias("d2"),
+                           F.expr(_CONTRIB).alias("c")))
+        inflow = contrib.groupBy("d2").agg(F.sum("c").alias("inflow"))
+        dang = (ranks.join(outw, F.col("d") == F.col("o_src"),
+                           "left_anti")
+                .agg(F.coalesce(F.sum("r"),
+                                F.lit(0).cast("decimal(28,6)"))
+                     .alias("dang")))
+        ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
+                 .crossJoin(dang).crossJoin(ns_row)
+                 .select("d", "is_seed", F.expr(new_rank).alias("r"))
+                 .localCheckpoint(eager=True))
+    return ranks.select(F.col("d").alias("domain"),
+                        F.col("r").cast("double").alias("rank"))
+
+
+def personalized_pagerank_sql(edges_sql: str, seed_pred: str,
+                              iters: int = 3,
+                              damping: float = 0.85) -> str:
+    """DuckDB oracle for :func:`personalized_pagerank` — the unrolled
+    iteration with the seeded teleport terms."""
+    base = f"CAST({(1.0 - damping)!r} AS DOUBLE)"
+    damp = f"CAST({damping!r} AS DOUBLE)"
+    new_rank = _PPR_NEW.format(base=base, damp=damp)
+    parts = [f"""
+    WITH edges AS ({edges_sql}),
+    nodes AS (SELECT d, CASE WHEN {seed_pred} THEN 1 ELSE 0 END
+                AS is_seed
+              FROM (SELECT src AS d FROM edges
+                    UNION SELECT dst FROM edges)),
+    nsr AS (SELECT SUM(is_seed) AS ns FROM nodes),
+    outw AS (SELECT src AS o_src, SUM(w) AS ow FROM edges GROUP BY src),
+    ew AS (SELECT e.src AS e_src, e.dst AS e_dst,
+                  CAST(e.w AS BIGINT) AS w, o.ow
+           FROM edges e JOIN outw o ON e.src = o.o_src),
+    r0 AS (SELECT d, is_seed, {_PPR_INIT} AS r FROM nodes, nsr)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+    inf{i} AS (SELECT ew.e_dst AS d2, SUM({_CONTRIB}) AS inflow
+               FROM r{i - 1} jr JOIN ew ON jr.d = ew.e_src
+               GROUP BY ew.e_dst),
+    dg{i} AS (SELECT COALESCE(SUM(r), CAST(0 AS DECIMAL(28,6))) AS dang
+              FROM r{i - 1}
+              WHERE d NOT IN (SELECT o_src FROM outw)),
+    r{i} AS (SELECT n.d, n.is_seed, {new_rank} AS r
+             FROM nodes n CROSS JOIN nsr CROSS JOIN dg{i}
+             LEFT JOIN inf{i} i ON i.d2 = n.d)""")
+    parts.append(f"""
+    SELECT d AS domain, CAST(r AS DOUBLE) AS rank FROM r{iters}""")
+    return "".join(parts)

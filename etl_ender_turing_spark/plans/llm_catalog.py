@@ -3687,3 +3687,25 @@ def q_flac_meta(spark, sf_dir):
     from ..operators import multimodal as mm
     docs = _docs(spark, sf_dir).select("doc_id")
     return mm.extract_flac_meta(mm.synthesize_planted_flac(docs))
+
+
+_PPR_SEED = "d LIKE 'example-0.%'"
+
+
+@register(
+    "q_personalized_pagerank",
+    gr.personalized_pagerank_sql(_PAGERANK_EDGES_SQL, _PPR_SEED, iters=3),
+    doc="personalized PageRank (graph.personalized_pagerank, "
+        "Haveliwala's topic-sensitive form): teleport mass — the (1-d) "
+        "restart AND the dangling redistribution — lands only on the "
+        "seed domains, so rank becomes proximity TO THE SEEDS: the "
+        "topic-focused crawl prior / related-domain score that "
+        "complements the global q_domain_pagerank. Same quantized-"
+        "decimal cross-engine discipline, shuffle structure, and "
+        "lineage cuts; only the two teleport terms differ")
+def q_personalized_pagerank(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    links = wb.extract_links(wb.synthesize_planted_links(docs))
+    return gr.personalized_pagerank(wb.domain_edges(parsed, links),
+                                    _PPR_SEED, iters=3)

@@ -190,3 +190,28 @@ def test_crawl_budget_survives_100tb_scale_qsums(spark):
     assert all(0 < w <= 10**12 for w, _ in got.values()), got
     assert sum(b for _, b in got.values()) == 1000
     assert got["a"][1] == 556 and got["b"][1] == 333 and got["c"][1] == 111
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from pyspark.sql import Row
+
+    from etl_ender_turing_spark.operators.graph import (
+        pagerank, personalized_pagerank,
+    )
+    # two communities bridged by one edge; seeds = the 'a' side
+    edges = [("a1", "a2"), ("a2", "a1"), ("a1", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b1"), ("b1", "b3"), ("b3", "b1"),
+             ("a3", "b1")]
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d, w=1) for s, d in edges])
+    ppr = {r.domain: r.rank for r in
+           personalized_pagerank(df, "d LIKE 'a%'", iters=4).collect()}
+    # seeds and their neighborhood dominate; the far community is
+    # reachable only via the bridge and gets no teleport mass
+    assert ppr["a1"] > ppr["b2"] and ppr["a1"] > ppr["b3"]
+    assert sum(ppr.values()) > 0.9          # mass conserved (quantized)
+    # global pagerank ranks b1 highly (3 in-links); PPR demotes it
+    # below the seed hub
+    gpr = {r.domain: r.rank for r in pagerank(df, iters=4).collect()}
+    assert gpr["b1"] >= gpr["a1"] or ppr["a1"] > ppr["b1"]
+    assert ppr["a1"] > ppr["b1"]
