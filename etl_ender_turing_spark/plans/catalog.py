@@ -1479,6 +1479,45 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_l_diversity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+               AS ldiv,
+             COUNT(*) AS n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_groups,
+           COUNT(CASE WHEN ldiv < 3 THEN 1 END) AS n_below_l,
+           CAST(MIN(ldiv) AS BIGINT) AS min_diversity,
+           CAST(COALESCE(SUM(CASE WHEN ldiv < 3 THEN n END), 0)
+                AS BIGINT) AS n_rows_at_risk
+    FROM g
+    """,
+    doc="l-diversity audit (l=3) — k-anonymity's stronger sibling "
+        "(Machanavajjhala et al. 2006): a quasi-identifier group can "
+        "be large yet still leak if every member shares the SENSITIVE "
+        "value, so each (nationkey, mktsegment) group must carry >= l "
+        "distinct sensitive buckets (balance bands here); one "
+        "partial+final agg over per-group distinct counts — the "
+        "homogeneity-attack gate beside q_k_anonymity")
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+         .agg(F.countDistinct(
+             F.expr("CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)"))
+             .alias("ldiv"),
+             F.count(F.lit(1)).alias("n")))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(F.col("ldiv") < 3, 1)).alias("n_below_l"),
+        F.min("ldiv").cast("long").alias("min_diversity"),
+        F.coalesce(F.sum(F.when(F.col("ldiv") < 3, F.col("n"))),
+                   F.lit(0)).cast("long").alias("n_rows_at_risk"))
+
+
+@register(
     "q_table_reconcile",
     """
     WITH b AS (
