@@ -447,3 +447,103 @@ def personalized_pagerank_sql(edges_sql: str, seed_pred: str,
     parts.append(f"""
     SELECT d AS domain, CAST(r AS DOUBLE) AS rank FROM r{iters}""")
     return "".join(parts)
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """(domain, degree, n_triangles, local_cc6): per-NODE triangle
+    counts and local clustering coefficient 2·t(v) / (deg(v)·(deg(v)−1))
+    — the node-level readout of :func:`triangle_count` (a domain whose
+    neighborhood is a clique is a link-farm suspect even when the
+    global transitivity looks normal). Same degree-oriented wedge
+    enumeration; each closed triangle is credited to ALL THREE corners
+    by unioning the three corner projections before one count — still
+    no all-pairs stage, one extra union over the (small) triangle set.
+    Nodes with degree < 2 report 0 triangles and cc 0."""
+    from ..functions.rounding import round6u
+    e = (edges.select(F.col("src").cast("string").alias("a"),
+                      F.col("dst").cast("string").alias("b"))
+         .filter(F.col("a") != F.col("b")))
+    und = (e.unionByName(e.select(F.col("b").alias("a"),
+                                  F.col("a").alias("b")))
+           .distinct())
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg")) \
+             .withColumnRenamed("a", "node")
+    ue = und.filter(F.col("a") < F.col("b"))
+    j = (ue
+         .join(deg.select(F.col("node").alias("a"),
+                          F.col("deg").alias("da")), "a")
+         .join(deg.select(F.col("node").alias("b"),
+                          F.col("deg").alias("db")), "b"))
+    lo_first = ((F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db"))
+                   & (F.col("a") < F.col("b"))))
+    oriented = j.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(lo_first, F.col("db")).otherwise(F.col("da"))
+        .alias("hideg"))
+    x = oriented.select("lo", F.col("hi").alias("v"),
+                        F.col("hideg").alias("dv"))
+    y = oriented.select("lo", F.col("hi").alias("w"),
+                        F.col("hideg").alias("dw"))
+    wedges = x.join(y, "lo").filter(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))))
+    closing = oriented.select(F.col("lo").alias("v"),
+                              F.col("hi").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
+    corners = (tris.select(F.col("lo").alias("node"))
+               .unionByName(tris.select(F.col("v").alias("node")))
+               .unionByName(tris.select(F.col("w").alias("node"))))
+    per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    return (deg.join(per_node, "node", "left")
+            .select(F.col("node").alias("domain"),
+                    F.col("deg").cast("long").alias("degree"),
+                    F.coalesce("n_triangles", F.lit(0)).cast("long")
+                    .alias("n_triangles"),
+                    F.when(F.col("deg") >= 2, round6u(
+                        2.0 * F.coalesce("n_triangles", F.lit(0))
+                        / (F.col("deg") * (F.col("deg") - 1))))
+                    .otherwise(F.lit(0.0)).alias("local_cc6")))
+
+
+def local_clustering_sql(edges_sql: str) -> str:
+    """DuckDB oracle for :func:`local_clustering`."""
+    from ..functions.rounding import round6u_sql
+    cc = round6u_sql("2.0 * COALESCE(pn.t, 0) / (d.deg * (d.deg - 1))")
+    return f"""
+    WITH raw AS ({edges_sql}),
+    e AS (SELECT CAST(src AS VARCHAR) AS a, CAST(dst AS VARCHAR) AS b
+          FROM raw WHERE src <> dst),
+    und AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM und GROUP BY 1),
+    ue AS (SELECT a, b FROM und WHERE a < b),
+    o AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN ue.a ELSE ue.b END AS lo,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN ue.b ELSE ue.a END AS hi,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND ue.a < ue.b)
+                  THEN db.deg ELSE da.deg END AS hideg
+      FROM ue JOIN deg da ON da.node = ue.a
+              JOIN deg db ON db.node = ue.b),
+    wed AS (SELECT x.lo, x.hi AS v, y.hi AS w
+            FROM o x JOIN o y ON x.lo = y.lo
+            WHERE x.hideg < y.hideg
+               OR (x.hideg = y.hideg AND x.hi < y.hi)),
+    tris AS (SELECT wed.lo, wed.v, wed.w
+             FROM wed JOIN o ON o.lo = wed.v AND o.hi = wed.w),
+    corners AS (SELECT lo AS node FROM tris
+                UNION ALL SELECT v FROM tris
+                UNION ALL SELECT w FROM tris),
+    pn AS (SELECT node, COUNT(*) AS t FROM corners GROUP BY 1)
+    SELECT d.node AS domain, CAST(d.deg AS BIGINT) AS degree,
+           CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN {cc}
+                ELSE 0.0 END AS local_cc6
+    FROM deg d LEFT JOIN pn ON pn.node = d.node
+    """

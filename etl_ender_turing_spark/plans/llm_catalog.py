@@ -3709,3 +3709,20 @@ def q_personalized_pagerank(spark, sf_dir):
     links = wb.extract_links(wb.synthesize_planted_links(docs))
     return gr.personalized_pagerank(wb.domain_edges(parsed, links),
                                     _PPR_SEED, iters=3)
+
+
+@register(
+    "q_local_clustering",
+    gr.local_clustering_sql(_PAGERANK_EDGES_SQL),
+    doc="per-domain local clustering coefficients (graph."
+        "local_clustering): node-level triangle counts credited to all "
+        "three corners + 2t/(deg(deg-1)) — a domain whose neighborhood "
+        "is a clique is a link-farm suspect even when global "
+        "transitivity looks normal. Same degree-oriented wedge "
+        "enumeration as the census (O(sqrt(m)) fan-out cap), one extra "
+        "union over the small triangle set; degree<2 nodes report 0")
+def q_local_clustering(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id")
+    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    links = wb.extract_links(wb.synthesize_planted_links(docs))
+    return gr.local_clustering(wb.domain_edges(parsed, links))

@@ -53,3 +53,32 @@ def test_matches_duckdb_oracle_on_random_graph(spark):
     exp = duckdb.connect().execute(sql).fetchone()
     assert (got.n_nodes, got.n_edges, got.n_wedges, got.n_triangles,
             got.global_cc6) == exp
+
+
+def test_local_clustering_on_known_graph(spark):
+    from etl_ender_turing_spark.operators.graph import local_clustering
+
+    # triangle a-b-c plus pendant d off a
+    got = {r.domain: r for r in local_clustering(_edges(
+        spark, [("a", "b"), ("b", "c"), ("c", "a"),
+                ("a", "d")])).collect()}
+    assert got["b"].n_triangles == 1 and got["b"].local_cc6 == 1.0
+    # a: deg 3, one triangle among C(3,2)=3 neighbor pairs -> 1/3
+    assert got["a"].degree == 3
+    assert abs(got["a"].local_cc6 - 0.333333) < 1e-9
+    assert got["d"].n_triangles == 0 and got["d"].local_cc6 == 0.0
+
+
+def test_local_counts_sum_to_three_times_global(spark):
+    import random
+
+    from etl_ender_turing_spark.operators.graph import (
+        local_clustering, triangle_count,
+    )
+    random.seed(7)
+    pairs = list({(f"n{random.randrange(15)}", f"n{random.randrange(15)}")
+                  for _ in range(60)})
+    tot = triangle_count(_edges(spark, pairs)).collect()[0].n_triangles
+    loc = sum(r.n_triangles for r in
+              local_clustering(_edges(spark, pairs)).collect())
+    assert loc == 3 * tot
