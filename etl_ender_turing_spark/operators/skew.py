@@ -46,3 +46,45 @@ def salted_distinct_count(df: DataFrame, group_cols: list[str],
                .agg(F.count_distinct(distinct_col).alias("_partial")))
     return (partial.groupBy(*group_cols)
             .agg(F.sum("_partial").alias(out_col)))
+
+
+def bucketed_range_pairs(df, key_col: str, epoch_col, id_col: str,
+                         max_gap: int):
+    """Range SELF-join by time-bucket equi-join — the telemetry/
+    sensor-correlation pattern: all row pairs sharing ``key_col``
+    whose ``epoch_col`` values lie within ``max_gap`` of each other,
+    WITHOUT a per-key cross join.
+
+    A naive range join explodes quadratically on a hot key; bucketing
+    by ``floor(t / max_gap)`` turns it into an equi-join on
+    (key, bucket): a pair within the gap spans at most two adjacent
+    buckets, so the LEFT side emits each row under its own bucket AND
+    the next one, the RIGHT side under its own only — every qualifying
+    pair matches through exactly one bucket (same-bucket pairs would
+    match in both directions; the (t, id) orientation filter keeps
+    one), and the shuffle carries (key, bucket) groups whose size
+    tracks the key's burst rate within one gap window, not its total
+    history. Returns (key, id_a, id_b, gap) with
+    (t_a, id_a) < (t_b, id_b) and 0 <= gap <= max_gap.
+    """
+    from pyspark.sql import functions as F
+    e = df.select(F.col(key_col).alias("k"),
+                  epoch_col.cast("long").alias("t"),
+                  F.col(id_col).alias("i"))
+    left = e.select(
+        "k", "t", "i",
+        F.explode(F.array(F.expr(f"t div {max_gap}"),
+                          F.expr(f"t div {max_gap} + 1"))).alias("bkt"))
+    right = e.select(F.col("k"), F.col("t").alias("t2"),
+                     F.col("i").alias("i2"),
+                     F.expr(f"t div {max_gap}").alias("bkt"))
+    return (left.join(right, ["k", "bkt"])
+            .filter((F.col("t") < F.col("t2"))
+                    | ((F.col("t") == F.col("t2"))
+                       & (F.col("i") < F.col("i2"))))
+            .filter(F.col("t2") - F.col("t") <= max_gap)
+            .select(F.col("k").alias(key_col),
+                    F.col("i").alias(f"{id_col}_a"),
+                    F.col("i2").alias(f"{id_col}_b"),
+                    (F.col("t2") - F.col("t")).alias("gap"))
+            .distinct())

@@ -2174,3 +2174,32 @@ from ..operators.forecast import holt_forecast, holt_forecast_sql  # noqa: E402,
 def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return holt_forecast(_t(spark, sf_dir, "events"), "event_type",
                          "ts", horizon=7)
+
+
+@register(
+    "q_range_join_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, epoch_us(ts) AS tu FROM events
+    )
+    SELECT a.user_id, a.event_id AS event_id_a, b.event_id AS event_id_b,
+           CAST(b.tu - a.tu AS BIGINT) AS gap
+    FROM e a JOIN e b ON a.user_id = b.user_id
+    WHERE (a.tu < b.tu OR (a.tu = b.tu AND a.event_id < b.event_id))
+      AND b.tu - a.tu <= 600000000
+    """,
+    doc="range self-join via time-bucket equi-join (skew."
+        "bucketed_range_pairs): all same-user event pairs within 10 "
+        "minutes — the telemetry-correlation shape. A naive range join "
+        "goes quadratic on a hot user; bucketing by floor(t/gap) makes "
+        "it an equi-join on (user, bucket) whose group sizes track the "
+        "BURST rate inside one gap window, not the user's history; "
+        "left emits own+next bucket, right own only, so each "
+        "qualifying pair matches exactly once (orientation filter "
+        "dedups the same-bucket double). Oracle is the plain non-equi "
+        "self-join — affordable at oracle scale only")
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import bucketed_range_pairs
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return bucketed_range_pairs(ev, "user_id", _epoch_us("ts"),
+                                "event_id", 600_000_000)

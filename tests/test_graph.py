@@ -215,3 +215,25 @@ def test_personalized_pagerank_concentrates_on_seeds(spark):
     gpr = {r.domain: r.rank for r in pagerank(df, iters=4).collect()}
     assert gpr["b1"] >= gpr["a1"] or ppr["a1"] > ppr["b1"]
     assert ppr["a1"] > ppr["b1"]
+
+
+def test_bucketed_range_pairs_equals_naive(spark):
+    """Bucketed equi-join candidates == brute-force range self-join,
+    including boundary gaps (exactly max_gap) and equal timestamps."""
+    from pyspark.sql import Row, functions as F
+
+    from etl_ender_turing_spark.operators.skew import bucketed_range_pairs
+
+    rows = [Row(k="u1", t=t, i=i) for i, t in enumerate(
+        [0, 3, 5, 10, 10, 11, 29, 30, 31, 100, 104, 105])] \
+        + [Row(k="u2", t=t, i=100 + j) for j, t in enumerate([2, 7, 50])]
+    df = spark.createDataFrame(rows)
+    got = {(r.k, r.i_a, r.i_b, r.gap) for r in
+           bucketed_range_pairs(df, "k", F.col("t"), "i", 5).collect()}
+    want = set()
+    data = [(r.k, r.t, r.i) for r in rows]
+    for (ka, ta, ia) in data:
+        for (kb, tb, ib) in data:
+            if ka == kb and ((ta, ia) < (tb, ib)) and tb - ta <= 5:
+                want.add((ka, ia, ib, tb - ta))
+    assert got == want and len(want) > 5
