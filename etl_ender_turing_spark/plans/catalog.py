@@ -2203,3 +2203,66 @@ def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     return bucketed_range_pairs(ev, "user_id", _epoch_us("ts"),
                                 "event_id", 600_000_000)
+
+
+_MKT_REV = "l_extendedprice * (1 - l_discount)"
+_MKT_NREV = ("CASE WHEN sn.n_name = 'NATION_3' THEN "
+             + _MKT_REV + " ELSE 0 END")
+
+
+@register(
+    "q_market_share",
+    f"""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           {dsum_sql(_MKT_REV, 4)} AS total_rev,
+           {dsum_sql(_MKT_NREV, 4)} AS nation_rev,
+           {{share}} AS share6
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   cn ON c_nationkey = cn.n_nationkey
+    JOIN region   ON cn.n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   sn ON s_nationkey = sn.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY 1
+    """.replace("{share}",
+                "FLOOR(" + dsum_sql(_MKT_NREV, 4) + " / "
+                + dsum_sql(_MKT_REV, 4)
+                + " * 1000000 + 0.5) / 1000000"),
+    doc="market-share analysis (TPC-H Q8 shape): one supplier nation's "
+        "share of an entire region's yearly revenue — the marquee "
+        "SIX-table join (fact-fact lineitem-orders plus four dims in "
+        "two roles) that exercises Catalyst's join reordering and the "
+        "broadcast/SMJ mix at once; conditional decimal-exact revenue "
+        "sums, share round6u'd; scale-bearing sides carry NO broadcast "
+        "hints (the q5 discipline — AQE picks strategy from observed "
+        "sizes)")
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation").alias("cn")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = _t(spark, sf_dir, "supplier")
+    sn = (_t(spark, sf_dir, "nation")
+          .select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("sn_name")))
+    from ..functions.rounding import round6u
+    joined = (li.join(o, li.l_orderkey == o.o_orderkey)
+              .join(c, o.o_custkey == c.c_custkey)
+              .join(F.broadcast(cn),
+                    c.c_nationkey == F.col("cn.n_nationkey"))
+              .join(F.broadcast(r),
+                    F.col("cn.n_regionkey") == r.r_regionkey)
+              .join(s, li.l_suppkey == s.s_suppkey)
+              .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key")))
+    rev = "l_extendedprice * (1 - l_discount)"
+    nrev = f"CASE WHEN sn_name = 'NATION_3' THEN {rev} ELSE 0 END"
+    agg = (joined.groupBy(F.year("o_orderdate").cast("long")
+                          .alias("o_year"))
+           .agg(dsum(rev, 4).alias("total_rev"),
+                dsum(nrev, 4).alias("nation_rev")))
+    return agg.select(
+        "o_year", "total_rev", "nation_rev",
+        round6u(F.col("nation_rev") / F.col("total_rev")).alias("share6"))
