@@ -2266,3 +2266,41 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "o_year", "total_rev", "nation_rev",
         round6u(F.col("nation_rev") / F.col("total_rev")).alias("share6"))
+
+
+@register(
+    "q_er_supplier_pairs",
+    None,  # installed below
+    doc="linkage generality proof: er_candidate_pairs runs UNCHANGED "
+        "over the supplier dimension (Supplier#%09d shares the "
+        "18-char/digit-zone geometry) with no planted variants — the "
+        "surviving pairs are the ORGANIC near-key coincidences "
+        "(levenshtein<=2 names + same nation + close balance), i.e. "
+        "the false-positive pressure the multi-attribute rule is "
+        "calibrated against; certifies the operator is schema-generic, "
+        "not customer-shaped")
+def q_er_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = _linkage()
+    recs = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("rec_id"),
+        F.col("s_name").alias("name"),
+        F.col("s_nationkey").alias("nationkey"),
+        F.col("s_acctbal").alias("bal"))
+    return lk.er_candidate_pairs(recs)
+
+
+def _install_er_supplier_oracle() -> None:
+    from ..operators import linkage as lk
+    dirty = ("SELECT s_suppkey AS rec_id, s_name AS name,"
+             " s_nationkey AS nationkey, s_acctbal AS bal,"
+             " 'base' AS origin FROM supplier")
+    sql = lk.er_pairs_sql("supplier")
+    # er_pairs_sql embeds the customer dirty-corpus; swap its source
+    # for the plain supplier projection
+    sql = sql.replace(lk.dirty_customers_sql("supplier"), dirty)
+    spec = CATALOG["q_er_supplier_pairs"]
+    CATALOG["q_er_supplier_pairs"] = QuerySpec(
+        spec.name, spec.builder, sql, spec.doc)
+
+
+_install_er_supplier_oracle()
