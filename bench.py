@@ -153,6 +153,16 @@ BENCH_QUERIES = [
     "q_bm25_prf",
     "q_image_phash_ppm",
     "q_als_half_step",
+    # round-9 fourth batch: value-exact HLL, FLAC walk, bucketed range
+    # join, the Q8-shape six-table join, Holt forecasting, personalized
+    # PageRank, and per-node clustering
+    "q_hll_distinct",
+    "q_flac_meta",
+    "q_range_join_events",
+    "q_market_share",
+    "q_holt_forecast",
+    "q_personalized_pagerank",
+    "q_local_clustering",
 ]
 
 
