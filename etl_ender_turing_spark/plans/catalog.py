@@ -2304,3 +2304,95 @@ def _install_er_supplier_oracle() -> None:
 
 
 _install_er_supplier_oracle()
+
+
+@register(
+    "q_trimmed_mean_prices",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice) AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    ),
+    kept AS (
+      SELECT * FROM ranked
+      WHERE rk > n // 10 AND rk <= n - n // 10
+    )
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           {{mean}} AS trimmed_mean6
+    FROM kept GROUP BY o_orderpriority
+    """.replace("{mean}",
+                "FLOOR(" + dsum_sql("o_totalprice", 4)
+                + " / COUNT(*) * 1000000 + 0.5) / 1000000"),
+    doc="robust statistics: 10%-trimmed mean per order priority WITHOUT "
+        "collecting any group (the scale-correct form — sort_array "
+        "collection dies on a 100 TB group): per-group rank + count "
+        "windows (partitioned, never a global sort), positional trim "
+        "of n//10 from each end (the kept-value MULTISET is "
+        "tie-invariant, so cross-engine row_number tie order cannot "
+        "matter), decimal-exact sum of survivors. The outlier-immune "
+        "revenue readout beside the mean/percentile rows")
+def q_trimmed_mean_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import round6u
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"))
+    kept = ranked.filter(
+        (F.col("rk") > F.expr("n div 10"))
+        & (F.col("rk") <= F.col("n") - F.expr("n div 10")))
+    return (kept.groupBy("o_orderpriority")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.count(F.lit(1)).cast("long").alias("n_kept"),
+                 round6u(dsum("o_totalprice", 4) / F.count(F.lit(1)))
+                 .alias("trimmed_mean6")))
+
+
+@register(
+    "q_markov_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (SELECT from_type, SUM(n) AS row_n FROM cnt GROUP BY 1)
+    SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+           FLOOR(CAST(c.n AS DOUBLE) / t.row_n * 1000000 + 0.5)
+             / 1000000 AS prob6
+    FROM cnt c JOIN tot t USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over each user's ordered "
+        "event stream (behavioral sequence analytics — the "
+        "next-action model a product funnel or session-abandonment "
+        "score reads): per-user LAG (deterministic (ts, event_id) "
+        "order), transition counts, row-normalized probabilities; the "
+        "post-stream frames are event-type-cardinality-bounded")
+def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import round6u
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    cnt = (seq.filter(F.col("prev_type").isNotNull())
+           .groupBy(F.col("prev_type").alias("from_type"),
+                    F.col("event_type").alias("to_type"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("row_n"))
+    return (cnt.join(F.broadcast(tot), "from_type")
+            .select("from_type", "to_type",
+                    F.col("n").cast("long").alias("n"),
+                    round6u(F.col("n").cast("double") / F.col("row_n"))
+                    .alias("prob6")))
