@@ -2396,3 +2396,103 @@ def q_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n").cast("long").alias("n"),
                     round6u(F.col("n").cast("double") / F.col("row_n"))
                     .alias("prob6")))
+
+
+# Benford expected first-digit shares log10(1 + 1/d), precomputed so no
+# libm function enters either engine's plan (shortest-repr doubles
+# round-trip identically)
+_BENFORD = {1: 0.3010299956639812, 2: 0.17609125905568124,
+            3: 0.12493873660829992, 4: 0.09691001300805642,
+            5: 0.07918124604762482, 6: 0.06694678963061322,
+            7: 0.05799194697768673, 8: 0.05115252244738129,
+            9: 0.04575749056067514}
+_BENFORD_CASE = ("CASE " + " ".join(
+    f"WHEN first_digit = {d} THEN CAST({v!r} AS DOUBLE)"
+    for d, v in _BENFORD.items()) + " END")
+
+
+@register(
+    "q_benford_prices",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT)
+               AS first_digit
+      FROM orders WHERE o_totalprice >= 1
+    ),
+    cnt AS (SELECT first_digit, COUNT(*) AS n FROM digits GROUP BY 1),
+    tot AS (SELECT SUM(n) AS total FROM cnt)
+    SELECT first_digit, CAST(n AS BIGINT) AS n,
+           FLOOR(CAST(n AS DOUBLE) / total * 1000000 + 0.5) / 1000000
+             AS share6,
+           {_BENFORD_CASE} AS benford6,
+           ROUND(FLOOR(CAST(n AS DOUBLE) / total * 1000000 + 0.5)
+                 / 1000000 - {_BENFORD_CASE}, 6) AS deviation6
+    FROM cnt CROSS JOIN tot
+    """,
+    doc="Benford first-digit audit over order totals — the "
+        "fraud/fabrication screen financial auditors run (Nigrini): "
+        "observed first-digit shares against the log10(1+1/d) "
+        "expectation, per-digit deviations. Expected shares are "
+        "PRECOMPUTED literals so no libm log enters either engine's "
+        "plan; one aggregate, digit-cardinality output")
+def q_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import round6u
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digits = o.select(F.expr(
+        "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT)").alias("first_digit"))
+    cnt = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(F.sum("n").alias("total"))
+    share = round6u(F.col("n").cast("double") / F.col("total"))
+    exp = F.expr(_BENFORD_CASE)
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("first_digit", F.col("n").cast("long").alias("n"),
+                    share.alias("share6"), exp.alias("benford6"),
+                    F.round(share - exp, 6).alias("deviation6")))
+
+
+@register(
+    "q_revenue_gini",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n,
+           {dsum_sql('o_totalprice', 4)} AS total_rev,
+           FLOOR((2.0 * {dsum_sql('rk * o_totalprice', 4)}
+                  / (MAX(n) * {dsum_sql('o_totalprice', 4)})
+                  - (MAX(n) + 1.0) / MAX(n)) * 1000000 + 0.5) / 1000000
+             AS gini6
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    doc="revenue-concentration Gini coefficient per order priority — "
+        "the inequality readout (is 1% of orders 50% of revenue?) via "
+        "the rank formulation G = 2*sum(rank*x)/(n*sum(x)) - (n+1)/n "
+        "over ascending-sorted values: per-group rank windows "
+        "(partitioned, no global sort), decimal-exact sums of rank- "
+        "weighted 4dp terms, one IEEE expression over exact aggregates")
+def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"))
+    return (ranked.groupBy("o_orderpriority")
+            .agg(F.max("n").cast("long").alias("n"),
+                 dsum("o_totalprice", 4).alias("total_rev"),
+                 F.expr(
+                     "FLOOR((2.0 * CAST(SUM(CAST((rk * o_totalprice)"
+                     " AS DECIMAL(28,4))) AS DOUBLE)"
+                     " / (MAX(n) * CAST(SUM(CAST((o_totalprice)"
+                     " AS DECIMAL(28,4))) AS DOUBLE))"
+                     " - (MAX(n) + 1.0) / MAX(n)) * 1000000 + 0.5)"
+                     " / 1000000").alias("gini6")))
