@@ -163,6 +163,12 @@ BENCH_QUERIES = [
     "q_holt_forecast",
     "q_personalized_pagerank",
     "q_local_clustering",
+    # round-9 final batch: robust/audit analytics and sequence models
+    "q_trimmed_mean_prices",
+    "q_markov_transitions",
+    "q_benford_prices",
+    "q_revenue_gini",
+    "q_er_supplier_pairs",
 ]
 
 
