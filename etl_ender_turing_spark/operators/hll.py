@@ -111,3 +111,77 @@ def hll_estimate_sql(table: str, key: str) -> str:
 
 
 __all__ = ["hll_estimate", "hll_estimate_sql", "HLL_M"]
+
+
+def hll_merge_check(df: DataFrame, key_col: str,
+                    part_col: str) -> DataFrame:
+    """One row: (n_parts, merged_raw6, global_raw6, merge_exact) — the
+    MERGEABILITY certificate: registers built independently per
+    ``part_col`` shard fold by per-bucket MAX into exactly the
+    whole-corpus sketch (max of maxes = max), so the merged estimate
+    EQUALS the global one. This is why HLL distributes: every
+    executor/shard/day sketches alone and the union costs one m-row
+    reduce — no raw keys ever meet."""
+    h = _h32_spark(key_col)
+    rho = (f"CASE WHEN ({h}) div {HLL_M} = 0 THEN 25"
+           f" ELSE 25 - length(bin(({h}) div {HLL_M})) END")
+    per_part = (df.select(F.col(part_col).alias("part"),
+                          F.expr(f"({h}) % {HLL_M}").alias("bucket"),
+                          F.expr(rho).alias("rho"))
+                .groupBy("part", "bucket")
+                .agg(F.max("rho").alias("m_j")))
+    merged = per_part.groupBy("bucket").agg(F.max("m_j").alias("m_j"))
+    glob = (df.select(F.expr(f"({h}) % {HLL_M}").alias("bucket"),
+                      F.expr(rho).alias("rho"))
+            .groupBy("bucket").agg(F.max("rho").alias("m_j")))
+
+    def estimate(regs: DataFrame, name: str) -> DataFrame:
+        est = regs.agg(
+            F.count(F.lit(1)).alias("nset"),
+            F.sum(F.expr("CAST(1 AS DOUBLE) / shiftleft(CAST(1 AS"
+                         " BIGINT), CAST(m_j AS INT))")).alias("ss"))
+        return est.select(round6u(F.expr(
+            f"{_ALPHA} * {HLL_M} * {HLL_M}"
+            f" / (ss + ({HLL_M} - nset))")).alias(name))
+
+    n_parts = df.agg(F.countDistinct(part_col).alias("n_parts"))
+    return (n_parts
+            .crossJoin(estimate(merged, "merged_raw6"))
+            .crossJoin(estimate(glob, "global_raw6"))
+            .select("n_parts", "merged_raw6", "global_raw6",
+                    (F.col("merged_raw6") == F.col("global_raw6"))
+                    .alias("merge_exact")))
+
+
+def hll_merge_check_sql(table: str, key: str, part: str) -> str:
+    """DuckDB oracle for :func:`hll_merge_check`."""
+    h = _h32_duck(key)
+    rho = (f"CASE WHEN ({h}) // {HLL_M} = 0 THEN 25"
+           f" ELSE 25 - length(bin(({h}) // {HLL_M})) END")
+    est = (f"{_ALPHA} * {HLL_M} * {HLL_M}"
+           f" / (ss + ({HLL_M} - nset))")
+    return f"""
+    WITH per_part AS (
+      SELECT {part} AS part, ({h}) % {HLL_M} AS bucket,
+             MAX({rho}) AS m_j
+      FROM {table} GROUP BY 1, 2
+    ),
+    merged AS (SELECT bucket, MAX(m_j) AS m_j FROM per_part GROUP BY 1),
+    whole AS (SELECT ({h}) % {HLL_M} AS bucket, MAX({rho}) AS m_j
+              FROM {table} GROUP BY 1),
+    em AS (SELECT COUNT(*) AS nset,
+                  SUM(CAST(1 AS DOUBLE)
+                      / (CAST(1 AS BIGINT) << CAST(m_j AS INT))) AS ss
+           FROM merged),
+    eg AS (SELECT COUNT(*) AS nset,
+                  SUM(CAST(1 AS DOUBLE)
+                      / (CAST(1 AS BIGINT) << CAST(m_j AS INT))) AS ss
+           FROM whole),
+    np AS (SELECT COUNT(DISTINCT {part}) AS n_parts FROM {table})
+    SELECT CAST(np.n_parts AS BIGINT) AS n_parts,
+           (SELECT {round6u_sql(est)} FROM em) AS merged_raw6,
+           (SELECT {round6u_sql(est)} FROM eg) AS global_raw6,
+           (SELECT {round6u_sql(est)} FROM em)
+             = (SELECT {round6u_sql(est)} FROM eg) AS merge_exact
+    FROM np
+    """

@@ -2496,3 +2496,21 @@ def q_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " AS DECIMAL(28,4))) AS DOUBLE))"
                      " - (MAX(n) + 1.0) / MAX(n)) * 1000000 + 0.5)"
                      " / 1000000").alias("gini6")))
+
+
+from ..operators.hll import hll_merge_check, hll_merge_check_sql  # noqa: E402,E501
+
+
+@register(
+    "q_hll_merge",
+    hll_merge_check_sql("orders", "o_custkey", "o_orderpriority"),
+    doc="HLL MERGEABILITY certificate (hll.hll_merge_check): registers "
+        "built independently per order-priority shard fold by "
+        "per-bucket MAX into exactly the whole-corpus sketch (max of "
+        "maxes = max), so the merged estimate EQUALS the global one — "
+        "certified as an in-engine equality, value-exact cross-engine. "
+        "This is why HLL distributes: every shard/day sketches alone "
+        "and the union costs one m-row reduce; no raw keys ever meet")
+def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_merge_check(_t(spark, sf_dir, "orders"), "o_custkey",
+                           "o_orderpriority")

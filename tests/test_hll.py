@@ -36,3 +36,12 @@ def test_matches_duckdb_bit_for_bit(spark):
         "(SELECT unnest(generate_series(0, 1233)) * 13 AS k)", "k")
     exp = duckdb.connect().execute(sql).fetchone()
     assert got == exp
+
+
+def test_merge_equals_global_always(spark):
+    """Sharded registers MAX-merge into exactly the global sketch."""
+    df = spark.createDataFrame(
+        [Row(k=i % 700, p=f"shard{i % 9}") for i in range(3000)])
+    r = hll.hll_merge_check(df, "k", "p").collect()[0]
+    assert r.n_parts == 9
+    assert bool(r.merge_exact) and r.merged_raw6 == r.global_raw6
