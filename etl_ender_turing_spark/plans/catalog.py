@@ -2514,3 +2514,47 @@ from ..operators.hll import hll_merge_check, hll_merge_check_sql  # noqa: E402,E
 def q_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_merge_check(_t(spark, sf_dir, "orders"), "o_custkey",
                            "o_orderpriority")
+
+
+@register(
+    "q_decile_bins",
+    f"""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey)
+               AS rk,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM ranked GROUP BY 1, 2
+    """,
+    doc="equal-DEPTH decile binning per order priority (the histogram "
+        "family's quantile-bin member — equal-width bins already "
+        "certified): bin = (rank-1)*10 // n over per-group rank+count "
+        "windows, so bin populations differ by at most one row and the "
+        "[lo, hi] boundaries are the empirical decile edges a "
+        "data-skipping layout or a monotone feature binning consumes; "
+        "partitioned windows, never a global sort; tie order cannot "
+        "move a VALUE across a boundary shared by its ties' bin range")
+def q_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority", "o_totalprice",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"))
+    return (ranked
+            .groupBy("o_orderpriority",
+                     F.expr("CAST((rk - 1) * 10 div n AS BIGINT)")
+                     .alias("decile"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))
