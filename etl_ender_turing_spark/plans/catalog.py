@@ -2558,3 +2558,59 @@ def q_decile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
                  F.min("o_totalprice").alias("lo"),
                  F.max("o_totalprice").alias("hi")))
+
+
+@register(
+    "q_abc_classification",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey, {dsum_sql('l_extendedprice * (1 - l_discount)',
+                                  4)} AS r
+      FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+      SELECT l_partkey, r,
+             CAST(SUM(CAST(r AS DECIMAL(28,4))) OVER (
+               ORDER BY r DESC, l_partkey
+               ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS c,
+             CAST((SELECT SUM(CAST(r AS DECIMAL(28,4))) FROM rev)
+                  AS DOUBLE) AS t
+      FROM rev
+    ),
+    classed AS (
+      SELECT CASE WHEN c / t <= 0.8 THEN 'A'
+                  WHEN c / t <= 0.95 THEN 'B' ELSE 'C' END AS abc,
+             r
+      FROM cum
+    )
+    SELECT abc, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {dsum_sql('r', 4)} AS class_rev
+    FROM classed GROUP BY abc
+    """,
+    doc="ABC / Pareto classification of parts by revenue (the 80/15/5 "
+        "inventory-analytics cut): per-part revenue aggregates first "
+        "(the only corpus-scale pass), then a DECIMAL-exact cumulative "
+        "share over the PART-cardinality frame orders parts into "
+        "classes — the post-aggregation global window rides a "
+        "dimension-sized table, the post-corpus-frame discipline; "
+        "class boundaries compare IEEE-identical exact-decimal ratios "
+        "on both engines")
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+           .agg(dsum("l_extendedprice * (1 - l_discount)", 4).alias("r")))
+    w = Window.orderBy(F.desc("r"), F.asc("l_partkey")) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tot = rev.agg(F.expr(
+        "CAST(SUM(CAST(r AS DECIMAL(28,4))) AS DOUBLE)").alias("t"))
+    cum = (rev.withColumn("c", F.expr(
+        "CAST(SUM(CAST(r AS DECIMAL(28,4))) OVER (ORDER BY r DESC,"
+        " l_partkey ROWS UNBOUNDED PRECEDING) AS DOUBLE)"))
+        .crossJoin(F.broadcast(tot)))
+    classed = cum.select(
+        F.when(F.col("c") / F.col("t") <= 0.8, "A")
+        .when(F.col("c") / F.col("t") <= 0.95, "B")
+        .otherwise("C").alias("abc"), "r")
+    return (classed.groupBy("abc")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
+                 dsum("r", 4).alias("class_rev")))
