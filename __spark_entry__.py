@@ -47,7 +47,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_market_share", "q_er_supplier_pairs",
     "q_trimmed_mean_prices", "q_markov_transitions",
     "q_benford_prices", "q_revenue_gini", "q_hll_merge",
-    "q_decile_bins", "q_abc_classification",
+    "q_decile_bins", "q_abc_classification", "q_new_vs_repeat",
     "q_bpe_from_merges", "q_unigram_from_vocab", "q_video_frag_hashes",
     "q_li_recall_check", "q_incremental_image_dedup", "q_image_phash_gif",
     # --- plans changed in round 9 (values unchanged, re-certify):

@@ -2614,3 +2614,50 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (classed.groupBy("abc")
             .agg(F.count(F.lit(1)).cast("long").alias("n_parts"),
                  dsum("r", 4).alias("class_rev")))
+
+
+@register(
+    "q_new_vs_repeat",
+    """
+    WITH seq AS (
+      SELECT date_trunc('month', o_orderdate) AS month,
+             CASE WHEN o_orderdate = MIN(o_orderdate) OVER (
+                    PARTITION BY o_custkey)
+                  AND ROW_NUMBER() OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate,
+                    o_orderkey) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM orders
+    )
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(is_first) AS BIGINT) AS n_new,
+           CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_repeat,
+           FLOOR(CAST(SUM(is_first) AS DOUBLE) / COUNT(*)
+                 * 1000000 + 0.5) / 1000000 AS new_share6
+    FROM seq GROUP BY month
+    """,
+    doc="new-vs-repeat order mix per month — the acquisition/retention "
+        "growth readout: each customer's strictly-first order (window "
+        "min + row_number over the deterministic (date, key) order, so "
+        "a same-day tie crowns exactly one first) marks acquisition, "
+        "everything else retention; per-customer windows only, "
+        "month-cardinality output, quantized share")
+def q_new_vs_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.rounding import round6u
+    o = _t(spark, sf_dir, "orders")
+    wmin = Window.partitionBy("o_custkey")
+    wrn = Window.partitionBy("o_custkey").orderBy("o_orderdate",
+                                                  "o_orderkey")
+    seq = o.select(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.when((F.col("o_orderdate")
+                == F.min("o_orderdate").over(wmin))
+               & (F.row_number().over(wrn) == 1), 1)
+        .otherwise(0).alias("is_first"))
+    return (seq.groupBy("month")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("is_first").cast("long").alias("n_new"),
+                 (F.count(F.lit(1)) - F.sum("is_first")).cast("long")
+                 .alias("n_repeat"),
+                 round6u(F.sum("is_first").cast("double")
+                         / F.count(F.lit(1))).alias("new_share6")))
