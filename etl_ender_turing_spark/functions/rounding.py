@@ -23,3 +23,23 @@ def round6u(c: Column) -> Column:
 
 def round6u_sql(expr: str) -> str:
     return f"FLOOR(({expr}) * 1000000 + 0.5) / 1000000"
+
+
+def round6s(c: Column) -> Column:
+    """Sign-aware half-away-from-zero 6dp rounding: the :func:`round6u`
+    IEEE-identical spelling extended to signed values (order-sensitive
+    recurrence outputs like Holt level/trend can be negative). Spelled
+    as a CASE, not SIGN(x)·… — Java signum(-0.0) is -0.0 while DuckDB's
+    is 0, which would leak a -0.0 into one engine's hash only."""
+    pos = F.floor(c * 1_000_000 + F.lit(0.5)) / 1_000_000
+    neg = -(F.floor(-c * 1_000_000 + F.lit(0.5)) / 1_000_000)
+    # + 0.0 folds any -0.0 (tiny negatives round to zero through the
+    # negative branch) to plain 0.0 — exact for every other value
+    return F.when(c < 0, neg).otherwise(pos) + F.lit(0.0)
+
+
+def round6s_sql(expr: str) -> str:
+    return (f"(CASE WHEN ({expr}) < 0"
+            f" THEN -(FLOOR(-({expr}) * 1000000 + 0.5) / 1000000)"
+            f" ELSE FLOOR(({expr}) * 1000000 + 0.5) / 1000000 END"
+            f" + CAST(0 AS DOUBLE))")

@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.rounding import round6s, round6s_sql
+
 ALPHA = "CAST(0.5 AS DOUBLE)"
 ONE_MINUS_ALPHA = "CAST(0.5 AS DOUBLE)"
 BETA = "CAST(0.25 AS DOUBLE)"
@@ -62,10 +64,10 @@ def holt_forecast(df: DataFrame, group_col: str, ts_col: str,
                           F.size("arr").cast("long").alias("n_days"),
                           fold.alias("st"))
             .select(group_col, "n_days",
-                    F.round(F.col("st.lv"), 6).alias("level6"),
-                    F.round(F.col("st.tr"), 6).alias("trend6"),
-                    F.round(F.col("st.lv")
-                            + F.lit(float(horizon)) * F.col("st.tr"), 6)
+                    round6s(F.col("st.lv")).alias("level6"),
+                    round6s(F.col("st.tr")).alias("trend6"),
+                    round6s(F.col("st.lv")
+                            + F.lit(float(horizon)) * F.col("st.tr"))
                     .alias(f"fc{horizon}_6")))
 
 
@@ -99,8 +101,9 @@ def holt_forecast_sql(table: str, group_col: str, ts_col: str,
       FROM rec r JOIN idx i ON i.g = r.g AND i.t = r.t + 1
     )
     SELECT r.g AS {group_col}, CAST(nn.n_days AS BIGINT) AS n_days,
-           ROUND(r.lv, 6) AS level6, ROUND(r.tr, 6) AS trend6,
-           ROUND(r.lv + CAST({horizon} AS DOUBLE) * r.tr, 6)
+           {round6s_sql("r.lv")} AS level6,
+           {round6s_sql("r.tr")} AS trend6,
+           {round6s_sql(f"r.lv + CAST({horizon} AS DOUBLE) * r.tr")}
              AS fc{horizon}_6
     FROM rec r JOIN nn ON nn.g = r.g AND r.t = nn.n_days
     """

@@ -533,14 +533,17 @@ def random_projection(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     NULL/empty ones — widen the parameter for wider embeddings.
 
     Cross-engine exactness: each product is quantized to the 1e-12 grid
-    AND cast to DECIMAL(28,12) before summation — the full ``_DOT``
-    pattern from feature_hash. The decimal accumulator (not a binary
-    DOUBLE fold) is what makes the sum truly order- and
-    engine-independent: 1e-12-grid values are not binary-exact, so a
-    DOUBLE fold could in rare cases flip the final FLOOR(sum·1e6 + 0.5)
-    micro rounding between Spark and DuckDB. The output lands as BIGINT
-    micro-units — one (vec_id, j, y_micro) row per output dim, no list
-    cells for the driver canon to choke on.
+    — and since a grid value is an exact INTEGER multiple of 1e-12, the
+    accumulator sums those integers as BIGINT grid units (cheaper than
+    the DECIMAL(28,12) fold this replaced, equally order- and
+    engine-independent: integer addition is exact). One conversion at
+    the end: y_micro = FLOOR((units + 5·10^5) / 10^6) in floor-division
+    arithmetic, evaluated through exactly-representable doubles.
+    Overflow/precision bound: |unit term| ≤ max|v_i|·10^12 + 1 must stay
+    under 2^53 and the ``max_dim``-term sum under 2^63 — both hold for
+    |v_i| ≤ 8 000, far above any normalized embedding. The output lands
+    as BIGINT micro-units — one (vec_id, j, y_micro) row per output
+    dim, no list cells for the driver canon to choke on.
     """
     import hashlib
 
@@ -553,13 +556,12 @@ def random_projection(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
     s_lit = "array(" + ",".join(rows) + ")"
     term = (f"CAST(FLOOR(CAST(element_at({vec_col}, i + 1) AS DOUBLE)"
             f" * element_at(element_at(_rp_s, j + 1), i + 1)"
-            f" * 1000000000000 + 0.5) / 1000000000000"
-            f" AS DECIMAL(28,12))")
+            f" * 1000000000000 + 0.5) AS BIGINT)")
     proj = (f"transform(sequence(0, {k - 1}), j ->"
-            f" CAST(FLOOR(CAST(aggregate(sequence(0, size({vec_col}) - 1),"
-            f" CAST(0 AS DECIMAL(28,12)),"
-            f" (acc, i) -> CAST(acc + ({term}) AS DECIMAL(28,12)))"
-            f" AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+            f" CAST(FLOOR((CAST(aggregate(sequence(0, size({vec_col}) - 1),"
+            f" CAST(0 AS BIGINT),"
+            f" (acc, i) -> acc + ({term}))"
+            f" AS DOUBLE) + 500000) / 1000000) AS BIGINT))")
     return (emb.filter(F.expr(f"{vec_col} IS NOT NULL"
                               f" AND size({vec_col}) BETWEEN 1"
                               f" AND {max_dim}"))
@@ -572,11 +574,12 @@ def random_projection_sql(table: str, k: int = 8, id_col: str = "vec_id",
                           vec_col: str = "embedding",
                           max_dim: int = 1024) -> str:
     """DuckDB oracle for :func:`random_projection` — the same ±1 md5
-    matrix, 1e-12 term grid, and DECIMAL(28,12) summation spelled
-    relationally (decimal sums are exact, so parallel SUM order cannot
-    perturb them); the md5 here is the SOURCE of the Spark side's
-    constant-folded literal, so a generator bug in either spelling
-    hash-mismatches."""
+    matrix and BIGINT 1e-12-grid-unit summation spelled relationally
+    (integer sums are exact, so parallel SUM order cannot perturb
+    them; the HUGEINT SUM result is ≤ ~10^15, exactly representable
+    through the DOUBLE conversion); the md5 here is the SOURCE of the
+    Spark side's constant-folded literal, so a generator bug in either
+    spelling hash-mismatches."""
     sign = ("(CASE WHEN ('0x' || substr(md5('rp:' ||"
             " CAST(i.i AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),"
             " 1, 1))::UBIGINT % 2 = 1 THEN -1.0 ELSE 1.0 END)")
@@ -589,13 +592,13 @@ def random_projection_sql(table: str, k: int = 8, id_col: str = "vec_id",
     terms AS (
       SELECT {id_col}, j.j,
              CAST(FLOOR(v[i.i + 1] * {sign} * 1000000000000 + 0.5)
-                 / 1000000000000 AS DECIMAL(28,12)) AS term
+                 AS BIGINT) AS term
       FROM base,
            LATERAL (SELECT unnest(generate_series(0, {k - 1})) AS j) j,
            LATERAL (SELECT unnest(generate_series(0, len(v) - 1)) AS i) i
     )
     SELECT {id_col}, CAST(j AS INTEGER) AS j,
-           CAST(FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000 + 0.5)
+           CAST(FLOOR((CAST(SUM(term) AS DOUBLE) + 500000) / 1000000)
                 AS BIGINT) AS y_micro
     FROM terms GROUP BY {id_col}, j
     """

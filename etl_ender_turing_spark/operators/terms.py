@@ -557,7 +557,7 @@ def bm25_prf_topk_sql(table: str, query_terms: tuple[str, ...],
     expansion-term selection as chained CTEs (the oracle joins the
     term set; the Spark side pulls it as literals)."""
     from ..functions.rounding import round6u_sql
-    qlist = ", ".join(f"'{t}'" for t in query_terms)
+    qlist = _sql_term_list(query_terms)
     bm25 = (f"ROUND(ln(1 + (n_docs - df_ + 0.5) / (df_ + 0.5))"
             f" * tf * ({k1} + 1)"
             f" / (tf + {k1} * (1 - {b} + {b} * dl / avgdl)), 6)")

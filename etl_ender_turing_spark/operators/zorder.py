@@ -66,7 +66,12 @@ def layout_pruning_audit(df: DataFrame, x_col: str, y_col: str,
     (min/max of both columns) and counts files whose box overlap is
     non-empty. Two tiny aggregates over the corpus — the audit itself
     is a layout decision tool, run on a sample or a partition at
-    production scale."""
+    production scale.
+
+    Precondition: ``0 <= x, y < 2**bits`` for every row. The Morton key
+    interleaves only the low ``bits`` bits, so wider inputs would skew
+    the z-vs-x comparison silently; both file ids therefore use integer
+    ``div`` (exact for all BIGINT, unlike float division)."""
     z_span = (1 << (2 * bits)) // n_files
     x_span = max(1, (1 << bits) // n_files)
     keyed = df.select(
@@ -74,7 +79,7 @@ def layout_pruning_audit(df: DataFrame, x_col: str, y_col: str,
         F.col(y_col).cast("long").alias("y"),
         F.expr(f"({zvalue_spark_sql(x_col, y_col, bits)})"
                f" div {z_span}").alias("zfile"),
-        (F.col(x_col).cast("long") / x_span).cast("long").alias("xfile"))
+        F.expr(f"CAST({x_col} AS BIGINT) div {x_span}").alias("xfile"))
 
     def scanned(file_col: str) -> DataFrame:
         zm = keyed.groupBy(file_col).agg(

@@ -734,9 +734,10 @@ def q_embed_quantize(spark, sf_dir):
         "from md5 parity (Achlioptas 2001) — data-independent "
         "dimension reduction with ZERO shuffle and no trained artifact "
         "(every worker regenerates the matrix from the hash). Products "
-        "quantized to the 1e-12 grid before summation so the sum is "
-        "order-independent; output is BIGINT micro-units, one "
-        "(vec_id, j) row per output dim")
+        "quantized to the 1e-12 grid and accumulated as BIGINT grid "
+        "units (exact integer adds — order-independent and cheaper "
+        "than the decimal fold it replaced); output is BIGINT "
+        "micro-units, one (vec_id, j) row per output dim")
 def q_embed_random_projection(spark, sf_dir):
     return sim.random_projection(_emb(spark, sf_dir), k=8)
 
@@ -1457,6 +1458,13 @@ def q_late_interaction_topk(spark, sf_dir):
         "measured agreement, re-verified every round")
 def q_li_recall_check(spark, sf_dir):
     docs = _docs(spark, sf_dir)
+    # NOTE (r10, measured): each top-10 frame is referenced twice below
+    # (its own count + the semi-join), but ReuseExchange already dedupes
+    # the repeated shuffle subtrees — an eager localCheckpoint of the
+    # 10-row frames was TRIED and made the query SLOWER (8.2 s vs 7.1 s
+    # warm at sf0.1), so the plan stays declarative. The two retrieval
+    # pipelines (token-level MaxSim vs whole-doc hash embed) share no
+    # subtree with each other by construction.
     li = (fh.late_interaction_topk(docs, _LI_TERMS, k=10, dim=64, n=3)
           .select("doc_id"))
     exact = (fh.hash_embed_query_topk(docs, " ".join(_LI_TERMS),

@@ -23,6 +23,26 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from ..operators.upsert import upsert_parquet
 
+_TTL_UNIT_MS = {"day": 86_400_000, "days": 86_400_000,
+                "hour": 3_600_000, "hours": 3_600_000,
+                "minute": 60_000, "minutes": 60_000,
+                "second": 1_000, "seconds": 1_000}
+
+
+def _parse_ttl_ms(state_ttl: str) -> int:
+    """Parse a ``"30 days"``-style TTL into milliseconds, raising
+    ``ValueError`` (not AttributeError/KeyError) on anything that is not
+    ``<int> <unit>`` with a supported unit — the single parser for every
+    ``state_ttl`` knob in this module."""
+    import re as _re
+    m = _re.fullmatch(r"\s*(\d+)\s*(\w+)\s*", state_ttl)
+    if m is None or m.group(2) not in _TTL_UNIT_MS:
+        raise ValueError(
+            f"state_ttl must be '<int> <unit>' with unit in "
+            f"{sorted(set(_TTL_UNIT_MS))}, got {state_ttl!r}")
+    return int(m.group(1)) * _TTL_UNIT_MS[m.group(2)]
+
+
 EVENTS_SCHEMA = T.StructType([
     T.StructField("event_id", T.LongType()),
     T.StructField("ts", T.TimestampType()),
@@ -175,13 +195,7 @@ def stateful_dedup_stream(spark: SparkSession, source_dir: str,
                   " event_type string, value double")
     ttl_ms = None
     if state_ttl is not None:
-        import re as _re
-        n, unit = _re.match(r"(\d+)\s*(\w+)", state_ttl).groups()
-        per = {"day": 86_400_000, "days": 86_400_000,
-               "hour": 3_600_000, "hours": 3_600_000,
-               "minute": 60_000, "minutes": 60_000,
-               "second": 1_000, "seconds": 1_000}[unit]
-        ttl_ms = int(n) * per
+        ttl_ms = _parse_ttl_ms(state_ttl)
         events = events.withWatermark("ts", state_ttl)
     # event times arrive in pandas tz-NAIVE but rendered in the SESSION
     # timezone; bare .timestamp() would read them as UTC and offset the
@@ -754,15 +768,7 @@ def _band_owner_gate(melted: DataFrame,
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    ttl_ms = None
-    if state_ttl is not None:
-        import re as _re
-        n, unit = _re.match(r"(\d+)\s*(\w+)", state_ttl).groups()
-        per = {"day": 86_400_000, "days": 86_400_000,
-               "hour": 3_600_000, "hours": 3_600_000,
-               "minute": 60_000, "minutes": 60_000,
-               "second": 1_000, "seconds": 1_000}[unit]
-        ttl_ms = int(n) * per
+    ttl_ms = _parse_ttl_ms(state_ttl) if state_ttl is not None else None
 
     def gate(key, pdf_iter, state: GroupState):
         import time as _time

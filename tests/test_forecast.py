@@ -65,3 +65,28 @@ def test_matches_duckdb_on_real_series(spark):
     exp = sorted(map(tuple, con.execute(fc.holt_forecast_sql(
         "events", "event_type", "ts")).fetchall()))
     assert got == exp
+
+
+def test_round6s_signed_halfway_matches_duckdb(spark):
+    """Sign-aware 6dp rounding: exact-halfway and negative values agree
+    cross-engine (plain ROUND half-up vs half-even diverges here)."""
+    import duckdb
+
+    from etl_ender_turing_spark.functions.rounding import (round6s,
+                                                           round6s_sql)
+
+    vals = [0.5203125, -0.5203125, 1.0000005, -1.0000005, 0.0, -0.0,
+            2.25, -2.25, 1e-7, -1e-7]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = [r.r for r in df.select(round6s(df.x).alias("r"))
+           .collect()]
+    con = duckdb.connect()
+    exp = [con.execute(
+        f"SELECT {round6s_sql(f'CAST({v!r} AS DOUBLE)')}").fetchone()[0]
+        for v in vals]
+    assert got == exp
+    # half-away-from-zero at the 6dp boundary, symmetric in sign
+    assert got[vals.index(1.0000005)] == 1.000001
+    assert got[vals.index(-1.0000005)] == -1.000001
+    # no -0.0 leaks through either branch
+    assert all(str(v) != "-0.0" for v in got)

@@ -690,3 +690,17 @@ def test_cms_stream_state_is_bounded_and_equals_batch(spark, tmp_path):
             for r in cms_build(token_counts(
                 spark.createDataFrame(docs))).collect()}
     assert got == want
+
+
+def test_parse_ttl_ms_contract():
+    """One shared parser; clear ValueError on malformed input."""
+    import pytest as _pytest
+
+    from etl_ender_turing_spark.streaming.stream import _parse_ttl_ms
+
+    assert _parse_ttl_ms("30 days") == 30 * 86_400_000
+    assert _parse_ttl_ms("1 hour") == 3_600_000
+    assert _parse_ttl_ms("90 seconds") == 90_000
+    for bad in ("1 week", "soon", "3", "days 3", ""):
+        with _pytest.raises(ValueError, match="state_ttl"):
+            _parse_ttl_ms(bad)
