@@ -33,50 +33,56 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- round-9 order (VERDICT r8 'Next round' #1): brand-new queries
-    # with NO driver proof first ---
-    "q_er_candidate_pairs", "q_er_clusters", "q_er_golden_record",
-    "q_zip_members", "q_bloom_prune_scan", "q_image_phash_bmp",
-    "q_triangle_stats", "q_cms_heavy_hitters", "q_stream_zip_gate",
-    "q_er_match_increment", "q_zorder_pruning", "q_frequent_itempairs",
-    "q_audio_g711_stats", "q_bm25_prf", "q_image_phash_ppm",
-    "q_als_half_step", "q_stream_er_gate", "q_stream_cms",
-    "q_quality_clf_from_model", "q_bloom_from_store", "q_flac_meta",
-    "q_hll_distinct", "q_holt_forecast", "q_personalized_pagerank",
-    "q_l_diversity", "q_local_clustering", "q_range_join_events",
-    "q_market_share", "q_er_supplier_pairs",
-    "q_trimmed_mean_prices", "q_markov_transitions",
-    "q_benford_prices", "q_revenue_gini", "q_hll_merge",
-    "q_decile_bins", "q_abc_classification", "q_new_vs_repeat",
-    "q_bpe_from_merges", "q_unigram_from_vocab", "q_video_frag_hashes",
-    "q_li_recall_check", "q_incremental_image_dedup", "q_image_phash_gif",
-    # --- plans changed in round 9 (values unchanged, re-certify):
-    # decimal-accumulated JL sums; video_neardup's frame-coverage
-    # joins (+ its cluster consumer); the value-histogram cardinality
-    # guard's eager checkpoint in curriculum/PSI ---
-    "q_embed_random_projection", "q_video_neardup",
-    "q_video_dup_clusters", "q_curriculum_order", "q_psi_drift",
-    # --- newest green row is ROUND 4 (the 20 the r8 budget cut),
-    # cheapest first per a same-day sf0.01 sweep, streaming last ---
-    "q_kmeans_one_step", "q_cross_source_dups", "q_bm25_topk",
-    "q_embed_ann_multiprobe", "q_hybrid_rrf", "q_dedup_containment",
-    "q_compressed_ann_recall", "q_embed_pq_topk",
-    "q_incremental_dedup_verified", "q_ann_recall_check",
-    "q_dedup_keep_best", "q_bm25_from_index", "q_dedup_prefix_jaccard",
-    "q_embed_ivf_from_index", "q_dup_cluster_stats",
-    "q_minhash_estimate_error", "q_lsh_recall_check",
-    "q_embed_ivf_kmeans", "q_stream_sliding_counts",
+    # --- round-10 consolidation (VERDICT r9 'Next round' #1): drain
+    # every r4/r5-stale driver certification before anything else.
+    # Genuinely new r10 queries (kept to a handful) lead because they
+    # have NO driver proof at all; then the 18 rows whose newest green
+    # driver row is ROUND 4, then the 43 ROUND-5 rows, each tier
+    # cheapest-first by this round's full-sweep sf0.01 timings; the
+    # ROUND-6 tier follows as margin in case the budget exceeds 61.
+    # Ledger: QUERIES.md 'driver' column (tools/dump_catalog.py).
+    # --- new in round 10 ---
+    # (inserted as implemented)
+    # --- newest driver row = ROUND 4 (18) ---
+    "q_bm25_topk", "q_embed_ann_multiprobe", "q_embed_pq_topk",
+    "q_hybrid_rrf", "q_incremental_dedup_verified", "q_bm25_from_index",
+    "q_compressed_ann_recall", "q_ann_recall_check", "q_dedup_containment",
+    "q_dup_cluster_stats", "q_stream_sliding_counts", "q_dedup_keep_best",
+    "q_minhash_estimate_error", "q_dedup_prefix_jaccard",
+    "q_embed_ivf_from_index", "q_lsh_recall_check", "q_embed_ivf_kmeans",
     "q_stream_click_attribution",
-    # --- the next-oldest tier (newest green row ROUND 5, 43 rows):
-    # head of it here up to the ~50-row budget, cheapest first by
-    # recorded bench floors; the cutoff's tail rotates forward in r10 ---
-    "q_repetition_signals", "q_text_quality", "q_explode_part_tokens",
-    "q_dedup_latest_event", "q_zipf_slope", "q_topk_orders_per_segment",
-    "q_dedup_embed_cosine", "q_decontaminate", "q_knn_graph",
-    "q5_revenue_by_nation", "q_incremental_dedup", "q_dedup_minhash_lsh",
-    "q_char_entropy", "q_semdedup_keep", "q2_filter_projection",
-    "q_count_pushdown", "q_scalar_functions", "q_token_count",
-    "q_lang_id", "q_semi_join_reviewed", "q_anti_join_no_orders",
+    # --- newest driver row = ROUND 5 (43) ---
+    "q_token_count", "q_count_pushdown", "q_explode_part_tokens",
+    "q_embed_lsh_buckets", "q_zipf_slope", "q_dedup_consecutive",
+    "q_scalar_functions", "q_snapshot_diff", "q_text_quality",
+    "q_multimodal_features", "q_char_entropy", "q2_filter_projection",
+    "q_pivot_event_types", "q_knn_graph", "q_embed_ivf_cells",
+    "q_incremental_dedup", "q_embed_cosine_topk", "q_anti_join_no_orders",
+    "q_repetition_signals", "q_decontaminate", "q_dedup_latest_event",
+    "q_embed_outliers", "q_set_intersect_except", "q_embed_ann_lsh_topk",
+    "q_dedup_minhash_lsh", "q_semi_join_reviewed", "q_dedup_embed_cosine",
+    "q_semdedup_keep", "q_event_lag_chain", "q_embed_ivf_topk",
+    "q_rank_battery", "q_topk_orders_per_segment", "q_dedup_lsh_jaccard",
+    "q_dedup_exact", "q_dedup_keep_canonical", "q_lang_id",
+    "q_rolling_30d_window", "q_dedup_ngram_jaccard", "q_dedup_simhash",
+    "q_dup_clusters", "q_dedup_simhash_pairs", "q5_revenue_by_nation",
+    "q_dedup_multi_signal",
+    # --- margin: newest driver row = ROUND 6 (45) ---
+    "q_html_extract", "q_corpus_manifest", "q_shard_balance",
+    "q_card_redact", "q_pack_efficiency", "q_url_dedup",
+    "q_bpe_pair_counts", "q_sitemap_urls", "q_extract_links",
+    "q_url_parse", "q_rollup_order_status", "q_unimax_allocation",
+    "q_ngram_lm_counts", "q_hourly_event_rollup", "q_class_tfidf",
+    "q_robots_filter", "q_domain_stats", "q_asof_prev_purchase",
+    "q_paragraph_dedup", "q_skew_salted_distinct", "q_embed_drift",
+    "q_anchor_terms", "q_domain_blocklist", "q_contamination_report",
+    "q_margin_mining", "q_dsir_topk", "q_unimax_sample",
+    "q_prototype_prune", "q_dsir_weights", "q_stream_source_cap",
+    "q_curation_attrition", "q_lm_scores", "q_doremi_step",
+    "q_lang_confusion", "q_quality_ensemble", "q_bpe_merges", "q_text_nfc",
+    "q_lm_ccnet_gate", "q_stream_neardup_gate", "q_bpe_encode",
+    "q_tokenizer_fertility", "q_domain_pagerank", "q_ccnet_buckets",
+    "q_llm_training_set", "q_stream_lm_scores",
 )
 
 
