@@ -42,7 +42,7 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # ROUND-6 tier follows as margin in case the budget exceeds 61.
     # Ledger: QUERIES.md 'driver' column (tools/dump_catalog.py).
     # --- new in round 10 ---
-    # (inserted as implemented)
+    "q_er_indel_pairs", "q_er_golden_increment",
     # --- newest driver row = ROUND 4 (18) ---
     "q_bm25_topk", "q_embed_ann_multiprobe", "q_embed_pq_topk",
     "q_hybrid_rrf", "q_incremental_dedup_verified", "q_bm25_from_index",

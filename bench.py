@@ -145,6 +145,10 @@ BENCH_QUERIES = [
     # triangle census, the value-exact CMS, layout/basket analytics,
     # telephony decode, PRF retrieval, color luma, and the ALS step
     "q_er_match_increment",
+    # round-10: indel-tolerant PassJoin blocking and golden-record
+    # increment maintenance
+    "q_er_indel_pairs",
+    "q_er_golden_increment",
     "q_triangle_stats",
     "q_cms_heavy_hitters",
     "q_zorder_pruning",

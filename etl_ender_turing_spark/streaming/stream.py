@@ -1208,6 +1208,34 @@ def er_gate_stream(spark: SparkSession, landing_dir: str,
             .start())
 
 
+def golden_increment_stream(spark: SparkSession, landing_dir: str,
+                            store: DataFrame, golden_dir: str,
+                            checkpoint_dir: str):
+    """Streaming golden-record MAINTENANCE (the lifecycle piece after
+    :func:`er_gate_stream`): each micro-batch of feed records resolves
+    against the static entity store, survivorship re-runs for the
+    touched entities only (``linkage.golden_increment``), and the
+    update set MERGEs into the golden-record table through the existing
+    idempotent key-upsert — so replayed epochs converge and untouched
+    entities are never rewritten. foreachBatch for the same reason as
+    the gate: the matcher's best-pick window is batch-only."""
+    from ..operators.linkage import golden_increment
+    from ..operators.upsert import upsert_parquet
+
+    feed = (spark.readStream.schema(ER_FEED_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing_dir))
+
+    def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        upsert_parquet(spark, golden_increment(store, batch_df),
+                       golden_dir, key=("entity_id",))
+
+    return (feed.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def run_er_gate_batch(spark: SparkSession, sf_dir: str,
                       checkpoint_dir: str, landing_dir: str,
                       store_dir: str, out_dir: str) -> DataFrame:

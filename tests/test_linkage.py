@@ -150,3 +150,124 @@ def test_increment_batch_side_is_broadcast(spark):
     plan = (lk.er_match_increment(store, lk.increment_feed(cust))
             ._jdf.queryExecution().executedPlan().toString())
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Indel-tolerant PassJoin blocking (round 10)
+# ---------------------------------------------------------------------------
+
+def test_indel_tiers_link_and_reject(spark):
+    recs = lk.indel_customers(_cust(spark, 60))
+    got = {(r.rec_a, r.rec_b): r.lev
+           for r in lk.er_indel_pairs(recs).collect()}
+    for k in range(60):
+        if k % 6 == 1:      # one inserted letter -> links at lev 1
+            assert got[(k, k + 70_000_000)] == 1
+        if k % 6 == 3:      # one deleted digit -> links at lev 1
+            assert got[(k, k + 80_000_000)] == 1
+        if k % 12 == 0:     # insertion + substitution -> links at lev 2
+            assert got[(k, k + 90_000_000)] == 2
+        if k % 12 == 5:     # three insertions -> must NOT link
+            assert (k, k + 100_000_000) not in got
+
+
+def test_indel_blocking_recall_matches_allpairs_verify(spark):
+    """PassJoin candidates + verify == brute-force all-pairs verify —
+    the pigeonhole guarantee now holds for insertions and deletions,
+    not just substitutions (the r9 verdict's documented gap)."""
+    recs = lk.indel_customers(_cust(spark, 40))
+    blocked = {(r.rec_a, r.rec_b)
+               for r in lk.er_indel_pairs(recs).collect()}
+    a, b = recs.alias("a"), recs.alias("b")
+    brute = {(r.rec_a, r.rec_b) for r in
+             a.join(b, (F.col("a.rec_id") < F.col("b.rec_id"))
+                    & (F.col("a.nationkey") == F.col("b.nationkey")))
+             .select(F.col("a.rec_id").alias("rec_a"),
+                     F.col("b.rec_id").alias("rec_b"),
+                     F.levenshtein("a.name", "b.name").alias("lev"),
+                     F.abs(F.col("a.bal") - F.col("b.bal")).alias("bd"))
+             .filter((F.col("lev") <= lk.MAX_EDITS)
+                     & (F.col("bd") <= lk.BAL_WINDOW)).collect()}
+    assert blocked == brute
+
+
+def test_indel_star_fallback_caps_block_expansion(spark):
+    """A degenerate bucket over max_block pairs the min-id index member
+    against the probe members only — linear, not quadratic."""
+    from pyspark.sql import Row
+    rows = [Row(rec_id=i, name="Customer#000000000", nationkey=1,
+                bal=0.0, origin="base") for i in range(12)]
+    recs = spark.createDataFrame(rows)
+    got = {(r.rec_a, r.rec_b)
+           for r in lk.er_indel_pairs(recs, max_block=10).collect()}
+    assert got == {(0, i) for i in range(1, 12)}
+
+
+def _day0_store(cust):
+    return cust.select(F.col("c_custkey").alias("entity_id"),
+                       F.col("c_name").alias("name"),
+                       F.col("c_nationkey").alias("nationkey"),
+                       F.col("c_acctbal").alias("bal"))
+
+
+def test_golden_increment_updates_and_mints(spark):
+    cust = _cust(spark, 70)
+    store = _day0_store(cust)
+    got = {r.entity_id: r for r in
+           lk.golden_increment(store, lk.increment_feed(cust)).collect()}
+    touched = {k for k in range(70) if k % 7 == 3}
+    minted = {k + 60_000_000 for k in range(70) if k % 7 == 5}
+    assert set(got) == touched | minted
+    base = {r.c_custkey: r for r in cust.collect()}
+    for k in touched:
+        r = got[k]
+        # store representative + the matched feed record; canonical name
+        # stays the min-rec_id member's (the store rep), balance max wins
+        assert not r.is_new and r.n_members == 2
+        assert r.canonical_name == base[k].c_name
+        assert r.best_bal == float(base[k].c_acctbal) + 100.0
+    for e in minted:
+        r = got[e]
+        assert r.is_new and r.n_members == 1
+
+
+def test_golden_increment_stream_matches_batch(spark, tmp_path):
+    """foreachBatch wiring: the feed lands as two micro-batches, each
+    MERGEs its survivorship update set into the golden parquet store via
+    the idempotent key-upsert — the final table equals day-0 rows
+    upserted with the ONE-SHOT batch update set."""
+    from etl_ender_turing_spark.streaming.stream import (
+        golden_increment_stream)
+
+    cust = _cust(spark, 70)
+    store = _day0_store(cust)
+    feed = lk.increment_feed(cust)
+
+    landing = str(tmp_path / "landing")
+    (feed.withColumn("nationkey", F.col("nationkey").cast("int"))
+     .withColumn("bal", F.col("bal").cast("double"))
+     .repartition(2).write.mode("overwrite").parquet(landing))
+    golden_dir = str(tmp_path / "golden")
+    # day-0 golden store: every base entity as its own golden row
+    day0 = store.select(
+        "entity_id", F.col("name").alias("canonical_name"),
+        F.col("bal").alias("best_bal"),
+        F.lit(1).cast("long").alias("n_members"),
+        F.lit(False).alias("is_new"))
+    day0.write.mode("overwrite").parquet(golden_dir)
+
+    q = golden_increment_stream(spark, landing, store, golden_dir,
+                                str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    upd = {r.entity_id: r for r in
+           lk.golden_increment(store, feed).collect()}
+    final = {r.entity_id: r for r in
+             spark.read.parquet(golden_dir).collect()}
+    exp = {r.entity_id: r for r in day0.collect()} | upd
+    assert set(final) == set(exp)
+    for e, r in exp.items():
+        g = final[e]
+        assert (g.canonical_name, float(g.best_bal), g.n_members,
+                g.is_new) == (r.canonical_name, float(r.best_bal),
+                              r.n_members, r.is_new), e

@@ -36,6 +36,7 @@ from etl_ender_turing_spark.operators import curation as cu
 from etl_ender_turing_spark.operators import dedup as dd
 from etl_ender_turing_spark.operators import dsir as dsr
 from etl_ender_turing_spark.operators import graph as gr
+from etl_ender_turing_spark.operators import linkage as lk
 from etl_ender_turing_spark.operators import lm
 from etl_ender_turing_spark.operators import sampling as sp
 from etl_ender_turing_spark.operators import similarity as sim
@@ -64,6 +65,25 @@ def replicate(df, k: int, id_col: str):
     return out
 
 
+def replicate_customers(cust, k: int):
+    """k customer copies for the ER probes: ids offset by 1e9 (clear of
+    the 10M..100M variant-offset convention) and replica NAMES
+    regenerated from md5 of the new key — so copies do NOT cross-match
+    (two hex zones at lev <= 2 are vanishingly rare) and the probe
+    measures the ALGORITHM's growth, not a by-construction quadratic
+    true-match set (identical-name replication makes the correct output
+    itself O(k^2) per name)."""
+    span = 1_000_000_000
+    out = cust
+    for i in range(1, k):
+        out = out.unionByName(
+            cust.withColumn("c_custkey", F.col("c_custkey") + i * span)
+            .withColumn("c_name", F.expr(
+                "concat('Customer#', substr(md5(CAST(c_custkey AS STRING"
+                ")), 1, 9))")))
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = get_spark("scale_probe")
@@ -71,7 +91,9 @@ def main() -> None:
     docs0 = read_table(spark, sf_dir, "documents")
     emb0 = read_table(spark, sf_dir, "embeddings")
     ev0 = read_table(spark, sf_dir, "events")
-    docs0.count(), emb0.count(), ev0.count()  # warm
+    cust0 = read_table(spark, sf_dir, "customer")
+    docs0.count(), emb0.count(), ev0.count(), cust0.count()  # warm
+    held = {}   # per-k side tables for ops outside the (d, e, ev) trio
 
     ops = {
         "exact_dedup": lambda d, e, ev: force(dd.exact_dedup_groups(d)),
@@ -237,6 +259,23 @@ def main() -> None:
             max_total_hamming=4)),
         "mm_training_set": lambda d, e, ev: force(
             cu.prepare_multimodal_training_set(d)),
+        # round-10 ER probes (r9 verdict #6), riding the md5-renamed
+        # customer replication in `held` (replicas never cross-match, so
+        # the true match set grows linearly and the ratio measures the
+        # blocking/verify machinery): the 4-stage candidate path, the
+        # indel-tolerant PassJoin path, and the store-streams/batch-
+        # broadcast increment matcher
+        "er_pairs": lambda d, e, ev: force(lk.er_candidate_pairs(
+            lk.dirty_customers(held["cust"]))),
+        "er_indel_pairs": lambda d, e, ev: force(lk.er_indel_pairs(
+            lk.indel_customers(held["cust"]))),
+        "er_increment": lambda d, e, ev: force(lk.er_match_increment(
+            held["cust"].select(
+                F.col("c_custkey").alias("entity_id"),
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nationkey"),
+                F.col("c_acctbal").alias("bal")),
+            lk.increment_feed(held["cust"]))),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
@@ -254,6 +293,7 @@ def main() -> None:
             d = replicate(docs0, k, "doc_id")
             e = replicate(emb0, k, "vec_id")
             ev = replicate(ev0, k, "user_id")
+            held["cust"] = replicate_customers(cust0, k)
             t0 = time.perf_counter()
             fn(d, e, ev)
             times.append(time.perf_counter() - t0)
