@@ -43,6 +43,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # Ledger: QUERIES.md 'driver' column (tools/dump_catalog.py).
     # --- new in round 10 ---
     "q_er_indel_pairs", "q_er_golden_increment",
+    # --- plans changed in round 10 (values unchanged, re-certify):
+    # the balance-band blocking key added to every ER path ---
+    "q_er_candidate_pairs", "q_er_clusters", "q_er_golden_record",
+    "q_er_supplier_pairs", "q_er_match_increment", "q_stream_er_gate",
     # --- newest driver row = ROUND 4 (18) ---
     "q_bm25_topk", "q_embed_ann_multiprobe", "q_embed_pq_topk",
     "q_hybrid_rrf", "q_incremental_dedup_verified", "q_bm25_from_index",

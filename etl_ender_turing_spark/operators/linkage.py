@@ -151,24 +151,48 @@ def _segval(name: str, s: str) -> str:
             f" || substr({name}, {ZONE_START + 6} + {s}, 1))")
 
 
+def _band_cell(bal: str, g: str, w: float) -> str:
+    """SQL snippet: the balance-band cell of grid ``g`` (0 or 1) —
+    two half-shifted grids of width 2w+1, so any two balances within
+    the verify window ``w`` share a cell on at least one grid (with a
+    full 1.0 of slack over the minimal 2w width, far beyond double
+    rounding). Blocking keys gain (g, cell), which keeps bucket density
+    BOUNDED as the corpus outgrows the fixed segment-key space: without
+    it, in-bucket candidates grow ~n²/|key space| once segments
+    saturate (measured: the 16x→32x replication doubling tripled
+    candidate pairs). Recall is preserved exactly — the grid lemma is a
+    guarantee, not a heuristic — and the oracles keep joining on the
+    segment-only superset, so certified outputs are unchanged."""
+    return (f"CAST(FLOOR(({bal} + ({g}) * {w + 0.5}) / {2 * w + 1})"
+            f" AS BIGINT)")
+
+
 def er_candidate_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
                        bal_window: float = BAL_WINDOW,
                        max_block: int = MAX_BLOCK) -> DataFrame:
     """(rec_a, rec_b, lev): verified match pairs, ``rec_a < rec_b``.
 
-    Melt each record into its three (class, segment) block keys, bucket
-    by (nationkey, class, segment), expand in-bucket pairs with the
-    ordered-``collect_set`` lambda shape of ``banded_hamming_pairs``
-    (blocks over ``max_block`` fall back to star pairs against the
-    min-id member — connectivity preserved, quadratic cost refused),
-    verify with full levenshtein + the balance window, distinct."""
+    Melt each record into its three (class, segment) block keys crossed
+    with the two balance-band grid keys (:func:`_band_cell` — a pair
+    inside the balance window always shares a band cell, and the band
+    keeps buckets bounded when the corpus outgrows the segment-key
+    space), bucket by (nationkey, class, segment, grid, cell), expand
+    in-bucket pairs with the ordered-``collect_set`` lambda shape of
+    ``banded_hamming_pairs`` (blocks over ``max_block`` fall back to
+    star pairs against the min-id member — connectivity preserved,
+    quadratic cost refused), verify with full levenshtein + the balance
+    window, distinct."""
+    cell = _band_cell("bal", "g", bal_window)
     melted = recs.select(
         "rec_id", "name", "nationkey", "bal",
-        F.expr(f"explode(transform(sequence(0, {N_CLASSES - 1}),"
-               f" s -> struct(s AS seg, {_segval('name', 's')} AS segval)))"
+        F.expr(f"explode(flatten(transform(sequence(0, {N_CLASSES - 1}),"
+               f" s -> transform(sequence(0, 1), g ->"
+               f" struct(s AS seg, {_segval('name', 's')} AS segval,"
+               f" g AS g, {cell} AS cell)))))"
                ).alias("b")) \
-        .select("rec_id", "name", "nationkey", "bal", "b.seg", "b.segval")
-    buckets = (melted.groupBy("nationkey", "seg", "segval")
+        .select("rec_id", "name", "nationkey", "bal",
+                "b.seg", "b.segval", "b.g", "b.cell")
+    buckets = (melted.groupBy("nationkey", "seg", "segval", "g", "cell")
                .agg(F.sort_array(F.collect_set(F.struct(
                    F.col("rec_id").alias("id"),
                    F.col("name").alias("nm"),
@@ -291,13 +315,18 @@ def increment_feed_sql(table: str = "customer") -> str:
             f" FROM {table} WHERE c_custkey % 7 = 5")
 
 
-def _melt_segments(recs: DataFrame, id_col: str) -> DataFrame:
+def _melt_segments(recs: DataFrame, id_col: str,
+                   bal_window: float = BAL_WINDOW) -> DataFrame:
+    cell = _band_cell("bal", "g", bal_window)
     return recs.select(
         id_col, "name", "nationkey", "bal",
-        F.expr(f"explode(transform(sequence(0, {N_CLASSES - 1}),"
-               f" s -> struct(s AS seg, {_segval('name', 's')} AS segval)))"
+        F.expr(f"explode(flatten(transform(sequence(0, {N_CLASSES - 1}),"
+               f" s -> transform(sequence(0, 1), g ->"
+               f" struct(s AS seg, {_segval('name', 's')} AS segval,"
+               f" g AS g, {cell} AS cell)))))"
                ).alias("b")) \
-        .select(id_col, "name", "nationkey", "bal", "b.seg", "b.segval")
+        .select(id_col, "name", "nationkey", "bal",
+                "b.seg", "b.segval", "b.g", "b.cell")
 
 
 def er_match_increment(store: DataFrame, batch: DataFrame,
@@ -314,12 +343,13 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
     total order. ``store``: (entity_id, name, nationkey, bal)."""
     sm = _melt_segments(
         store.select(F.col("entity_id"), "name", "nationkey", "bal"),
-        "entity_id").withColumnRenamed("name", "s_name") \
+        "entity_id", bal_window).withColumnRenamed("name", "s_name") \
         .withColumnRenamed("bal", "s_bal")
-    bm = _melt_segments(batch, "rec_id") \
+    bm = _melt_segments(batch, "rec_id", bal_window) \
         .withColumnRenamed("name", "b_name") \
         .withColumnRenamed("bal", "b_bal")
-    cand = (sm.join(F.broadcast(bm), ["nationkey", "seg", "segval"])
+    cand = (sm.join(F.broadcast(bm),
+                    ["nationkey", "seg", "segval", "g", "cell"])
             .select("rec_id", "entity_id",
                     F.levenshtein("s_name", "b_name").cast("long")
                     .alias("lev"),
@@ -511,7 +541,9 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
     blocking recall exactly).
 
     Index side: each record partitions its own zone (length n) into
-    3 contiguous segments → key (nationkey, n, i, segment).
+    3 contiguous segments → key (nationkey, n, i, segment) crossed
+    with the two balance-band grid keys (:func:`_band_cell`, density
+    bound).
     Probe side: for every candidate partner length l ∈ [n-τ, n+τ] and
     segment i of the LENGTH-l scheme, the substrings at the scheme
     start shifted by δ with |δ| + |(n-l) - δ| ≤ τ — the pigeonhole
@@ -526,18 +558,22 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
     z = f"substr(name, {ZONE_START})"
     islen, istart = _pj_arith("n", "i", "div")
     pslen, pstart = _pj_arith("(n + dl)", "i", "div")
+    cell = _band_cell("bal", "g", bal_window)
     base = recs.select("rec_id", "name", "nationkey", "bal",
                        F.expr(f"{z}").alias("zz"),
                        F.expr(f"length({z})").alias("n"))
     ix = base.select(
         "rec_id", "name", "nationkey", "bal",
-        F.expr(f"explode(transform(sequence(0, 2), i -> struct("
+        F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
+               f" transform(sequence(0, 2), i -> struct("
                f"n AS l, i AS i,"
-               f" substr(zz, {istart}, {islen}) AS content)))").alias("k"),
+               f" substr(zz, {istart}, {islen}) AS content,"
+               f" g AS g, {cell} AS cell)))))").alias("k"),
         F.lit(0).alias("side"))
     pr = base.select(
         "rec_id", "name", "nationkey", "bal",
-        F.expr(f"""explode(flatten(flatten(
+        F.expr(f"""explode(flatten(flatten(flatten(
+          transform(sequence(0, 1), g ->
           transform(sequence(-{tau}, {tau}), dl ->
             transform(sequence(0, 2), i ->
               transform(
@@ -548,15 +584,18 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
                   AND {pstart} + d + {pslen} - 1 <= n),
                 d -> struct((n + dl) AS l, i AS i,
                             substr(zz, {pstart} + d, {pslen})
-                              AS content)))))))""").alias("k"),
+                              AS content,
+                            g AS g, {cell} AS cell)))))))))""").alias("k"),
         F.lit(1).alias("side"))
     melted = ix.unionByName(pr).select(
         "nationkey", F.col("k.l").alias("l"), F.col("k.i").alias("i"),
         F.col("k.content").alias("content"),
+        F.col("k.g").alias("g"), F.col("k.cell").alias("cell"),
         F.struct(F.col("side").alias("sd"), F.col("rec_id").alias("id"),
                  F.col("name").alias("nm"), F.col("bal").alias("bl"))
         .alias("m"))
-    buckets = (melted.groupBy("nationkey", "l", "i", "content")
+    buckets = (melted.groupBy("nationkey", "l", "i", "content",
+                              "g", "cell")
                .agg(F.sort_array(F.collect_set("m")).alias("xs"))
                .filter(F.expr("exists(xs, x -> x.sd = 0)"
                               " AND exists(xs, x -> x.sd = 1)")))

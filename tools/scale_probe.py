@@ -276,6 +276,17 @@ def main() -> None:
                 F.col("c_nationkey").alias("nationkey"),
                 F.col("c_acctbal").alias("bal")),
             lk.increment_feed(held["cust"]))),
+        # the production contract: the nightly batch is BOUNDED while
+        # the store grows — only the store side scales here, so this is
+        # the increment matcher's real 100 TB profile (er_increment
+        # above grows both sides, incl. the broadcast batch)
+        "er_incr_store": lambda d, e, ev: force(lk.er_match_increment(
+            held["cust"].select(
+                F.col("c_custkey").alias("entity_id"),
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nationkey"),
+                F.col("c_acctbal").alias("bal")),
+            lk.increment_feed(held["cust0_fixed"]))),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
@@ -294,6 +305,7 @@ def main() -> None:
             e = replicate(emb0, k, "vec_id")
             ev = replicate(ev0, k, "user_id")
             held["cust"] = replicate_customers(cust0, k)
+            held["cust0_fixed"] = cust0
             t0 = time.perf_counter()
             fn(d, e, ev)
             times.append(time.perf_counter() - t0)
