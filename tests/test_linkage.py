@@ -271,3 +271,90 @@ def test_golden_increment_stream_matches_batch(spark, tmp_path):
         assert (g.canonical_name, float(g.best_bal), g.n_members,
                 g.is_new) == (r.canonical_name, float(r.best_bal),
                               r.n_members, r.is_new), e
+
+
+def test_indel_blocking_recall_randomized(spark):
+    """Seeded randomized pin of the PassJoin pigeonhole: 200 base
+    records each spawn a variant with 1-2 RANDOM edits (insert/delete/
+    substitute at random zone positions) — every variant pair within
+    max_edits of its base (and balance window) must be recalled.
+    Catches window-arithmetic off-by-ones the deterministic planted
+    fixture can't reach."""
+    import random
+
+    from pyspark.sql import Row
+    rng = random.Random(42)
+    rows, expected = [], set()
+    for i in range(200):
+        digits = "".join(rng.choice("0123456789") for _ in range(9))
+        base = f"Customer#{digits}"
+        rows.append(Row(rec_id=i, name=base, nationkey=i % 5,
+                        bal=float(i), origin="base"))
+        name = base
+        for _ in range(rng.randint(1, 2)):
+            op = rng.choice("ids")
+            # zone-relative position (0-based offset into the suffix
+            # from ZONE_START); keep the zone length within [7, 11]
+            zlen = len(name) - 9
+            if op == "i" and zlen < 11:
+                p = 9 + rng.randint(0, zlen)
+                name = name[:p] + rng.choice("XYZQW") + name[p:]
+            elif op == "d" and zlen > 7:
+                p = 9 + rng.randint(0, zlen - 1)
+                name = name[:p] + name[p + 1:]
+            else:
+                p = 9 + rng.randint(0, zlen - 1)
+                name = name[:p] + rng.choice("XYZQW") + name[p + 1:]
+        rows.append(Row(rec_id=10_000 + i, name=name, nationkey=i % 5,
+                        bal=float(i) + 10.0, origin="variant"))
+        expected.add((i, 10_000 + i))
+    recs = spark.createDataFrame(rows)
+    got = {(r.rec_a, r.rec_b): r.lev
+           for r in lk.er_indel_pairs(recs).collect()}
+    # a variant whose random edits happened to cancel below lev<=2 of a
+    # DIFFERENT record is legit extra output; the guarantee under test
+    # is that every (base, its-variant) pair with lev <= max_edits is
+    # present — compute the true lev per pair from the engine itself
+    levs = {tuple(sorted((a, b))): None for a, b in expected}
+    import itertools
+    name_of = {r.rec_id: r.name for r in rows}
+
+    def lev(a, b):
+        # tiny python levenshtein for the 200 assertion pairs only
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    missed = [(a, b) for a, b in expected
+              if lev(name_of[a], name_of[b]) <= lk.MAX_EDITS
+              and (a, b) not in got]
+    assert missed == [], f"recall holes: {missed[:5]}"
+
+
+def test_indel_operator_is_schema_generic_on_suppliers(spark):
+    """er_indel_pairs over supplier-shaped records == brute-force verify
+    (the q_er_supplier_pairs genericity argument for the indel path)."""
+    sup = spark.read.parquet(f"{SF}/supplier.parquet")
+    recs = sup.select(F.col("s_suppkey").alias("rec_id"),
+                      F.col("s_name").alias("name"),
+                      F.col("s_nationkey").alias("nationkey"),
+                      F.col("s_acctbal").alias("bal"))
+    blocked = {(r.rec_a, r.rec_b)
+               for r in lk.er_indel_pairs(recs).collect()}
+    a, b = recs.alias("a"), recs.alias("b")
+    brute = {(r.rec_a, r.rec_b) for r in
+             a.join(b, (F.col("a.rec_id") < F.col("b.rec_id"))
+                    & (F.col("a.nationkey") == F.col("b.nationkey")))
+             .select(F.col("a.rec_id").alias("rec_a"),
+                     F.col("b.rec_id").alias("rec_b"),
+                     F.levenshtein("a.name", "b.name").alias("lev"),
+                     F.abs(F.col("a.bal") - F.col("b.bal")).alias("bd"))
+             .filter((F.col("lev") <= lk.MAX_EDITS)
+                     & (F.col("bd") <= lk.BAL_WINDOW)).collect()}
+    assert blocked == brute
