@@ -287,12 +287,18 @@ _OFF_INC_MATCH = 50_000_000   # one edit, book moved +100 → must match
 _OFF_INC_NEW = 60_000_000     # three edits → genuinely new entity
 
 
+_OFF_INC_INS = 110_000_000   # one INSERTED letter → must match (lev 1)
+_OFF_INC_DEL = 120_000_000   # one DELETED digit   → must match (lev 1)
+
+
 def increment_feed(cust: DataFrame) -> DataFrame:
     """(rec_id, name, nationkey, bal, origin): tonight's feed batch —
-    every (k % 7 == 3) customer re-arrives with a one-letter typo
-    (must match its existing entity) and every (k % 7 == 5) arrives
-    three-edits corrupted (a genuinely new entity the matcher must NOT
-    force onto an existing one)."""
+    every (k % 7 == 3) customer re-arrives with a one-letter typo and
+    every (k % 7 == 1) / (k % 7 == 6) with an INSERTED letter /
+    DELETED digit (all three must match their existing entity — real
+    dirty feeds contain indels, the round-10 lifecycle completion),
+    while every (k % 7 == 5) arrives three-edits corrupted (a genuinely
+    new entity the matcher must NOT force onto an existing one)."""
     def variant(rem: int, off: int, name_expr: str, origin: str):
         return (cust.filter((F.col("c_custkey") % 7) == rem)
                 .select((F.col("c_custkey") + off).alias("rec_id"),
@@ -301,6 +307,10 @@ def increment_feed(cust: DataFrame) -> DataFrame:
                         (F.col("c_acctbal") + 100.0).alias("bal"),
                         F.lit(origin).alias("origin")))
     return (variant(3, _OFF_INC_MATCH, _v1_name(), "feed_match")
+            .unionByName(variant(1, _OFF_INC_INS, _vins_name(),
+                                 "feed_ins"))
+            .unionByName(variant(6, _OFF_INC_DEL, _vdel_name(),
+                                 "feed_del"))
             .unionByName(variant(5, _OFF_INC_NEW, _v3_name(), "feed_new")))
 
 
@@ -309,6 +319,14 @@ def increment_feed_sql(table: str = "customer") -> str:
             f" {_v1_name()} AS name, c_nationkey AS nationkey,"
             f" c_acctbal + 100.0 AS bal, 'feed_match' AS origin"
             f" FROM {table} WHERE c_custkey % 7 = 3"
+            f" UNION ALL"
+            f" SELECT c_custkey + {_OFF_INC_INS}, {_vins_name()},"
+            f" c_nationkey, c_acctbal + 100.0, 'feed_ins'"
+            f" FROM {table} WHERE c_custkey % 7 = 1"
+            f" UNION ALL"
+            f" SELECT c_custkey + {_OFF_INC_DEL}, {_vdel_name()},"
+            f" c_nationkey, c_acctbal + 100.0, 'feed_del'"
+            f" FROM {table} WHERE c_custkey % 7 = 6"
             f" UNION ALL"
             f" SELECT c_custkey + {_OFF_INC_NEW}, {_v3_name()},"
             f" c_nationkey, c_acctbal + 100.0, 'feed_new'"
@@ -339,17 +357,63 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
     streams by block key, the small feed batch is BROADCAST, candidates
     are cross-side only (no in-bucket expansion, no star cap on this
     path at all), and the historical corpus is never re-clustered.
-    Best match per record = min (lev, entity_id) — a deterministic
-    total order. ``store``: (entity_id, name, nationkey, bal)."""
-    sm = _melt_segments(
-        store.select(F.col("entity_id"), "name", "nationkey", "bal"),
-        "entity_id", bal_window).withColumnRenamed("name", "s_name") \
-        .withColumnRenamed("bal", "s_bal")
-    bm = _melt_segments(batch, "rec_id", bal_window) \
-        .withColumnRenamed("name", "b_name") \
-        .withColumnRenamed("bal", "b_bal")
+
+    Round-10: blocking upgraded from the substitution-only interleaved
+    classes to the FULL PassJoin multi-length scheme (the
+    :func:`er_indel_pairs` machinery) — the store INDEXES the 3
+    contiguous segments of its own zone (constant fan-out on the huge
+    side), the small batch PROBES every partner length l ∈ [n-τ, n+τ]
+    in BOTH directions (the one-direction refinement does not apply:
+    the indexed side is fixed), so a feed record with an inserted or
+    deleted character still reaches its entity. The oracle is the
+    EXHAUSTIVE store×batch verification — a hash match proves blocking
+    recall, not just agreement. Best match per record = min (lev,
+    entity_id) — a deterministic total order. ``store``: (entity_id,
+    name, nationkey, bal)."""
+    tau = max_edits
+    z = f"substr(name, {ZONE_START})"
+    islen, istart = _pj_arith("n", "i", "div")
+    pslen, pstart = _pj_arith("(n + dl)", "i", "div")
+    cell = _band_cell("bal", "g", bal_window)
+    sbase = (store.select(F.col("entity_id"), "name", "nationkey", "bal")
+             .select("entity_id", "name", "nationkey", "bal",
+                     F.expr(z).alias("zz"),
+                     F.expr(f"length({z})").alias("n")))
+    sm = sbase.select(
+        "entity_id", F.col("name").alias("s_name"), "nationkey",
+        F.col("bal").alias("s_bal"),
+        F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
+               f" transform(sequence(0, 2), i -> struct("
+               f"n AS l, i AS i,"
+               f" substr(zz, {istart}, {islen}) AS content,"
+               f" g AS g, {cell} AS cell)))))").alias("k")) \
+        .select("entity_id", "s_name", "nationkey", "s_bal",
+                "k.l", "k.i", "k.content", "k.g", "k.cell")
+    bbase = batch.select("rec_id", "name", "nationkey", "bal",
+                         F.expr(z).alias("zz"),
+                         F.expr(f"length({z})").alias("n"))
+    bm = bbase.select(
+        "rec_id", F.col("name").alias("b_name"), "nationkey",
+        F.col("bal").alias("b_bal"),
+        F.expr(f"""explode(array_distinct(flatten(flatten(flatten(
+          transform(sequence(0, 1), g ->
+          transform(sequence(-{tau}, {tau}), dl ->
+            transform(sequence(0, 2), i ->
+              transform(
+                filter(sequence(-{tau}, {tau}), d ->
+                  n + dl >= 3
+                  AND abs(d) + abs(dl + d) <= {tau}
+                  AND {pstart} + d >= 1
+                  AND {pstart} + d + {pslen} - 1 <= n),
+                d -> struct((n + dl) AS l, i AS i,
+                            substr(zz, {pstart} + d, {pslen})
+                              AS content,
+                            g AS g, {cell} AS cell))))))))))""")
+        .alias("k")) \
+        .select("rec_id", "b_name", "nationkey", "b_bal",
+                "k.l", "k.i", "k.content", "k.g", "k.cell")
     cand = (sm.join(F.broadcast(bm),
-                    ["nationkey", "seg", "segval", "g", "cell"])
+                    ["nationkey", "l", "i", "content", "g", "cell"])
             .select("rec_id", "entity_id",
                     F.levenshtein("s_name", "b_name").cast("long")
                     .alias("lev"),
@@ -372,31 +436,24 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
 def er_match_increment_sql(table: str = "customer",
                            max_edits: int = MAX_EDITS,
                            bal_window: float = BAL_WINDOW) -> str:
-    """DuckDB oracle for :func:`er_match_increment` with the day-0
-    store = the base customer dimension (one entity per base record)."""
+    """EXHAUSTIVE oracle for :func:`er_match_increment` with the day-0
+    store = the base customer dimension (one entity per base record):
+    all same-nation store×batch pairs verified by levenshtein + the
+    balance window — deliberately NOT a blocking mirror, so the hash
+    match certifies the PassJoin candidate set reaches every true
+    match (the :func:`er_indel_pairs_sql` discipline; the batch side
+    is small, so the oracle's cross product stays tractable at
+    certification SFs)."""
     store = (f"SELECT c_custkey AS entity_id, c_name AS name,"
              f" c_nationkey AS nationkey, c_acctbal AS bal FROM {table}")
-    seg_s = _segval("s.name", "g.s")
-    seg_b = _segval("b.name", "g.s")
     return f"""
     WITH store AS ({store}), batch AS ({increment_feed_sql(table)}),
-    sm AS (SELECT s.entity_id, s.name, s.nationkey, s.bal,
-                  g.s AS seg, {seg_s} AS segval
-           FROM store s,
-                (SELECT unnest(generate_series(0, {N_CLASSES - 1})) AS s)
-                g),
-    bm AS (SELECT b.rec_id, b.name, b.nationkey, b.bal,
-                  g.s AS seg, {seg_b} AS segval
-           FROM batch b,
-                (SELECT unnest(generate_series(0, {N_CLASSES - 1})) AS s)
-                g),
     cand AS (
-      SELECT DISTINCT bm.rec_id, sm.entity_id,
-             CAST(levenshtein(sm.name, bm.name) AS BIGINT) AS lev
-      FROM sm JOIN bm ON sm.nationkey = bm.nationkey
-                     AND sm.seg = bm.seg AND sm.segval = bm.segval
-      WHERE levenshtein(sm.name, bm.name) <= {max_edits}
-        AND abs(sm.bal - bm.bal) <= {bal_window}
+      SELECT b.rec_id, s.entity_id,
+             CAST(levenshtein(s.name, b.name) AS BIGINT) AS lev
+      FROM store s JOIN batch b ON s.nationkey = b.nationkey
+      WHERE levenshtein(s.name, b.name) <= {max_edits}
+        AND abs(s.bal - b.bal) <= {bal_window}
     ),
     best AS (
       SELECT rec_id, entity_id, lev,

@@ -1927,14 +1927,17 @@ _install_bloom_oracle()
     None,  # installed below
     doc="incremental entity resolution against a PERSISTED entity store "
         "(linkage.er_match_increment): the day-0 entity store is "
-        "written to parquet once, then tonight's feed batch — one-edit "
-        "re-arrivals that must match their entity, three-edit arrivals "
-        "that must mint new ones — blocks against the store READ BACK "
-        "from disk with the batch side broadcast; candidates are "
-        "cross-side only (no in-bucket expansion, no star cap exists on "
-        "this path), best match by the deterministic (lev, entity_id) "
-        "order, unmatched records coalesce to new entities. The "
-        "q_incremental_dedup_verified lifecycle, completed for MDM")
+        "written to parquet once, then tonight's feed batch — "
+        "substitution, INSERTION and DELETION re-arrivals that must "
+        "match their entity (r10: blocking upgraded to the PassJoin "
+        "multi-length keys, store indexes / broadcast batch probes "
+        "both directions), three-edit arrivals that must mint new "
+        "ones; candidates are cross-side only (no in-bucket expansion), "
+        "best match by the deterministic (lev, entity_id) order, "
+        "unmatched records coalesce to new entities. Certified against "
+        "the EXHAUSTIVE store-x-batch oracle — the hash match proves "
+        "blocking recall. The q_incremental_dedup_verified lifecycle, "
+        "completed for MDM")
 def q_er_match_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 

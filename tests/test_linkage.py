@@ -128,12 +128,17 @@ def test_increment_matching_assigns_and_mints(spark):
            lk.er_match_increment(store, lk.increment_feed(cust))
            .collect()}
     # every feed record got exactly one verdict
-    n_match = sum(1 for k in range(70) if k % 7 == 3)
-    n_new = sum(1 for k in range(70) if k % 7 == 5)
-    assert len(got) == n_match + n_new
+    n_feed = sum(1 for k in range(70) if k % 7 in (1, 3, 5, 6))
+    assert len(got) == n_feed
     for k in range(70):
-        if k % 7 == 3:   # one-edit re-arrival -> its own entity, lev 1
+        if k % 7 == 3:   # one-substitution re-arrival -> entity, lev 1
             r = got[k + 50_000_000]
+            assert r.matched and r.entity_id == k and r.lev == 1
+        if k % 7 == 1:   # one INSERTED letter -> entity, lev 1 (indel
+            r = got[k + 110_000_000]    # tolerance of the PassJoin keys)
+            assert r.matched and r.entity_id == k and r.lev == 1
+        if k % 7 == 6:   # one DELETED digit -> entity, lev 1
+            r = got[k + 120_000_000]
             assert r.matched and r.entity_id == k and r.lev == 1
         if k % 7 == 5:   # three-edit arrival -> minted new entity
             r = got[k + 60_000_000]
@@ -215,7 +220,7 @@ def test_golden_increment_updates_and_mints(spark):
     store = _day0_store(cust)
     got = {r.entity_id: r for r in
            lk.golden_increment(store, lk.increment_feed(cust)).collect()}
-    touched = {k for k in range(70) if k % 7 == 3}
+    touched = {k for k in range(70) if k % 7 in (1, 3, 6)}
     minted = {k + 60_000_000 for k in range(70) if k % 7 == 5}
     assert set(got) == touched | minted
     base = {r.c_custkey: r for r in cust.collect()}
