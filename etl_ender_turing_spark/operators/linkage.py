@@ -10,15 +10,17 @@ front half, built as the classic four-stage linkage pipeline
 (Fellegi–Sunter shape; candidate generation follows the segment-
 pigeonhole idea of PassJoin, Li/Deng/Feng VLDB 2011):
 
-1. **Blocking** — never all-pairs. Each record emits one key per
-   *position class* of its name's digit zone (interleaved segments:
-   class ``s`` holds the characters at zone offsets ``s, s+3, s+6``).
-   A pair whose names differ by ≤2 substitutions corrupts at most two
-   of the three classes, so at least one segment key still matches —
-   exact recall for substitution edits by pigeonhole (the same
-   discipline as the SimHash band walk in :mod:`.dedup`); indel edits
-   shift positions and are NOT covered by the guarantee (documented,
-   like the banded families' hamming bound).
+1. **Blocking** — never all-pairs. Two schemes, both recall-exact for
+   their edit class and both crossed with the balance-band grid keys
+   (:func:`_band_cell`, the bucket-density bound):
+   interleaved position classes (:func:`er_candidate_pairs` — a pair
+   within ≤2 substitutions corrupts at most two of the three classes,
+   so one segment key survives; the SimHash-band discipline), and the
+   FULL PassJoin multi-length scheme (:func:`er_indel_pairs` and the
+   increment matcher — contiguous segments per candidate partner
+   length with shifted probe windows, so insertions/deletions are
+   covered too; both recall claims are certified against EXHAUSTIVE
+   oracles, not assumed).
 2. **Verify** — full ``levenshtein`` (JVM builtin, in-bucket lambda;
    DuckDB evaluates its own independent implementation) plus a
    multi-attribute rule: equal ``nationkey`` is part of the block key
@@ -331,20 +333,6 @@ def increment_feed_sql(table: str = "customer") -> str:
             f" SELECT c_custkey + {_OFF_INC_NEW}, {_v3_name()},"
             f" c_nationkey, c_acctbal + 100.0, 'feed_new'"
             f" FROM {table} WHERE c_custkey % 7 = 5")
-
-
-def _melt_segments(recs: DataFrame, id_col: str,
-                   bal_window: float = BAL_WINDOW) -> DataFrame:
-    cell = _band_cell("bal", "g", bal_window)
-    return recs.select(
-        id_col, "name", "nationkey", "bal",
-        F.expr(f"explode(flatten(transform(sequence(0, {N_CLASSES - 1}),"
-               f" s -> transform(sequence(0, 1), g ->"
-               f" struct(s AS seg, {_segval('name', 's')} AS segval,"
-               f" g AS g, {cell} AS cell)))))"
-               ).alias("b")) \
-        .select(id_col, "name", "nationkey", "bal",
-                "b.seg", "b.segval", "b.g", "b.cell")
 
 
 def er_match_increment(store: DataFrame, batch: DataFrame,
