@@ -1,8 +1,15 @@
 """Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "runs": {name: [sec, ...]}, "noise_ratio": r,
-"sf": ...}.
+SHORT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {<baseline-11 subset>: sec}, "baseline11": sec,
+"noise_ratio": r, "n_queries": n, "sf": ...}.
+
+The driver records only the LAST 2000 characters of stdout (BENCH_r09/r10
+both captured a mid-line fragment of the old ~10 KB all-queries line →
+"parsed": null two rounds running). stdout therefore carries exactly one
+line, sized well under that window; the full per-query detail (all
+timings, raw samples, drift regressions) goes to BENCH_detail_latest.json
+next to this file instead of stdout.
 
 Each query is materialized via a count-only action (``df.count()`` after a
 noop cache-free plan) so timing covers scan→shuffle→agg, not driver-side
@@ -29,6 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from etl_ender_turing_spark.plans import CATALOG, llm_catalog
 from etl_ender_turing_spark.session import get_spark
+
+# The 11 queries BASELINE.md's "Measured engine numbers" table records
+# (recorded best total 13.7 s at sf0.1) — the driver's 2x gate subset,
+# reported per-query on the stdout summary line.
+BASELINE11 = [
+    "q1_pricing_summary", "q5_revenue_by_nation",
+    "q_topk_orders_per_segment", "q_sessionize_events",
+    "q_hourly_event_rollup", "q_explode_part_tokens",
+    "q_dedup_latest_event", "q_rollup_order_status",
+    "q_dedup_minhash_lsh", "q_dedup_embed_cosine", "q_text_quality",
+]
 
 # Headline set: the queries whose shape dominates 100 TB cost —
 # wide agg, multi-join, windows, sessionization, explode.
@@ -257,7 +275,8 @@ def main() -> None:
          for q, t in timings.items()
          if q in prior and t > 1.5 * prior[q]),
         key=lambda r: -r["ratio"])
-    print(json.dumps({
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
         "metric": "catalog_headline_wall",
         "value": total,
         "unit": "sec",
@@ -266,7 +285,27 @@ def main() -> None:
         "noise_ratio": noise,
         "method": "noop",
         "regressions": regressions,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
+    }
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_detail_latest.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    # stdout: ONE short line that fits whole inside the driver's
+    # 2000-char tail capture — totals + the baseline-11 gate subset;
+    # everything else lives in BENCH_detail_latest.json
+    print(json.dumps({
+        "metric": "catalog_headline_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {q: timings[q] for q in BASELINE11 if q in timings},
+        "baseline11": round(sum(timings[q] for q in BASELINE11
+                                if q in timings), 3),
+        "n_queries": len(timings),
+        "noise_ratio": noise,
+        "method": "noop",
+        "n_regressions": len(regressions),
+        "detail_file": "BENCH_detail_latest.json",
+        "sf": sf_val,
     }))
     spark.stop()
 

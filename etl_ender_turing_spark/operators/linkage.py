@@ -300,20 +300,30 @@ def increment_feed(cust: DataFrame) -> DataFrame:
     DELETED digit (all three must match their existing entity — real
     dirty feeds contain indels, the round-10 lifecycle completion),
     while every (k % 7 == 5) arrives three-edits corrupted (a genuinely
-    new entity the matcher must NOT force onto an existing one)."""
-    def variant(rem: int, off: int, name_expr: str, origin: str):
-        return (cust.filter((F.col("c_custkey") % 7) == rem)
-                .select((F.col("c_custkey") + off).alias("rec_id"),
-                        F.expr(name_expr).alias("name"),
-                        F.col("c_nationkey").alias("nationkey"),
-                        (F.col("c_acctbal") + 100.0).alias("bal"),
-                        F.lit(origin).alias("origin")))
-    return (variant(3, _OFF_INC_MATCH, _v1_name(), "feed_match")
-            .unionByName(variant(1, _OFF_INC_INS, _vins_name(),
-                                 "feed_ins"))
-            .unionByName(variant(6, _OFF_INC_DEL, _vdel_name(),
-                                 "feed_del"))
-            .unionByName(variant(5, _OFF_INC_NEW, _v3_name(), "feed_new")))
+    new entity the matcher must NOT force onto an existing one).
+
+    One scan, not a 4-branch union: each customer lands in at most one
+    branch (the k%7 remainders are disjoint), so a CASE over the
+    remainder produces the identical row set while reading the dim
+    once — the feed is rebuilt for every consumer subtree (probe melt,
+    new-member join, unmatched left join), so the per-build scan count
+    matters."""
+    rem = "c_custkey % 7"
+    case = (f"CASE {rem} WHEN 3 THEN {{m}} WHEN 1 THEN {{i}}"
+            f" WHEN 6 THEN {{d}} ELSE {{n}} END")
+    return (cust.filter(F.expr(f"{rem} IN (3, 1, 6, 5)"))
+            .select(
+                F.expr("c_custkey + " + case.format(
+                    m=_OFF_INC_MATCH, i=_OFF_INC_INS,
+                    d=_OFF_INC_DEL, n=_OFF_INC_NEW)).alias("rec_id"),
+                F.expr(case.format(
+                    m=_v1_name(), i=_vins_name(),
+                    d=_vdel_name(), n=_v3_name())).alias("name"),
+                F.col("c_nationkey").alias("nationkey"),
+                (F.col("c_acctbal") + 100.0).alias("bal"),
+                F.expr(case.format(
+                    m="'feed_match'", i="'feed_ins'",
+                    d="'feed_del'", n="'feed_new'")).alias("origin")))
 
 
 def increment_feed_sql(table: str = "customer") -> str:
@@ -337,7 +347,9 @@ def increment_feed_sql(table: str = "customer") -> str:
 
 def er_match_increment(store: DataFrame, batch: DataFrame,
                        max_edits: int = MAX_EDITS,
-                       bal_window: float = BAL_WINDOW) -> DataFrame:
+                       bal_window: float = BAL_WINDOW,
+                       store_lengths: list[int] | None = None
+                       ) -> DataFrame:
     """(rec_id, entity_id, matched, lev): assign each increment record
     to its existing entity or mint a new one (entity_id = rec_id) —
     the nightly-MDM half of the linkage lifecycle, mirroring
@@ -377,6 +389,26 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
                f" g AS g, {cell} AS cell)))))").alias("k")) \
         .select("entity_id", "s_name", "nationkey", "s_bal",
                 "k.l", "k.i", "k.content", "k.g", "k.cell")
+    # the store indexes only its OWN zone lengths (index key l = n), so
+    # a probe key for any other partner length can never join: collect
+    # the store's distinct zone lengths once (metadata-sized — a
+    # handful of integers, like the IVF centroid / Bloom-word pulls)
+    # and prune the probe's dl fan-out against them BEFORE exploding.
+    # The candidate set is unchanged by construction (pruned keys had
+    # no index-side partner — the exhaustive oracle still certifies
+    # recall); the broadcast probe melt shrinks ~5x on length-
+    # homogeneous stores. A caller that maintains the store can pass
+    # the histogram in (``store_lengths``) and skip the pull entirely —
+    # it only changes when a new zone LENGTH first appears in the store.
+    lens = sorted(store_lengths
+                  if store_lengths is not None
+                  else sbase.agg(F.collect_set("n")).first()[0] or [])
+    if not lens:
+        return batch.select(
+            "rec_id", F.col("rec_id").alias("entity_id"),
+            F.lit(False).alias("matched"),
+            F.lit(None).cast("long").alias("lev"))
+    lens_csv = ", ".join(str(v) for v in lens)
     bbase = batch.select("rec_id", "name", "nationkey", "bal",
                          F.expr(z).alias("zz"),
                          F.expr(f"length({z})").alias("n"))
@@ -385,7 +417,8 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
         F.col("bal").alias("b_bal"),
         F.expr(f"""explode(array_distinct(flatten(flatten(flatten(
           transform(sequence(0, 1), g ->
-          transform(sequence(-{tau}, {tau}), dl ->
+          transform(filter(sequence(-{tau}, {tau}),
+                           dl -> (n + dl) IN ({lens_csv})), dl ->
             transform(sequence(0, 2), i ->
               transform(
                 filter(sequence(-{tau}, {tau}), d ->
@@ -408,7 +441,11 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
                     F.abs(F.col("s_bal") - F.col("b_bal")).alias("bd"))
             .filter((F.col("lev") <= max_edits)
                     & (F.col("bd") <= bal_window))
-            .drop("bd").distinct())
+            .drop("bd"))
+    # no distinct: a (rec_id, entity_id, lev) candidate reached through
+    # several shared block keys duplicates an IDENTICAL tuple, and the
+    # min-by-(lev, entity_id) pick below is duplicate-insensitive —
+    # dropping the dedup removes a full shuffle from the nightly path
     from pyspark.sql import Window
     w = Window.partitionBy("rec_id").orderBy("lev", "entity_id")
     best = (cand.withColumn("rn", F.row_number().over(w))
@@ -598,7 +635,15 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
     against probe members with the same sorted-``collect_set`` lambda +
     ``max_block`` star fallback as :func:`er_candidate_pairs` — never
     all-pairs. Full ``levenshtein`` + balance-window verify, pair ids
-    normalized (least, greatest), distinct."""
+    normalized (least, greatest), distinct.
+
+    Short zones: the probe window needs partner length ``n + dl >= 3``,
+    so two records whose zones are BOTH <= 2 chars would never share a
+    scheme key — those records additionally index AND probe a sentinel
+    bucket (nationkey, l=0, i=0, '') crossed with the same balance
+    grids, restoring the unconditional recall guarantee (mixed pairs
+    short x >=3 are already covered: the shorter record probes the
+    longer one's scheme)."""
     tau = max_edits
     z = f"substr(name, {ZONE_START})"
     islen, istart = _pj_arith("n", "i", "div")
@@ -607,13 +652,16 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
     base = recs.select("rec_id", "name", "nationkey", "bal",
                        F.expr(f"{z}").alias("zz"),
                        F.expr(f"length({z})").alias("n"))
+    short = (f"CASE WHEN n <= 2 THEN array(struct("
+             f"0 AS l, 0 AS i, '' AS content, g AS g, {cell} AS cell))"
+             f" ELSE array() END")
     ix = base.select(
         "rec_id", "name", "nationkey", "bal",
         F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
-               f" transform(sequence(0, 2), i -> struct("
+               f" concat(transform(sequence(0, 2), i -> struct("
                f"n AS l, i AS i,"
                f" substr(zz, {istart}, {islen}) AS content,"
-               f" g AS g, {cell} AS cell)))))").alias("k"),
+               f" g AS g, {cell} AS cell)), {short}))))").alias("k"),
         F.lit(0).alias("side"))
     # probe only partner lengths l >= n (dl in [0, tau]): for any pair
     # the pigeonhole may partition EITHER string, so it suffices that
@@ -622,7 +670,8 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
     # fan-out (the exhaustive oracle certifies recall is intact)
     pr = base.select(
         "rec_id", "name", "nationkey", "bal",
-        F.expr(f"""explode(array_distinct(flatten(flatten(flatten(
+        F.expr(f"""explode(array_distinct(concat(
+          flatten(flatten(flatten(
           transform(sequence(0, 1), g ->
           transform(sequence(0, {tau}), dl ->
             transform(sequence(0, 2), i ->
@@ -635,7 +684,9 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
                 d -> struct((n + dl) AS l, i AS i,
                             substr(zz, {pstart} + d, {pslen})
                               AS content,
-                            g AS g, {cell} AS cell))))))))))""").alias("k"),
+                            g AS g, {cell} AS cell)))))))),
+          flatten(transform(sequence(0, 1), g -> {short})))))""")
+        .alias("k"),
         F.lit(1).alias("side"))
     melted = ix.unionByName(pr).select(
         "nationkey", F.col("k.l").alias("l"), F.col("k.i").alias("i"),
@@ -653,15 +704,20 @@ def er_indel_pairs(recs: DataFrame, max_edits: int = MAX_EDITS,
             "least(a.id, b.id) AS rec_a, greatest(a.id, b.id) AS rec_b,"
             " CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS lev,"
             " abs(a.bl - b.bl) AS bdiff) END")
+    # the sorted collect_set orders by sd first and the bucket filter
+    # guarantees an sd=0 member, so xs[0] IS the index-side
+    # representative — bound once (no CSE inside HOF lambdas: inlining
+    # a filter() per probe element would re-scan xs quadratically in
+    # exactly the oversized-bucket case this branch exists to defuse)
+    star = pair.replace("a.id", "xs[0].id") \
+               .replace("a.nm", "xs[0].nm") \
+               .replace("a.bl", "xs[0].bl")
     pairs = F.expr(f"""
         CASE WHEN size(xs) <= {max_block}
         THEN filter(flatten(transform(filter(xs, x -> x.sd = 0), a ->
                transform(filter(xs, x -> x.sd = 1), b -> {pair}))),
              p -> p IS NOT NULL)
-        ELSE filter(transform(filter(xs, x -> x.sd = 1), b ->
-               {pair.replace("a.id", "element_at(filter(xs, x -> x.sd = 0), 1).id")
-                    .replace("a.nm", "element_at(filter(xs, x -> x.sd = 0), 1).nm")
-                    .replace("a.bl", "element_at(filter(xs, x -> x.sd = 0), 1).bl")}),
+        ELSE filter(transform(filter(xs, x -> x.sd = 1), b -> {star}),
              p -> p IS NOT NULL)
         END""")
     return (buckets.select(F.explode(pairs).alias("p"))
@@ -694,7 +750,9 @@ def er_indel_pairs_sql(table: str = "customer",
 
 def golden_increment(store: DataFrame, batch: DataFrame,
                      max_edits: int = MAX_EDITS,
-                     bal_window: float = BAL_WINDOW) -> DataFrame:
+                     bal_window: float = BAL_WINDOW,
+                     store_lengths: list[int] | None = None,
+                     prior_members: DataFrame | None = None) -> DataFrame:
     """(entity_id, canonical_name, best_bal, n_members, is_new): the
     survivorship UPDATE set as tonight's increment lands — one row per
     entity TOUCHED by the batch, ready to MERGE into the golden-record
@@ -707,8 +765,18 @@ def golden_increment(store: DataFrame, batch: DataFrame,
     representatives, the same shape er_match_increment blocks against;
     canonical name by deterministic arg-min on record id (store
     representative carries its entity_id as record id), balance
-    survives as max, ``is_new`` marks minted entities."""
-    asg = er_match_increment(store, batch, max_edits, bal_window) \
+    survives as max, ``is_new`` marks minted entities.
+
+    ``prior_members``: (entity_id, rec_id, name, bal) feed records
+    ALREADY absorbed by earlier increments (the streaming maintainer's
+    rec_id-keyed members table). One batch alone only sees (store rep +
+    its own members) — if the same entity is touched across two
+    increments, the second's survivorship must fold the first's members
+    back in or its upsert silently forgets them. Members re-arriving in
+    THIS batch are anti-joined out so a replayed epoch (whose records
+    are already in the table) converges instead of double-counting."""
+    asg = er_match_increment(store, batch, max_edits, bal_window,
+                             store_lengths=store_lengths) \
         .select("rec_id", "entity_id")
     touched = asg.select("entity_id").distinct()
     reps = (store.join(touched, "entity_id", "left_semi")
@@ -717,7 +785,15 @@ def golden_increment(store: DataFrame, batch: DataFrame,
     newm = (batch.join(asg, "rec_id")
             .select("entity_id", "rec_id", "name", "bal",
                     F.lit(False).alias("from_store")))
-    return (reps.unionByName(newm)
+    members = reps.unionByName(newm)
+    if prior_members is not None:
+        prior = (prior_members
+                 .join(touched, "entity_id", "left_semi")
+                 .join(newm.select("rec_id"), "rec_id", "left_anti")
+                 .select("entity_id", "rec_id", "name", "bal",
+                         F.lit(False).alias("from_store")))
+        members = members.unionByName(prior)
+    return (members
             .groupBy("entity_id")
             .agg(F.expr("min_by(name, rec_id)").alias("canonical_name"),
                  F.max("bal").alias("best_bal"),

@@ -562,11 +562,26 @@ def random_projection(emb: DataFrame, k: int = 8, id_col: str = "vec_id",
             f" CAST(0 AS BIGINT),"
             f" (acc, i) -> acc + ({term}))"
             f" AS DOUBLE) + 500000) / 1000000) AS BIGINT))")
+    # LOUD guard on the documented exactness bound: past |v_i| = 8000
+    # the BIGINT grid units would wrap SILENTLY on Spark while DuckDB's
+    # HUGEINT SUM would not — a runtime cross-engine divergence. The
+    # assert lives inside the projected expression (a standalone column
+    # would be pruned away), evaluated once per row.
+    # NULL-safe: predicate subexpression elimination can evaluate this
+    # BEFORE the null-dropping filter short-circuits (the collapsed
+    # Filter node hoists common subexprs), so a NULL vector must make
+    # the guard TRUE, not assert_true(NULL) → error
+    bound = (f"({vec_col} IS NULL OR"
+             f" aggregate({vec_col}, TRUE, (ok, x) -> ok AND"
+             f" (x IS NULL OR abs(CAST(x AS DOUBLE)) <= 8000.0D)))")
+    guarded = (f"CASE WHEN assert_true({bound}, 'random_projection:"
+               f" |v_i| exceeds the 8000 exactness bound (BIGINT grid"
+               f" units would overflow)') IS NULL THEN {proj} END")
     return (emb.filter(F.expr(f"{vec_col} IS NOT NULL"
                               f" AND size({vec_col}) BETWEEN 1"
                               f" AND {max_dim}"))
             .withColumn("_rp_s", F.expr(s_lit))
-            .select(F.col(id_col), F.expr(proj).alias("proj"))
+            .select(F.col(id_col), F.expr(guarded).alias("proj"))
             .selectExpr(id_col, "posexplode(proj) AS (j, y_micro)"))
 
 

@@ -1210,7 +1210,8 @@ def er_gate_stream(spark: SparkSession, landing_dir: str,
 
 def golden_increment_stream(spark: SparkSession, landing_dir: str,
                             store: DataFrame, golden_dir: str,
-                            checkpoint_dir: str):
+                            checkpoint_dir: str,
+                            members_dir: str | None = None):
     """Streaming golden-record MAINTENANCE (the lifecycle piece after
     :func:`er_gate_stream`): each micro-batch of feed records resolves
     against the static entity store, survivorship re-runs for the
@@ -1218,17 +1219,48 @@ def golden_increment_stream(spark: SparkSession, landing_dir: str,
     update set MERGEs into the golden-record table through the existing
     idempotent key-upsert — so replayed epochs converge and untouched
     entities are never rewritten. foreachBatch for the same reason as
-    the gate: the matcher's best-pick window is batch-only."""
+    the gate: the matcher's best-pick window is batch-only.
+
+    ``members_dir`` (default: a sibling of ``golden_dir``) holds the
+    rec_id-keyed feed records already absorbed — each epoch upserts its
+    batch there FIRST, then survivorship folds the prior members of
+    this epoch's touched entities back in (``prior_members``). Without
+    that state an entity touched in two different epochs would have its
+    second golden row computed from (store rep + second batch) only,
+    silently forgetting the first epoch's members; with it, any split
+    of the feed across epochs — and any epoch replay — converges to the
+    one-shot batch result (pinned by test_linkage.py)."""
+    import os
+
     from ..operators.linkage import golden_increment
     from ..operators.upsert import upsert_parquet
 
+    if members_dir is None:
+        members_dir = golden_dir.rstrip("/") + "._members"
     feed = (spark.readStream.schema(ER_FEED_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(landing_dir))
 
     def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
-        upsert_parquet(spark, golden_increment(store, batch_df),
+        prior = (spark.read.parquet(members_dir)
+                 if os.path.exists(members_dir) else None)
+        # golden FIRST: `prior` is lazy, so it must execute while the
+        # members table still holds only EARLIER epochs (the members
+        # swap below deletes the files it would read). A crash between
+        # the two upserts replays cleanly: assignment is deterministic
+        # against the STATIC store, so the recomputed update set is
+        # identical and both upserts are key-idempotent.
+        upsert_parquet(spark,
+                       golden_increment(store, batch_df,
+                                        prior_members=prior),
                        golden_dir, key=("entity_id",))
+        from ..operators.linkage import er_match_increment
+        asg = er_match_increment(store, batch_df).select(
+            "rec_id", "entity_id")
+        upsert_parquet(spark,
+                       batch_df.join(asg, "rec_id")
+                       .select("entity_id", "rec_id", "name", "bal"),
+                       members_dir, key=("rec_id",))
 
     return (feed.writeStream.foreachBatch(merge_batch)
             .option("checkpointLocation", checkpoint_dir)

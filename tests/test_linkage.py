@@ -208,6 +208,38 @@ def test_indel_star_fallback_caps_block_expansion(spark):
     assert got == {(0, i) for i in range(1, 12)}
 
 
+def test_indel_short_zone_recall(spark):
+    """Two records whose blocking zones are BOTH <= 2 chars can never
+    share a PassJoin scheme key (the probe window needs partner length
+    >= 3) — the sentinel short-zone bucket must pair them anyway, and
+    mixed short x long pairs must keep working via the normal probe."""
+    from pyspark.sql import Row
+    rows = [
+        # zone "7" vs zone "9": lev 1, both length-1 zones (the hole)
+        Row(rec_id=0, name="Customer#7", nationkey=1, bal=0.0,
+            origin="base"),
+        Row(rec_id=1, name="Customer#9", nationkey=1, bal=10.0,
+            origin="base"),
+        # zone "42" vs "442": short x length-3 (covered by the probe)
+        Row(rec_id=2, name="Customer#42", nationkey=2, bal=0.0,
+            origin="base"),
+        Row(rec_id=3, name="Customer#442", nationkey=2, bal=5.0,
+            origin="base"),
+        # zone "" (empty) vs "Z": degenerate but still within max_edits
+        Row(rec_id=4, name="Customer#", nationkey=3, bal=0.0,
+            origin="base"),
+        Row(rec_id=5, name="Customer#Z", nationkey=3, bal=1.0,
+            origin="base"),
+        # control: same-nation short zones beyond max_edits of others
+        Row(rec_id=6, name="Customer#55555", nationkey=1, bal=0.0,
+            origin="base"),
+    ]
+    got = {(r.rec_a, r.rec_b): r.lev
+           for r in lk.er_indel_pairs(spark.createDataFrame(rows))
+           .collect()}
+    assert got == {(0, 1): 1, (2, 3): 1, (4, 5): 1}
+
+
 def _day0_store(cust):
     return cust.select(F.col("c_custkey").alias("entity_id"),
                        F.col("c_name").alias("name"),
@@ -276,6 +308,66 @@ def test_golden_increment_stream_matches_batch(spark, tmp_path):
         assert (g.canonical_name, float(g.best_bal), g.n_members,
                 g.is_new) == (r.canonical_name, float(r.best_bal),
                               r.n_members, r.is_new), e
+
+
+def test_golden_increment_stream_cross_epoch_accumulates(spark, tmp_path):
+    """An entity touched in TWO different micro-batches must end with a
+    golden row computed over BOTH batches' members (the members-table
+    fold-back) — and a full stream replay over the same landing files
+    must converge, not double-count."""
+    from etl_ender_turing_spark.streaming.stream import (
+        golden_increment_stream)
+
+    cust = _cust(spark, 70)
+    store = _day0_store(cust)
+    feed = lk.increment_feed(cust)
+    # a SECOND re-arrival for every feed_match entity: fresh rec_id,
+    # same one-edit name (matches the same entity), +50 balance
+    extra = feed.filter(F.col("origin") == "feed_match").select(
+        (F.col("rec_id") + 1_000_000_000).alias("rec_id"), "name",
+        "nationkey", (F.col("bal") + 50.0).alias("bal"),
+        F.lit("feed_match2").alias("origin"))
+
+    landing = str(tmp_path / "landing")
+    for i, part in enumerate((feed, extra)):
+        (part.withColumn("nationkey", F.col("nationkey").cast("int"))
+         .withColumn("bal", F.col("bal").cast("double"))
+         .coalesce(1).write.mode("append").parquet(landing))
+    golden_dir = str(tmp_path / "golden")
+    day0 = store.select(
+        "entity_id", F.col("name").alias("canonical_name"),
+        F.col("bal").alias("best_bal"),
+        F.lit(1).cast("long").alias("n_members"),
+        F.lit(False).alias("is_new"))
+    day0.write.mode("overwrite").parquet(golden_dir)
+
+    q = golden_increment_stream(spark, landing, store, golden_dir,
+                                str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    upd = {r.entity_id: r for r in
+           lk.golden_increment(store, feed.unionByName(extra))
+           .collect()}
+    assert any(r.n_members == 3 for r in upd.values())  # fixture sanity
+
+    def check():
+        final = {r.entity_id: r for r in
+                 spark.read.parquet(golden_dir).collect()}
+        exp = {r.entity_id: r for r in day0.collect()} | upd
+        assert set(final) == set(exp)
+        for e, r in exp.items():
+            g = final[e]
+            assert (g.canonical_name, float(g.best_bal), g.n_members,
+                    g.is_new) == (r.canonical_name, float(r.best_bal),
+                                  r.n_members, r.is_new), e
+
+    check()
+    # replay: a fresh checkpoint re-processes every landing file against
+    # the already-updated golden + members tables — must converge
+    q = golden_increment_stream(spark, landing, store, golden_dir,
+                                str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+    check()
 
 
 def test_indel_blocking_recall_randomized(spark):
