@@ -33,37 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- round-10 consolidation (VERDICT r9 'Next round' #1): drain
-    # every r4/r5-stale driver certification before anything else.
-    # Genuinely new r10 queries (kept to a handful) lead because they
-    # have NO driver proof at all; then the 18 rows whose newest green
-    # driver row is ROUND 4, then the 43 ROUND-5 rows, each tier
-    # cheapest-first by this round's full-sweep sf0.01 timings; the
-    # ROUND-6 tier follows as margin in case the budget exceeds 61.
-    # Ledger: QUERIES.md 'driver' column (tools/dump_catalog.py).
-    # --- new in round 10 ---
-    "q_er_indel_pairs", "q_er_golden_increment",
-    # --- plans changed in round 10 (values unchanged, re-certify):
-    # the balance-band blocking key added to every ER path ---
-    "q_er_candidate_pairs", "q_er_clusters", "q_er_golden_record",
-    "q_er_supplier_pairs", "q_er_match_increment", "q_stream_er_gate",
-    # --- newest driver row = ROUND 4 (18) ---
-    "q_bm25_topk", "q_embed_ann_multiprobe", "q_embed_pq_topk",
-    "q_hybrid_rrf", "q_incremental_dedup_verified", "q_bm25_from_index",
-    "q_compressed_ann_recall", "q_ann_recall_check", "q_dedup_containment",
-    "q_dup_cluster_stats", "q_stream_sliding_counts", "q_dedup_keep_best",
-    "q_minhash_estimate_error", "q_dedup_prefix_jaccard",
-    "q_embed_ivf_from_index", "q_lsh_recall_check", "q_embed_ivf_kmeans",
-    "q_stream_click_attribution",
-    # --- newest driver row = ROUND 5 (43) ---
-    "q_token_count", "q_count_pushdown", "q_explode_part_tokens",
-    "q_embed_lsh_buckets", "q_zipf_slope", "q_dedup_consecutive",
-    "q_scalar_functions", "q_snapshot_diff", "q_text_quality",
-    "q_multimodal_features", "q_char_entropy", "q2_filter_projection",
-    "q_pivot_event_types", "q_knn_graph", "q_embed_ivf_cells",
-    "q_incremental_dedup", "q_embed_cosine_topk", "q_anti_join_no_orders",
-    "q_repetition_signals", "q_decontaminate", "q_dedup_latest_event",
-    "q_embed_outliers", "q_set_intersect_except", "q_embed_ann_lsh_topk",
+    # --- round-11 rotation (r10 VERDICT 'Next round' #1 + ADVICE #4).
+    # Plan-CHANGED queries lead (their newest driver rows certify the
+    # old plans): the four ER paths re-shaped this round (star-fallback
+    # CSE fix + short-zone sentinel bucket; probe-length pruning +
+    # distinct removal + single-scan feed), the JL projection (BIGINT
+    # grid fold r10 + the |v| bound guard this round), and the two
+    # remaining r10 plan changes ADVICE flagged as never re-certified
+    # (round6s Holt spelling, integer-div z-order file ids).
+    "q_er_indel_pairs", "q_er_match_increment", "q_er_golden_increment",
+    "q_stream_er_gate", "q_embed_random_projection", "q_holt_forecast",
+    "q_zorder_pruning",
+    # --- newest driver row = ROUND 5 (19), cheapest-first by the r10
+    # full-sweep sf0.01 timings — the tier this round must drain to 0 ---
     "q_dedup_minhash_lsh", "q_semi_join_reviewed", "q_dedup_embed_cosine",
     "q_semdedup_keep", "q_event_lag_chain", "q_embed_ivf_topk",
     "q_rank_battery", "q_topk_orders_per_segment", "q_dedup_lsh_jaccard",
@@ -71,7 +53,8 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_rolling_30d_window", "q_dedup_ngram_jaccard", "q_dedup_simhash",
     "q_dup_clusters", "q_dedup_simhash_pairs", "q5_revenue_by_nation",
     "q_dedup_multi_signal",
-    # --- margin: newest driver row = ROUND 6 (45) ---
+    # --- newest driver row = ROUND 6 (45), cheapest-first: the budget
+    # tail lands here (~24 of 45; round 12 finishes the drain) ---
     "q_html_extract", "q_corpus_manifest", "q_shard_balance",
     "q_card_redact", "q_pack_efficiency", "q_url_dedup",
     "q_bpe_pair_counts", "q_sitemap_urls", "q_extract_links",

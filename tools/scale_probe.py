@@ -287,6 +287,19 @@ def main() -> None:
                 F.col("c_nationkey").alias("nationkey"),
                 F.col("c_acctbal").alias("bal")),
             lk.increment_feed(held["cust0_fixed"]))),
+        # round-11 (r10 verdict #6): golden-record increment maintenance
+        # under the same production contract — bounded batch, growing
+        # store. Survivorship must stay TOUCHED-entities-only: the
+        # re-aggregation reads the store through one semi-join, so the
+        # ladder should track the store scan + match path, never the
+        # full-store groupBy
+        "golden_incr_store": lambda d, e, ev: force(lk.golden_increment(
+            held["cust"].select(
+                F.col("c_custkey").alias("entity_id"),
+                F.col("c_name").alias("name"),
+                F.col("c_nationkey").alias("nationkey"),
+                F.col("c_acctbal").alias("bal")),
+            lk.increment_feed(held["cust0_fixed"]))),
     }
 
     only = set(sys.argv[2:])   # optional op names: probe just those
@@ -304,7 +317,12 @@ def main() -> None:
             d = replicate(docs0, k, "doc_id")
             e = replicate(emb0, k, "vec_id")
             ev = replicate(ev0, k, "user_id")
-            held["cust"] = replicate_customers(cust0, k)
+            # the ER probes scan the store 2-3x (length pull, index
+            # melt, survivorship semi-join); a real store is PARQUET,
+            # so materialize the replica ONCE before timing — otherwise
+            # the ladder measures k md5-rename projections per scan,
+            # not the operator
+            held["cust"] = replicate_customers(cust0, k).localCheckpoint()
             held["cust0_fixed"] = cust0
             t0 = time.perf_counter()
             fn(d, e, ev)
