@@ -41,6 +41,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # grid fold r10 + the |v| bound guard this round), and the two
     # remaining r10 plan changes ADVICE flagged as never re-certified
     # (round6s Holt spelling, integer-div z-order file ids).
+    # round-11's one genuinely new row leads (no driver proof at all):
+    # the cross-epoch golden fold-back certification
+    "q_er_golden_cross_epoch",
     "q_er_indel_pairs", "q_er_match_increment", "q_er_golden_increment",
     "q_stream_er_gate", "q_embed_random_projection", "q_holt_forecast",
     "q_zorder_pruning",

@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     # increment maintenance
     "q_er_indel_pairs",
     "q_er_golden_increment",
+    # round-11: cross-epoch golden fold-back (two exhaustive matcher
+    # passes + the members-table fold)
+    "q_er_golden_cross_epoch",
     "q_triangle_stats",
     "q_cms_heavy_hitters",
     "q_zorder_pruning",

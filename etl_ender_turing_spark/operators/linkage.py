@@ -326,6 +326,19 @@ def increment_feed(cust: DataFrame) -> DataFrame:
                     d="'feed_del'", n="'feed_new'")).alias("origin")))
 
 
+def second_arrival(cust: DataFrame) -> DataFrame:
+    """Epoch-2 feed: every feed_match record re-arrives with a fresh
+    rec_id (+1e9) and +40 balance — the Spark twin of
+    :func:`second_arrival_sql` (see there for why +40, not the window
+    boundary)."""
+    feed = increment_feed(cust)
+    return (feed.filter(F.col("origin") == "feed_match")
+            .select((F.col("rec_id") + 1_000_000_000).alias("rec_id"),
+                    "name", "nationkey",
+                    (F.col("bal") + 40.0).alias("bal"),
+                    F.lit("feed_match2").alias("origin")))
+
+
 def increment_feed_sql(table: str = "customer") -> str:
     return (f"SELECT c_custkey + {_OFF_INC_MATCH} AS rec_id,"
             f" {_v1_name()} AS name, c_nationkey AS nationkey,"
@@ -460,7 +473,8 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
 
 def er_match_increment_sql(table: str = "customer",
                            max_edits: int = MAX_EDITS,
-                           bal_window: float = BAL_WINDOW) -> str:
+                           bal_window: float = BAL_WINDOW,
+                           batch_sql: str | None = None) -> str:
     """EXHAUSTIVE oracle for :func:`er_match_increment` with the day-0
     store = the base customer dimension (one entity per base record):
     all same-nation store×batch pairs verified by levenshtein + the
@@ -468,11 +482,13 @@ def er_match_increment_sql(table: str = "customer",
     match certifies the PassJoin candidate set reaches every true
     match (the :func:`er_indel_pairs_sql` discipline; the batch side
     is small, so the oracle's cross product stays tractable at
-    certification SFs)."""
+    certification SFs). ``batch_sql`` swaps in a different feed batch
+    (default: tonight's :func:`increment_feed_sql`)."""
     store = (f"SELECT c_custkey AS entity_id, c_name AS name,"
              f" c_nationkey AS nationkey, c_acctbal AS bal FROM {table}")
     return f"""
-    WITH store AS ({store}), batch AS ({increment_feed_sql(table)}),
+    WITH store AS ({store}),
+    batch AS ({batch_sql or increment_feed_sql(table)}),
     cand AS (
       SELECT b.rec_id, s.entity_id,
              CAST(levenshtein(s.name, b.name) AS BIGINT) AS lev
@@ -821,6 +837,61 @@ def golden_increment_sql(table: str = "customer",
       UNION ALL
       SELECT a.entity_id, b.rec_id, b.name, b.bal, FALSE
       FROM batch b JOIN asg a USING (rec_id)
+    )
+    SELECT entity_id, MIN_BY(name, rec_id) AS canonical_name,
+           MAX(bal) AS best_bal, COUNT(*) AS n_members,
+           NOT BOOL_OR(from_store) AS is_new
+    FROM members GROUP BY 1
+    """
+
+
+def second_arrival_sql(table: str = "customer") -> str:
+    """Epoch-2 fixture: every feed_match record RE-ARRIVES once more —
+    fresh rec_id (+1e9), same one-edit name, +40 balance (safely inside
+    the verify window; the boundary value would ride last-ulp double
+    wobble). The second touch of an already-touched entity — exactly
+    the cross-epoch case the members fold-back exists for."""
+    return (f"SELECT rec_id + 1000000000 AS rec_id, name, nationkey,"
+            f" bal + 40.0 AS bal, 'feed_match2' AS origin"
+            f" FROM ({increment_feed_sql(table)})"
+            f" WHERE origin = 'feed_match'")
+
+
+def golden_cross_epoch_sql(table: str = "customer",
+                           max_edits: int = MAX_EDITS,
+                           bal_window: float = BAL_WINDOW) -> str:
+    """DuckDB oracle for the CROSS-EPOCH golden-record fold-back:
+    epoch 1 lands tonight's feed, epoch 2 lands the second arrivals —
+    the epoch-2 update set must aggregate (store rep + epoch-1 members
+    + epoch-2 members) for every touched entity, i.e. exactly what
+    :func:`golden_increment` with ``prior_members`` produces. Both
+    epochs' assignments use the EXHAUSTIVE matcher, so the hash match
+    certifies the fold path end-to-end (n_members = 3 rows would
+    collapse to 2 if the prior members were forgotten)."""
+    extra = second_arrival_sql(table)
+    asg1 = er_match_increment_sql(table, max_edits, bal_window)
+    asg2 = er_match_increment_sql(table, max_edits, bal_window,
+                                  batch_sql=extra)
+    return f"""
+    WITH store AS (SELECT c_custkey AS entity_id, c_name AS name,
+                          c_nationkey AS nationkey, c_acctbal AS bal
+                   FROM {table}),
+    feed AS ({increment_feed_sql(table)}),
+    extra AS ({extra}),
+    asg1 AS (SELECT rec_id, entity_id FROM ({asg1})),
+    asg2 AS (SELECT rec_id, entity_id FROM ({asg2})),
+    touched AS (SELECT DISTINCT entity_id FROM asg2),
+    members AS (
+      SELECT s.entity_id, s.entity_id AS rec_id, s.name, s.bal,
+             TRUE AS from_store
+      FROM store s JOIN touched t ON s.entity_id = t.entity_id
+      UNION ALL
+      SELECT a.entity_id, e.rec_id, e.name, e.bal, FALSE
+      FROM extra e JOIN asg2 a USING (rec_id)
+      UNION ALL
+      SELECT a.entity_id, f.rec_id, f.name, f.bal, FALSE
+      FROM feed f JOIN asg1 a USING (rec_id)
+      JOIN touched t ON a.entity_id = t.entity_id
     )
     SELECT entity_id, MIN_BY(name, rec_id) AS canonical_name,
            MAX(bal) AS best_bal, COUNT(*) AS n_members,

@@ -1999,10 +1999,41 @@ def q_er_golden_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
                                store_lengths=entry[1] if entry else None)
 
 
+@register(
+    "q_er_golden_cross_epoch",
+    None,  # installed below
+    doc="cross-EPOCH golden-record maintenance (linkage.golden_increment "
+        "with prior_members): epoch 1 lands tonight's feed, epoch 2 a "
+        "second re-arrival of every feed_match record — the epoch-2 "
+        "update set folds the rec_id-keyed members state back in so an "
+        "already-touched entity aggregates ALL its members (n_members=3) "
+        "instead of the second upsert silently forgetting the first "
+        "epoch's (the r10 ADVICE finding, fixed and here CERTIFIED); "
+        "both epochs' assignments ride the EXHAUSTIVE store-x-batch "
+        "matcher oracle. Streaming twin: golden_increment_stream's "
+        "members table (pytest: cross-epoch accumulation + replay "
+        "convergence)")
+def q_er_golden_cross_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lk = _linkage()
+    cust = _t(spark, sf_dir, "customer")
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    feed = lk.increment_feed(cust)
+    asg1 = lk.er_match_increment(store, feed).select("rec_id", "entity_id")
+    members1 = feed.join(asg1, "rec_id").select("entity_id", "rec_id",
+                                                "name", "bal")
+    return lk.golden_increment(store, lk.second_arrival(cust),
+                               prior_members=members1)
+
+
 def _install_er_increment_oracle() -> None:
     from ..operators import linkage as lk
     for name, sql in (("q_er_match_increment", lk.er_match_increment_sql()),
-                      ("q_er_golden_increment", lk.golden_increment_sql())):
+                      ("q_er_golden_increment", lk.golden_increment_sql()),
+                      ("q_er_golden_cross_epoch",
+                       lk.golden_cross_epoch_sql())):
         spec = CATALOG[name]
         CATALOG[name] = QuerySpec(spec.name, spec.builder, sql, spec.doc)
 
