@@ -369,3 +369,37 @@ def test_shuffle_budgets_pinned(spark):
         assert n_ex - n_reused <= budget, (
             f"{name}: {n_ex - n_reused} exchanges > budget {budget}\n"
             + plan[:1500])
+
+
+def test_er_match_increment_plan_shape(spark):
+    """Locks the round-11 increment-matcher optimizations: the batch
+    side stays BROADCAST (the store must never shuffle on block keys
+    against a nightly feed), the length-pruned probe keeps no
+    full-window fan-out (the pruned IN-list reaches the probe lambda),
+    and the dropped pre-window distinct stays dropped (one aggregate-
+    shaped exchange would reappear as an extra Exchange)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_ender_turing_spark.operators import linkage as lk
+
+    sf = "/root/testdata/sf0.001"
+    cust = spark.read.parquet(f"{sf}/customer.parquet")
+    store = cust.select(F.col("c_custkey").alias("entity_id"),
+                        F.col("c_name").alias("name"),
+                        F.col("c_nationkey").alias("nationkey"),
+                        F.col("c_acctbal").alias("bal"))
+    df = lk.er_match_increment(store, lk.increment_feed(cust))
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the zone-length IN-list is embedded in the probe expression
+    # (customer zones are all length 9 at every SF)
+    assert re.search(r"IN \(9\)|\bIN\b.*\b9\b", plan)
+    # exactly ONE non-reused exchange: the best-pick window's hash
+    # partition on rec_id — the old distinct added a second
+    n_ex = len(re.findall(r"\bExchange\b", plan))
+    n_reused = len(re.findall(r"\bReusedExchange\b", plan))
+    assert n_ex - n_reused <= 1, plan[:1500]
