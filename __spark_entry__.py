@@ -47,6 +47,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_er_indel_pairs", "q_er_match_increment", "q_er_golden_increment",
     "q_stream_er_gate", "q_embed_random_projection", "q_holt_forecast",
     "q_zorder_pruning",
+    # plan-changed late in round 11: the persisted symmetrized edge
+    # list under the triangle machinery
+    "q_local_clustering", "q_triangle_stats",
     # --- newest driver row = ROUND 5 (19), cheapest-first by the r10
     # full-sweep sf0.01 timings — the tier this round must drain to 0 ---
     "q_dedup_minhash_lsh", "q_semi_join_reviewed", "q_dedup_embed_cosine",
