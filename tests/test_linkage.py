@@ -434,6 +434,45 @@ def test_indel_blocking_recall_randomized(spark):
     assert missed == [], f"recall holes: {missed[:5]}"
 
 
+def test_indel_blocking_recall_randomized_short_zones(spark):
+    """Randomized pin of the SHORT-ZONE sentinel path: zones of length
+    0-5 (spanning the sentinel bucket, the n>=3 scheme boundary, and
+    mixed short x long pairs) with random edits — every same-nation
+    pair within max_edits and the balance window must be recalled.
+    The length-7+ randomized test above can't reach this regime."""
+    import random
+
+    from pyspark.sql import Row
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        zlen = rng.randint(0, 5)
+        zone = "".join(rng.choice("0123456789") for _ in range(zlen))
+        rows.append(Row(rec_id=i, name=f"Customer#{zone}",
+                        nationkey=i % 4, bal=float(i % 40), origin="b"))
+    recs = spark.createDataFrame(rows)
+    got = {(r.rec_a, r.rec_b) for r in lk.er_indel_pairs(recs).collect()}
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for x in range(1, m + 1):
+            cur = [x] + [0] * n
+            for y in range(1, n + 1):
+                cur[y] = min(prev[y] + 1, cur[y - 1] + 1,
+                             prev[y - 1] + (a[x - 1] != b[y - 1]))
+            prev = cur
+        return prev[n]
+
+    missed = [(a.rec_id, b.rec_id)
+              for i, a in enumerate(rows) for b in rows[i + 1:]
+              if a.nationkey == b.nationkey
+              and abs(a.bal - b.bal) <= lk.BAL_WINDOW
+              and lev(a.name, b.name) <= lk.MAX_EDITS
+              and (a.rec_id, b.rec_id) not in got]
+    assert missed == [], f"short-zone recall holes: {missed[:5]}"
+
+
 def test_indel_operator_is_schema_generic_on_suppliers(spark):
     """er_indel_pairs over supplier-shaped records == brute-force verify
     (the q_er_supplier_pairs genericity argument for the indel path)."""
