@@ -473,6 +473,53 @@ def test_indel_blocking_recall_randomized_short_zones(spark):
     assert missed == [], f"short-zone recall holes: {missed[:5]}"
 
 
+def test_increment_matcher_mixed_length_store(spark):
+    """The probe-length pruning must keep recall when the STORE itself
+    carries several zone lengths (the certified fixture is all-length-9,
+    so its IN-list is a single value): store zones of length 7/9/11,
+    batch records one edit (sub, ins, del) away from each — every one
+    must match its entity; a three-edit arrival must mint."""
+    from pyspark.sql import Row
+    store_rows = [
+        Row(entity_id=1, name="Customer#1234567", nationkey=1, bal=0.0),
+        Row(entity_id=2, name="Customer#123456789", nationkey=1,
+            bal=0.0),
+        Row(entity_id=3, name="Customer#12345678901", nationkey=1,
+            bal=0.0),
+    ]
+    batch_rows = [
+        Row(rec_id=101, name="Customer#1234567X", nationkey=1, bal=1.0,
+            origin="ins"),           # len-7 entity, one insertion
+        Row(rec_id=102, name="Customer#12345689", nationkey=1, bal=1.0,
+            origin="del"),           # len-9 entity, one deletion
+        Row(rec_id=103, name="Customer#12345678X01", nationkey=1,
+            bal=1.0, origin="sub"),  # len-11 entity, one substitution
+        Row(rec_id=104, name="Customer#XXX45678901", nationkey=1,
+            bal=1.0, origin="new"),  # three edits -> mint
+    ]
+    got = {r.rec_id: r for r in lk.er_match_increment(
+        spark.createDataFrame(store_rows),
+        spark.createDataFrame(batch_rows)).collect()}
+    assert (got[101].entity_id, got[101].matched) == (1, True)
+    assert (got[102].entity_id, got[102].matched) == (2, True)
+    assert (got[103].entity_id, got[103].matched) == (3, True)
+    assert (got[104].entity_id, got[104].matched) == (104, False)
+
+
+def test_increment_matcher_empty_store_mints_all(spark):
+    """An empty entity store (day-0 cold start) must mint every batch
+    record — the pruning's empty-length-histogram short-circuit."""
+    from pyspark.sql import Row
+    store = spark.createDataFrame(
+        [], "entity_id long, name string, nationkey long, bal double")
+    batch = spark.createDataFrame(
+        [Row(rec_id=7, name="Customer#123456789", nationkey=1, bal=0.0,
+             origin="b")])
+    got = lk.er_match_increment(store, batch).collect()
+    assert [(r.rec_id, r.entity_id, r.matched, r.lev)
+            for r in got] == [(7, 7, False, None)]
+
+
 def test_indel_operator_is_schema_generic_on_suppliers(spark):
     """er_indel_pairs over supplier-shaped records == brute-force verify
     (the q_er_supplier_pairs genericity argument for the indel path)."""
