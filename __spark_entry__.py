@@ -48,8 +48,10 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_stream_er_gate", "q_embed_random_projection", "q_holt_forecast",
     "q_zorder_pruning",
     # plan-changed late in round 11: the persisted symmetrized edge
-    # list under the triangle machinery
+    # list under the triangle machinery, and the single-scan
+    # dirty_customers fixture under the 4-stage linkage chain
     "q_local_clustering", "q_triangle_stats",
+    "q_er_golden_record", "q_er_clusters", "q_er_candidate_pairs",
     # --- newest driver row = ROUND 5 (19), cheapest-first by the r10
     # full-sweep sf0.01 timings — the tier this round must drain to 0 ---
     "q_dedup_minhash_lsh", "q_semi_join_reviewed", "q_dedup_embed_cosine",

@@ -101,29 +101,36 @@ def dirty_customers(cust: DataFrame) -> DataFrame:
     a three-edit corruption (beyond ``MAX_EDITS``; all three edits land
     in ONE position class, so blocking still surfaces it and the
     levenshtein verify is what rejects it) and a one-edit twin whose
-    balance moved 5000.00 (the balance rule is what rejects it)."""
-    def base():
-        return cust.select(
-            F.col("c_custkey").alias("rec_id"),
-            F.col("c_name").alias("name"),
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_acctbal").alias("bal"),
-            F.lit("base").alias("origin"))
+    balance moved 5000.00 (the balance rule is what rejects it).
 
-    def variant(mod: int, rem: int, off: int, name_expr: str,
-                bal_shift: float, origin: str) -> DataFrame:
-        return (cust.filter((F.col("c_custkey") % mod) == rem)
-                .select((F.col("c_custkey") + off).alias("rec_id"),
-                        F.expr(name_expr).alias("name"),
-                        F.col("c_nationkey").alias("nationkey"),
-                        (F.col("c_acctbal") + bal_shift).alias("bal"),
-                        F.lit(origin).alias("origin")))
+    One scan, not a 5-branch union: each customer contributes its base
+    row plus 0-3 variant rows built as a per-row struct array and
+    exploded (branches OVERLAP — every 10th customer is in import_a
+    AND import_b — so each branch appends its own conditional array).
+    The fixture is re-derived by every consumer subtree (blocking
+    melt, survivorship join), so the per-build scan count matters."""
+    def s(rec_id: str, name: str, bal: str, origin: str) -> str:
+        return (f"struct(CAST({rec_id} AS BIGINT) AS rec_id,"
+                f" {name} AS name, c_nationkey AS nationkey,"
+                f" CAST({bal} AS DOUBLE) AS bal, '{origin}' AS origin)")
 
-    return (base()
-            .unionByName(variant(5, 0, _OFF_A, _v1_name(), 100.0, "import_a"))
-            .unionByName(variant(10, 0, _OFF_B, _v2_name(), 100.0, "import_b"))
-            .unionByName(variant(10, 7, _OFF_C, _v3_name(), 100.0, "import_c"))
-            .unionByName(variant(10, 4, _OFF_D, _v4_name(), 5000.0, "import_d")))
+    arr = ", ".join([
+        f"array({s('c_custkey', 'c_name', 'c_acctbal', 'base')})",
+        f"CASE WHEN c_custkey % 5 = 0 THEN array("
+        f"{s(f'c_custkey + {_OFF_A}', _v1_name(), 'c_acctbal + 100.0', 'import_a')}"
+        f") ELSE array() END",
+        f"CASE WHEN c_custkey % 10 = 0 THEN array("
+        f"{s(f'c_custkey + {_OFF_B}', _v2_name(), 'c_acctbal + 100.0', 'import_b')}"
+        f") ELSE array() END",
+        f"CASE WHEN c_custkey % 10 = 7 THEN array("
+        f"{s(f'c_custkey + {_OFF_C}', _v3_name(), 'c_acctbal + 100.0', 'import_c')}"
+        f") ELSE array() END",
+        f"CASE WHEN c_custkey % 10 = 4 THEN array("
+        f"{s(f'c_custkey + {_OFF_D}', _v4_name(), 'c_acctbal + 5000.0', 'import_d')}"
+        f") ELSE array() END",
+    ])
+    return (cust.select(F.expr(f"explode(concat({arr}))").alias("v"))
+            .select("v.*"))
 
 
 def dirty_customers_sql(table: str = "customer") -> str:
@@ -571,7 +578,15 @@ def indel_customers(cust: DataFrame) -> DataFrame:
     corruption that must NOT link (lev 3 > max_edits). All edits land
     at zone positions (>= ZONE_START), the realistic case — shared
     literal prefixes are the fixture artifact, typos hit the
-    discriminative part."""
+    discriminative part.
+
+    Stays the 5-branch union DELIBERATELY: the single-scan explode
+    rewrite that pays off for :func:`dirty_customers` (many consumer
+    re-derivations) was MEASURED 2x SLOWER here (10.85 vs 5.21 s at
+    sf0.1 under er_indel_pairs) — the PassJoin melt's large HOF probe
+    expression fuses into whole-stage codegen over the union branches
+    but not over a Generate output, and this fixture has only the two
+    melt consumers to amortize against."""
     def base():
         return cust.select(
             F.col("c_custkey").alias("rec_id"),
