@@ -1173,6 +1173,17 @@ ER_FEED_SCHEMA = T.StructType([
 ])
 
 
+def _store_zone_lengths(store: DataFrame) -> list[int]:
+    """One metadata pull of the static entity store's zone-length
+    histogram (a handful of integers) — handed to every micro-batch's
+    matcher so the per-epoch length-pruning collect disappears."""
+    from ..operators.linkage import ZONE_START
+
+    return sorted(
+        store.selectExpr(f"length(substr(name, {ZONE_START})) AS n")
+        .agg(F.collect_set("n")).first()[0] or [])
+
+
 def er_gate_stream(spark: SparkSession, landing_dir: str,
                    store: DataFrame, out_dir: str, checkpoint_dir: str,
                    glob_filter: str | None = None):
@@ -1190,16 +1201,22 @@ def er_gate_stream(spark: SparkSession, landing_dir: str,
     batch matcher (``er_match_increment``, feed side broadcast) runs
     unchanged, and the parquet append per epoch is the idempotent-sink
     contract the upsert streams already use. One availableNow round
-    therefore value-matches the batch oracle verbatim."""
+    therefore value-matches the batch oracle verbatim.
+
+    The store's zone-length histogram (the probe-pruning metadata) is
+    pulled ONCE here, not per micro-batch — the store is static for
+    the stream's lifetime, so every epoch would re-run the same
+    metadata job."""
     from ..operators.linkage import er_match_increment
 
+    lens = _store_zone_lengths(store)
     reader = spark.readStream.schema(ER_FEED_SCHEMA)
     if glob_filter is not None:
         reader = reader.option("pathGlobFilter", glob_filter)
     feed = reader.parquet(landing_dir)
 
     def match_batch(batch_df: DataFrame, _epoch: int) -> None:
-        (er_match_increment(store, batch_df)
+        (er_match_increment(store, batch_df, store_lengths=lens)
          .write.mode("append").parquet(out_dir))
 
     return (feed.writeStream.foreachBatch(match_batch)
@@ -1237,6 +1254,7 @@ def golden_increment_stream(spark: SparkSession, landing_dir: str,
 
     if members_dir is None:
         members_dir = golden_dir.rstrip("/") + "._members"
+    lens = _store_zone_lengths(store)
     feed = (spark.readStream.schema(ER_FEED_SCHEMA)
             .option("maxFilesPerTrigger", 1)
             .parquet(landing_dir))
@@ -1252,10 +1270,12 @@ def golden_increment_stream(spark: SparkSession, landing_dir: str,
         # identical and both upserts are key-idempotent.
         upsert_parquet(spark,
                        golden_increment(store, batch_df,
-                                        prior_members=prior),
+                                        prior_members=prior,
+                                        store_lengths=lens),
                        golden_dir, key=("entity_id",))
         from ..operators.linkage import er_match_increment
-        asg = er_match_increment(store, batch_df).select(
+        asg = er_match_increment(store, batch_df,
+                                 store_lengths=lens).select(
             "rec_id", "entity_id")
         upsert_parquet(spark,
                        batch_df.join(asg, "rec_id")
