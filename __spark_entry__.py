@@ -33,42 +33,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- round-11 rotation (r10 VERDICT 'Next round' #1 + ADVICE #4).
-    # Plan-CHANGED queries lead (their newest driver rows certify the
-    # old plans): the four ER paths re-shaped this round (star-fallback
-    # CSE fix + short-zone sentinel bucket; probe-length pruning +
-    # distinct removal + single-scan feed), the JL projection (BIGINT
-    # grid fold r10 + the |v| bound guard this round), and the two
-    # remaining r10 plan changes ADVICE flagged as never re-certified
-    # (round6s Holt spelling, integer-div z-order file ids).
-    # round-11's one genuinely new row leads (no driver proof at all):
-    # the cross-epoch golden fold-back certification
-    "q_er_golden_cross_epoch",
-    "q_er_indel_pairs", "q_er_match_increment", "q_er_golden_increment",
-    "q_stream_er_gate", "q_embed_random_projection", "q_holt_forecast",
-    "q_zorder_pruning",
-    # plan-changed late in round 11: the persisted symmetrized edge
-    # list under the triangle machinery, and the single-scan
-    # dirty_customers fixture under the 4-stage linkage chain
+    # --- round-12 rotation (r11 VERDICT 'Next round' #1: drain the r6
+    # staleness tier to zero; post-r12 oldest tier must be >= r7).
+    # Plan-/path-CHANGED queries this round lead: the golden-increment
+    # stream gained the crash-window swap recovery (recover_swap folded
+    # into merge_batch + upsert_parquet) — its two driver rows
+    # re-certify the changed foreachBatch path.
+    "q_er_golden_increment", "q_er_golden_cross_epoch",
+    "q_er_match_increment", "q_stream_er_gate",
     "q_local_clustering", "q_triangle_stats",
-    "q_er_golden_record", "q_er_clusters", "q_er_candidate_pairs",
-    # --- newest driver row = ROUND 5 (19), cheapest-first by the r10
-    # full-sweep sf0.01 timings — the tier this round must drain to 0 ---
-    "q_dedup_minhash_lsh", "q_semi_join_reviewed", "q_dedup_embed_cosine",
-    "q_semdedup_keep", "q_event_lag_chain", "q_embed_ivf_topk",
-    "q_rank_battery", "q_topk_orders_per_segment", "q_dedup_lsh_jaccard",
-    "q_dedup_exact", "q_dedup_keep_canonical", "q_lang_id",
-    "q_rolling_30d_window", "q_dedup_ngram_jaccard", "q_dedup_simhash",
-    "q_dup_clusters", "q_dedup_simhash_pairs", "q5_revenue_by_nation",
-    "q_dedup_multi_signal",
-    # --- newest driver row = ROUND 6 (45), cheapest-first: the budget
-    # tail lands here (~24 of 45; round 12 finishes the drain) ---
-    "q_html_extract", "q_corpus_manifest", "q_shard_balance",
-    "q_card_redact", "q_pack_efficiency", "q_url_dedup",
-    "q_bpe_pair_counts", "q_sitemap_urls", "q_extract_links",
-    "q_url_parse", "q_rollup_order_status", "q_unimax_allocation",
-    "q_ngram_lm_counts", "q_hourly_event_rollup", "q_class_tfidf",
-    "q_robots_filter", "q_domain_stats", "q_asof_prev_purchase",
+    "q_late_interaction_topk", "q_li_recall_check",
+    "q_video_neardup",
+    # --- newest driver row = ROUND 6 (27), cheapest-first by the r10
+    # full-sweep sf0.01 relative order — the tier this round drains ---
     "q_paragraph_dedup", "q_skew_salted_distinct", "q_embed_drift",
     "q_anchor_terms", "q_domain_blocklist", "q_contamination_report",
     "q_margin_mining", "q_dsir_topk", "q_unimax_sample",
@@ -78,6 +55,27 @@ _VERIFY_FIRST: tuple[str, ...] = (
     "q_lm_ccnet_gate", "q_stream_neardup_gate", "q_bpe_encode",
     "q_tokenizer_fertility", "q_domain_pagerank", "q_ccnet_buckets",
     "q_llm_training_set", "q_stream_lm_scores",
+    # --- newest driver row = ROUND 7 (50), cheapest-first by a fresh
+    # round-12 sf0.01 sweep — the budget tail lands here; round 13
+    # continues the drain from wherever the cutoff falls ---
+    "q_fingerprint", "q_conform_drift", "q_dsl_filter_events",
+    "q_sample_stratified", "q_value_histogram", "q_grouping_sets_mixed",
+    "q_pii_redact", "q_dedup_normalized", "q_data_profile",
+    "q_chunk_documents", "q_pack_sequences", "q_data_mixture",
+    "q_video_meta", "q_quality_gate_percentile", "q_token_rarity",
+    "q_sessionize_events", "q_range_join_attribution",
+    "q_stream_quality_gate", "q_dsir_model", "q_image_phash",
+    "q_cube_distinct_callers", "q_percentile_prices", "q_corpus_stats",
+    "q_tfidf_top_terms", "q_media_meta", "q_image_stats",
+    "q_token_budget", "q_warc_records", "q_image_neardup",
+    "q_text_hash_embed", "q_boilerplate_ngrams", "q_training_set",
+    "q_span_dedup_rewrite", "q_warc_domain_stats",
+    "q_text_embed_neighbors", "q_stream_session_windows",
+    "q_union_default_region", "q_dsir_from_model", "q_lm_from_counts",
+    "q_stream_image_gate", "q_image_dup_clusters",
+    "q_stream_hourly_counts", "q_audio_stats", "q_unigram_lm_vocab",
+    "q_unigram_fertility", "q_crawl_budget", "q1_pricing_summary",
+    "q_unigram_encode", "q_approx_sketches", "q_web_curation_pipeline",
 )
 
 

@@ -230,6 +230,55 @@ def _best_prior(sf) -> dict[str, float]:
     return best
 
 
+def _merge_round_local(detail: dict, here: str) -> str:
+    """Fold this run's per-query floors into the CURRENT round's
+    committed detail file, ``BENCH_r{N}_local.json``.
+
+    ``_best_prior`` builds the drift baseline from BENCH_r*.json
+    "queries" dicts, but the stdout line (driver-captured as
+    BENCH_r{N}.json) carries only the baseline-11 subset — without a
+    committed per-round detail file the other ~95 queries silently drop
+    out of regression coverage (r11 did the copy by hand; this automates
+    it). N = 1 + the newest driver-recorded round: the driver writes
+    BENCH_r{N}.json at the END of round N, so while round N+1 is being
+    built the max on disk is N. Merging takes the elementwise per-query
+    MIN across the round's runs — the quiet-floor convention — and keeps
+    the quietest run's noise_ratio for context."""
+    import glob
+    import re
+
+    # only DRIVER-written round markers (BENCH_r{N}.json exactly) count:
+    # builder-written *_local files would bump the round on every run
+    ns = [int(m.group(1)) for p in glob.glob(
+              os.path.join(here, "BENCH_r*.json"))
+          if (m := re.fullmatch(r"BENCH_r0*(\d+)\.json",
+                                os.path.basename(p)))]
+    stamp = os.path.join(here, f"BENCH_r{max(ns, default=0) + 1:02d}_local.json")
+    merged = dict(detail)
+    try:
+        with open(stamp) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        prev = None
+    if prev and prev.get("sf") == detail["sf"] \
+            and prev.get("method") == detail["method"]:
+        qs = dict(prev.get("queries") or {})
+        for q, t in detail["queries"].items():
+            qs[q] = min(qs[q], t) if q in qs else t
+        merged["queries"] = qs
+        merged["value"] = round(sum(qs.values()), 3)
+        merged["noise_ratio"] = min(prev.get("noise_ratio", 9.9),
+                                    detail["noise_ratio"])
+        merged["merged_runs"] = prev.get("merged_runs", 1) + 1
+        merged.pop("runs", None)        # raw samples live in _latest only
+        merged.pop("regressions", None)
+    else:
+        merged["merged_runs"] = 1
+    with open(stamp, "w") as f:
+        json.dump(merged, f, indent=1)
+    return os.path.basename(stamp)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -293,6 +342,7 @@ def main() -> None:
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_detail_latest.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    _merge_round_local(detail, here)
     # stdout: ONE short line that fits whole inside the driver's
     # 2000-char tail capture — totals + the baseline-11 gate subset;
     # everything else lives in BENCH_detail_latest.json

@@ -389,7 +389,20 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
     EXHAUSTIVE store×batch verification — a hash match proves blocking
     recall, not just agreement. Best match per record = min (lev,
     entity_id) — a deterministic total order. ``store``: (entity_id,
-    name, nationkey, bal)."""
+    name, nationkey, bal).
+
+    Short zones: the scheme probe needs partner length ``n + dl >= 3``,
+    so a STORE entry with a <= 2-char zone could never be reached and
+    would silently mint duplicate entities. When the store's length
+    histogram contains such zones, they additionally index the
+    :func:`er_indel_pairs` sentinel bucket (nationkey, l=0, i=0, '')
+    and every feed record whose zone could pair with one (n <= 2 + τ)
+    probes it — asymmetric on purpose: only the store indexes here, so
+    unlike the batch pairer the "shorter record probes the longer's
+    scheme" argument cannot cover short-store × longer-feed pairs; the
+    widened probe window does, and the lev + balance verify keeps
+    precision. Stores with no short zones (the fixtures) plan
+    byte-identically to before."""
     tau = max_edits
     z = f"substr(name, {ZONE_START})"
     islen, istart = _pj_arith("n", "i", "div")
@@ -399,16 +412,6 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
              .select("entity_id", "name", "nationkey", "bal",
                      F.expr(z).alias("zz"),
                      F.expr(f"length({z})").alias("n")))
-    sm = sbase.select(
-        "entity_id", F.col("name").alias("s_name"), "nationkey",
-        F.col("bal").alias("s_bal"),
-        F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
-               f" transform(sequence(0, 2), i -> struct("
-               f"n AS l, i AS i,"
-               f" substr(zz, {istart}, {islen}) AS content,"
-               f" g AS g, {cell} AS cell)))))").alias("k")) \
-        .select("entity_id", "s_name", "nationkey", "s_bal",
-                "k.l", "k.i", "k.content", "k.g", "k.cell")
     # the store indexes only its OWN zone lengths (index key l = n), so
     # a probe key for any other partner length can never join: collect
     # the store's distinct zone lengths once (metadata-sized — a
@@ -429,13 +432,33 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
             F.lit(False).alias("matched"),
             F.lit(None).cast("long").alias("lev"))
     lens_csv = ", ".join(str(v) for v in lens)
+    # sentinel bucket only when the store actually HOLDS short zones —
+    # gated here so length-normal stores keep a byte-identical plan
+    has_short = any(v <= 2 for v in lens)
+    s_sent = (f" CASE WHEN n <= 2 THEN array(struct("
+              f"0 AS l, 0 AS i, '' AS content, g AS g, {cell} AS cell))"
+              f" ELSE array() END") if has_short else " array()"
+    b_sent = (f" CASE WHEN n <= {2 + tau} THEN array(struct("
+              f"0 AS l, 0 AS i, '' AS content, g AS g, {cell} AS cell))"
+              f" ELSE array() END") if has_short else " array()"
+    sm = sbase.select(
+        "entity_id", F.col("name").alias("s_name"), "nationkey",
+        F.col("bal").alias("s_bal"),
+        F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
+               f" concat(transform(sequence(0, 2), i -> struct("
+               f"n AS l, i AS i,"
+               f" substr(zz, {istart}, {islen}) AS content,"
+               f" g AS g, {cell} AS cell)),{s_sent}))))").alias("k")) \
+        .select("entity_id", "s_name", "nationkey", "s_bal",
+                "k.l", "k.i", "k.content", "k.g", "k.cell")
     bbase = batch.select("rec_id", "name", "nationkey", "bal",
                          F.expr(z).alias("zz"),
                          F.expr(f"length({z})").alias("n"))
     bm = bbase.select(
         "rec_id", F.col("name").alias("b_name"), "nationkey",
         F.col("bal").alias("b_bal"),
-        F.expr(f"""explode(array_distinct(flatten(flatten(flatten(
+        F.expr(f"""explode(array_distinct(concat(
+          flatten(flatten(flatten(
           transform(sequence(0, 1), g ->
           transform(filter(sequence(-{tau}, {tau}),
                            dl -> (n + dl) IN ({lens_csv})), dl ->
@@ -449,7 +472,8 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
                 d -> struct((n + dl) AS l, i AS i,
                             substr(zz, {pstart} + d, {pslen})
                               AS content,
-                            g AS g, {cell} AS cell))))))))))""")
+                            g AS g, {cell} AS cell)))))))),
+          flatten(transform(sequence(0, 1), g ->{b_sent})))))""")
         .alias("k")) \
         .select("rec_id", "b_name", "nationkey", "b_bal",
                 "k.l", "k.i", "k.content", "k.g", "k.cell")

@@ -77,6 +77,35 @@ def merge_dataframes(target: DataFrame, source: DataFrame,
     return kept.unionByName(src.select(*target.columns))
 
 
+def recover_swap(path: str) -> None:
+    """Repair an upsert swap interrupted by a crash.
+
+    :func:`upsert_parquet` swaps via ``rename(path, path._old)`` →
+    ``rename(path._staging, path)`` → ``rmtree(path._old)``. A crash in
+    the middle window leaves the live table parked at ``._old`` with
+    nothing at ``path`` — a reader that probes ``os.path.exists(path)``
+    would then see "no table" and silently recompute from scratch (for
+    the streaming members table that re-introduces the forgotten-members
+    bug the table exists to fix). Rename the parked copy back before
+    anyone reads; drop a stray ``._staging`` (never read, possibly
+    incomplete) and a stale ``._old`` left by a crash in the final
+    window (``path`` already promoted). Idempotent and cheap (two
+    lstats) — called at the top of every upsert and safe for readers to
+    call directly.
+    """
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    old, staging = base + "._old", base + "._staging"
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+    if os.path.exists(path) and os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(staging):
+        shutil.rmtree(staging)
+
+
 def upsert_parquet(spark, source: DataFrame, path: str,
                    key: tuple[str, ...] | list[str],
                    order_col: str | None = None,
@@ -99,6 +128,7 @@ def upsert_parquet(spark, source: DataFrame, path: str,
     import os
     import shutil
 
+    recover_swap(path)
     if not prechecked and not source.take(1):
         return
     if os.path.exists(path):

@@ -120,6 +120,28 @@ def _session_level_predicates(extra_filters: str):
     return compile_filter(extra_filters, {"date_range": "start_dt"})
 
 
+# the reference API caps categories at 9,999 per tenant (Extract.py's
+# page-size ceiling), so the watermark pull below is a metadata-sized id
+# list like the IVF-centroid / ER store-length pulls
+_DIM_CAP = 10_000
+
+
+def _updated_category_ids(categories: DataFrame, wm) -> list[str]:
+    """Ids of categories updated since the watermark — a driver-side
+    collect that is BOUNDED by dimension cardinality (``_DIM_CAP``; see
+    SCALE.md "Driver-side memory contract"). NOT a pattern to copy onto
+    a fact table: the ``limit`` keeps the transfer capped even on a
+    misbehaving source, and the assert trips loudly if the dimension
+    contract is ever broken instead of silently ballooning the driver.
+    """
+    ids = [str(r["id"]) for r in
+           categories.filter(F.to_timestamp("updated_at") > F.lit(wm))
+           .select("id").limit(_DIM_CAP).collect()]
+    assert len(ids) < _DIM_CAP, \
+        "categories exceeded the 9,999-per-tenant dimension cap"
+    return ids
+
+
 def sync_incremental(spark: SparkSession, raw: dict[str, DataFrame],
                      warehouse: str, stop: str) -> None:
     """Daily-mode incremental passes (run-et-etl.py:66-116):
@@ -131,10 +153,7 @@ def sync_incremental(spark: SparkSession, raw: dict[str, DataFrame],
 
     wm = read_watermark(spark, warehouse)
     if wm is not None:
-        updated_cat_ids = [str(r["id"]) for r in
-                           raw["categories"]
-                           .filter(F.to_timestamp("updated_at") > F.lit(wm))
-                           .select("id").collect()]
+        updated_cat_ids = _updated_category_ids(raw["categories"], wm)
         if updated_cat_ids:
             # sessions in updated categories: semi-join via exploded bridge
             cat_filter = f"categories,{','.join(updated_cat_ids)}|or"

@@ -52,13 +52,17 @@ def _cached(key: tuple, build) -> DataFrame:
 def clear_fixture_cache() -> None:
     """Unpersist and drop the shared fixtures — bench.py calls this per
     timing sample so a headline query that rides the cache would still be
-    timed computing its full plan, never reading a warm cache."""
+    timed computing its full plan, never reading a warm cache. Also
+    drains the graph module's symmetrized-edge-list cache (same
+    convention, operator-local dict)."""
     for df in _FIXTURE_CACHE.values():
         try:
             df.unpersist()
         except Exception:   # session already stopped — nothing cached
             pass
     _FIXTURE_CACHE.clear()
+    from ..operators.graph import clear_sym_cache
+    clear_sym_cache()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

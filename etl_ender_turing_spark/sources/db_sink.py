@@ -216,3 +216,23 @@ _DUCKDB_TYPES = {
     T.StringType: "VARCHAR", T.TimestampType: "TIMESTAMP",
     T.DateType: "DATE", T.BinaryType: "BLOB",
 }
+
+
+def anonymize_db_url(url: str) -> str:
+    """Credential-masked form of a database/JDBC URL for logs and error
+    messages (reference parity: ET-ETL-DWH-PY312/ETL/utils.py:256-266's
+    ``anonymize_database_url``): the password segment of the userinfo is
+    replaced with ``****`` — ``postgres://etl:s3cret@db:5432/dwh`` logs
+    as ``postgres://etl:****@db:5432/dwh``. URLs with no userinfo pass
+    through unchanged. Any surface that prints a connection target (the
+    JDBC staging writer's diagnostics, run_etl banners) must route the
+    URL through here first — credentials in plaintext logs outlive the
+    process in every log aggregator."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    if "@" not in url:
+        return url
+    parts = urlsplit(url)
+    userinfo, _, hostinfo = parts.netloc.rpartition("@")
+    masked = f"{userinfo.split(':', 1)[0]}:****@{hostinfo}"
+    return urlunsplit(parts._replace(netloc=masked))

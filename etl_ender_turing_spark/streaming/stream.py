@@ -1250,7 +1250,7 @@ def golden_increment_stream(spark: SparkSession, landing_dir: str,
     import os
 
     from ..operators.linkage import golden_increment
-    from ..operators.upsert import upsert_parquet
+    from ..operators.upsert import recover_swap, upsert_parquet
 
     if members_dir is None:
         members_dir = golden_dir.rstrip("/") + "._members"
@@ -1260,6 +1260,11 @@ def golden_increment_stream(spark: SparkSession, landing_dir: str,
             .parquet(landing_dir))
 
     def merge_batch(batch_df: DataFrame, _epoch: int) -> None:
+        # a crash inside the members upsert's swap window parks the
+        # table at '._old'; without this repair the exists() probe reads
+        # False, prior=None, and the recomputed golden rows silently
+        # forget every earlier epoch's members
+        recover_swap(members_dir)
         prior = (spark.read.parquet(members_dir)
                  if os.path.exists(members_dir) else None)
         # golden FIRST: `prior` is lazy, so it must execute while the

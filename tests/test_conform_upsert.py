@@ -60,6 +60,45 @@ def test_upsert_swap_leaves_no_debris(spark, tmp_path):
     assert not os.path.exists(path + "._staging")
 
 
+def test_recover_swap_restores_parked_table(spark, tmp_path):
+    """Crash window inside the swap (after rename(path, ._old), before
+    rename(._staging, path)): the live table is parked at '._old' with
+    nothing at path. recover_swap must rename it back — and the next
+    upsert must see the full prior state (regression for the silent
+    members-table reset)."""
+    path = os.path.join(str(tmp_path), "t")
+    df1 = spark.createDataFrame([(1, "a")], "id int, v string")
+    upsert_parquet(spark, df1, path, ["id"])
+    # simulate the crash: table parked aside, a half-written staging left
+    os.rename(path, path + "._old")
+    os.makedirs(path + "._staging")
+    up.recover_swap(path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._staging")
+    assert {tuple(r) for r in spark.read.parquet(path).collect()} == {(1, "a")}
+    # and the next upsert merges against the RECOVERED state, not scratch
+    df2 = spark.createDataFrame([(2, "b")], "id int, v string")
+    os.rename(path, path + "._old")          # crash again, then upsert directly
+    upsert_parquet(spark, df2, path, ["id"])
+    out = {tuple(r) for r in spark.read.parquet(path).collect()}
+    assert out == {(1, "a"), (2, "b")}
+
+
+def test_recover_swap_drops_stale_old_and_staging(spark, tmp_path):
+    """Crash in the FINAL window (path already promoted, '._old' not yet
+    dropped): recovery must keep the promoted table and clear debris."""
+    path = os.path.join(str(tmp_path), "t")
+    df = spark.createDataFrame([(1, "a")], "id int, v string")
+    upsert_parquet(spark, df, path, ["id"])
+    os.makedirs(path + "._old")
+    os.makedirs(path + "._staging")
+    up.recover_swap(path)
+    assert os.path.exists(path)
+    assert not os.path.exists(path + "._old")
+    assert not os.path.exists(path + "._staging")
+
+
 def test_merge_update_insert_keep(spark):
     tgt = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     src = spark.createDataFrame([(2, "B"), (3, "c")], "id int, v string")

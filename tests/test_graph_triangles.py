@@ -82,3 +82,37 @@ def test_local_counts_sum_to_three_times_global(spark):
     loc = sum(r.n_triangles for r in
               local_clustering(_edges(spark, pairs)).collect())
     assert loc == 3 * tot
+
+
+def test_sym_cache_reuses_and_clears(spark):
+    """Repeated triangle/clustering calls over the SAME edge plan must
+    share ONE persisted edge list (keyed by app id + canonical plan),
+    and clear_fixture_cache must release it — the unbounded
+    CacheManager-growth regression (ADVICE r11)."""
+    from etl_ender_turing_spark.operators import graph as G
+    from etl_ender_turing_spark.plans.llm_catalog import (
+        clear_fixture_cache)
+
+    from pyspark.sql import functions as F
+
+    clear_fixture_cache()
+    # parquet-derived edges (the catalog's shape): separately-built
+    # identical plans canonicalize to the SAME cache key — RDD-backed
+    # createDataFrame plans would not, which is fine (catalog edge
+    # lists always come off a source scan)
+    def edges(extra: int):
+        df = (spark.read
+              .parquet("/root/testdata/sf0.001/documents.parquet")
+              .select((F.col("doc_id") % 20).cast("string").alias("src"),
+                      (F.col("doc_id") % 7).cast("string").alias("dst")))
+        return df if not extra else df.limit(300)
+    G.triangle_count(edges(0)).collect()
+    assert len(G._SYM_CACHE) == 1
+    G.local_clustering(edges(0)).collect()
+    G.triangle_count(edges(0)).collect()
+    assert len(G._SYM_CACHE) == 1         # same plan -> same entry
+    # a DIFFERENT edge plan gets its own entry
+    G.triangle_count(edges(1)).collect()
+    assert len(G._SYM_CACHE) == 2
+    clear_fixture_cache()
+    assert len(G._SYM_CACHE) == 0

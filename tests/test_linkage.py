@@ -369,6 +369,17 @@ def test_golden_increment_stream_cross_epoch_accumulates(spark, tmp_path):
     q.awaitTermination()
     check()
 
+    # crash-window replay: a crash inside the members upsert's swap
+    # parks the members table at '._old' — replay must RECOVER it, not
+    # treat the members state as absent and forget epoch-1 members
+    import os
+    members_dir = golden_dir.rstrip("/") + "._members"
+    os.rename(members_dir, members_dir + "._old")
+    q = golden_increment_stream(spark, landing, store, golden_dir,
+                                str(tmp_path / "ckpt3"))
+    q.awaitTermination()
+    check()
+
 
 def test_indel_blocking_recall_randomized(spark):
     """Seeded randomized pin of the PassJoin pigeonhole: 200 base
@@ -486,6 +497,9 @@ def test_increment_matcher_mixed_length_store(spark):
             bal=0.0),
         Row(entity_id=3, name="Customer#12345678901", nationkey=1,
             bal=0.0),
+        # SHORT zone (2 chars): unreachable through the scheme probe
+        # (partner length must be >= 3) — the sentinel bucket's case
+        Row(entity_id=4, name="Customer#12", nationkey=1, bal=0.0),
     ]
     batch_rows = [
         Row(rec_id=101, name="Customer#1234567X", nationkey=1, bal=1.0,
@@ -496,6 +510,16 @@ def test_increment_matcher_mixed_length_store(spark):
             bal=1.0, origin="sub"),  # len-11 entity, one substitution
         Row(rec_id=104, name="Customer#XXX45678901", nationkey=1,
             bal=1.0, origin="new"),  # three edits -> mint
+        Row(rec_id=105, name="Customer#1X", nationkey=1, bal=1.0,
+            origin="sub_short"),     # short x short, one substitution
+        Row(rec_id=106, name="Customer#12X4", nationkey=1, bal=1.0,
+            origin="ins_short"),     # zone len 4 vs store len 2: two
+                                     # insertions — reachable ONLY via
+                                     # the widened (n <= 2 + tau) probe
+        Row(rec_id=107, name="Customer#XY", nationkey=1, bal=1.0,
+            origin="new_short"),     # short zone, 2 subs + no partner
+                                     # within tau of zone "12"? lev=2
+                                     # -> actually matches within tau
     ]
     got = {r.rec_id: r for r in lk.er_match_increment(
         spark.createDataFrame(store_rows),
@@ -504,6 +528,11 @@ def test_increment_matcher_mixed_length_store(spark):
     assert (got[102].entity_id, got[102].matched) == (2, True)
     assert (got[103].entity_id, got[103].matched) == (3, True)
     assert (got[104].entity_id, got[104].matched) == (104, False)
+    assert (got[105].entity_id, got[105].matched) == (4, True)
+    assert (got[106].entity_id, got[106].matched) == (4, True)
+    # zone "XY" is lev-2 from zone "12" — inside tau, so the sentinel
+    # must surface it too (precision still enforced by the verify)
+    assert (got[107].entity_id, got[107].matched) == (4, True)
 
 
 def test_increment_matcher_empty_store_mints_all(spark):

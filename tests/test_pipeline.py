@@ -202,6 +202,27 @@ def test_incremental_converges_to_full(spark, raw, tmp_path):
     assert wm == datetime(2024, 6, 3)
 
 
+def test_updated_category_pull_is_dim_bounded(spark):
+    """The watermark-driven category-id collect must stay metadata-sized:
+    within the reference's 9,999-per-tenant cap it returns the ids; past
+    the cap it must FAIL LOUDLY (limit + assert), never ship an unbounded
+    list to the driver."""
+    import pytest
+
+    from etl_ender_turing_spark.pipeline.sync import _updated_category_ids
+
+    wm = datetime(2024, 6, 1)
+    small = spark.range(50).select(
+        F.col("id"), F.lit("2024-06-02 00:00:00").alias("updated_at"))
+    assert len(_updated_category_ids(small, wm)) == 50
+    # one past the cap -> loud failure, and the limit() means the failed
+    # attempt still never collected more than _DIM_CAP rows
+    big = spark.range(10_000).select(
+        F.col("id"), F.lit("2024-06-02 00:00:00").alias("updated_at"))
+    with pytest.raises(AssertionError, match="dimension cap"):
+        _updated_category_ids(big, wm)
+
+
 def test_guarded_semi_join_reviewers(tables):
     # 'reviewers,true' semantics: every sessions_scores row belongs to a
     # session; manual scores only exist where reviewers reviewed
