@@ -2890,6 +2890,41 @@ def planted_mjpeg_hash_sql(table: str = "documents",
     """
 
 
+# (applicationId, canonicalized-plan hash) -> persisted frame-hash
+# table: video_neardup consumes its input FOUR times (coverage counts,
+# band melt, both sides of the verify self-join), and each re-read
+# would re-run the whole synthesize + Arrow JPEG-decode subtree — the
+# r11 floor drift (3.8 -> 5.1 s) was exactly the two extra reads the
+# r9 frame-coverage join added. The hash table is metadata-thin (3
+# BIGINTs per frame), so persisting it once is the natural pipeline
+# break — at 100 TB it is a parquet table, here a MEMORY_AND_DISK
+# cache. Same keyed/clearable convention as graph._SYM_CACHE;
+# plans.clear_fixture_cache() drains it.
+_HASH_CACHE: dict[tuple, DataFrame] = {}
+
+
+def clear_hash_cache() -> None:
+    """Unpersist and drop the cached frame-hash tables."""
+    for df in _HASH_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:   # session already stopped — nothing cached
+            pass
+    _HASH_CACHE.clear()
+
+
+def _cached_hashes(hashes: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    key = (hashes.sparkSession.sparkContext.applicationId,
+           hashes._jdf.queryExecution().analyzed().semanticHash())
+    hit = _HASH_CACHE.get(key)
+    if hit is None:
+        hit = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        _HASH_CACHE[key] = hit
+    return hit
+
+
 def video_neardup(hashes: DataFrame, max_total_hamming: int = 4,
                   id_col: str = "doc_id",
                   max_bucket: int = 1000) -> DataFrame:
@@ -2920,6 +2955,7 @@ def video_neardup(hashes: DataFrame, max_total_hamming: int = 4,
             f"max_total_hamming={max_total_hamming} breaks the pigeonhole"
             f" candidate guarantee: floor(T/{VIDEO_FRAMES}) must be <= 3"
             f" (4 bands of 15 bits); got {max_total_hamming // VIDEO_FRAMES}")
+    hashes = _cached_hashes(hashes)
     nf = hashes.groupBy(id_col).agg(F.count("*").alias("nf"))
     melted = hashes.select(
         F.col(id_col), F.col("frame_idx"), F.col("simhash"),

@@ -62,7 +62,9 @@ def clear_fixture_cache() -> None:
             pass
     _FIXTURE_CACHE.clear()
     from ..operators.graph import clear_sym_cache
+    from ..operators.multimodal import clear_hash_cache
     clear_sym_cache()
+    clear_hash_cache()
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -659,6 +659,27 @@ def test_video_frame_hashes_drops_garbage(spark):
     assert mm.video_frame_hashes(df).count() == 0
 
 
+def test_video_neardup_hash_cache_reuses_and_clears(spark):
+    """video_neardup consumes its input 4x — the frame-hash frame must
+    be persisted ONCE through the keyed cache (the r11->r12 floor-drift
+    fix) and released by clear_fixture_cache."""
+    from etl_ender_turing_spark.plans.llm_catalog import (
+        clear_fixture_cache)
+
+    clear_fixture_cache()
+    docs = (spark.read
+            .parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id"))
+    hashes = mm.video_frame_hashes(mm.synthesize_planted_mjpeg(docs))
+    n = mm.video_neardup(hashes, max_total_hamming=4).count()
+    assert n > 0 and len(mm._HASH_CACHE) == 1
+    # re-running the same plan reuses the entry, never adds one
+    mm.video_neardup(hashes, max_total_hamming=4).count()
+    assert len(mm._HASH_CACHE) == 1
+    clear_fixture_cache()
+    assert len(mm._HASH_CACHE) == 0
+
+
 def test_parse_mp4_meta_box_walk():
     import struct as st
 
