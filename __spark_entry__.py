@@ -39,6 +39,9 @@ _VERIFY_FIRST: tuple[str, ...] = (
     # stream gained the crash-window swap recovery (recover_swap folded
     # into merge_batch + upsert_parquet) — its two driver rows
     # re-certify the changed foreachBatch path.
+    # round-12's one genuinely new row leads (no driver proof at all):
+    # the persisted late-interaction index lifecycle
+    "q_li_from_index",
     "q_er_golden_increment", "q_er_golden_cross_epoch",
     "q_er_match_increment", "q_stream_er_gate",
     "q_local_clustering", "q_triangle_stats",

@@ -263,6 +263,81 @@ def late_interaction_topk(df: DataFrame, query_terms: tuple[str, ...],
             .orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k))
 
 
+def build_li_index(df: DataFrame, table: str, n_buckets: int = 16,
+                   dim: int = 64, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   path: str | None = None) -> None:
+    """Materialize the late-interaction serving index: the distinct
+    (doc, token) projection and the vocabulary token embeddings, both
+    BUCKETED BY token — the dense-ish dual of :func:`terms.
+    build_text_index` (r11 VERDICT #3: give late interaction the same
+    build-once/serve-many treatment the BM25 path got).
+
+    Build is the ONLY pass over corpus text; serving
+    (:func:`late_interaction_from_index`) never re-tokenizes or
+    re-embeds the corpus. Bucketing both tables by ``tok`` makes the
+    serve-side aggregations ride the bucket partitioning (the
+    vocabulary-sims groupBy needs no exchange) and keeps the doc-token
+    scan join-ready. At 100 TB the doc-token table is the big artifact
+    (corpus-scale, 2 columns); the vocabulary embedding is
+    vocabulary-scale — the same replication-flat argument as the
+    BPE/unigram trainers."""
+    spark = df.sparkSession
+    doc_toks = (df.select(F.col(id_col),
+                          F.explode(F.split(F.lower(F.trim(
+                              F.col(text_col))), r"\s+")).alias("tok"))
+                .filter(F.col("tok") != "")
+                .distinct())
+    w = (doc_toks.write.mode("overwrite").format("parquet")
+         .bucketBy(n_buckets, "tok").sortBy("tok"))
+    if path is not None:
+        w = w.option("path", f"{path}/doc_toks")
+    w.saveAsTable(f"{table}_doc_toks")
+    # vocabulary re-read from the persisted doc-token table, so the
+    # text pipeline runs exactly once end-to-end
+    vocab = spark.table(f"{table}_doc_toks").select("tok").distinct()
+    temb = _token_embed(vocab, dim, n)
+    wv = (temb.write.mode("overwrite").format("parquet")
+          .bucketBy(n_buckets, "tok").sortBy("tok"))
+    if path is not None:
+        wv = wv.option("path", f"{path}/vocab_emb")
+    wv.saveAsTable(f"{table}_vocab_emb")
+
+
+def late_interaction_from_index(spark, table: str,
+                                query_terms: tuple[str, ...],
+                                k: int = 10, dim: int = 64, n: int = 3,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Serve late-interaction top-k from a :func:`build_li_index`
+    artifact: embed the query terms (a ≤|terms|·dim-row pipeline over
+    literals), sparse-slot join against the PERSISTED vocabulary
+    embeddings (the groupBy rides the tok bucketing — no exchange),
+    broadcast the vocabulary-bounded (tok, term, sim) table into the
+    persisted doc-token scan, and aggregate. Zero corpus-text work at
+    serve time; result matches :func:`late_interaction_topk` exactly
+    (certified against the same oracle)."""
+    qdf = spark.createDataFrame([(t,) for t in query_terms],
+                                "qterm string")
+    qemb = (_token_embed(qdf.select(F.lower(F.col("qterm")).alias("tok")),
+                         dim, n)
+            .select(F.col("tok").alias("qterm"), "idx",
+                    F.col("w").alias("qw")))
+    temb = spark.table(f"{table}_vocab_emb")
+    sims = (temb.join(F.broadcast(qemb), "idx")
+            .select("tok", "qterm",
+                    F.expr(_DOT.format(a="w", b="qw")).alias("term"))
+            .groupBy("tok", "qterm")
+            .agg(F.expr(_SIM6.format(term="term")).alias("sim")))
+    per_term = (spark.table(f"{table}_doc_toks")
+                .join(F.broadcast(sims), "tok")
+                .groupBy(id_col, "qterm")
+                .agg(F.expr("CAST(FLOOR(MAX(sim) * 1000000 + 0.5)"
+                            " AS BIGINT)").alias("m")))
+    return (per_term.groupBy(id_col)
+            .agg(F.sum("m").cast("long").alias("score_micro"))
+            .orderBy(F.desc("score_micro"), F.asc(id_col)).limit(k))
+
+
 def _token_embed_sql(toks_cte: str, dim: int, n: int) -> str:
     """DuckDB spelling of :func:`_token_embed` over a CTE that yields a
     ``tok`` column."""

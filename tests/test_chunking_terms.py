@@ -118,6 +118,31 @@ def test_bm25_index_parity_and_bucket_pruning(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bm25_idx_stats")
 
 
+def test_li_index_parity_with_inline(spark, tmp_path):
+    """late_interaction_from_index must reproduce the inline
+    late_interaction_topk result exactly (the q_li_from_index
+    lifecycle), and serving must not touch the corpus text: the served
+    plan reads only the two persisted index tables."""
+    from etl_ender_turing_spark.operators import feature_hash as fh
+    from etl_ender_turing_spark.sources.readers import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    terms = ("vector", "stream", "join", "window")
+    fh.build_li_index(docs, "li_idx", n_buckets=8,
+                      path=str(tmp_path / "li_idx"))
+    try:
+        inline = fh.late_interaction_topk(docs, terms, k=10).collect()
+        served_df = fh.late_interaction_from_index(spark, "li_idx",
+                                                   terms, k=10)
+        assert sorted(map(tuple, served_df.collect())) == \
+            sorted(map(tuple, inline))
+        plan = served_df._jdf.queryExecution().executedPlan().toString()
+        assert "documents.parquet" not in plan   # zero corpus-text work
+    finally:
+        spark.sql("DROP TABLE IF EXISTS li_idx_doc_toks")
+        spark.sql("DROP TABLE IF EXISTS li_idx_vocab_emb")
+
+
 def test_class_tfidf_surfaces_group_exclusive_terms(spark):
     from etl_ender_turing_spark.operators import terms as tm
 
