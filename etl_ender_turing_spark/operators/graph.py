@@ -266,19 +266,20 @@ def clear_sym_cache() -> None:
 
 
 def _sym_und(edges: DataFrame) -> DataFrame:
-    """Symmetrized, deduped undirected edge list, PERSISTED: the
+    """Symmetrized, deduped undirected edge list, MATERIALIZED: the
     triangle machinery re-reads this frame 3-6x (degree agg,
     orientation joins, wedge join, closing join), and without a
     barrier every re-read re-runs the caller's whole edge-derivation
     subtree — for the catalog's domain graphs that is the regexp-heavy
     URL parse chain (measured 13.1 -> 2.4 s at sf0.1 for
     local_clustering). An edge list is the natural pipeline break at
-    any scale: at 100 TB it is a parquet table, here a MEMORY_AND_DISK
-    cache — keyed by (app id, canonicalized plan) in ``_SYM_CACHE`` so
-    re-invocations share ONE cache entry and ``clear_sym_cache`` can
-    release it."""
-    from pyspark import StorageLevel
-
+    any scale: at 100 TB it is a parquet table, here a localCheckpoint
+    — which, unlike persist, also TRUNCATES the logical plan, so
+    Catalyst stops re-analyzing the full parse lineage once per
+    consumer branch (the r12 profile showed a ~3.5k-line analyzed plan
+    behind a 44-line executed one; guide §3.3/§7.3). Keyed by (app id,
+    canonicalized plan) in ``_SYM_CACHE`` so re-invocations share ONE
+    materialization and ``clear_sym_cache`` can release it."""
     key = (edges.sparkSession.sparkContext.applicationId,
            edges._jdf.queryExecution().analyzed().semanticHash())
     hit = _SYM_CACHE.get(key)
@@ -289,7 +290,7 @@ def _sym_und(edges: DataFrame) -> DataFrame:
          .filter(F.col("a") != F.col("b")))
     df = (e.unionByName(e.select(F.col("b").alias("a"),
                                  F.col("a").alias("b")))
-          .distinct().persist(StorageLevel.MEMORY_AND_DISK))
+          .distinct().localCheckpoint(eager=False))
     _SYM_CACHE[key] = df
     return df
 

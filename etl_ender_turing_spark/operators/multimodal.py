@@ -2914,13 +2914,17 @@ def clear_hash_cache() -> None:
 
 
 def _cached_hashes(hashes: DataFrame) -> DataFrame:
-    from pyspark import StorageLevel
-
+    # localCheckpoint, not persist: the frame-hash table feeds four
+    # consumers, and persist would keep the full synthesize + Arrow
+    # JPEG-decode lineage in every consumer's analyzed plan (Catalyst
+    # re-analyzes it per branch — guide §3.3/§7.3); the checkpoint
+    # truncates the plan at this barrier and its RDD is released when
+    # the cache entry drops.
     key = (hashes.sparkSession.sparkContext.applicationId,
            hashes._jdf.queryExecution().analyzed().semanticHash())
     hit = _HASH_CACHE.get(key)
     if hit is None:
-        hit = hashes.persist(StorageLevel.MEMORY_AND_DISK)
+        hit = hashes.localCheckpoint(eager=False)
         _HASH_CACHE[key] = hit
     return hit
 

@@ -469,20 +469,27 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
     # branch (bigram stats ×3 internal passes, threshold agg, bucket
     # join, shingles, final anti-join) re-reads this frame, and without
     # a barrier Spark recomputes the regexp-heavy extraction chain per
-    # branch (measured 12 s -> ~5 s at sf0.1). At 100 TB this persist
-    # is the standard pipeline break: write the extracted corpus to
-    # parquet and fan the curation stages out from storage.
-    from pyspark import StorageLevel
-
+    # branch (measured 12 s -> ~5 s at sf0.1). At 100 TB this is the
+    # standard pipeline break: write the extracted corpus to parquet
+    # and fan the curation stages out from storage. localCheckpoint,
+    # not persist: persist dedups EXECUTION but keeps the full lineage,
+    # so Catalyst re-analyzes the whole extraction tree once per
+    # consumer branch (the analyzed plan was ~10.8k formatted lines;
+    # driver-side planning dominated the floor — guide §3.3/§7.3), and
+    # the per-call cache entries leak in the CacheManager since an
+    # operator can't know when its caller is done. The checkpoint
+    # truncates the logical plan at this barrier (plan shrank ~20x,
+    # floor 5.30 -> 3.69 s at sf0.1) and its RDD is GC-scoped to
+    # the returned frame — no unpersist bookkeeping.
     ext = kept.select(
         "doc_id", "lang",
         main_content_expr(F.col("html"), min_words).alias("main_text")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=False)
     scored = bigram_coherence(ext, text_col="main_text")
     # scored is itself a corpus aggregation consumed by two branches
-    # (threshold agg + bucket join): persist the skinny (doc_id, score)
+    # (threshold agg + bucket join): cut the skinny (doc_id, score)
     # frame so the bigram join tree runs once
-    scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+    scored = scored.localCheckpoint(eager=False)
     sl = ext.join(scored, "doc_id")
     # discrete tercile thresholds by EXPLICIT integer-index selection
     # (sorted 1-based index ceil(p*n), computed with integer div): both
@@ -506,11 +513,11 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
              .when(F.col("mean_transition_p") > F.col("t1"), "middle")
              .otherwise("tail")))
     # the shingle frame feeds FOUR subtrees (minhash signatures, both
-    # sides of the intersection join, the size agg) — persist it so the
+    # sides of the intersection join, the size agg) — cut it so the
     # explode runs once
     sh = dd.shingle_select(b.select("doc_id",
                                     F.col("main_text").alias("text"))
-                           ).persist(StorageLevel.MEMORY_AND_DISK)
+                           ).localCheckpoint(eager=False)
     ver = dd.jaccard_on_pairs(
         sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
         threshold=threshold)

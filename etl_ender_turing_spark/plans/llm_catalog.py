@@ -42,9 +42,13 @@ def _session_key(spark: SparkSession) -> str:
 
 
 def _cached(key: tuple, build) -> DataFrame:
+    # localCheckpoint, not persist: same data reuse, but it also
+    # TRUNCATES the logical plan, so the (shared) shingle/pair subtree
+    # stops being re-analyzed inside every consumer query's plan
+    # (guide §3.3/§7.3 — plan size itself costs driver time).
     df = _FIXTURE_CACHE.get(key)
     if df is None:
-        df = build().persist()
+        df = build().localCheckpoint(eager=False)
         _FIXTURE_CACHE[key] = df
     return df
 
