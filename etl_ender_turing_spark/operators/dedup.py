@@ -657,7 +657,7 @@ def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
                         .groupBy("src").agg(F.min("lbl").alias("nlbl")))
         new_labels = (labels.join(neighbor_min,
                                   labels.node == neighbor_min.src, "left")
-                      .select("node",
+                      .select("node", F.col("lbl").alias("prev"),
                               F.least("lbl", F.coalesce("nlbl", "lbl"))
                               .alias("lbl")))
         # pointer jump: lbl(u) <- min(lbl(u), lbl(lbl(u))). The label
@@ -667,13 +667,16 @@ def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
                                  F.col("lbl").alias("jlbl"))
         new_labels = (new_labels.join(
             jump, new_labels.lbl == jump.jnode, "left")
-            .select("node",
+            .select("node", "prev",
                     F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")))
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.lbl") != F.col("o.lbl")).take(1))
-        labels = new_labels
+        # the previous label rides through the round, so the fixpoint
+        # probe is a narrow filter over the just-materialized partitions
+        # — the old shape re-joined new vs old labels, a full extra
+        # shuffle job per round (r12: the loop's per-round job count is
+        # what the small-cluster case pays for; guide §2.4)
+        changed = new_labels.filter(F.col("lbl") != F.col("prev")).take(1)
+        labels = new_labels.select("node", "lbl")
         if not changed:
             break
     return labels, rounds

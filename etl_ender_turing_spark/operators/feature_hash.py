@@ -37,6 +37,32 @@ _SIGN_DUCK = ("CASE WHEN CAST(('0x' || substr(md5(gram), 9, 1))::UBIGINT"
 # 6dp sign-agnostic half-up quantization of the normalized weight
 _W6 = "FLOOR(CAST(raw AS DOUBLE) / nrm * 1000000 + 0.5) / 1000000"
 
+# slot/sign over a pre-bound md5 column (the Spark builders bind
+# ``md5(gram)`` ONCE in a projection and derive both from it — one
+# digest per gram instead of two; the SQL templates above stay the
+# oracle spelling)
+_SLOT_H = "CAST(conv(substring(h, 1, 8), 16, 10) AS BIGINT) % {dim}"
+_SIGN_H = ("CASE WHEN CAST(conv(substring(h, 9, 1), 16, 10)"
+           " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END")
+
+
+def _char_grams(df: DataFrame, key_col: str, s_col: str,
+                n: int) -> DataFrame:
+    """(key, gram): the char n-grams of ``s_col`` — one integer
+    ``explode(sequence(...))`` with the substring taken in a plain
+    projection. The previous ``transform(sequence, i -> substring)``
+    lambda built a per-row string array interpreted (HOF lambdas get no
+    whole-stage codegen); this shape keeps the explode integer-only and
+    the string work codegen'd (guide §1.2 step 2 / the r12 PassJoin
+    finding)."""
+    cols = [key_col] if key_col == s_col else [key_col, s_col]
+    return (df.filter(F.length(s_col) >= n)
+            .select(*cols,
+                    F.expr(f"explode(sequence(1, length({s_col})"
+                           f" - {n - 1}))").alias("_i"))
+            .select(key_col,
+                    F.expr(f"substring({s_col}, _i, {n})").alias("gram")))
+
 
 def text_hash_embed(df: DataFrame, dim: int = 64, n: int = 3,
                     text_col: str = "text",
@@ -44,21 +70,24 @@ def text_hash_embed(df: DataFrame, dim: int = 64, n: int = 3,
     """(id, idx, w): L2-normalized signed-hash embedding, sparse rows
     (only touched slots emitted; docs shorter than ``n`` chars, or
     whose signs fully cancel, drop — both engines agree)."""
-    grams = (df.select(F.col(id_col),
-                       F.lower(F.trim(F.col(text_col))).alias("_s"))
-             .filter(F.length("_s") >= n)
-             .select(id_col, F.explode(F.expr(
-                 f"transform(sequence(1, length(_s) - {n - 1}),"
-                 f" i -> substring(_s, i, {n}))")).alias("gram")))
-    cells = (grams.select(id_col,
-                          F.expr(_SLOT_SPARK.format(dim=dim)).alias("idx"),
-                          F.expr(_SIGN_SPARK).alias("sgn"))
+    grams = _char_grams(
+        df.select(F.col(id_col),
+                  F.lower(F.trim(F.col(text_col))).alias("_s")),
+        id_col, "_s", n)
+    cells = (grams.select(id_col, F.md5("gram").alias("h"))
+             .select(id_col,
+                     F.expr(_SLOT_H.format(dim=dim)).alias("idx"),
+                     F.expr(_SIGN_H).alias("sgn"))
              .groupBy(id_col, "idx")
              .agg(F.sum("sgn").cast("long").alias("raw")))
-    norms = (cells.groupBy(id_col)
-             .agg(F.expr("sqrt(CAST(SUM(raw * raw) AS DOUBLE))")
-                  .alias("nrm")))
-    return (cells.join(norms, id_col)
+    # norm as a WINDOW over cells, not a groupBy + self-join: the join
+    # form evaluated the whole gram/digest/agg subtree twice (2 scans, 2
+    # Generates, no exchange reuse — r12 plan audit); the window reads
+    # cells once, groups are dim-bounded (<= dim rows per doc), and one
+    # hash exchange replaces an exchange + join (guide §2.4)
+    return (cells.withColumn(
+                "nrm", F.expr("sqrt(CAST(SUM(raw * raw) OVER"
+                              f" (PARTITION BY {id_col}) AS DOUBLE))"))
             .filter(F.col("nrm") > 0)
             .select(id_col, "idx", F.expr(_W6).alias("w")))
 
@@ -193,19 +222,17 @@ def _token_embed(toks: DataFrame, dim: int, n: int,
     token vocabulary — char-grams of the token string, signed-hash
     cells, L2 norm, 6dp quantization. Identical arithmetic to the
     doc-level embed, so the SQL templates are shared."""
-    grams = (toks.filter(F.length(tok_col) >= n)
-             .select(tok_col, F.explode(F.expr(
-                 f"transform(sequence(1, length({tok_col}) - {n - 1}),"
-                 f" i -> substring({tok_col}, i, {n}))")).alias("gram")))
-    cells = (grams.select(tok_col,
-                          F.expr(_SLOT_SPARK.format(dim=dim)).alias("idx"),
-                          F.expr(_SIGN_SPARK).alias("sgn"))
+    grams = _char_grams(toks, tok_col, tok_col, n)
+    cells = (grams.select(tok_col, F.md5("gram").alias("h"))
+             .select(tok_col,
+                     F.expr(_SLOT_H.format(dim=dim)).alias("idx"),
+                     F.expr(_SIGN_H).alias("sgn"))
              .groupBy(tok_col, "idx")
              .agg(F.sum("sgn").cast("long").alias("raw")))
-    norms = (cells.groupBy(tok_col)
-             .agg(F.expr("sqrt(CAST(SUM(raw * raw) AS DOUBLE))")
-                  .alias("nrm")))
-    return (cells.join(norms, tok_col)
+    # same one-pass window-norm shape as text_hash_embed
+    return (cells.withColumn(
+                "nrm", F.expr("sqrt(CAST(SUM(raw * raw) OVER"
+                              f" (PARTITION BY {tok_col}) AS DOUBLE))"))
             .filter(F.col("nrm") > 0)
             .select(tok_col, "idx", F.expr(_W6).alias("w")))
 
