@@ -56,14 +56,26 @@ _LAM = ("FLOOR((ln(CAST(t_cnt + 1 AS DOUBLE) / CAST(tt + {b} AS DOUBLE))"
 
 def _features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(id, bucket-input gram) — exploded unigram+bigram features.
-    Tokens are bound as a real column BEFORE the n-gram lambda so the
-    split/filter runs once per row, not once per element."""
+    Tokens are bound as a real column BEFORE the explode so the
+    split/filter runs once per row, not once per element.
+
+    Shape (r12): one INTEGER positional explode over 2·|t|−1 slots
+    (positions ≤ |t| are unigrams, the rest bigrams) with the gram
+    assembled in a plain codegen projection — the previous
+    concat(t, transform(sequence, i -> concat_ws(...))) built a per-row
+    string array through interpreted HOF lambdas (same finding as the
+    PassJoin probe melt; multiset proven identical, 0.57 → 0.44 s with
+    bucketing at sf0.1)."""
     toks = df.select(F.col(id_col),
                      F.expr(_TOK_SPARK.format(col=text_col)).alias("t"))
-    return toks.select(
-        id_col,
-        F.explode(F.expr(f"concat(t, {ngram_array_expr('t', 2)})"))
-        .alias("gram"))
+    return (toks.filter(F.size("t") >= 1)
+            .select(id_col, "t",
+                    F.expr("explode(sequence(1, 2 * size(t) - 1))")
+                    .alias("_i"))
+            .select(id_col, F.expr(
+                "CASE WHEN _i <= size(t) THEN element_at(t, _i)"
+                " ELSE concat_ws(' ', element_at(t, _i - size(t)),"
+                " element_at(t, _i - size(t) + 1)) END").alias("gram")))
 
 
 def _bucket(gram_col: str, n_buckets: int) -> F.Column:
@@ -115,11 +127,33 @@ def dsir_weights(df: DataFrame, n_buckets: int = 1024, train_mod: int = 5,
     new pool against an existing target distribution.
     """
     if model is None:
-        model = dsir_bucket_model(df, n_buckets, train_mod, text_col,
-                                  id_col)
-    raw = df.filter((F.col(id_col) % train_mod) != 0)
-    feats = (_features(raw, text_col, id_col)
-             .select(id_col, _bucket("gram", n_buckets).alias("bucket")))
+        # inline-train path: model AND scoring read the same exploded
+        # feature positions — materialize them ONCE (id, bucket, tgt)
+        # behind a checkpoint barrier instead of running the explode +
+        # digest pass twice (train over all docs, score over raw).
+        # At 100 TB the persisted artifact is the B-row MODEL (the
+        # ``model`` argument path); inside one inline query the
+        # position table is the cheaper thing to hold than to recompute.
+        fa = (_features(df, text_col, id_col)
+              .select(id_col, _bucket("gram", n_buckets).alias("bucket"),
+                      ((F.col(id_col) % train_mod) == 0).alias("tgt"))
+              .localCheckpoint(eager=False))
+        agg = (fa.groupBy("bucket")
+               .agg(F.sum(F.when(F.col("tgt"), 1).otherwise(0))
+                    .alias("t_cnt"),
+                    F.sum(F.when(~F.col("tgt"), 1).otherwise(0))
+                    .alias("r_cnt")))
+        tot = agg.agg(F.sum("t_cnt").alias("tt"),
+                      F.sum("r_cnt").alias("rt"))
+        model = (agg.crossJoin(F.broadcast(tot))
+                 .select("bucket",
+                         F.expr(_LAM.format(b=n_buckets)).alias("lam")))
+        feats = fa.filter(~F.col("tgt")).select(id_col, "bucket")
+    else:
+        raw = df.filter((F.col(id_col) % train_mod) != 0)
+        feats = (_features(raw, text_col, id_col)
+                 .select(id_col,
+                         _bucket("gram", n_buckets).alias("bucket")))
     return (feats
             .join(F.broadcast(model.select("bucket", "lam")), "bucket")
             .groupBy(id_col)

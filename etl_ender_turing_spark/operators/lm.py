@@ -150,6 +150,12 @@ def stupid_backoff_scores(df: DataFrame, counts: DataFrame,
 
     Returns (doc_id, n_scored, mean_nll).
     """
+    # the count table feeds SIX consumers (c1 three times, c2 twice, c3
+    # once) — cut it once so the training explode + aggregations run a
+    # single time and the analyzed plan stops carrying six copies of
+    # the training subtree (guide §3.3; counts is the vocab-scale
+    # persistable artifact, so the barrier is the natural break)
+    counts = counts.localCheckpoint(eager=False)
     c1 = counts.filter("ord = 1").select(F.col("gram").alias("g1"),
                                          F.col("cnt").alias("n1"))
     c2 = counts.filter("ord = 2").select(F.col("gram").alias("g2"),
@@ -160,21 +166,23 @@ def stupid_backoff_scores(df: DataFrame, counts: DataFrame,
     # vocab²/vocab³-bounded and stay AQE-sized (no hint)
     total = c1.agg(F.sum("n1").cast("long").alias("total"))
 
+    # integer positional explode + plain projections (codegen), not a
+    # transform(sequence, i -> struct(...)) lambda (interpreted)
     pos = (df.select(F.col(id_col),
                      F.expr(_TOK_SPARK.format(col=text_col)).alias("t"))
-           .select(id_col, F.explode(F.expr("""
-               CASE WHEN size(t) >= 3 THEN transform(sequence(3, size(t)),
-                 i -> struct(
-                   concat_ws(' ', element_at(t, i - 2), element_at(t, i - 1),
-                             element_at(t, i)) AS tri,
-                   concat_ws(' ', element_at(t, i - 2),
-                             element_at(t, i - 1)) AS bix,
-                   concat_ws(' ', element_at(t, i - 1),
-                             element_at(t, i)) AS bi,
-                   element_at(t, i - 1) AS ux,
-                   element_at(t, i) AS u))
-               ELSE array() END""")).alias("s"))
-           .select(id_col, "s.tri", "s.bix", "s.bi", "s.ux", "s.u"))
+           .filter(F.size("t") >= 3)
+           .select(id_col, "t",
+                   F.expr("explode(sequence(3, size(t)))").alias("_i"))
+           .select(id_col,
+                   F.expr("concat_ws(' ', element_at(t, _i - 2),"
+                          " element_at(t, _i - 1), element_at(t, _i))")
+                   .alias("tri"),
+                   F.expr("concat_ws(' ', element_at(t, _i - 2),"
+                          " element_at(t, _i - 1))").alias("bix"),
+                   F.expr("concat_ws(' ', element_at(t, _i - 1),"
+                          " element_at(t, _i))").alias("bi"),
+                   F.expr("element_at(t, _i - 1)").alias("ux"),
+                   F.expr("element_at(t, _i)").alias("u")))
 
     joined = (pos
               .join(c3, pos.tri == c3.g3, "left")
