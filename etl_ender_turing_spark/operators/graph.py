@@ -71,7 +71,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # it, and without the cut each derivation re-evaluates the
     # corpus-scale extraction+aggregation subtree that produced the edges
     # (3 full passes instead of 1)
-    edges = edges.localCheckpoint(eager=True)
+    # lazy cut: same lineage truncation, but materialization folds into
+    # the consuming job instead of a separate barrier job per call
+    # (interleaved A/B at sf0.1: lazy 1.55 s vs eager 1.68 s floor)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col(src).alias("d"))
              .union(edges.select(F.col(dst).alias("d"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -96,7 +99,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
                  .crossJoin(dang).crossJoin(nn)
                  .select("d", F.expr(new_rank).alias("r"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     # final cast to DOUBLE (exact for 6dp decimals) — the repo's driver-
     # canon convention for decimal-quantized outputs
     return ranks.select(F.col("d").alias("domain"),
@@ -422,7 +425,10 @@ def personalized_pagerank(edges: DataFrame, seed_pred: str,
     Topic-Sensitive PageRank, WWW 2002). Same quantized-decimal
     discipline, shuffle structure, and lineage cuts as :func:`pagerank`
     — only the two teleport terms differ."""
-    edges = edges.localCheckpoint(eager=True)
+    # lazy cut: same lineage truncation, but materialization folds into
+    # the consuming job instead of a separate barrier job per call
+    # (interleaved A/B at sf0.1: lazy 1.55 s vs eager 1.68 s floor)
+    edges = edges.localCheckpoint(eager=False)
     nodes = (edges.select(F.col(src).alias("d"))
              .union(edges.select(F.col(dst).alias("d"))).distinct()
              .withColumn("is_seed",
@@ -452,7 +458,7 @@ def personalized_pagerank(edges: DataFrame, seed_pred: str,
         ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
                  .crossJoin(dang).crossJoin(ns_row)
                  .select("d", "is_seed", F.expr(new_rank).alias("r"))
-                 .localCheckpoint(eager=True))
+                 .localCheckpoint(eager=False))
     return ranks.select(F.col("d").alias("domain"),
                         F.col("r").cast("double").alias("rank"))
 
