@@ -435,48 +435,70 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
     # sentinel bucket only when the store actually HOLDS short zones —
     # gated here so length-normal stores keep a byte-identical plan
     has_short = any(v <= 2 for v in lens)
-    s_sent = (f" CASE WHEN n <= 2 THEN array(struct("
-              f"0 AS l, 0 AS i, '' AS content, g AS g, {cell} AS cell))"
-              f" ELSE array() END") if has_short else " array()"
-    b_sent = (f" CASE WHEN n <= {2 + tau} THEN array(struct("
-              f"0 AS l, 0 AS i, '' AS content, g AS g, {cell} AS cell))"
-              f" ELSE array() END") if has_short else " array()"
-    sm = sbase.select(
-        "entity_id", F.col("name").alias("s_name"), "nationkey",
-        F.col("bal").alias("s_bal"),
-        F.expr(f"explode(flatten(transform(sequence(0, 1), g ->"
-               f" concat(transform(sequence(0, 2), i -> struct("
-               f"n AS l, i AS i,"
-               f" substr(zz, {istart}, {islen}) AS content,"
-               f" g AS g, {cell} AS cell)),{s_sent}))))").alias("k")) \
-        .select("entity_id", "s_name", "nationkey", "s_bal",
-                "k.l", "k.i", "k.content", "k.g", "k.cell")
+    # index/probe melts in the codegen shape of er_indel_pairs (r12):
+    # one integer explode over the fixed combination space, decoded and
+    # filtered as plain column expressions — the nested-lambda builds
+    # ran interpreted and dominated the query's compute. Duplicate
+    # probe keys no longer pre-dedup (array_distinct dropped): the
+    # candidate join emits identical (rec, entity, lev) tuples and the
+    # min-by pick below is duplicate-insensitive.
+    sm = (sbase.select(
+              "entity_id", "name", "nationkey", "bal", "zz", "n",
+              F.expr("explode(sequence(0, 5))").alias("c"))
+          .select("entity_id", "name", "nationkey", "bal", "zz", "n",
+                  (F.col("c") / 3).cast("int").alias("g"),
+                  (F.col("c") % 3).alias("i"))
+          .select("entity_id", F.col("name").alias("s_name"),
+                  "nationkey", F.col("bal").alias("s_bal"),
+                  F.col("n").alias("l"), "i",
+                  F.expr(f"substr(zz, {istart}, {islen})").alias("content"),
+                  "g", F.expr(cell).alias("cell")))
+    if has_short:
+        sm = sm.unionByName(
+            sbase.filter(F.col("n") <= 2)
+            .select("entity_id", "name", "nationkey", "bal",
+                    F.expr("explode(sequence(0, 1))").alias("g"))
+            .select("entity_id", F.col("name").alias("s_name"),
+                    "nationkey", F.col("bal").alias("s_bal"),
+                    F.lit(0).alias("l"), F.lit(0).alias("i"),
+                    F.lit("").alias("content"), "g",
+                    F.expr(cell).cast("bigint").alias("cell")))
     bbase = batch.select("rec_id", "name", "nationkey", "bal",
                          F.expr(z).alias("zz"),
                          F.expr(f"length({z})").alias("n"))
-    bm = bbase.select(
-        "rec_id", F.col("name").alias("b_name"), "nationkey",
-        F.col("bal").alias("b_bal"),
-        F.expr(f"""explode(array_distinct(concat(
-          flatten(flatten(flatten(
-          transform(sequence(0, 1), g ->
-          transform(filter(sequence(-{tau}, {tau}),
-                           dl -> (n + dl) IN ({lens_csv})), dl ->
-            transform(sequence(0, 2), i ->
-              transform(
-                filter(sequence(-{tau}, {tau}), d ->
-                  n + dl >= 3
-                  AND abs(d) + abs(dl + d) <= {tau}
-                  AND {pstart} + d >= 1
-                  AND {pstart} + d + {pslen} - 1 <= n),
-                d -> struct((n + dl) AS l, i AS i,
-                            substr(zz, {pstart} + d, {pslen})
-                              AS content,
-                            g AS g, {cell} AS cell)))))))),
-          flatten(transform(sequence(0, 1), g ->{b_sent})))))""")
-        .alias("k")) \
-        .select("rec_id", "b_name", "nationkey", "b_bal",
-                "k.l", "k.i", "k.content", "k.g", "k.cell")
+    n_dl = 2 * tau + 1
+    n_d = 2 * tau + 1
+    n_comb = 2 * n_dl * 3 * n_d
+    bm = (bbase.select(
+              "rec_id", "name", "nationkey", "bal", "zz", "n",
+              F.expr(f"explode(sequence(0, {n_comb - 1}))").alias("c"))
+          .select("rec_id", "name", "nationkey", "bal", "zz", "n",
+                  (F.col("c") / (n_dl * 3 * n_d)).cast("int").alias("g"),
+                  ((F.col("c") / (3 * n_d)).cast("int") % n_dl - tau)
+                  .alias("dl"),
+                  ((F.col("c") / n_d).cast("int") % 3).alias("i"),
+                  (F.col("c") % n_d - tau).alias("d"))
+          .filter(F.expr(f"(n + dl) IN ({lens_csv})"
+                         f" AND n + dl >= 3"
+                         f" AND abs(d) + abs(dl + d) <= {tau}"
+                         f" AND {pstart} + d >= 1"
+                         f" AND {pstart} + d + {pslen} - 1 <= n"))
+          .select("rec_id", F.col("name").alias("b_name"),
+                  "nationkey", F.col("bal").alias("b_bal"),
+                  F.expr("(n + dl)").alias("l"), "i",
+                  F.expr(f"substr(zz, {pstart} + d, {pslen})")
+                  .alias("content"),
+                  "g", F.expr(cell).alias("cell")))
+    if has_short:
+        bm = bm.unionByName(
+            bbase.filter(F.col("n") <= 2 + tau)
+            .select("rec_id", "name", "nationkey", "bal",
+                    F.expr("explode(sequence(0, 1))").alias("g"))
+            .select("rec_id", F.col("name").alias("b_name"),
+                    "nationkey", F.col("bal").alias("b_bal"),
+                    F.lit(0).alias("l"), F.lit(0).alias("i"),
+                    F.lit("").alias("content"), "g",
+                    F.expr(cell).cast("bigint").alias("cell")))
     cand = (sm.join(F.broadcast(bm),
                     ["nationkey", "l", "i", "content", "g", "cell"])
             .select("rec_id", "entity_id",
