@@ -88,8 +88,13 @@ def train_ngram_counts(df: DataFrame, train_mod: int = 5,
             .select(F.expr(_TOK_SPARK.format(col=text_col)).alias("t")))
 
     def grams(n: int) -> DataFrame:
-        return (toks.select(F.explode(F.expr(ngram_array_expr("t", n)))
-                            .alias("gram"))
+        # integer positional explode + codegen concat (not the
+        # interpreted transform-lambda of ngram_array_expr)
+        parts = ", ".join(f"element_at(t, _i + {k})" for k in range(n))
+        return (toks.filter(F.size("t") >= n)
+                .select("t", F.expr(f"explode(sequence(1, size(t)"
+                                    f" - {n - 1}))").alias("_i"))
+                .select(F.expr(f"concat_ws(' ', {parts})").alias("gram"))
                 .groupBy("gram")
                 .agg(F.count(F.lit(1)).alias("cnt"))
                 .select(F.lit(n).cast("int").alias("ord"), "gram", "cnt"))

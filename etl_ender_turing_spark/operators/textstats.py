@@ -778,12 +778,15 @@ def bigram_coherence(df: DataFrame, text_col: str = "text",
     """
     from pyspark.sql import functions as F
 
+    # integer positional explode + codegen projections (not an
+    # interpreted struct-building transform lambda)
     bg = (df.select(F.col(id_col),
                     F.split(F.lower(F.trim(F.col(text_col))), " ").alias("t"))
-          .select(id_col, F.explode(F.expr(
-              "transform(sequence(1, size(t) - 1),"
-              " i -> struct(t[i - 1] AS w1, t[i] AS w2))")).alias("b"))
-          .select(id_col, "b.w1", "b.w2")
+          .filter(F.size("t") >= 2)
+          .select(id_col, "t",
+                  F.expr("explode(sequence(1, size(t) - 1))").alias("_i"))
+          .select(id_col, F.expr("t[_i - 1]").alias("w1"),
+                  F.expr("t[_i]").alias("w2"))
           .filter((F.col("w1") != "") & (F.col("w2") != "")))
     bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bf"))
     uc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("uf"))
