@@ -33,20 +33,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # a cutoff lands on already-proven ones instead of leaving the newest
 # operators as unverified claims.
 _VERIFY_FIRST: tuple[str, ...] = (
-    # --- round-12 rotation (r11 VERDICT 'Next round' #1: drain the r6
-    # staleness tier to zero; post-r12 oldest tier must be >= r7).
-    # Plan-/path-CHANGED queries this round lead: the golden-increment
-    # stream gained the crash-window swap recovery (recover_swap folded
-    # into merge_batch + upsert_parquet) — its two driver rows
-    # re-certify the changed foreachBatch path.
-    # round-12's one genuinely new row leads (no driver proof at all):
-    # the persisted late-interaction index lifecycle
+    # --- round-12 (OPTIMIZATION round): queries whose PHYSICAL PLAN
+    # changed this round lead — lineage-truncation (localCheckpoint),
+    # codegen melt reshapes, the one-pass window-norm embed — so the
+    # driver's budgeted pass re-certifies every changed path first.
+    # All of them (and the full 257) were oracle-verified at sf0.01 and
+    # sf0.001 by the builder this round; this ordering is risk
+    # coverage, not the only proof. The r6-staleness drain (r11 VERDICT
+    # #1) follows immediately after.
     "q_li_from_index",
     "q_er_golden_increment", "q_er_golden_cross_epoch",
     "q_er_match_increment", "q_stream_er_gate",
     "q_local_clustering", "q_triangle_stats",
     "q_late_interaction_topk", "q_li_recall_check",
     "q_video_neardup",
+    "q_web_curation_pipeline", "q_er_indel_pairs", "q_er_golden_record",
+    "q_er_clusters", "q_er_candidate_pairs",
+    "q_text_hash_embed", "q_text_embed_neighbors",
+    "q_dsir_weights", "q_dsir_topk", "q_dsir_from_model",
+    "q_lm_scores", "q_lm_from_counts", "q_lm_ccnet_gate",
+    "q_ccnet_buckets", "q_llm_training_set", "q_stream_lm_scores",
+    "q_span_dedup_rewrite", "q_span_longest_match", "q_span_dedup_stats",
+    "q_dedup_minhash_lsh", "q_dedup_ngram_jaccard", "q_dedup_lsh_jaccard",
+    "q_dedup_containment", "q_dedup_keep_canonical", "q_dedup_keep_best",
+    "q_dedup_multi_signal", "q_training_set", "q_semdedup_keep",
+    "q_incremental_dedup", "q_cross_source_dups", "q_bigram_coherence",
+    "q_domain_pagerank", "q_personalized_pagerank", "q_crawl_budget",
     # --- newest driver row = ROUND 6 (27), cheapest-first by the r10
     # full-sweep sf0.01 relative order — the tier this round drains ---
     "q_paragraph_dedup", "q_skew_salted_distinct", "q_embed_drift",
@@ -83,8 +95,12 @@ _VERIFY_FIRST: tuple[str, ...] = (
 
 
 def _ordered() -> list[str]:
-    first = [n for n in _VERIFY_FIRST if n in CATALOG]
-    return first + [n for n in CATALOG if n not in _VERIFY_FIRST]
+    # dedupe while preserving first occurrence: a query may appear both
+    # in the round-12 changed-plan block and in an older rotation tier
+    seen: set[str] = set()
+    first = [n for n in _VERIFY_FIRST
+             if n in CATALOG and not (n in seen or seen.add(n))]
+    return first + [n for n in CATALOG if n not in seen]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
