@@ -516,8 +516,14 @@ def er_match_increment(store: DataFrame, batch: DataFrame,
     w = Window.partitionBy("rec_id").orderBy("lev", "entity_id")
     best = (cand.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1).drop("rn"))
+    # best is feed-bounded (<=1 row per rec_id by the row_number pick),
+    # but the explode fan-out above inflates its size ESTIMATE, so the
+    # planner can drop the broadcast and fall back to a SortMergeJoin
+    # of two tiny tables (seen after the r12 melt: SMJ LeftOuter on
+    # rec_id). Hint it explicitly — safe at any scale the feed batch
+    # itself is broadcastable, which the nightly contract guarantees.
     return (batch.select("rec_id")
-            .join(best, "rec_id", "left")
+            .join(F.broadcast(best), "rec_id", "left")
             .select("rec_id",
                     F.coalesce("entity_id", "rec_id").alias("entity_id"),
                     F.col("entity_id").isNotNull().alias("matched"),
