@@ -194,6 +194,9 @@ BENCH_QUERIES = [
     "q_benford_prices",
     "q_revenue_gini",
     "q_er_supplier_pairs",
+    # round-13: the persisted-LI-index lifecycle row (added to the
+    # catalog in the r12-inherited partial round) had no drift baseline
+    "q_li_from_index",
 ]
 
 
@@ -261,7 +264,8 @@ def _merge_round_local(detail: dict, here: str) -> str:
     except (OSError, json.JSONDecodeError):
         prev = None
     if prev and prev.get("sf") == detail["sf"] \
-            and prev.get("method") == detail["method"]:
+            and prev.get("method") == detail["method"] \
+            and prev.get("parallelism") == detail["parallelism"]:
         qs = dict(prev.get("queries") or {})
         for q, t in detail["queries"].items():
             qs[q] = min(qs[q], t) if q in qs else t
@@ -328,6 +332,13 @@ def main() -> None:
          if q in prior and t > 1.5 * prior[q]),
         key=lambda r: -r["ratio"])
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # effective parallelism, echoed on the stdout line so a core-count
+    # probe is diagnosable (r12 PERF flagged suspect_cpus_ignored: the
+    # $SPARK_GRAFT_CPUS knob IS honored — session.py builds
+    # local[$SPARK_GRAFT_CPUS] — but nothing in the output proved it);
+    # it also keys the round-local quiet-floor merge, so 8-core and
+    # 32-core runs never min-merge into one baseline
+    par = spark.sparkContext.defaultParallelism
     detail = {
         "metric": "catalog_headline_wall",
         "value": total,
@@ -337,6 +348,8 @@ def main() -> None:
         "noise_ratio": noise,
         "method": "noop",
         "regressions": regressions,
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "parallelism": par,
         "sf": sf_val,
     }
     here = os.path.dirname(os.path.abspath(__file__))
@@ -358,6 +371,8 @@ def main() -> None:
         "method": "noop",
         "n_regressions": len(regressions),
         "detail_file": "BENCH_detail_latest.json",
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", "*"),
+        "parallelism": par,
         "sf": sf_val,
     }))
     spark.stop()

@@ -24,6 +24,7 @@ parts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..functions.barrier import lineage_cut
 
 from . import dedup as dd
 from . import sampling as sp
@@ -154,25 +155,25 @@ def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
           .select("lang",
                   F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
                          " AS INT))").alias("t2")))
-    kept_ids = (sl.join(F.broadcast(th), "lang")
-                .filter(F.col("mean_nll") < F.col("t2")).select(id_col)
-                .localCheckpoint(eager=False))
+    kept_ids = lineage_cut(
+        sl.join(F.broadcast(th), "lang")
+        .filter(F.col("mean_nll") < F.col("t2")).select(id_col))
     kept = docs.join(kept_ids, id_col)
 
-    sel_ids = (kept.filter((F.col(id_col) % train_mod) == 0)
-               .select(id_col)
-               .unionByName(
-                   dsir.dsir_topk(kept, k=k_raw, train_mod=train_mod,
-                                  text_col=text_col, id_col=id_col)
-                   .select(id_col))
-               .localCheckpoint(eager=False))
+    sel_ids = lineage_cut(
+        kept.filter((F.col(id_col) % train_mod) == 0)
+        .select(id_col)
+        .unionByName(
+            dsir.dsir_topk(kept, k=k_raw, train_mod=train_mod,
+                           text_col=text_col, id_col=id_col)
+            .select(id_col)))
     selected = kept.join(sel_ids, id_col)
 
     w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))) \
               .orderBy(F.col(id_col))
-    deduped = (selected.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn")
-               .localCheckpoint(eager=False))
+    deduped = lineage_cut(
+        selected.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn"))
 
     enc = bpe.bpe_encode_counts(deduped, rounds=bpe_rounds,
                                 text_col=text_col, id_col=id_col)
@@ -268,25 +269,24 @@ def curation_attrition(docs: DataFrame, rates: dict[str, float],
     frames.
     """
     q = quality_columns(text_col)
-    base = (docs.select(id_col, "source", text_col,
-                        q["n_tokens"].alias("n_tokens"),
-                        q["ttr"].alias("ttr"))
-            .localCheckpoint(eager=False))
-    gated = (base.filter((F.col("n_tokens") >= min_tokens)
-                         & (F.col("ttr") >= min_ttr))
-             .localCheckpoint(eager=False))
+    base = lineage_cut(
+        docs.select(id_col, "source", text_col,
+                    q["n_tokens"].alias("n_tokens"),
+                    q["ttr"].alias("ttr")))
+    gated = lineage_cut(
+        base.filter((F.col("n_tokens") >= min_tokens)
+                    & (F.col("ttr") >= min_ttr)))
     w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))) \
               .orderBy(F.col(id_col))
-    deduped = (gated.withColumn("_rn", F.row_number().over(w))
-               .filter(F.col("_rn") == 1).drop("_rn")
-               .localCheckpoint(eager=False))
+    deduped = lineage_cut(
+        gated.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1).drop("_rn"))
     bench = docs.filter(F.col(id_col) < benchmark_max_id)
     contaminated = (dd.contaminated_docs(corpus=deduped, benchmark=bench,
                                          n=5, text_col=text_col,
                                          id_col=id_col)
                     .select(id_col))
-    clean = (deduped.join(contaminated, id_col, "left_anti")
-             .localCheckpoint(eager=False))
+    clean = lineage_cut(deduped.join(contaminated, id_col, "left_anti"))
     sampled = sp.stratified_sample(clean, rates, "source", id_col=id_col,
                                    default_rate=default_rate)
 
@@ -445,15 +445,14 @@ def prepare_multimodal_training_set(docs: DataFrame, min_tokens: int = 40,
     from . import multimodal as mm
 
     q = quality_columns(text_col)
-    gated = (docs.select(id_col, "lang", "source",
-                         q["n_tokens"].alias("n_tokens"))
-             .filter(F.col("n_tokens") >= min_tokens)
-             .localCheckpoint(eager=False))
+    gated = lineage_cut(
+        docs.select(id_col, "lang", "source",
+                    q["n_tokens"].alias("n_tokens"))
+        .filter(F.col("n_tokens") >= min_tokens))
     ids = gated.select(id_col)
-    img = (mm.image_dhash(mm.synthesize_planted_pgm(ids))
-           .localCheckpoint(eager=False))
-    aud = (mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(ids))
-           .localCheckpoint(eager=False))
+    img = lineage_cut(mm.image_dhash(mm.synthesize_planted_pgm(ids)))
+    aud = lineage_cut(
+        mm.audio_fingerprint(mm.synthesize_planted_wav_pairs(ids)))
     img_drop = (dd.simhash_pairs(img, max_hamming=max_hamming)
                 .select(F.col("doc_b").alias(id_col)).distinct())
     aud_drop = (dd.banded_hamming_pairs(aud, sig_col="fp", n_bands=4,

@@ -25,6 +25,7 @@ catalog query computes it on shingle-join candidates at test SF).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..functions.barrier import lineage_cut
 
 from ..functions.rounding import round6u
 
@@ -661,7 +662,7 @@ def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().localCheckpoint(eager=True)
+    edges = lineage_cut(edges.distinct(), eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node")))
     rounds = 0
@@ -683,7 +684,7 @@ def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
             jump, new_labels.lbl == jump.jnode, "left")
             .select("node", "prev",
                     F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")))
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = lineage_cut(new_labels, eager=True)
         # the previous label rides through the round, so the fixpoint
         # probe is a narrow filter over the just-materialized partitions
         # — the old shape re-joined new vs old labels, a full extra

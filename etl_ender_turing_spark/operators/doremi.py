@@ -26,6 +26,7 @@ share is a ``round6u`` ratio.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.barrier import lineage_cut
 
 from . import lm
 from ..functions.rounding import round6u_sql
@@ -67,7 +68,8 @@ def doremi_step(df: DataFrame, counts: DataFrame, eta: float = 0.1,
                # K-row result of the corpus-scale LM join, consumed by
                # THREE branches (ref, upd, esum): cut the lineage so the
                # scoring join runs once
-               .localCheckpoint(eager=False))
+               )
+    per_dom = lineage_cut(per_dom)
     dmtot = _DOC_TOT.replace("mean_nll", "dm")
     ref = per_dom.agg(
         F.expr(f"CAST(SUM({dmtot}) AS DOUBLE) / SUM(n_scored)")

@@ -39,9 +39,9 @@ operator — this family belongs to the training-data-pipeline mandate
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.barrier import lineage_cut
 
 from .lm import _TOK_DUCK, _TOK_SPARK
-from .textstats import ngram_array_expr
 
 # Smoothed log importance ratio for one bucket, over the trained counts
 # (t_cnt target hits, r_cnt raw hits, tt/rt the split totals, B the
@@ -85,6 +85,22 @@ def _bucket(gram_col: str, n_buckets: int) -> F.Column:
             .cast("long") % n_buckets)
 
 
+def _train_counts(f: DataFrame) -> DataFrame:
+    """(bucket, t_cnt, r_cnt, tt, rt) from an exploded (bucket, tgt)
+    feature frame — the one conditional partial+final aggregation both
+    the persistable-model builder and dsir_weights' inline-train path
+    share (totals ride a 1-row broadcast cross join), so the smoothing
+    and bucket scheme cannot drift between the two."""
+    agg = (f.groupBy("bucket")
+           .agg(F.sum(F.when(F.col("tgt"), 1).otherwise(0))
+                .alias("t_cnt"),
+                F.sum(F.when(~F.col("tgt"), 1).otherwise(0))
+                .alias("r_cnt")))
+    tot = agg.agg(F.sum("t_cnt").alias("tt"),
+                  F.sum("r_cnt").alias("rt"))
+    return agg.crossJoin(F.broadcast(tot))
+
+
 def dsir_bucket_model(df: DataFrame, n_buckets: int = 1024,
                       train_mod: int = 5, text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -98,13 +114,7 @@ def dsir_bucket_model(df: DataFrame, n_buckets: int = 1024,
     f = (_features(df, text_col, id_col)
          .select(_bucket("gram", n_buckets).alias("bucket"),
                  ((F.col(id_col) % train_mod) == 0).alias("tgt")))
-    agg = (f.groupBy("bucket")
-           .agg(F.sum(F.when(F.col("tgt"), 1).otherwise(0))
-                .alias("t_cnt"),
-                F.sum(F.when(~F.col("tgt"), 1).otherwise(0))
-                .alias("r_cnt")))
-    tot = agg.agg(F.sum("t_cnt").alias("tt"), F.sum("r_cnt").alias("rt"))
-    return (agg.crossJoin(F.broadcast(tot))
+    return (_train_counts(f)
             .select("bucket", F.col("t_cnt").cast("long").alias("t_cnt"),
                     F.col("r_cnt").cast("long").alias("r_cnt"),
                     F.expr(_LAM.format(b=n_buckets)).alias("lam")))
@@ -134,18 +144,11 @@ def dsir_weights(df: DataFrame, n_buckets: int = 1024, train_mod: int = 5,
         # At 100 TB the persisted artifact is the B-row MODEL (the
         # ``model`` argument path); inside one inline query the
         # position table is the cheaper thing to hold than to recompute.
-        fa = (_features(df, text_col, id_col)
-              .select(id_col, _bucket("gram", n_buckets).alias("bucket"),
-                      ((F.col(id_col) % train_mod) == 0).alias("tgt"))
-              .localCheckpoint(eager=False))
-        agg = (fa.groupBy("bucket")
-               .agg(F.sum(F.when(F.col("tgt"), 1).otherwise(0))
-                    .alias("t_cnt"),
-                    F.sum(F.when(~F.col("tgt"), 1).otherwise(0))
-                    .alias("r_cnt")))
-        tot = agg.agg(F.sum("t_cnt").alias("tt"),
-                      F.sum("r_cnt").alias("rt"))
-        model = (agg.crossJoin(F.broadcast(tot))
+        fa = lineage_cut(
+            _features(df, text_col, id_col)
+            .select(id_col, _bucket("gram", n_buckets).alias("bucket"),
+                    ((F.col(id_col) % train_mod) == 0).alias("tgt")))
+        model = (_train_counts(fa.select("bucket", "tgt"))
                  .select("bucket",
                          F.expr(_LAM.format(b=n_buckets)).alias("lam")))
         feats = fa.filter(~F.col("tgt")).select(id_col, "bucket")

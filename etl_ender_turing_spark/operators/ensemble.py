@@ -21,6 +21,7 @@ what the hash needs).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.barrier import lineage_cut
 
 from . import lm
 from .textstats import (bigram_coherence, bigram_coherence_sql,
@@ -81,8 +82,8 @@ def quality_ensemble(df: DataFrame, counts: DataFrame,
               .join(bigram_coherence(df, text_col, id_col), id_col)
               .join(token_rarity(df, text_col, id_col), id_col)
               .select(id_col, "mean_nll", "mean_transition_p",
-                      F.expr(_LOG_FREQ).alias("log_token_freq"))
-              .localCheckpoint(eager=False))
+                      F.expr(_LOG_FREQ).alias("log_token_freq")))
+    joined = lineage_cut(joined)
     stats = joined.agg(*[F.expr(s) for c in _SIGNALS for s in _stats(c)])
     out = joined.crossJoin(F.broadcast(stats))
     return out.select(

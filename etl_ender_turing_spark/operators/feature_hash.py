@@ -26,10 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 # slot + sign from one md5: first 8 hex chars -> slot, 9th hex digit
-# parity -> ±1. ONE text per engine, same arithmetic.
-_SLOT_SPARK = "CAST(conv(substring(md5(gram), 1, 8), 16, 10) AS BIGINT) % {dim}"
-_SIGN_SPARK = ("CASE WHEN CAST(conv(substring(md5(gram), 9, 1), 16, 10)"
-               " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END")
+# parity -> ±1. ONE text per engine, same arithmetic (the Spark side
+# binds md5 once as a column and uses the _SLOT_H/_SIGN_H spellings).
 _SLOT_DUCK = "CAST(('0x' || substr(md5(gram), 1, 8))::UBIGINT AS BIGINT) % {dim}"
 _SIGN_DUCK = ("CASE WHEN CAST(('0x' || substr(md5(gram), 9, 1))::UBIGINT"
               " AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END")

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..functions.barrier import lineage_cut
+
 # Shared Spark/DuckDB SQL fragments — ONE text parsed by both engines so
 # the double arithmetic is literally the same expression tree (the
 # lm._P_CASE trick). `r` is DECIMAL(28,6); w/ow are BIGINT counts.
@@ -74,7 +76,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # lazy cut: same lineage truncation, but materialization folds into
     # the consuming job instead of a separate barrier job per call
     # (interleaved A/B at sf0.1: lazy 1.55 s vs eager 1.68 s floor)
-    edges = edges.localCheckpoint(eager=False)
+    edges = lineage_cut(edges)
     nodes = (edges.select(F.col(src).alias("d"))
              .union(edges.select(F.col(dst).alias("d"))).distinct())
     nn = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -96,10 +98,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                 .agg(F.coalesce(F.sum("r"),
                                 F.lit(0).cast("decimal(28,6)"))
                      .alias("dang")))
-        ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
-                 .crossJoin(dang).crossJoin(nn)
-                 .select("d", F.expr(new_rank).alias("r"))
-                 .localCheckpoint(eager=False))
+        ranks = lineage_cut(
+            nodes.join(inflow, F.col("d") == F.col("d2"), "left")
+            .crossJoin(dang).crossJoin(nn)
+            .select("d", F.expr(new_rank).alias("r")))
     # final cast to DOUBLE (exact for 6dp decimals) — the repo's driver-
     # canon convention for decimal-quantized outputs
     return ranks.select(F.col("d").alias("domain"),
@@ -198,6 +200,10 @@ def crawl_budget(ranks: DataFrame, quality: DataFrame, n_slots: int = 1000,
     lo = shares.agg((F.lit(n_slots) - F.sum("fl")).alias("left_over"))
     # pin the sampled range boundaries: the counts job and the final job
     # must see the SAME layout (repartitionByRange re-samples per job)
+    # layout-pinning barrier: stays a LOCAL checkpoint in every
+    # lineage_cut mode — a storage barrier's parquet read-back would
+    # drop the range-partition layout that the _pid collect below and
+    # the final projection must both observe identically
     ranged = (shares.repartitionByRange(
         n_ranges, F.col("rem").desc(), F.col(domain_col).asc())
         .localCheckpoint(eager=True))
@@ -259,12 +265,10 @@ _SYM_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_sym_cache() -> None:
-    """Unpersist and drop the cached symmetrized edge lists."""
-    for df in _SYM_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:   # session already stopped — nothing cached
-            pass
+    """Drop the cached symmetrized edge lists. The frames are
+    localCheckpoint-backed (not persist), so there is nothing to
+    unpersist: checkpoint blocks are released by the ContextCleaner
+    when the dropped references are GC'd."""
     _SYM_CACHE.clear()
 
 
@@ -291,9 +295,9 @@ def _sym_und(edges: DataFrame) -> DataFrame:
     e = (edges.select(F.col("src").cast("string").alias("a"),
                       F.col("dst").cast("string").alias("b"))
          .filter(F.col("a") != F.col("b")))
-    df = (e.unionByName(e.select(F.col("b").alias("a"),
-                                 F.col("a").alias("b")))
-          .distinct().localCheckpoint(eager=False))
+    df = lineage_cut(
+        e.unionByName(e.select(F.col("b").alias("a"),
+                               F.col("a").alias("b"))).distinct())
     _SYM_CACHE[key] = df
     return df
 
@@ -428,7 +432,7 @@ def personalized_pagerank(edges: DataFrame, seed_pred: str,
     # lazy cut: same lineage truncation, but materialization folds into
     # the consuming job instead of a separate barrier job per call
     # (interleaved A/B at sf0.1: lazy 1.55 s vs eager 1.68 s floor)
-    edges = edges.localCheckpoint(eager=False)
+    edges = lineage_cut(edges)
     nodes = (edges.select(F.col(src).alias("d"))
              .union(edges.select(F.col(dst).alias("d"))).distinct()
              .withColumn("is_seed",
@@ -455,10 +459,10 @@ def personalized_pagerank(edges: DataFrame, seed_pred: str,
                 .agg(F.coalesce(F.sum("r"),
                                 F.lit(0).cast("decimal(28,6)"))
                      .alias("dang")))
-        ranks = (nodes.join(inflow, F.col("d") == F.col("d2"), "left")
-                 .crossJoin(dang).crossJoin(ns_row)
-                 .select("d", "is_seed", F.expr(new_rank).alias("r"))
-                 .localCheckpoint(eager=False))
+        ranks = lineage_cut(
+            nodes.join(inflow, F.col("d") == F.col("d2"), "left")
+            .crossJoin(dang).crossJoin(ns_row)
+            .select("d", "is_seed", F.expr(new_rank).alias("r")))
     return ranks.select(F.col("d").alias("domain"),
                         F.col("r").cast("double").alias("rank"))
 

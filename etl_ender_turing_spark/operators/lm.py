@@ -42,6 +42,7 @@ alongside dedup/quality/sampling.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.barrier import lineage_cut
 
 from .textstats import ngram_array_expr
 
@@ -160,7 +161,7 @@ def stupid_backoff_scores(df: DataFrame, counts: DataFrame,
     # single time and the analyzed plan stops carrying six copies of
     # the training subtree (guide §3.3; counts is the vocab-scale
     # persistable artifact, so the barrier is the natural break)
-    counts = counts.localCheckpoint(eager=False)
+    counts = lineage_cut(counts)
     c1 = counts.filter("ord = 1").select(F.col("gram").alias("g1"),
                                          F.col("cnt").alias("n1"))
     c2 = counts.filter("ord = 2").select(F.col("gram").alias("g2"),

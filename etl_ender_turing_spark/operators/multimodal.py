@@ -36,6 +36,7 @@ from collections.abc import Iterator
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
+from ..functions.barrier import lineage_cut
 
 MEDIA_META = T.StructType([
     T.StructField("media_type", T.StringType()),     # image | audio | video
@@ -2904,12 +2905,10 @@ _HASH_CACHE: dict[tuple, DataFrame] = {}
 
 
 def clear_hash_cache() -> None:
-    """Unpersist and drop the cached frame-hash tables."""
-    for df in _HASH_CACHE.values():
-        try:
-            df.unpersist()
-        except Exception:   # session already stopped — nothing cached
-            pass
+    """Drop the cached frame-hash tables. The frames are lineage_cut
+    (localCheckpoint-backed, not persist), so there is nothing to
+    unpersist: checkpoint blocks are released by the ContextCleaner
+    when the dropped references are GC'd."""
     _HASH_CACHE.clear()
 
 
@@ -2924,7 +2923,7 @@ def _cached_hashes(hashes: DataFrame) -> DataFrame:
            hashes._jdf.queryExecution().analyzed().semanticHash())
     hit = _HASH_CACHE.get(key)
     if hit is None:
-        hit = hashes.localCheckpoint(eager=False)
+        hit = lineage_cut(hashes)
         _HASH_CACHE[key] = hit
     return hit
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..functions.barrier import lineage_cut
 
 DIMS = 64
 
@@ -1507,8 +1508,8 @@ def margin_mine(emb: DataFrame, k: int = 4, threshold: float = 1.0,
     are decimal sums of 6dp cosines (order-independent), so the margin
     double is bit-identical cross-engine — no further rounding needed.
     """
-    g = knn_graph(emb, k=k, n_planes=n_planes, id_col=id_col,
-                  vec_col=vec_col).localCheckpoint(eager=False)
+    g = lineage_cut(knn_graph(emb, k=k, n_planes=n_planes,
+                              id_col=id_col, vec_col=vec_col))
     m = g.groupBy("src").agg(
         F.expr("CAST(SUM(CAST(cos_sim AS DECIMAL(28,6))) AS DOUBLE)"
                " / COUNT(*)").alias("mc"))

@@ -52,6 +52,7 @@ training-data-pipeline mandate (SURVEY.md §6), alongside BPE/LM/DSIR.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..functions.barrier import lineage_cut
 
 from .bpe import word_freqs, _word_freqs_sql
 
@@ -160,7 +161,7 @@ def unigram_lm_vocab(df: DataFrame, rounds: int = 2, v_multi: int = 200,
     # wf feeds the seed AND every EM round; localCheckpoint cuts the
     # corpus-scale lineage so each round reuses the materialized
     # distinct-word table (no cross-consumer CSE in Spark plans)
-    wf = wf.localCheckpoint(eager=True)
+    wf = lineage_cut(wf, eager=True)
     vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
     for _ in range(rounds):
         nc = _viterbi_counts(wf, vocab, max_piece)
@@ -193,9 +194,8 @@ def unigram_encode_counts(df: DataFrame, rounds: int = 2,
     side while it fits) and reduces per doc. Documents with no tokens
     drop out (both engines agree).
     """
-    wf = (word_freqs(df, text_col)
-          .filter(F.length("word") <= MAX_WORD)
-          .localCheckpoint(eager=True))
+    wf = lineage_cut(word_freqs(df, text_col)
+                     .filter(F.length("word") <= MAX_WORD), eager=True)
     vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
     for _ in range(rounds):
         nc = _viterbi_counts(wf, vocab, max_piece)
@@ -240,9 +240,8 @@ def unigram_encode_from_vocab(df: DataFrame, vocab: DataFrame,
     Returns (id, n_words, n_pieces) — bit-identical to
     :func:`unigram_encode_counts` trained with the same parameters
     (encode parity pinned by test and by the shared DuckDB oracle)."""
-    wf = (word_freqs(df, text_col)
-          .filter(F.length("word") <= MAX_WORD)
-          .localCheckpoint(eager=True))
+    wf = lineage_cut(word_freqs(df, text_col)
+                     .filter(F.length("word") <= MAX_WORD), eager=True)
     vt = (_segment(wf, vocab.select("piece", "cnt"), max_piece)
           .select("word", (F.size("cuts") - 1).cast("long")
                   .alias("n_pieces")))

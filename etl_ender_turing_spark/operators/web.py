@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from ..functions.barrier import lineage_cut
+
 # --------------------------------------------------------------------------
 # eTLD+1 via a trimmed static snapshot of the Public Suffix List
 # (publicsuffix.org — public data). A naive "last two host labels" breaks
@@ -471,8 +473,9 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
     # a barrier Spark recomputes the regexp-heavy extraction chain per
     # branch (measured 12 s -> ~5 s at sf0.1). At 100 TB this is the
     # standard pipeline break: write the extracted corpus to parquet
-    # and fan the curation stages out from storage. localCheckpoint,
-    # not persist: persist dedups EXECUTION but keeps the full lineage,
+    # and fan the curation stages out from storage (lineage_cut's
+    # conf-switched storage mode IS that write — functions/barrier.py).
+    # localCheckpoint, not persist: persist dedups EXECUTION but keeps the full lineage,
     # so Catalyst re-analyzes the whole extraction tree once per
     # consumer branch (the analyzed plan was ~10.8k formatted lines;
     # driver-side planning dominated the floor — guide §3.3/§7.3), and
@@ -481,15 +484,15 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
     # truncates the logical plan at this barrier (plan shrank ~20x,
     # floor 5.30 -> 3.69 s at sf0.1) and its RDD is GC-scoped to
     # the returned frame — no unpersist bookkeeping.
-    ext = kept.select(
+    ext = lineage_cut(kept.select(
         "doc_id", "lang",
         main_content_expr(F.col("html"), min_words).alias("main_text")
-    ).localCheckpoint(eager=False)
+    ))
     scored = bigram_coherence(ext, text_col="main_text")
     # scored is itself a corpus aggregation consumed by two branches
     # (threshold agg + bucket join): cut the skinny (doc_id, score)
     # frame so the bigram join tree runs once
-    scored = scored.localCheckpoint(eager=False)
+    scored = lineage_cut(scored)
     sl = ext.join(scored, "doc_id")
     # discrete tercile thresholds by EXPLICIT integer-index selection
     # (sorted 1-based index ceil(p*n), computed with integer div): both
@@ -515,9 +518,8 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
     # the shingle frame feeds FOUR subtrees (minhash signatures, both
     # sides of the intersection join, the size agg) — cut it so the
     # explode runs once
-    sh = dd.shingle_select(b.select("doc_id",
-                                    F.col("main_text").alias("text"))
-                           ).localCheckpoint(eager=False)
+    sh = lineage_cut(dd.shingle_select(
+        b.select("doc_id", F.col("main_text").alias("text"))))
     ver = dd.jaccard_on_pairs(
         sh, dd.minhash_band_pairs(dd.minhash_signatures(sh)),
         threshold=threshold)

@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators import dedup as dd
+from ..functions.barrier import lineage_cut
 from ..operators import sampling as sp
 from ..operators import similarity as sim
 from ..operators import textstats as ts
@@ -48,7 +49,7 @@ def _cached(key: tuple, build) -> DataFrame:
     # (guide §3.3/§7.3 — plan size itself costs driver time).
     df = _FIXTURE_CACHE.get(key)
     if df is None:
-        df = build().localCheckpoint(eager=False)
+        df = lineage_cut(build())
         _FIXTURE_CACHE[key] = df
     return df
 
