@@ -658,11 +658,25 @@ def duplicate_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
 
 
 def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
-    """(labels, rounds_used) — see :func:`duplicate_clusters`."""
+    """(labels, rounds_used) — see :func:`duplicate_clusters`.
+
+    Round shape (r13, interleaved A/B at sf0.1): ONE propagation step
+    per materialization — a two-step round was measured SLOWER (4.3–5.0
+    vs 3.2–3.9 s: the deeper uncheckpointed plan adds more stages than
+    the saved barriers cost); the per-round checkpoint is LAZY, so the
+    materialization folds into the fixpoint-probe job instead of paying
+    a separate barrier job per round (the pagerank r12 finding); and
+    the edge list is REPARTITIONED BY dst once before its cut, so the
+    per-round neighbor join reuses that layout instead of re-exchanging
+    the edge-sized side every round (guide §2.4 — at certification SFs
+    AQE broadcasts the label side anyway, but at corpus scale labels
+    are not broadcastable and the pinned edge layout is what keeps the
+    loop to one label-sized exchange per round)."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = lineage_cut(edges.distinct(), eager=True)
+    edges = lineage_cut(edges.distinct().repartition(F.col("dst")),
+                        eager=True)
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("lbl", F.col("node")))
     rounds = 0
@@ -684,7 +698,7 @@ def _min_label_fixpoint(pairs: DataFrame, max_iters: int):
             jump, new_labels.lbl == jump.jnode, "left")
             .select("node", "prev",
                     F.least("lbl", F.coalesce("jlbl", "lbl")).alias("lbl")))
-        new_labels = lineage_cut(new_labels, eager=True)
+        new_labels = lineage_cut(new_labels)
         # the previous label rides through the round, so the fixpoint
         # probe is a narrow filter over the just-materialized partitions
         # — the old shape re-joined new vs old labels, a full extra
