@@ -147,7 +147,12 @@ def prepare_llm_training_set(docs: DataFrame, k_raw: int = 200,
     scores = lm.stupid_backoff_scores(
         docs, lm.train_ngram_counts(docs, train_mod, text_col, id_col),
         text_col, id_col)
-    sl = scores.join(docs.select(id_col, "lang"), id_col)
+    # the scored frame feeds TWO branches (the per-language tercile agg
+    # and the keep filter): cut it so the corpus-scale LM scoring join
+    # runs once — the counts cut inside stupid_backoff_scores dedups
+    # TRAINING, but each consumer branch still re-ran the scoring join
+    # (substep-profiled ~0.9 s per extra evaluation at sf0.1)
+    sl = lineage_cut(scores.join(docs.select(id_col, "lang"), id_col))
     # upper-tercile threshold per language, the proven explicit
     # integer-index rule (see q_ccnet_buckets)
     th = (sl.groupBy("lang")

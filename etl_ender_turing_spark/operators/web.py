@@ -509,12 +509,17 @@ def curate_web_corpus(docs: DataFrame, blocked: DataFrame,
                   .alias("t1"),
                   F.expr("element_at(l, CAST((2 * size(l) + 2) div 3"
                          " AS INT))").alias("t2")))
-    b = (sl.join(F.broadcast(th), "lang")
-         .withColumn(
-             "bucket",
-             F.when(F.col("mean_transition_p") > F.col("t2"), "head")
-             .when(F.col("mean_transition_p") > F.col("t1"), "middle")
-             .otherwise("tail")))
+    # the bucketed frame feeds TWO branches (the shingle/dedup chain and
+    # the final anti-join + rollup): cut it so the tercile agg and the
+    # threshold join run once (substep-profiled ~0.2 s per extra
+    # evaluation at sf0.1; guide §3.3)
+    b = lineage_cut(
+        sl.join(F.broadcast(th), "lang")
+        .withColumn(
+            "bucket",
+            F.when(F.col("mean_transition_p") > F.col("t2"), "head")
+            .when(F.col("mean_transition_p") > F.col("t1"), "middle")
+            .otherwise("tail")))
     # the shingle frame feeds FOUR subtrees (minhash signatures, both
     # sides of the intersection join, the size agg) — cut it so the
     # explode runs once

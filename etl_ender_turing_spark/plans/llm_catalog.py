@@ -2605,7 +2605,9 @@ def q_ccnet_buckets(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     scored = ts.bigram_coherence(docs)
     langs = docs.select("doc_id", ts.lang_guess_expr("text").alias("lang"))
-    sl = scored.join(langs, "doc_id")
+    # sl feeds TWO branches (tercile agg + bucket join): cut it so
+    # the coherence scoring tree runs once (guide §3.3)
+    sl = lineage_cut(scored.join(langs, "doc_id"))
     # DISCRETE thresholds (a data value, never interpolated), selected
     # by an EXPLICIT integer-index rule — sorted 1-based index
     # ceil(p*n), computed with integer div. Built-in percentile_disc /
@@ -3212,7 +3214,9 @@ def q_unigram_fertility(spark, sf_dir):
 def q_lm_ccnet_gate(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     scores = lm.stupid_backoff_scores(docs, lm.train_ngram_counts(docs))
-    sl = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    # sl feeds TWO branches (tercile agg + bucket join): cut it so the
+    # corpus-scale LM scoring join runs once (guide §3.3)
+    sl = lineage_cut(scores.join(docs.select("doc_id", "lang"), "doc_id"))
     th = (sl.groupBy("lang")
           .agg(F.sort_array(F.collect_list("mean_nll")).alias("l"))
           .select("lang",
