@@ -165,6 +165,15 @@ def unigram_lm_vocab(df: DataFrame, rounds: int = 2, v_multi: int = 200,
     vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
     for _ in range(rounds):
         nc = _viterbi_counts(wf, vocab, max_piece)
+        # nc is referenced twice below (singles join + multis filter)
+        # and vocab twice inside _viterbi_counts (total agg + scored) +
+        # once in singles: without per-round cuts each reference
+        # re-evaluates the ENTIRE previous round's subtree, so the plan
+        # (and the executed work) grows multiplicatively per EM round —
+        # interleaved A/B at sf0.1: 3.0-4.8 s -> 1.44 s with both cuts,
+        # identical rows (guide §3.3; the frames are vocab-scale, a few
+        # hundred rows)
+        nc = lineage_cut(nc)
         singles = (vocab.filter(F.length("piece") == 1)
                    .select("piece")
                    .join(nc, "piece", "left")
@@ -172,7 +181,7 @@ def unigram_lm_vocab(df: DataFrame, rounds: int = 2, v_multi: int = 200,
                            F.greatest(F.coalesce(F.col("cnt"), F.lit(0)),
                                       F.lit(1)).cast("long").alias("cnt")))
         multis = nc.filter(F.length("piece") >= 2)
-        vocab = singles.unionByName(multis)
+        vocab = lineage_cut(singles.unionByName(multis))
     total = vocab.agg(F.sum("cnt").cast("long").alias("total"))
     return (vocab.crossJoin(F.broadcast(total))
             .select("piece", "cnt",
@@ -198,14 +207,18 @@ def unigram_encode_counts(df: DataFrame, rounds: int = 2,
                      .filter(F.length("word") <= MAX_WORD), eager=True)
     vocab = _prune(_seed_candidates(wf, max_piece), v_multi)
     for _ in range(rounds):
-        nc = _viterbi_counts(wf, vocab, max_piece)
+        nc = lineage_cut(_viterbi_counts(wf, vocab, max_piece))
+        # same per-round cuts as unigram_lm_vocab (see the comment
+        # there): nc and vocab are multiply-referenced vocab-scale
+        # frames whose uncut lineage re-executes the whole prior round
         singles = (vocab.filter(F.length("piece") == 1)
                    .select("piece")
                    .join(nc, "piece", "left")
                    .select("piece",
                            F.greatest(F.coalesce(F.col("cnt"), F.lit(0)),
                                       F.lit(1)).cast("long").alias("cnt")))
-        vocab = singles.unionByName(nc.filter(F.length("piece") >= 2))
+        vocab = lineage_cut(
+            singles.unionByName(nc.filter(F.length("piece") >= 2)))
     # final segmentation pass: pieces per distinct word under the
     # trained vocab, then the doc-stream re-join
     vt = (_segment(wf, vocab, max_piece)
