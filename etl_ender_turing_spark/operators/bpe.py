@@ -38,6 +38,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.barrier import lineage_cut
+
 # --- shared dialect snippets ------------------------------------------------
 
 # word -> sentinel-spaced initial symbolization " h e l l o "
@@ -103,21 +105,35 @@ def _merge_rounds(df: DataFrame, rounds: int, text_col: str):
     """Shared learn/apply loop: per round aggregate pair stats, argmax
     the pair, broadcast it, fold it into every word. Returns the merge
     table (round, pair, cnt) and the final (word, w, freq)
-    symbolizations — both lazy plans over the same round chain."""
-    words = (word_freqs(df, text_col)
-             .select("word", F.expr(_INIT_SPARK).alias("w"), "freq"))
+    symbolizations — both lazy plans over the same round chain.
+
+    Lineage growth: each round references the previous round's words
+    TWICE (the pair-count argmax and the merge fold) and best twice
+    (step + the merge-table union), so the uncut plan re-executes
+    2^rounds-ish copies of the upstream subtree. Interleaved A/B at
+    sf0.1: per-round cuts win ~30% at rounds=4 (2.4 -> 1.4-1.9 s via
+    the encode tail) but LOSE at rounds=2 (0.89-1.16 -> 1.15-1.31 s —
+    the r12 finding: a 31-word symbolization table is cheaper to
+    recompute than to materialize), so the cuts engage from rounds >= 3
+    where the growth outruns the barrier cost."""
+    cut = (lambda f: lineage_cut(f)) if rounds >= 3 else (lambda f: f)
+    words = cut(word_freqs(df, text_col)
+                .select("word", F.expr(_INIT_SPARK).alias("w"), "freq"))
     merges = None
     for r in range(1, rounds + 1):
-        best = (_pair_counts(words)
-                .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
-                .select(F.lit(r).cast("int").alias("round"), "pair", "cnt"))
+        best = cut(_pair_counts(words)
+                   .orderBy(F.desc("cnt"), F.asc("pair")).limit(1)
+                   .select(F.lit(r).cast("int").alias("round"), "pair",
+                           "cnt"))
         step = (best.select(F.expr("split_part(pair, ' ', 1)").alias("p1"),
                             F.expr("split_part(pair, ' ', 2)").alias("p2")))
         merges = best if merges is None else merges.unionByName(best)
-        words = (words.crossJoin(F.broadcast(step))
-                 .select("word", F.expr("split(trim(w), ' ')").alias("_s"),
-                         "freq", "p1", "p2")
-                 .select("word", F.expr(_MERGE_SPARK).alias("w"), "freq"))
+        words = cut(words.crossJoin(F.broadcast(step))
+                    .select("word",
+                            F.expr("split(trim(w), ' ')").alias("_s"),
+                            "freq", "p1", "p2")
+                    .select("word", F.expr(_MERGE_SPARK).alias("w"),
+                            "freq"))
     return merges, words
 
 
