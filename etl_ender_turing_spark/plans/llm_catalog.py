@@ -2964,7 +2964,9 @@ _DOMAIN_QUALITY_SQL = f"""
 def q_crawl_budget(spark, sf_dir):
     docs = _docs(spark, sf_dir).select("doc_id")
     d = _docs(spark, sf_dir)
-    parsed = wb.parse_urls(wb.synthesize_planted_urls(docs))
+    # parsed feeds TWO branches (the edge derivation and the quality
+    # agg): cut it so the URL parse chain runs once (guide §3.3)
+    parsed = lineage_cut(wb.parse_urls(wb.synthesize_planted_urls(docs)))
     links = wb.extract_links(wb.synthesize_planted_links(docs))
     ranks = gr.pagerank(wb.domain_edges(parsed, links), iters=3)
     quality = (parsed.join(d.select("doc_id", "n_chars"), "doc_id")
