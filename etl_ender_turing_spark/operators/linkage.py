@@ -44,6 +44,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.barrier import lineage_cut
+
 # Customer names are 'Customer#%09d' — 18 chars, digit zone at
 # 1-indexed positions 10..18. The zone constants are the fixture's,
 # not the algorithm's: er_candidate_pairs takes them as arguments.
@@ -884,9 +886,15 @@ def golden_increment(store: DataFrame, batch: DataFrame,
     back in or its upsert silently forgets them. Members re-arriving in
     THIS batch are anti-joined out so a replayed epoch (whose records
     are already in the table) converges instead of double-counting."""
-    asg = er_match_increment(store, batch, max_edits, bal_window,
-                             store_lengths=store_lengths) \
-        .select("rec_id", "entity_id")
+    # the assignment table feeds TWO branches (the touched-entity semi
+    # probe and the new-members join; a prior_members epoch adds two
+    # more references) — cut it so the matcher's explode/broadcast/
+    # window pipeline runs once per batch (interleaved A/B at sf0.1:
+    # 2.6-2.9 s vs 3.1-3.2 s for the increment query; guide §3.3)
+    asg = lineage_cut(
+        er_match_increment(store, batch, max_edits, bal_window,
+                           store_lengths=store_lengths)
+        .select("rec_id", "entity_id"))
     touched = asg.select("entity_id").distinct()
     reps = (store.join(touched, "entity_id", "left_semi")
             .select("entity_id", F.col("entity_id").alias("rec_id"),
