@@ -727,8 +727,13 @@ def semantic_dedup_keep(emb: DataFrame, threshold: float = 0.3,
                                        else n_rows)
     # cell ids stay a SKINNY (id, cell) frame and re-join the vectors:
     # measured faster than carrying the 64-dim arrays through the argmax
-    # shuffle (AQE broadcasts the skinny side of the re-join)
-    cells = ivf_assignments(emb, n_centroids, id_col, vec_col)
+    # shuffle (AQE broadcasts the skinny side of the re-join). The frame
+    # feeds TWO branches (the vector re-join and the final anti-join) —
+    # cut it so the corpus-scale centroid argmax runs once (guide §3.3;
+    # r13 interleaved A/B: flat-to-slightly-better locally, one fewer
+    # full corpus pass structurally)
+    cells = lineage_cut(ivf_assignments(emb, n_centroids, id_col,
+                                        vec_col))
     v = (emb.select(F.col(id_col), as_double(vec_col).alias("v"))
          .select(id_col, "v", norm("v").alias("nv"))
          .join(cells, id_col))
