@@ -331,11 +331,15 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     lo_first = ((F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db"))
                    & (F.col("a") < F.col("b"))))
-    oriented = j.select(
+    # oriented feeds THREE subtrees (both wedge sides + the closing
+    # join): cut it so the degree-orientation join pipeline runs once
+    # (r13 interleaved A/B on the triangle census: 2.23-2.28 ->
+    # 1.60-1.65 s at sf0.1; guide §3.3)
+    oriented = lineage_cut(j.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da"))
-        .alias("hideg"))
+        .alias("hideg")))
     x = oriented.select("lo", F.col("hi").alias("v"),
                         F.col("hideg").alias("dv"))
     y = oriented.select("lo", F.col("hi").alias("w"),
@@ -526,11 +530,15 @@ def local_clustering(edges: DataFrame) -> DataFrame:
     lo_first = ((F.col("da") < F.col("db"))
                 | ((F.col("da") == F.col("db"))
                    & (F.col("a") < F.col("b"))))
-    oriented = j.select(
+    # oriented feeds THREE subtrees (both wedge sides + the closing
+    # join): cut it so the degree-orientation join pipeline runs once
+    # (r13 interleaved A/B on the triangle census: 2.23-2.28 ->
+    # 1.60-1.65 s at sf0.1; guide §3.3)
+    oriented = lineage_cut(j.select(
         F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
         F.when(lo_first, F.col("db")).otherwise(F.col("da"))
-        .alias("hideg"))
+        .alias("hideg")))
     x = oriented.select("lo", F.col("hi").alias("v"),
                         F.col("hideg").alias("dv"))
     y = oriented.select("lo", F.col("hi").alias("w"),
@@ -540,7 +548,10 @@ def local_clustering(edges: DataFrame) -> DataFrame:
         | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w"))))
     closing = oriented.select(F.col("lo").alias("v"),
                               F.col("hi").alias("w"))
-    tris = wedges.join(closing, ["v", "w"]).select("lo", "v", "w")
+    # tris feeds the three corner projections below — cut it so the
+    # wedge-close join runs once, not once per corner
+    tris = lineage_cut(
+        wedges.join(closing, ["v", "w"]).select("lo", "v", "w"))
     corners = (tris.select(F.col("lo").alias("node"))
                .unionByName(tris.select(F.col("v").alias("node")))
                .unionByName(tris.select(F.col("w").alias("node"))))
