@@ -1033,9 +1033,10 @@ def span_dedup_stats(df: DataFrame, n: int = 8, text_col: str = "text",
     dup_frac). Downstream policy gates on dup_frac (drop > 0.8, strip
     spans in 0.2..0.8, keep below).
     """
-    grams = _word_grams(
+    # same two-consumer shape as span_dedup_rewrite: cut the explode
+    grams = lineage_cut(_word_grams(
         df.select(F.col(id_col), tokens(text_col).alias("t")),
-        id_col, n, "gram")
+        id_col, n, "gram"))
     owner = grams.groupBy("gram").agg(F.min(id_col).alias("owner_id"))
     return (grams.join(owner, "gram")
             .groupBy(id_col)
@@ -1101,10 +1102,13 @@ def span_dedup_rewrite(df: DataFrame, n: int = 8, text_col: str = "text",
     base = (df.select(F.col(id_col),
                       F.split(F.col(text_col), " ").alias("_t"))
             .filter(F.col("_t").isNotNull()))
-    grams = _word_grams(
+    # grams feeds the owner agg AND the dup join: cut it so the
+    # word-gram explode runs once (r13 interleaved A/B: 1.30-1.67 vs
+    # 1.67-1.76 s at sf0.1, rows identical)
+    grams = lineage_cut(_word_grams(
         base.select(id_col,
                     F.expr("transform(_t, x -> lower(x))").alias("t")),
-        id_col, n, "gram", with_pos=True)
+        id_col, n, "gram", with_pos=True))
     owner = grams.groupBy("gram").agg(F.min(id_col).alias("owner_id"))
     dup = (grams.join(owner, "gram")
            .filter(F.col("owner_id") < F.col(id_col))

@@ -44,8 +44,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from ..functions.barrier import lineage_cut
 
-from .textstats import ngram_array_expr
-
 # Tokenizer shared with the rest of the text family: lowercase,
 # whitespace split, empty tokens dropped (multi-space safe).
 _TOK_SPARK = "filter(split(lower(trim({col})), ' '), x -> x <> '')"
