@@ -367,6 +367,17 @@ def increment_feed_sql(table: str = "customer") -> str:
             f" FROM {table} WHERE c_custkey % 7 = 5")
 
 
+def store_zone_lengths(store: DataFrame) -> list[int]:
+    """One metadata pull of the entity store's zone-length histogram (a
+    handful of integers) — pass it as ``store_lengths`` to every
+    matcher call against the same store so the per-call length-pruning
+    collect (one job + one store scan each) runs once. The streaming
+    maintainer and the cross-epoch certification query both reuse it."""
+    return sorted(
+        store.selectExpr(f"length(substr(name, {ZONE_START})) AS n")
+        .agg(F.collect_set("n")).first()[0] or [])
+
+
 def er_match_increment(store: DataFrame, batch: DataFrame,
                        max_edits: int = MAX_EDITS,
                        bal_window: float = BAL_WINDOW,

@@ -2021,11 +2021,17 @@ def q_er_golden_cross_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("c_nationkey").alias("nationkey"),
                         F.col("c_acctbal").alias("bal"))
     feed = lk.increment_feed(cust)
-    asg1 = lk.er_match_increment(store, feed).select("rec_id", "entity_id")
+    # both matcher passes block against the SAME store: pull its
+    # zone-length histogram once (one metadata job instead of two —
+    # the streaming maintainer's convention)
+    lens = lk.store_zone_lengths(store)
+    asg1 = (lk.er_match_increment(store, feed, store_lengths=lens)
+            .select("rec_id", "entity_id"))
     members1 = feed.join(asg1, "rec_id").select("entity_id", "rec_id",
                                                 "name", "bal")
     return lk.golden_increment(store, lk.second_arrival(cust),
-                               prior_members=members1)
+                               prior_members=members1,
+                               store_lengths=lens)
 
 
 def _install_er_increment_oracle() -> None:

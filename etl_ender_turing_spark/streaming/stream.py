@@ -1177,11 +1177,9 @@ def _store_zone_lengths(store: DataFrame) -> list[int]:
     """One metadata pull of the static entity store's zone-length
     histogram (a handful of integers) — handed to every micro-batch's
     matcher so the per-epoch length-pruning collect disappears."""
-    from ..operators.linkage import ZONE_START
+    from ..operators.linkage import store_zone_lengths
 
-    return sorted(
-        store.selectExpr(f"length(substr(name, {ZONE_START})) AS n")
-        .agg(F.collect_set("n")).first()[0] or [])
+    return store_zone_lengths(store)
 
 
 def er_gate_stream(spark: SparkSession, landing_dir: str,
